@@ -1,0 +1,64 @@
+"""Headline benchmark — one JSON line, driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully executed (collect to the driver is avoided; we count
+via a noop write-style action) and timed end-to-end including planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from changedatacapture_reporting_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+    headline = [n for n in qs if n in HEADLINE] or list(qs)[:8]
+
+    # warm the JVM + parquet footers with one untimed tiny action
+    qs[headline[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full pipeline execution; result stays distributed
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+HEADLINE = [
+    "cdc_changelog_full",
+    "cdc_changelog_join_path",
+    "cdc_query_window",
+    "cdc_incremental_resume",
+    "cdc_changelog_daily_activity",
+]
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""Query registry backing ``__spark_entry__`` (the driver contract).
+
+Each entry: name → (spark_fn, oracle_sql | None).
+
+- ``spark_fn(spark, sf_dir) -> DataFrame`` runs the operator through this
+  engine's real code path (NOT a SQL re-statement) — it exercises the
+  operators in changedatacapture_reporting_spark.operators.
+- ``oracle_sql`` is DuckDB SQL over the pre-registered fixture views that
+  computes the same result. Column names/aliases match exactly — the
+  driver's comparator sorts columns by name before hashing.
+- Entries whose semantics aren't SQL-expressible (LSH banding, streaming
+  state) carry ``None`` → driver does a rows-only check; pytest covers
+  their correctness against brute-force equivalents instead.
+
+Float policy: any double aggregate compared against the oracle is either
+computed on DECIMAL (exact, order-independent) or rounded far below the
+accumulation-order noise floor, so Spark-vs-DuckDB summation order can't
+flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.operators.changelog import (
+    build_changelog,
+    pair_update_images,
+)
+from changedatacapture_reporting_spark.operators.query_data import (
+    freshness,
+    query_changelog,
+)
+from changedatacapture_reporting_spark.sources.cdc_simulator import (
+    ORACLE_EVENTS_CTE,
+    SIM_PK,
+    simulate_cdc_events,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+CHANGELOG_OUT = [
+    "commit_time",
+    "table_name",
+    "o_orderkey",
+    "column_name",
+    "old_value",
+    "new_value",
+]
+
+# ---------------------------------------------------------------------------
+# CDC core (SURVEY.md §2.1–§2.9)
+# ---------------------------------------------------------------------------
+
+
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = simulate_cdc_events(spark, sf_dir)
+    return build_changelog(events, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
+# The full populate dataflow in oracle form: per-column change rows
+# (UNION ALL per column = UNPIVOT with NULL-drop) + insert/delete markers.
+_ORACLE_CHANGES = f"""
+WITH {ORACLE_EVENTS_CTE},
+upd AS (SELECT * FROM ev WHERE op = 'update'),
+changes AS (
+  SELECT commit_ts AS commit_time, 'orders' AS table_name, o_orderkey,
+         'status' AS column_name, b_status AS old_value, a_status AS new_value
+  FROM upd WHERE b_status IS DISTINCT FROM a_status
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, 'priority', b_priority, a_priority
+  FROM upd WHERE b_priority IS DISTINCT FROM a_priority
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, 'total',
+         CAST(b_total AS VARCHAR), CAST(a_total AS VARCHAR)
+  FROM upd WHERE b_total IS DISTINCT FROM a_total
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, 'note', b_note, a_note
+  FROM upd WHERE b_note IS DISTINCT FROM a_note
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, NULL, 'DELETED RECORD', NULL
+  FROM ev WHERE op = 'delete'
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, NULL, NULL, 'NEW RECORD'
+  FROM ev WHERE op = 'insert'
+)
+"""
+
+
+def _q_changelog_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _changelog(spark, sf_dir)
+
+
+_SQL_CHANGELOG_FULL = (
+    _ORACLE_CHANGES
+    + "SELECT commit_time, table_name, o_orderkey, column_name, old_value,"
+    " new_value FROM changes"
+)
+
+
+def _q_changelog_join_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's literal before/after pairing join over split
+    image rows ('all update old' shape, populate:340–364)."""
+    events = simulate_cdc_events(spark, sf_dir)
+    upd = events.filter(F.col("op") == "update")
+    value_cols = [f.name for f in events.schema["after"].dataType.fields]
+    changed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"before.{c}").eqNullSafe(F.col(f"after.{c}")),
+                    F.lit(c),
+                )
+                for c in value_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    b = upd.select("lsn", "seq", "commit_ts", "table_name",
+                   F.col("before").alias("image"), changed.alias("changed_cols"))
+    a = upd.select("lsn", "seq", "commit_ts", "table_name",
+                   F.col("after").alias("image"), changed.alias("changed_cols"))
+    out = pair_update_images(b, a, SIM_PK)
+    return out.select(*CHANGELOG_OUT)
+
+
+_SQL_CHANGELOG_JOIN_PATH = (
+    _ORACLE_CHANGES
+    + "SELECT commit_time, table_name, o_orderkey, column_name, old_value,"
+    " new_value FROM changes WHERE column_name IS NOT NULL"
+)
+
+
+def _q_query_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — day-truncated inclusive time-range slice (query:49–57)."""
+    log = _changelog(spark, sf_dir)
+    return query_changelog(
+        log, "1995-03-15 13:45:00", "1996-09-01 02:30:00"
+    ).select(*CHANGELOG_OUT)
+
+
+_SQL_QUERY_WINDOW = (
+    _ORACLE_CHANGES
+    + """
+SELECT commit_time, table_name, o_orderkey, column_name, old_value, new_value
+FROM changes
+WHERE CAST(commit_time AS DATE) >= DATE '1995-03-15'
+  AND CAST(commit_time AS DATE) <= DATE '1996-09-01'
+"""
+)
+
+
+def _q_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — freshness banner, MM/dd/yyyy (query:41–46), on commit_time
+    (created_dt is wall-clock and can't be oracle-compared)."""
+    return freshness(_changelog(spark, sf_dir), ts_col="commit_time")
+
+
+_SQL_FRESHNESS = (
+    _ORACLE_CHANGES
+    + """
+SELECT 'ATTENTION: Data is accurate as of ' || strftime(MAX(commit_time), '%m/%d/%Y') AS message,
+       strftime(MAX(commit_time), '%m/%d/%Y') AS accurate_as_of
+FROM changes
+"""
+)
+
+
+def _q_watermark_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — min capture time + reference-style MAX+1min resume point
+    (populate:195, 203)."""
+    events = simulate_cdc_events(spark, sf_dir)
+    return events.agg(
+        F.min("commit_ts").alias("min_capture_ts"),
+        (F.max("commit_ts") + F.expr("INTERVAL 1 MINUTE")).alias(
+            "legacy_resume_ts"
+        ),
+        F.max("lsn").alias("watermark_lsn"),
+    )
+
+
+_SQL_WATERMARK_BOUNDS = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT MIN(commit_ts) AS min_capture_ts,
+       MAX(commit_ts) + INTERVAL 1 MINUTE AS legacy_resume_ts,
+       MAX(lsn) AS watermark_lsn
+FROM ev
+"""
+
+
+def _q_incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST2 — incremental run over the (watermark, to] LSN window:
+    only events with lsn > 3000 contribute (exact semantics, not the
+    reference's +1-minute hop)."""
+    events = simulate_cdc_events(spark, sf_dir).filter(F.col("lsn") > 3000)
+    return build_changelog(events, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
+_SQL_INCREMENTAL_RESUME = (
+    _ORACLE_CHANGES
+    + "SELECT commit_time, table_name, o_orderkey, column_name, old_value,"
+    " new_value FROM changes WHERE o_orderkey > 3000"
+)
+
+
+def _q_changelog_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting rollup over the changelog: per-day, per-kind activity
+    (exercises groupBy over the EAV output)."""
+    log = _changelog(spark, sf_dir)
+    kind = (
+        F.when(F.col("new_value") == "NEW RECORD", F.lit("insert"))
+        .when(F.col("old_value") == "DELETED RECORD", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        log.withColumn("change_date", F.to_date("commit_time"))
+        .withColumn("kind", kind)
+        .groupBy("change_date", "kind")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.countDistinct("o_orderkey").alias("n_rows_touched"),
+        )
+    )
+
+
+_SQL_CHANGELOG_DAILY = (
+    _ORACLE_CHANGES
+    + """
+SELECT CAST(commit_time AS DATE) AS change_date,
+       CASE WHEN new_value = 'NEW RECORD' THEN 'insert'
+            WHEN old_value = 'DELETED RECORD' THEN 'delete'
+            ELSE 'update' END AS kind,
+       COUNT(*) AS n_changes,
+       COUNT(DISTINCT o_orderkey) AS n_rows_touched
+FROM changes
+GROUP BY 1, 2
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "cdc_changelog_full": (_q_changelog_full, _SQL_CHANGELOG_FULL),
+    "cdc_changelog_join_path": (_q_changelog_join_path, _SQL_CHANGELOG_JOIN_PATH),
+    "cdc_query_window": (_q_query_window, _SQL_QUERY_WINDOW),
+    "cdc_freshness": (_q_freshness, _SQL_FRESHNESS),
+    "cdc_watermark_bounds": (_q_watermark_bounds, _SQL_WATERMARK_BOUNDS),
+    "cdc_incremental_resume": (_q_incremental_resume, _SQL_INCREMENTAL_RESUME),
+    "cdc_changelog_daily_activity": (_q_changelog_daily_activity, _SQL_CHANGELOG_DAILY),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_, sql) in REGISTRY.items() if sql is not None
+    }

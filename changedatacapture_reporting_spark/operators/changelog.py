@@ -1,0 +1,262 @@
+"""Core populate dataflow: CDC events → long-format per-column changelog.
+
+Re-expresses the generated INSERT…SELECT of
+``usp_cdc_populate_changelog.sql:261–397`` (the reference's entire dataflow:
+scan → changed-column mask → UNPIVOT ×2 → before/after join → UNION ALL
+markers → ORDER BY → insert) as a single-scan, join-free Spark plan.
+
+Reference dataflow vs ours
+--------------------------
+The reference scans the CDC change function **4×** (op=3 before-images,
+op=4 after-images, op=1 deletes, op=2 inserts; populate:319, 352, 373, 384),
+NULL-masks unchanged columns via ``__$update_mask`` bit probes
+(populate:302–310), UNPIVOTs each image stream to long format
+(populate:321, 354), then inner-joins before×after on
+``(__$start_lsn, column_name, pk…)`` (populate:361–364).
+
+Our event model carries both images in one row
+(``before``/``after`` structs — see schema.py), so:
+
+- changed-column detection is null-safe inequality per column
+  (``NOT before.c <=> after.c``) instead of bitmask probes (populate:304–306);
+- the unpivot emits (column_name, old_value, new_value) *pairs* directly —
+  the reference's J1 join disappears;
+- one scan instead of four;
+- the reference's ``__$seqval`` gap (two updates to one row in one
+  transaction cross-match in its join) cannot occur: pairing is per-event-row.
+
+Everything below is built-in Spark expressions (no Python UDFs), so the
+whole pipeline stays inside whole-stage codegen and Catalyst can push
+filters into the parquet scan — required posture at 100 TB.
+
+``pair_update_images`` implements the reference's literal join shape (J1)
+for inputs that arrive as split before/after rows ('all update old' format).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.config import CompatFlags
+from changedatacapture_reporting_spark.schema import (
+    DELETED_RECORD,
+    NEW_RECORD,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+)
+
+
+def _erase(col: Column, flags: CompatFlags) -> Column:
+    """Type-erase a value to string (populate:271–277 SQL_VARIANT→VARCHAR).
+
+    The 128-char truncation is reference-faithful only behind
+    ``flags.truncate128`` (it silently corrupts long values).
+    """
+    s = col.cast("string")
+    return F.substring(s, 1, 128) if flags.truncate128 else s
+
+
+def _pk_cols(pk_names: list[str]) -> list[Column]:
+    """PK carry-through: before-image for updates/deletes, after for inserts.
+
+    Mirrors the reference taking updates' PKs from ``up_b`` (populate:292)
+    and each marker's PKs from its own row image (populate:369, 380).
+    """
+    return [
+        F.coalesce(F.col(f"before.{k}"), F.col(f"after.{k}")).alias(k)
+        for k in pk_names
+    ]
+
+
+def _pk_json(pk_names: list[str]) -> Column:
+    """Canonical composite-PK string (replaces the reference's lossy
+    INT-typed PK columns, populate:95–97)."""
+    return F.to_json(
+        F.struct(
+            *[
+                F.coalesce(F.col(f"before.{k}"), F.col(f"after.{k}")).alias(k)
+                for k in pk_names
+            ]
+        )
+    )
+
+
+def changed_column_entries(
+    value_cols: list[str], flags: CompatFlags | None = None
+) -> Column:
+    """Array of (column_name, old_value, new_value) for genuinely changed
+    columns of an update event.
+
+    This is the reference's P2 changed-column mask (populate:302–310) fused
+    with both UNPIVOTs (populate:321, 354): the bitmask probe becomes a
+    null-safe inequality, and ``F.filter`` prunes unchanged columns *inside*
+    the array before ``explode`` ever materializes a row — the same effect
+    as UNPIVOT dropping the masked NULLs, without emitting n_cols rows per
+    update first.
+    """
+    flags = flags or CompatFlags()
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                _erase(F.col(f"before.{c}"), flags).alias("old_value"),
+                _erase(F.col(f"after.{c}"), flags).alias("new_value"),
+                (~F.col(f"before.{c}").eqNullSafe(F.col(f"after.{c}"))).alias(
+                    "changed"
+                ),
+            )
+            for c in value_cols
+        ]
+    )
+    return F.filter(entries, lambda e: e["changed"])
+
+
+def build_changelog(
+    events: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str] | None = None,
+    flags: CompatFlags | None = None,
+    created_by: str | None = None,
+    with_audit_cols: bool = True,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """events(lsn, seq, commit_ts, op, table_name, before, after) → changelog.
+
+    Output: one row per (event, changed column) for updates, plus one
+    marker row per insert ('NEW RECORD', populate:383) and per delete
+    ('DELETED RECORD', populate:371), with NULL column_name on markers
+    (populate:370, 381).
+
+    ``value_cols`` defaults to every field of the row image — the reference
+    likewise unpivots *all* ``sys.columns`` (populate:295–336), so a changed
+    PK column shows up as a change row too.
+
+    ``carry_cols`` are event columns (e.g. ``lsn``, ``seq``) copied through
+    to the output — the incremental sink keeps ``lsn`` as its high-watermark.
+    """
+    flags = flags or CompatFlags()
+    if value_cols is None:
+        value_cols = [f.name for f in events.schema["after"].dataType.fields]
+    carry_cols = carry_cols or []
+
+    base = [
+        *[F.col(c) for c in carry_cols],
+        F.col("commit_ts").alias("commit_time"),
+        F.col("table_name"),
+        *_pk_cols(pk_cols),
+        _pk_json(pk_cols).alias("pk_json"),
+    ]
+
+    updates = (
+        events.filter(F.col("op") == OP_UPDATE)
+        .select(
+            *base,
+            F.explode(changed_column_entries(value_cols, flags)).alias("e"),
+        )
+        .select(
+            *carry_cols,
+            "commit_time",
+            "table_name",
+            *pk_cols,
+            "pk_json",
+            F.col("e.column_name").alias("column_name"),
+            F.col("e.old_value").alias("old_value"),
+            F.col("e.new_value").alias("new_value"),
+        )
+    )
+
+    def _marker(op: str, old: Column, new: Column) -> DataFrame:
+        return events.filter(F.col("op") == op).select(
+            *base,
+            F.lit(None).cast("string").alias("column_name"),
+            old.alias("old_value"),
+            new.alias("new_value"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    deletes = _marker(OP_DELETE, F.lit(DELETED_RECORD), null_s)
+    inserts = _marker(OP_INSERT, null_s, F.lit(NEW_RECORD))
+
+    out = updates.unionByName(deletes).unionByName(inserts)
+
+    if with_audit_cols:
+        out = out.withColumn("created_dt", F.current_timestamp()).withColumn(
+            "created_by",
+            F.lit(created_by or out.sparkSession.sparkContext.sparkUser()),
+        )
+
+    if flags.global_order:
+        # reference-faithful global ORDER BY (populate:390–394): forces a
+        # range-partition exchange; only sensible for small extracts.
+        out = out.orderBy("commit_time", *pk_cols, "column_name")
+    return out
+
+
+def pair_update_images(
+    before_rows: DataFrame,
+    after_rows: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str] | None = None,
+    flags: CompatFlags | None = None,
+) -> DataFrame:
+    """J1 — the reference's literal before/after pairing join
+    (populate:340–364) for inputs shaped like ``'all update old'``: separate
+    before-image (op=3) and after-image (op=4) rows.
+
+    Each side: NULL-mask unchanged columns (needs a changed-mask; here the
+    caller's rows carry a ``changed_cols`` array — Debezium and Spark CDF
+    both provide one; absent that, use :func:`build_changelog`'s paired
+    path), melt wide→long, drop NULLs, then inner equi-join on
+    ``(lsn, seq, column_name, pk…)``.
+
+    We include ``seq`` in the join key — fixing the reference's cross-match
+    gap when one row is updated twice in one transaction (it joins on
+    ``__$start_lsn`` + column + pk only, populate:361–364).
+
+    At scale: an equi-join on (lsn, seq, column_name, pk) is
+    uniformly distributed (lsn is monotone, effectively unique per txn), so
+    sort-merge with AQE handles it without skew; both sides come from the
+    same scan so Spark reuses the exchange.
+    """
+    flags = flags or CompatFlags()
+    if value_cols is None:
+        value_cols = [
+            f.name
+            for f in before_rows.schema["image"].dataType.fields
+        ]
+
+    def _melt(df: DataFrame, value_name: str) -> DataFrame:
+        stack_args: list[Column] = []
+        for c in value_cols:
+            stack_args.append(F.lit(c))
+            stack_args.append(_erase(F.col(f"image.{c}"), flags))
+        melted = df.select(
+            "lsn",
+            "seq",
+            "commit_ts",
+            "table_name",
+            *[F.col(f"image.{k}").alias(k) for k in pk_cols],
+            F.stack(
+                F.lit(len(value_cols)), *stack_args
+            ).alias("column_name", value_name),
+            F.col("changed_cols"),
+        )
+        # UNPIVOT's implicit NULL-drop + P2 mask: keep only changed columns
+        return melted.filter(
+            F.array_contains(F.col("changed_cols"), F.col("column_name"))
+        ).drop("changed_cols")
+
+    up_b = _melt(before_rows, "old_value")
+    up_a = _melt(after_rows, "new_value").drop("commit_ts", "table_name")
+    return up_b.join(
+        up_a, on=["lsn", "seq", "column_name", *pk_cols], how="inner"
+    ).select(
+        F.col("commit_ts").alias("commit_time"),
+        "table_name",
+        *pk_cols,
+        "column_name",
+        "old_value",
+        "new_value",
+    )
