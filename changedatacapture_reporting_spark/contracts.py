@@ -248,6 +248,10 @@ GROUP BY 1, 2
 # registry
 # ---------------------------------------------------------------------------
 
+from changedatacapture_reporting_spark.contracts_relational import (  # noqa: E402
+    REGISTRY_RELATIONAL,
+)
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_changelog_full": (_q_changelog_full, _SQL_CHANGELOG_FULL),
     "cdc_changelog_join_path": (_q_changelog_join_path, _SQL_CHANGELOG_JOIN_PATH),
@@ -256,6 +260,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_watermark_bounds": (_q_watermark_bounds, _SQL_WATERMARK_BOUNDS),
     "cdc_incremental_resume": (_q_incremental_resume, _SQL_INCREMENTAL_RESUME),
     "cdc_changelog_daily_activity": (_q_changelog_daily_activity, _SQL_CHANGELOG_DAILY),
+    **REGISTRY_RELATIONAL,
 }
 
 

@@ -1,0 +1,695 @@
+"""Relational operator surface (SURVEY.md §2.12 — operators absent from the
+reference, supplied by this engine so a migrating user has a complete
+analytics engine, not just the CDC core).
+
+Spark side is DataFrame-API-first (Catalyst optimizes: filter pushdown,
+broadcast joins for the small dims, partial aggregation); oracle side is
+DuckDB SQL over the same parquet.
+
+Float policy (see contracts.py): every money aggregate casts its double
+inputs to DECIMAL *before* arithmetic — decimal sums are exact and
+order-independent in both engines, so shuffle/partition order can't change
+the hash; the final value is cast back to double. Raw double columns pass
+through untouched (bit-identical in both engines). double→decimal rounding
+agrees everywhere because an IEEE double can never land exactly on a
+decimal rounding tie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish aggregation / join pipelines
+# ---------------------------------------------------------------------------
+
+
+def _dec(c: str, t: str = "decimal(12,2)"):
+    return F.col(c).cast(t)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation with 8 aggregates (classic pricing summary).
+
+    Scale notes: partial aggregation (map-side combine) happens for free;
+    only 6 groups survive the shuffle. Filter pushes down to the parquet
+    scan (verified in tests/test_plans.py).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    charge_f = (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc_f).cast("double").alias("sum_disc_price"),
+            # scale-10 sum: unscaled value exceeds 2^53, where DuckDB's
+            # decimal→double cast rounds differently than Spark's — keep it
+            # exact decimal on both sides instead of casting to double
+            F.sum(_dec("l_extendedprice") * disc_f * charge_f)
+            .cast("decimal(38,10)")
+            .alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount").cast("decimal(6,4)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,10)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (shipping-priority shape).
+
+    customer is the small side → explicit broadcast; orders⋈lineitem is the
+    big shuffle join on l_orderkey (its natural key — co-partitioned with
+    downstream groupBy, so one shuffle serves both)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec("l_extendedprice") * disc_f).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table star join: all dims broadcast; the only shuffle is
+    lineitem⋈orders + final groupBy on n_name."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (F.col("c_nationkey") == supplier.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice") * disc_f).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + global aggregate — every predicate reaches the scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", "decimal(6,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions / top-k
+# ---------------------------------------------------------------------------
+
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number over a composite ordering
+    (value desc, key asc) so ties can't make the result nondeterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum window (integer-exact via floor to bigint)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.floor("o_totalprice").cast("long")).over(w).alias("running_spend"),
+    )
+
+
+SQL_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders
+"""
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + datediff: days since the customer's previous order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+    )
+
+
+SQL_GAPS = """
+SELECT o_custkey, o_orderkey,
+       DATE_DIFF('day',
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev
+FROM orders
+"""
+
+
+def part_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over a composite (tie-free) ordering."""
+    p = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+SQL_RANKS = """
+SELECT p_brand, p_partkey, p_retailprice,
+       RANK() OVER w AS price_rank,
+       DENSE_RANK() OVER w AS price_dense_rank,
+       NTILE(4) OVER w AS price_quartile
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# semi/anti joins, distinct agg, set ops, grouping analytics, pivot
+# ---------------------------------------------------------------------------
+
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). At scale a semi-join ships only the join
+    keys of the probe side — never the payload."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation alongside plain aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with subtotal markers (integer-exact revenue)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor("o_totalprice").cast("long")).alias("revenue_floor"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue_floor",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS revenue_floor
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE across flag×status."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def nation_presence_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (distinct semantics), tagged and unioned."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("presence", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("presence", F.lit("customers_only"))
+    return both.unionByName(cust_only)
+
+
+SQL_SETOPS = """
+SELECT nationkey, 'both' AS presence
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customers_only' AS presence
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregation)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: JSON, as-of join, tumbling windows, sessionization (batch analogs;
+# streaming versions live in changedatacapture_reporting_spark.streaming)
+# ---------------------------------------------------------------------------
+
+# oracle-side view of events with ns→µs truncation matching sources.tables
+ORACLE_EV = """
+ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+  FROM events
+)
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload column."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+SQL_JSON = f"""
+WITH {ORACLE_EV}
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+FROM ev
+GROUP BY event_type
+"""
+
+
+def asof_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2.12): attribute
+    each purchase to the user's most recent signup at-or-before it.
+
+    Implementation is the scale-correct union+window pattern: tag both
+    streams, sort once per user, carry the last signup forward with
+    ``last(..., ignorenulls)``. One shuffle on user_id; no range explosion,
+    no per-group pandas. DuckDB oracle uses its native ASOF JOIN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_signup")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_signup")
+    )
+    u = purchases.unionByName(signups)
+    # signups sort before purchases at equal ts → at-or-before is inclusive
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_signup"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.withColumn(
+        "last_signup",
+        F.last(
+            F.when(
+                F.col("is_signup") == 1,
+                F.struct(F.col("ts").alias("s_ts"), F.col("event_id").alias("s_id")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("is_signup") == 0).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("last_signup.s_id").alias("signup_event_id"),
+        F.col("last_signup.s_ts").alias("signup_ts"),
+    )
+
+
+SQL_ASOF = f"""
+WITH {ORACLE_EV}
+SELECT p.event_id AS purchase_event_id, p.user_id, p.ts AS purchase_ts,
+       s.event_id AS signup_event_id, s.ts AS signup_ts
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows (batch analog of the streaming window op;
+    exact decimal sum so the oracle hash is stable)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.expr("timestamp_micros((unix_micros(ts) div 300000000) * 300000000)")
+    return (
+        e.withColumn("window_start", bucket)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_TUMBLING = f"""
+WITH {ORACLE_EV}
+SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM ev
+GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30-min silence starts a new session
+    (lag + conditional cumsum — the batch equivalent of
+    ``session_window``)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.withColumn("session_id", F.sum(new_sess).over(wc))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SQL_SESSIONS = f"""
+WITH {ORACLE_EV},
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def like_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern filtering (P8 analog in the data plane)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_brand").like("Brand#1%") & F.col("p_type").like("%ECONOMY%"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+SQL_LIKE = """
+SELECT p_brand, p_type, COUNT(*) AS n_parts
+FROM part
+WHERE p_brand LIKE 'Brand#1%' AND p_type LIKE '%ECONOMY%'
+GROUP BY p_brand, p_type
+"""
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar-function parity in the data plane: trim/lower/replace/
+    concat/coalesce/date_format/interval-add (reference F1–F11)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.lower(F.trim(F.col("o_orderpriority"))).alias("priority_lower"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("priority_snake"),
+        F.concat(F.col("o_orderstatus"), F.lit(":"), F.col("o_orderpriority")).alias("status_tag"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NOT_P")).alias("status_or_default"),
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("order_date_us"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MINUTE")).alias("plus_one_minute"),
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("int").alias("priority_rank"),
+    )
+
+
+SQL_SCALARS = """
+SELECT o_orderkey,
+       LOWER(TRIM(o_orderpriority)) AS priority_lower,
+       REPLACE(o_orderpriority, '-', '_') AS priority_snake,
+       o_orderstatus || ':' || o_orderpriority AS status_tag,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'NOT_P') AS status_or_default,
+       strftime(o_orderdate, '%m/%d/%Y') AS order_date_us,
+       o_orderdate + INTERVAL 1 MINUTE AS plus_one_minute,
+       CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS priority_rank
+FROM orders
+WHERE o_orderkey % 100 = 0
+"""
+
+
+REGISTRY_RELATIONAL = {
+    "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
+    "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
+    "q5_region_revenue": (q5_region_revenue, SQL_Q5),
+    "q6_revenue_forecast": (q6_revenue_forecast, SQL_Q6),
+    "topk_orders_per_customer": (topk_orders_per_customer, SQL_TOPK),
+    "running_total_per_customer": (running_total_per_customer, SQL_RUNNING),
+    "order_gaps": (order_gaps, SQL_GAPS),
+    "part_price_ranks": (part_price_ranks, SQL_RANKS),
+    "customers_with_urgent_orders": (customers_with_urgent_orders, SQL_SEMI),
+    "customers_without_orders": (customers_without_orders, SQL_ANTI),
+    "order_priority_stats": (order_priority_stats, SQL_DISTINCT_AGG),
+    "rollup_order_revenue": (rollup_order_revenue, SQL_ROLLUP),
+    "cube_lineitem_counts": (cube_lineitem_counts, SQL_CUBE),
+    "nation_presence_setops": (nation_presence_setops, SQL_SETOPS),
+    "pivot_status_by_priority": (pivot_status_by_priority, SQL_PIVOT),
+    "json_props_stats": (json_props_stats, SQL_JSON),
+    "asof_signup_attribution": (asof_signup_attribution, SQL_ASOF),
+    "events_tumbling_5min": (events_tumbling_5min, SQL_TUMBLING),
+    "events_sessionization": (events_sessionization, SQL_SESSIONS),
+    "like_filter_parts": (like_filter_parts, SQL_LIKE),
+    "scalar_functions_showcase": (scalar_functions_showcase, SQL_SCALARS),
+}

@@ -39,6 +39,9 @@ def get_spark(
         # columnar parquet scans honour these at 100 TB: bigger splits, pruning
         .config("spark.sql.files.maxPartitionBytes", "268435456")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark
+        # rejects by default; read as long, converted in sources.tables
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

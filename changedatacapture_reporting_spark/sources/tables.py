@@ -27,7 +27,15 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) (read as long via
+        # spark.sql.legacy.parquet.nanosAsLong) — truncate ns→µs exactly as
+        # DuckDB's CAST(ts AS TIMESTAMP) does, so oracles agree
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
