@@ -248,6 +248,9 @@ GROUP BY 1, 2
 # registry
 # ---------------------------------------------------------------------------
 
+from changedatacapture_reporting_spark.contracts_llm import (  # noqa: E402
+    REGISTRY_LLM,
+)
 from changedatacapture_reporting_spark.contracts_relational import (  # noqa: E402
     REGISTRY_RELATIONAL,
 )
@@ -261,6 +264,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_incremental_resume": (_q_incremental_resume, _SQL_INCREMENTAL_RESUME),
     "cdc_changelog_daily_activity": (_q_changelog_daily_activity, _SQL_CHANGELOG_DAILY),
     **REGISTRY_RELATIONAL,
+    **REGISTRY_LLM,
 }
 
 

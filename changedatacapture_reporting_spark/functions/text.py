@@ -1,0 +1,161 @@
+"""Text-analysis column builders (BASELINE.json extension surface).
+
+All pure Spark built-in expressions — no Python UDFs — so at 100 TB the
+whole text pipeline stays in whole-stage codegen and parallelizes with the
+scan. Higher-order functions (transform/aggregate/filter) do the per-token
+work JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for",
+)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: word pieces OR digit runs OR single
+    punctuation — closer to how LLM tokenizers pre-split."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"([a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9])"), 1)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles (the unit for MinHash/Jaccard dedup)."""
+    t = tokens(text)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text. Stable across engines (pure MD5 hex)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def rolling_fingerprints(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style rolling fingerprints: md5 per w-token window —
+    the document-fingerprinting primitive for partial-overlap detection."""
+    t = tokens(text)
+    return F.when(
+        F.size(t) < window, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (window - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, window))),
+        )
+    )
+
+
+def quality_columns(text: Column | str) -> dict[str, Column]:
+    """Heuristic quality signals (length / punctuation / stopword ratios —
+    the standard pre-training corpus filters)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    stop_hits = F.size(
+        F.filter(t, lambda w: F.lower(w).isin(*DEFAULT_STOPWORDS))
+    )
+    n_tokens = F.size(t)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": (n_alpha.cast("double") / n_tokens),
+        "alpha_ratio": (n_alpha.cast("double") / n_chars),
+        "punct_ratio": (n_punct.cast("double") / n_chars),
+        "stopword_ratio": (stop_hits.cast("double") / n_tokens),
+    }
+
+
+# Tiny per-language marker profiles for the n-gram/stopword language-ID
+# heuristic. Real deployments would ship full character-trigram profiles;
+# the operator shape (score per language via JVM-side set intersection,
+# argmax) is what matters at scale.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "that"),
+    "es": ("el", "la", "de", "que", "los", "una", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "zh": (),  # detected by CJK codepoints, not stopwords
+}
+
+
+def langid_scores(text: Column | str) -> Column:
+    """Language-ID heuristic → struct<lang: string, score: double>.
+
+    CJK codepoint ratio decides zh; otherwise the language whose stopword
+    markers cover the largest share of tokens wins (ties break by language
+    code so the result is deterministic).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n_tokens = F.greatest(F.size(t), F.lit(1))
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    F.size(F.filter(t, lambda w: F.lower(w).isin(*marks)))
+                    .cast("double")
+                    / n_tokens
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in LANG_MARKERS.items()
+            if marks
+        ]
+    )
+    best = F.array_max(scores)  # struct compare: score first, then lang
+    return F.when(
+        cjk.cast("double") / F.greatest(F.length(c), F.lit(1)) > 0.2,
+        F.struct(F.lit("zh").alias("lang"), F.lit(1.0).alias("score")),
+    ).otherwise(
+        F.struct(best["lang"].alias("lang"), best["score"].alias("score"))
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Classic Charikar construction: each token hashes to 64 bits; bit i of
+    the signature is the sign of Σ_tokens (2·bit_i − 1). Near-duplicates
+    have small Hamming distance. Entirely JVM-side via nested higher-order
+    functions — per-row work is O(tokens × 64) with no shuffle.
+    """
+    t = tokens(text)
+    hashes = F.transform(t, lambda w: F.xxhash64(w))
+
+    def vote(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.bit_get(h, F.lit(i)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 of a signed long is the sign bit → its literal is MIN_LONG
+        bit_val = F.lit(-(2**63) if i == 63 else (1 << i)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(vote(i) > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    return sig

@@ -1,0 +1,54 @@
+"""Vector (embedding-column) primitives over ``array<float>``.
+
+JVM-side higher-order functions — no UDF, no collect. ``dot_decimal`` is
+the oracle-exact variant: both Spark and DuckDB produce bit-identical
+decimals because decimal arithmetic is exact and order-independent
+(a double fold can differ in the last ulp between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Dot product in double (fast path for ranking/thresholding)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_decimal(a: Column, b: Column, scale: str = "decimal(10,6)") -> Column:
+    """Exact dot product: each component rounds to a fixed decimal grid
+    (identical rounding in any engine — no IEEE double sits exactly on a
+    10⁻⁶ tie), products/sums stay exact."""
+    # accumulator stays at (28,12) so each add keeps scale 12 exactly
+    # (a (38,12)+(38,12) add would be rescaled to (38,11) by Spark);
+    # values are bounded (components < 10^4) so 28 digits never overflow
+    # float→decimal must go THROUGH double: Spark's direct float→decimal
+    # rounds the float's 7-digit shortest string (which often ends on a
+    # rounding tie), while value-based engines (DuckDB) round the numeric
+    # value — double's 17-digit repr never ties at the 10⁻⁶ grid
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: x.cast("double").cast(scale) * y.cast("double").cast(scale),
+        ),
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, v: (acc + v).cast("decimal(28,12)"),
+        lambda acc: acc.cast("decimal(38,12)"),
+    )
+
+
+def l2_norm_sq(a: Column) -> Column:
+    """Squared L2 norm (double)."""
+    return dot_double(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double."""
+    return dot_double(a, b) / F.sqrt(l2_norm_sq(a) * l2_norm_sq(b))

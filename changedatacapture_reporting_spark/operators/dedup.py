@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+north-star surface): exact, MinHash-LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Scale posture (the whole point of these at 100 TB):
+
+- exact dedup is a hash groupBy — one shuffle on the fingerprint, map-side
+  combine keeps it near-linear.
+- pairwise Jaccard is O(n²) per blocking key and exists as the *oracle /
+  verification* path; the production path is MinHash-LSH, whose only
+  shuffles are (doc → signature) aggregation and the band-bucket self-join,
+  i.e. candidates ∝ true near-dups, not n².
+- everything is Spark built-ins (xxhash64, higher-order functions);
+  no Python in any per-row path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.functions.text import (
+    fingerprint_md5,
+    shingles,
+    simhash64,
+)
+from changedatacapture_reporting_spark.functions.vectors import dot_double
+
+
+def exact_dedup(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: deterministic keeper (min id) + multiplicity.
+
+    One hash-aggregate; at scale this is the cheapest possible dedup —
+    Catalyst plans partial aggregation before the shuffle.
+    """
+    return (
+        df.select(key.alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_keep_first(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Materialize the deduplicated corpus: keep the min-id row per key.
+    (dropDuplicates() keeps an *arbitrary* row — fine for idempotence,
+    wrong for reproducible corpus builds, so we pin the keeper.)"""
+    keepers = exact_dedup(df, key, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram-shingle Jaccard within a blocking key.
+
+    O(n²) per block — the exact/oracle path. Use :func:`minhash_lsh_pairs`
+    at scale; this one verifies it (SURVEY.md §5.5 differential strategy).
+    """
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        shingles(text_col, n).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    on = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        on.append(F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(b, on=functools.reduce(lambda x, y: x & y, on))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document: k independent permutations
+    approximated by seeded xxhash64; sig_i = min over shingles.
+
+    Plan shape: explode(shingles) → groupBy(id).agg(k mins). The explode
+    never leaves the input partition before aggregation (partial min), so
+    the shuffle carries exactly n_docs × k longs.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding — the 100 TB dedup path.
+
+    b bands × r rows (k = b·r): docs agreeing on ≥1 full band become
+    candidates (P[candidate] = 1−(1−j^r)^b — with 8×4, j=0.8 → 0.986).
+    The self-join key is (band_id, band_hash): its cardinality is the
+    number of buckets, so the join is a bucket-local explosion proportional
+    to true collisions — never an n² cross product.
+
+    verify=True re-checks candidates with exact shingle Jaccard (removes
+    LSH false positives; false negatives are the documented 1−recall).
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    a, b_ = band_entries.alias("a"), band_entries.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    if not verify:
+        return candidates
+
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    jac = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double") / F.size(
+        F.array_union("sa.sh", "sb.sh")
+    )
+    return (
+        candidates.join(sh.alias("sa"), candidates.doc_a == F.col(f"sa.{id_col}"))
+        .join(sh.alias("sb"), candidates.doc_b == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, banded into ``bands``
+    chunks — by pigeonhole, any pair within Hamming distance ``bands − 1``
+    shares ≥1 exact chunk, so the default 8 bands provably cover
+    max_hamming ≤ 7 (sign-bit concentration: E[hamming] ≈ 64·θ/π, so even
+    0.95-Jaccard near-dups land around h≈6). Candidates verify with exact
+    ``bit_count(xor)``. At 100 TB prefer fewer/wider bands (4×16-bit,
+    h ≤ 3) — 8-bit buckets collide at rate n²/256 per band."""
+    width = 64 // bands
+    sig = df.select(F.col(id_col), simhash64(text_col).alias("simhash"))
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding near-dup: pairs with dot ≥ threshold (vectors are
+    L2-normalized in the fixtures, so dot = cosine).
+
+    All-pairs form — the verification path. The scale path buckets by
+    random-hyperplane LSH first (see similarity.lsh_bucket_ids) so the
+    self-join key is the bucket, not a cross join.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = dot_double(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

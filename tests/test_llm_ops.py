@@ -1,0 +1,132 @@
+"""LLM-pipeline operator tests (the rows-only contract entries verify here
+against exact counterparts — SURVEY.md §5.5 differential strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.functions.text import langid_scores, simhash64
+from changedatacapture_reporting_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from changedatacapture_reporting_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_blob,
+    extract_features,
+)
+from changedatacapture_reporting_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from changedatacapture_reporting_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _pairset(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_finds_exact_jaccard_pairs(documents):
+    """MinHash-LSH (verify=True) must return a subset of the exact
+    all-pairs result, with recall ≥ expected for 8×4 banding at j≥0.8
+    (P[detect] = 1-(1-j^4)^8 ≥ 0.986)."""
+    exact = _pairset(
+        ngram_jaccard_pairs(documents, block_col=None, threshold=0.8).select(
+            "doc_a", "doc_b"
+        )
+    )
+    lsh = _pairset(minhash_lsh_pairs(documents, threshold=0.8).select("doc_a", "doc_b"))
+    assert exact, "fixture should contain near-dup pairs"
+    assert lsh <= exact  # verification removes all false positives
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_minhash_candidates_not_quadratic(documents):
+    n_docs = documents.count()
+    candidates = minhash_lsh_pairs(documents, verify=False).count()
+    assert candidates < n_docs * 10  # bucket join, not n² cross product
+
+
+def test_simhash_detects_neardups(documents):
+    """The known ≥0.95-Jaccard pairs are nearly-identical token multisets →
+    tiny Hamming distance; unrelated docs stay far."""
+    strong = _pairset(
+        ngram_jaccard_pairs(documents, block_col=None, threshold=0.95).select(
+            "doc_a", "doc_b"
+        )
+    )
+    sim = _pairset(simhash_pairs(documents, max_hamming=7).select("doc_a", "doc_b"))
+    assert strong
+    assert strong <= sim
+
+
+def test_simhash_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "id int, text string"
+    )
+    a = df.select(simhash64("text").alias("s")).head().s
+    b = df.select(simhash64("text").alias("s")).head().s
+    assert a == b and a != 0
+
+
+def test_lsh_topk_recall_vs_bruteforce(embeddings):
+    """Hyperplane LSH (8 tables × 8 planes) recall@10 vs exact top-10.
+    Random normalized 64-d vectors are a worst case (no cluster structure);
+    requiring ≥40% average recall catches wiring bugs while tolerating the
+    geometry."""
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(embeddings, q, k=10)
+    approx = lsh_topk(embeddings, q, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"LSH recall {recall:.2f} too low"
+
+
+def test_lsh_topk_is_subset_ranked_correctly(embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0)
+    out = lsh_topk(embeddings, q, k=5).collect()
+    sims = [r.sim for r in sorted(out, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_features_shape(documents):
+    feats = extract_features(attach_blob(documents.limit(20)))
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-3  # normalized histogram
+        assert r.n_bytes > 0
+
+
+def test_multimodal_features_deterministic(documents):
+    f1 = extract_features(attach_blob(documents.limit(5))).collect()
+    f2 = extract_features(attach_blob(documents.limit(5))).collect()
+    assert {r.doc_id: r.features for r in f1} == {r.doc_id: r.features for r in f2}
+
+
+def test_langid_on_real_sentences(spark):
+    rows = [
+        ("the cat is on the mat and that is fine", "en"),
+        ("el gato está en la casa de los abuelos", "es"),
+        ("le chat est dans les maisons des amis", "fr"),
+        ("der Hund ist nicht mit der Katze und das ist gut", "de"),
+        ("这是一个中文句子用来测试语言识别", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "text string, expected string")
+    got = df.select("expected", langid_scores("text").alias("p")).collect()
+    for r in got:
+        assert r.p.lang == r.expected, f"{r.expected}: predicted {r.p.lang}"
