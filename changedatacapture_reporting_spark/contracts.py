@@ -254,6 +254,9 @@ from changedatacapture_reporting_spark.contracts_llm import (  # noqa: E402
 from changedatacapture_reporting_spark.contracts_relational import (  # noqa: E402
     REGISTRY_RELATIONAL,
 )
+from changedatacapture_reporting_spark.contracts_streaming import (  # noqa: E402
+    REGISTRY_STREAMING,
+)
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_changelog_full": (_q_changelog_full, _SQL_CHANGELOG_FULL),
@@ -265,6 +268,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_changelog_daily_activity": (_q_changelog_daily_activity, _SQL_CHANGELOG_DAILY),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
+    **REGISTRY_STREAMING,
 }
 
 

@@ -1,0 +1,119 @@
+"""Streaming contract queries: the REAL Structured Streaming engine runs
+(availableNow drain into a memory sink) and the result is compared against
+the same DuckDB SQL as the batch analogs — streaming execution, batch
+semantics, one oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.contracts_relational import (
+    ORACLE_EV,
+    SQL_SESSIONS,
+    SQL_TUMBLING,
+)
+from changedatacapture_reporting_spark.streaming.windows import (
+    sliding_counts,
+    streaming_sessions,
+    tumbling_counts,
+)
+
+_counter = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    # the streaming file source wants a directory — expose the (read-only)
+    # fixture file through a temp dir symlink, no data copy
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    raw_schema = spark.read.parquet(path).schema  # ts read as long (nanos)
+    stream = spark.readStream.schema(raw_schema).parquet(d)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _drain_to_table(spark: SparkSession, agg: DataFrame) -> DataFrame:
+    name = f"stream_contract_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def streaming_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling windows, executed by the streaming engine."""
+    out = _drain_to_table(spark, tumbling_counts(_events_stream(spark, sf_dir)))
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(30 min gap) per user, executed by the streaming
+    engine; oracle is the batch lag+cumsum sessionization SQL."""
+    out = _drain_to_table(spark, streaming_sessions(_events_stream(spark, sf_dir)))
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+# same grouping as SQL_SESSIONS but keyed/projected like session_window
+SQL_STREAM_SESSIONS = f"""
+WITH {ORACLE_EV},
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def streaming_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min window / 5 min slide) via the streaming
+    engine; oracle expands each event into its two covering windows."""
+    out = _drain_to_table(spark, sliding_counts(_events_stream(spark, sf_dir)))
+    return out.select("window_start", "event_type", "n_events")
+
+
+SQL_SLIDING = f"""
+WITH {ORACLE_EV},
+expanded AS (
+  SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                        - s.shift * 300000000) AS window_start,
+         event_type
+  FROM ev, (SELECT 0 AS shift UNION ALL SELECT 1) s
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+REGISTRY_STREAMING = {
+    "streaming_tumbling_5min": (streaming_tumbling_5min, SQL_TUMBLING),
+    "streaming_session_windows": (streaming_session_windows, SQL_STREAM_SESSIONS),
+    "streaming_sliding_10min": (streaming_sliding_10min, SQL_SLIDING),
+}

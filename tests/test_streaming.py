@@ -1,0 +1,163 @@
+"""Structured Streaming tests: streaming populate (checkpoint resume =
+exactly-once), and streaming windows agreeing with their batch analogs."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.sources.cdc_simulator import (
+    SIM_PK,
+    simulate_cdc_events,
+)
+from changedatacapture_reporting_spark.sources.tables import load_table
+from changedatacapture_reporting_spark.streaming.populate_stream import stream_populate
+from changedatacapture_reporting_spark.streaming.windows import (
+    streaming_sessions,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def _drain(query):
+    query.awaitTermination(120)
+
+
+def test_stream_populate_matches_batch(spark, sf_dir, workdir):
+    """availableNow drain of the event stream produces exactly the batch
+    changelog (same builder, streaming execution)."""
+    from changedatacapture_reporting_spark.operators.changelog import build_changelog
+
+    events = simulate_cdc_events(spark, sf_dir)
+    events_path = f"{workdir}/events"
+    events.write.parquet(events_path)
+    schema = spark.read.parquet(events_path).schema
+
+    q = stream_populate(
+        spark, events_path, schema, f"{workdir}/sink", f"{workdir}/ckpt", SIM_PK
+    )
+    _drain(q)
+
+    got = spark.read.parquet(f"{workdir}/sink")
+    expected = build_changelog(events, SIM_PK, with_audit_cols=False)
+    cols = ["commit_time", "o_orderkey", "column_name", "old_value", "new_value"]
+    assert got.count() == expected.count()
+    assert (
+        got.select(cols).exceptAll(expected.select(cols)).isEmpty()
+        and expected.select(cols).exceptAll(got.select(cols)).isEmpty()
+    )
+
+
+def test_stream_populate_checkpoint_is_exactly_once(spark, sf_dir, workdir):
+    """Re-running the drained stream with the same checkpoint must add
+    nothing (ST6: checkpoint replaces the reference's lossy +1min
+    watermark)."""
+    events = simulate_cdc_events(spark, sf_dir).limit(200)
+    events_path = f"{workdir}/events"
+    events.write.parquet(events_path)
+    schema = spark.read.parquet(events_path).schema
+
+    args = (spark, events_path, schema, f"{workdir}/sink", f"{workdir}/ckpt", SIM_PK)
+    _drain(stream_populate(*args))
+    n1 = spark.read.parquet(f"{workdir}/sink").count()
+    _drain(stream_populate(*args))
+    n2 = spark.read.parquet(f"{workdir}/sink").count()
+    assert n1 == n2 > 0
+
+
+def test_streaming_tumbling_agrees_with_batch(spark, sf_dir, workdir):
+    """Streaming watermarked tumbling windows == the batch epoch-floor
+    bucketing (contracts_relational.events_tumbling_5min)."""
+    from changedatacapture_reporting_spark.contracts_relational import (
+        events_tumbling_5min,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    events_path = f"{workdir}/events"
+    events.write.parquet(events_path)
+    schema = spark.read.parquet(events_path).schema
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = tumbling_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql(
+        "SELECT window_start, event_type, n_events, sum_value FROM tumbling_out"
+    )
+    expected = events_tumbling_5min(spark, sf_dir)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).isEmpty()
+
+
+def test_streaming_sessions_agree_with_batch(spark, sf_dir, workdir):
+    """session_window sessions == batch lag+cumsum sessionization
+    (same gap, same counts per user)."""
+    from changedatacapture_reporting_spark.contracts_relational import (
+        events_sessionization,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    events_path = f"{workdir}/events"
+    events.write.parquet(events_path)
+    schema = spark.read.parquet(events_path).schema
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    q = (
+        streaming_sessions(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql(
+        "SELECT user_id, session_start, n_events FROM sessions_out"
+    )
+    expected = events_sessionization(spark, sf_dir).select(
+        "user_id", F.col("session_start"), "n_events"
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).isEmpty()
+
+
+def test_stateful_dedup_drops_duplicates(spark, workdir):
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.streaming.windows import stateful_dedup
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "a"),
+        (1, base + dt.timedelta(minutes=1), "a-dup"),
+        (2, base + dt.timedelta(minutes=2), "b"),
+        (1, base + dt.timedelta(minutes=3), "a-dup2"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, payload string")
+    df.write.parquet(f"{workdir}/dupes")
+    schema = spark.read.parquet(f"{workdir}/dupes").schema
+    stream = spark.readStream.schema(schema).parquet(f"{workdir}/dupes")
+    q = (
+        stateful_dedup(stream, ["k"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT k FROM dedup_out").collect()
+    assert sorted(r.k for r in got) == [1, 2]
