@@ -53,11 +53,25 @@ def main() -> None:
 
 
 HEADLINE = [
+    # CDC core
     "cdc_changelog_full",
     "cdc_changelog_join_path",
     "cdc_query_window",
     "cdc_incremental_resume",
     "cdc_changelog_daily_activity",
+    # relational
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "topk_orders_per_customer",
+    "asof_signup_attribution",
+    "events_sessionization",
+    # LLM pipeline
+    "dedup_minhash_lsh",
+    "ann_topk_lsh",
+    "text_quality_scores",
+    # streaming engine
+    "streaming_tumbling_5min",
 ]
 
 if __name__ == "__main__":

@@ -30,16 +30,19 @@ def word_tokens(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles (the unit for MinHash/Jaccard dedup)."""
+    """Distinct n-word shingles (the unit for MinHash/Jaccard dedup).
+
+    Built by zipping the token array with its shifted selves — O(tokens)
+    per row. (The naive ``transform(sequence(…), i -> slice(t, i, n))``
+    form re-slices per index = O(tokens²) per row; on long documents that
+    dominated the whole dedup pipeline.) Positions past the last full
+    shingle null out through ``concat`` and are filtered."""
     t = tokens(text)
-    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-            )
-        )
-    )
+    acc = t
+    for i in range(1, n):
+        shifted = F.slice(t, i + 1, F.greatest(F.size(t) - i, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.filter(acc, lambda s: s.isNotNull()))
 
 
 def fingerprint_md5(text: Column | str) -> Column:

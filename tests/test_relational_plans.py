@@ -62,6 +62,18 @@ def test_changelog_whole_stage_codegen(plans):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_incremental_resume_filter_reaches_scan(plans):
+    # the lsn high-watermark filter must prune at the parquet scan — at
+    # 100 TB this is what keeps incremental runs proportional to new data
+    p = plans("cdc_incremental_resume")
+    assert "GreaterThan(o_orderkey,3000)" in p
+
+
+def test_minhash_signature_is_codegen(plans):
+    p = plans("dedup_minhash_lsh")
+    assert "BatchEvalPython" not in p  # no row-python in the dedup path
+
+
 def test_semi_join_is_semi(plans):
     assert "LeftSemi" in plans("customers_with_urgent_orders")
 
