@@ -209,6 +209,146 @@ _SQL_INCREMENTAL_RESUME = (
 )
 
 
+def _q_reconstruct_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog replay → current state (operators.reconstruct): build the
+    changelog with insert images recorded, then rebuild every live row's
+    string-typed image. Updates of rows with no recorded insert keep NULL
+    for never-changed columns — the oracle mirrors that."""
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_state,
+    )
+
+    events = simulate_cdc_events(spark, sf_dir)
+    log = build_changelog(
+        events,
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    return reconstruct_state(
+        log, SIM_PK, ["status", "priority", "total", "note"]
+    )
+
+
+# each key has exactly one simulated event, so final state per key is that
+# event's contribution: inserts record every column; updates only changed
+# columns; deletes drop the row
+_SQL_RECONSTRUCT = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT o_orderkey,
+       CASE WHEN op = 'insert' THEN a_status
+            WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS status,
+       CASE WHEN op = 'insert' THEN a_priority
+            WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+       CASE WHEN op = 'insert' THEN CAST(a_total AS VARCHAR)
+            WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR) END AS total,
+       CASE WHEN op = 'insert' THEN a_note
+            WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note
+FROM ev
+WHERE op != 'delete'
+  -- a no-op update leaves no changelog rows, so the replay can't see it
+  AND NOT (op = 'update'
+           AND b_status IS NOT DISTINCT FROM a_status
+           AND b_priority IS NOT DISTINCT FROM a_priority
+           AND b_total IS NOT DISTINCT FROM a_total
+           AND b_note IS NOT DISTINCT FROM a_note)
+"""
+
+
+def _q_mssql_shape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference-input parity: synthesize ``fn_cdc_get_all_changes``-
+    shaped rows ('all update old': separate op-3/op-4 update rows, hex
+    ``__$start_lsn``, ``__$seqval``, ``__$update_mask``, commit time only
+    via an LSN→time map), run them through sources.mssql_cdc back into the
+    event model, then the changelog builder. Oracle = the same SQL as
+    cdc_changelog_full — the adapter must be a lossless round trip."""
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        SIM_VALUE_COLS,
+    )
+    from changedatacapture_reporting_spark.sources.mssql_cdc import (
+        mssql_rows_to_events,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    hex_lsn = F.concat(F.lit("0x"), F.lpad(F.hex(F.col("lsn")), 20, "0"))
+    mask = F.aggregate(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"before.{c}").eqNullSafe(F.col(f"after.{c}")),
+                        F.lit(1 << i),
+                    )
+                    for i, c in enumerate(SIM_VALUE_COLS)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b.cast("long")),
+    )
+
+    def shape(src: str, op_val: int, flt):
+        return ev.filter(flt).select(
+            hex_lsn.alias("__$start_lsn"),
+            F.col("seq").alias("__$seqval"),
+            F.lit(op_val).alias("__$operation"),
+            mask.alias("__$update_mask"),
+            F.col("table_name"),
+            F.col(f"{src}.*"),
+        )
+
+    rows = (
+        shape("before", 1, F.col("op") == "delete")
+        .unionByName(shape("after", 2, F.col("op") == "insert"))
+        .unionByName(shape("before", 3, F.col("op") == "update"))
+        .unionByName(shape("after", 4, F.col("op") == "update"))
+    )
+    lsn_time_map = ev.select("lsn", "commit_ts").distinct()
+    events = mssql_rows_to_events(rows, SIM_VALUE_COLS, lsn_time_map)
+    return build_changelog(events, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
+def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC parsing parity for the open wire format: serialize the simulated
+    events as Debezium JSON envelopes (to_json), parse them back
+    (sources.debezium.parse_debezium → from_json), build the changelog.
+    Oracle = the same SQL as cdc_changelog_full."""
+    from changedatacapture_reporting_spark.sources.debezium import parse_debezium
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    dbz_op = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.col("before"),
+            F.col("after"),
+            F.struct(
+                F.col("lsn"),
+                F.col("seq").alias("sequence"),
+                # commit_ts is TIMESTAMP_NTZ off parquet; session TZ is UTC
+                (F.unix_micros(F.col("commit_ts").cast("timestamp")) / 1000)
+                .cast("long")
+                .alias("ts_ms"),
+                F.col("table_name").alias("table"),
+            ).alias("source"),
+            dbz_op.alias("op"),
+        )
+    )
+    json_df = ev.select(envelope.alias("value"))
+    source_struct = ev.schema["after"].dataType
+    events = parse_debezium(json_df, "value", source_struct)
+    return build_changelog(events, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
 def _q_changelog_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reporting rollup over the changelog: per-day, per-kind activity
     (exercises groupBy over the EAV output)."""
@@ -266,6 +406,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_watermark_bounds": (_q_watermark_bounds, _SQL_WATERMARK_BOUNDS),
     "cdc_incremental_resume": (_q_incremental_resume, _SQL_INCREMENTAL_RESUME),
     "cdc_changelog_daily_activity": (_q_changelog_daily_activity, _SQL_CHANGELOG_DAILY),
+    "cdc_reconstruct_state": (_q_reconstruct_state, _SQL_RECONSTRUCT),
+    "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
+    "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
     **REGISTRY_STREAMING,

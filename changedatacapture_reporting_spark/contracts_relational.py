@@ -670,6 +670,81 @@ WHERE o_orderkey % 100 = 0
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status)/(priority)/() — the general form
+    rollup/cube specialize."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS revenue_floor
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS revenue_floor
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def percentile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of integer-floored spend
+    per order status — the §2.12 quantile surface, kept on exact integers
+    so the interpolation arithmetic is engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = F.floor("o_totalprice").cast("long")
+    return (
+        o.select("o_orderstatus", spend.alias("spend"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(spend, 0.5)").alias("p50"),
+            F.expr("percentile(spend, 0.9)").alias("p90"),
+            F.expr("percentile(spend, 0.99)").alias("p99"),
+        )
+    )
+
+
+SQL_PERCENTILE = """
+SELECT o_orderstatus,
+       quantile_cont(CAST(FLOOR(o_totalprice) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(FLOOR(o_totalprice) AS BIGINT), 0.9) AS p90,
+       quantile_cont(CAST(FLOOR(o_totalprice) AS BIGINT), 0.99) AS p99
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++ / approx quantiles) — sketch
+    contents are engine-specific, so rows-only here; the ≤5%-error bound vs
+    exact counts is pytest-asserted (tests/test_relational_extra.py)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling — seeded Bernoulli sample. Spark's sampler is
+    implementation-defined (XORShift per partition), so no SQL oracle;
+    determinism across runs + fraction bounds are pytest-asserted."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 REGISTRY_RELATIONAL = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
@@ -692,4 +767,8 @@ REGISTRY_RELATIONAL = {
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "like_filter_parts": (like_filter_parts, SQL_LIKE),
     "scalar_functions_showcase": (scalar_functions_showcase, SQL_SCALARS),
+    "grouping_sets_revenue": (grouping_sets_revenue, SQL_GROUPING_SETS),
+    "percentile_spend": (percentile_spend, SQL_PERCENTILE),
+    "approx_distinct_stats": (approx_distinct_stats, None),
+    "deterministic_sample": (deterministic_sample, None),
 }

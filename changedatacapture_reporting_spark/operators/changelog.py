@@ -121,6 +121,7 @@ def build_changelog(
     created_by: str | None = None,
     with_audit_cols: bool = True,
     carry_cols: list[str] | None = None,
+    record_insert_images: bool = False,
 ) -> DataFrame:
     """events(lsn, seq, commit_ts, op, table_name, before, after) → changelog.
 
@@ -135,6 +136,13 @@ def build_changelog(
 
     ``carry_cols`` are event columns (e.g. ``lsn``, ``seq``) copied through
     to the output — the incremental sink keeps ``lsn`` as its high-watermark.
+
+    ``record_insert_images`` (engine extension, default off = reference-
+    faithful): also emit one (column_name, NULL, value) row per non-null
+    column of each insert, making the changelog self-contained — state
+    reconstruction (operators.reconstruct) then recovers every column, not
+    just ones that changed after insert. The reference's changelog cannot
+    answer "what was the row at time T" for never-updated columns.
     """
     flags = flags or CompatFlags()
     if value_cols is None:
@@ -180,6 +188,35 @@ def build_changelog(
     inserts = _marker(OP_INSERT, null_s, F.lit(NEW_RECORD))
 
     out = updates.unionByName(deletes).unionByName(inserts)
+
+    if record_insert_images:
+        insert_entries = F.filter(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        _erase(F.col(f"after.{c}"), flags).alias("new_value"),
+                    )
+                    for c in value_cols
+                ]
+            ),
+            lambda e: e["new_value"].isNotNull(),
+        )
+        insert_values = (
+            events.filter(F.col("op") == OP_INSERT)
+            .select(*base, F.explode(insert_entries).alias("e"))
+            .select(
+                *carry_cols,
+                "commit_time",
+                "table_name",
+                *pk_cols,
+                "pk_json",
+                F.col("e.column_name").alias("column_name"),
+                null_s.alias("old_value"),
+                F.col("e.new_value").alias("new_value"),
+            )
+        )
+        out = out.unionByName(insert_values)
 
     if with_audit_cols:
         out = out.withColumn("created_dt", F.current_timestamp()).withColumn(

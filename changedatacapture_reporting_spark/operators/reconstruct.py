@@ -1,0 +1,85 @@
+"""Changelog replay → table state reconstruction.
+
+The inverse of the populate dataflow: given the long-format per-column
+changelog (EAV: one row per transaction × row × changed column,
+usp_cdc_populate_changelog.sql:138–177 schema), rebuild each row's state
+as of a point in time. The reference has no such operator — its users
+join the changelog by hand — but it's the canonical consumption pattern
+for a changelog table and the invariant our property tests check
+(SURVEY.md §5.4: "changelog replay reconstructs final table state").
+
+Plan shape (scale notes):
+- one shuffle on the PK (window partition key);
+- per (pk, column), the last change wins — ``max_by`` over the event
+  ordering (commit_time, lsn, seq), an ordinary aggregate with map-side
+  partial application, NOT a window + filter (no sort of full history);
+- the EAV→wide pivot is a conditional-aggregate projection over the fixed
+  column list — no Spark ``pivot()`` metadata scan needed when the schema
+  is known.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.schema import DELETED_RECORD, NEW_RECORD
+
+
+def reconstruct_state(
+    changelog: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str],
+    as_of: dt.datetime | str | None = None,
+    order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
+) -> DataFrame:
+    """Rebuild the (string-typed) current image of every live row.
+
+    A row is live iff its latest marker event is not a delete. Values are
+    the last ``new_value`` per column at or before ``as_of``. Output:
+    pk cols + one string column per value col (the changelog is
+    type-erased — re-cast downstream if the source schema is known).
+    """
+    log = changelog
+    if as_of is not None:
+        log = log.filter(F.col("commit_time") <= F.lit(as_of).cast("timestamp"))
+
+    avail = [c for c in order_cols if c in log.columns]
+    ord_key = F.struct(*[F.col(c) for c in avail])
+
+    # last value per (pk, column) — max_by keeps it an ordinary aggregate
+    per_col = (
+        log.filter(F.col("column_name").isNotNull())
+        .groupBy(*pk_cols, "column_name")
+        .agg(F.max_by("new_value", ord_key).alias("last_value"))
+    )
+    wide = per_col.groupBy(*pk_cols).agg(
+        *[
+            F.max(F.when(F.col("column_name") == c, F.col("last_value"))).alias(c)
+            for c in value_cols
+        ]
+    )
+
+    # liveness: the latest marker decides (insert → live, delete → gone);
+    # rows with updates but no marker in range are treated as live
+    markers = (
+        log.filter(F.col("column_name").isNull())
+        .groupBy(*pk_cols)
+        .agg(
+            F.max_by(
+                F.when(F.col("old_value") == DELETED_RECORD, F.lit("dead"))
+                .when(F.col("new_value") == NEW_RECORD, F.lit("live"))
+                .otherwise(F.lit("live")),
+                ord_key,
+            ).alias("liveness")
+        )
+    )
+    live = markers.filter(F.col("liveness") == "live").select(*pk_cols)
+    no_marker = wide.join(markers, on=pk_cols, how="left_anti").select(*pk_cols)
+    keep = live.unionByName(no_marker)
+
+    return keep.join(wide, on=pk_cols, how="left").select(
+        *pk_cols, *[F.col(c) for c in value_cols]
+    )

@@ -1,0 +1,106 @@
+"""CDC input-format adapters: SQL-Server-CDC shape (F13/F15/F16 parity)
+and Debezium JSON envelopes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark.sources.debezium import parse_debezium
+from changedatacapture_reporting_spark.sources.mssql_cdc import (
+    changed_columns,
+    mssql_rows_to_events,
+    parse_lsn,
+)
+
+SRC = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.IntegerType()),
+    ]
+)
+
+
+def test_parse_lsn_hex_string(spark):
+    df = spark.createDataFrame(
+        [("0x0000000000000000002a",), ("0x00000000000000000100",)], "lsn string"
+    )
+    got = [r[0] for r in df.select(parse_lsn(F.col("lsn"))).collect()]
+    assert got == [42, 256]
+
+
+def test_changed_columns_bit_probe(spark):
+    """F15: fn_cdc_is_bit_set over 1-based ordinals — bit i ↔ ordered col i."""
+    df = spark.createDataFrame([(0b101,), (0b010,), (0,)], "mask long")
+    got = [
+        r[0]
+        for r in df.select(
+            changed_columns(F.col("mask"), ["id", "name", "qty"])
+        ).collect()
+    ]
+    assert got == [["id", "qty"], ["name"], []]
+
+
+def test_mssql_rows_pair_updates_on_seqval(spark):
+    """op-3/op-4 pairing joins on (lsn, seqval) — two updates to one row in
+    one transaction pair correctly (the reference's gap)."""
+    rows = [
+        # txn lsn=5: row 1 updated twice (seqval 0 and 1)
+        ("0x" + "0" * 19 + "5", 0, 3, 6, "t", 1, "a", 1),
+        ("0x" + "0" * 19 + "5", 0, 4, 6, "t", 1, "b", 1),
+        ("0x" + "0" * 19 + "5", 1, 3, 6, "t", 1, "b", 1),
+        ("0x" + "0" * 19 + "5", 1, 4, 6, "t", 1, "c", 1),
+        # delete + insert
+        ("0x" + "0" * 19 + "6", 0, 1, 0, "t", 2, "x", 9),
+        ("0x" + "0" * 19 + "7", 0, 2, 0, "t", 3, "y", 7),
+    ]
+    schema = (
+        "`__$start_lsn` string, `__$seqval` long, `__$operation` int,"
+        " `__$update_mask` long, table_name string, id int, name string, qty int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    ts_map = spark.createDataFrame(
+        [(5, dt.datetime(2024, 1, 1)), (6, dt.datetime(2024, 1, 2)),
+         (7, dt.datetime(2024, 1, 3))],
+        "lsn long, commit_ts timestamp",
+    )
+    events = mssql_rows_to_events(df, ["id", "name", "qty"], ts_map)
+    got = {
+        (r.lsn, r.seq, r.op): (r.before, r.after) for r in events.collect()
+    }
+    assert got[(5, 0, "update")][0].name == "a"
+    assert got[(5, 0, "update")][1].name == "b"
+    assert got[(5, 1, "update")][0].name == "b"
+    assert got[(5, 1, "update")][1].name == "c"
+    assert got[(6, 0, "delete")][1] is None
+    assert got[(7, 0, "insert")][0] is None
+    assert len(got) == 4
+
+
+def test_debezium_parse_and_op_mapping(spark):
+    docs = [
+        ('{"before": null, "after": {"id": 1, "name": "a", "qty": 2},'
+         ' "source": {"lsn": 10, "sequence": 0, "ts_ms": 1704067200000,'
+         ' "table": "t"}, "op": "c"}',),
+        ('{"before": {"id": 1, "name": "a", "qty": 2},'
+         ' "after": {"id": 1, "name": "b", "qty": 2},'
+         ' "source": {"lsn": 11, "sequence": 0, "ts_ms": 1704067260000,'
+         ' "table": "t"}, "op": "u"}',),
+        # snapshot read → insert
+        ('{"before": null, "after": {"id": 9, "name": "s", "qty": 0},'
+         ' "source": {"lsn": 1, "sequence": 0, "ts_ms": 1704067100000,'
+         ' "table": "t"}, "op": "r"}',),
+        ("this is not json",),
+    ]
+    df = spark.createDataFrame(docs, "value string")
+    events = parse_debezium(df, "value", SRC)
+    got = {r.lsn: r for r in events.collect()}
+    assert set(got) == {10, 11, 1}  # malformed doc dropped
+    assert got[10].op == "insert" and got[10].after.name == "a"
+    assert got[11].op == "update" and got[11].before.name == "a"
+    assert got[1].op == "insert"  # snapshot 'r'
+    assert got[10].commit_ts == dt.datetime(2024, 1, 1, 0, 0)

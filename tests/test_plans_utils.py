@@ -1,0 +1,53 @@
+"""plans.* utilities: explain assertions + salted aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.plans import (
+    assert_broadcast_join,
+    assert_no_python_eval,
+    assert_pushed_filter,
+    salted_aggregate,
+)
+from changedatacapture_reporting_spark.sources.tables import load_table
+
+
+def test_assert_helpers_pass_and_fail(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") > 100)
+    assert_pushed_filter(o, "GreaterThan(o_orderkey,100)")
+    assert_no_python_eval(o)
+    with pytest.raises(AssertionError):
+        assert_pushed_filter(o, "GreaterThan(o_orderkey,999999)")
+    with pytest.raises(AssertionError):
+        assert_broadcast_join(o)
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    salted = salted_aggregate(
+        o,
+        ["o_orderstatus"],
+        {
+            "n": ("count", "*"),
+            "max_key": ("max", "o_orderkey"),
+            "min_key": ("min", "o_orderkey"),
+            "sum_floor": ("sum", "o_orderkey"),
+        },
+    )
+    plain = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderkey").alias("min_key"),
+        F.sum("o_orderkey").alias("sum_floor"),
+    )
+    assert {tuple(r) for r in salted.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+
+
+def test_salted_aggregate_rejects_nondecomposable(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError):
+        salted_aggregate(o, ["o_orderstatus"], {"d": ("countDistinct", "x")})

@@ -1,0 +1,159 @@
+"""Changelog-replay invariants (SURVEY.md §5.3 golden replay + §5.4
+property-based): random op sequences → replaying the changelog reconstructs
+exactly the final table state; populate twice → no double-load."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark.operators.changelog import build_changelog
+from changedatacapture_reporting_spark.operators.reconstruct import reconstruct_state
+
+SRC = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.IntegerType()),
+    ]
+)
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("before", SRC, True),
+        T.StructField("after", SRC, True),
+    ]
+)
+
+# one key's lifecycle: insert, then updates (possibly no-op), maybe delete,
+# maybe re-insert afterwards
+op_step = st.tuples(
+    st.sampled_from(["set_name", "set_qty", "noop"]),
+    st.one_of(st.none(), st.text(alphabet="abc", max_size=3), st.integers(0, 99)),
+)
+key_history = st.lists(op_step, max_size=5)
+corpus = st.dictionaries(st.integers(1, 8), key_history, max_size=6)
+
+
+@given(corpus=corpus, deletes=st.sets(st.integers(1, 8)))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_replay_reconstructs_final_state(spark, corpus, deletes):
+    rows, expected = [], {}
+    lsn = 0
+    base = dt.datetime(2024, 1, 1)
+    for key, history in sorted(corpus.items()):
+        lsn += 1
+        state = {"id": key, "name": "init", "qty": 0}
+        rows.append(
+            (lsn, 0, base + dt.timedelta(minutes=lsn), "insert", "t", None,
+             (key, "init", 0))
+        )
+        for kind, val in history:
+            before = dict(state)
+            if kind == "set_name":
+                state["name"] = str(val) if val is not None else None
+            elif kind == "set_qty":
+                state["qty"] = (
+                    val if isinstance(val, int) else (len(val) if val else None)
+                )
+            lsn += 1
+            rows.append(
+                (lsn, 0, base + dt.timedelta(minutes=lsn), "update", "t",
+                 (before["id"], before["name"], before["qty"]),
+                 (state["id"], state["name"], state["qty"]))
+            )
+        if key in deletes:
+            lsn += 1
+            rows.append(
+                (lsn, 0, base + dt.timedelta(minutes=lsn), "delete", "t",
+                 (state["id"], state["name"], state["qty"]), None)
+            )
+        else:
+            expected[key] = state
+
+    if not rows:
+        return
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    log = build_changelog(
+        events, ["id"], with_audit_cols=False,
+        carry_cols=["lsn", "seq"], record_insert_images=True,
+    )
+    got = {
+        r.id: {"name": r.name, "qty": r.qty}
+        for r in reconstruct_state(log, ["id"], ["name", "qty"]).collect()
+    }
+    want = {
+        k: {
+            "name": str(v["name"]) if v["name"] is not None else None,
+            "qty": str(v["qty"]) if v["qty"] is not None else None,
+        }
+        for k, v in expected.items()
+    }
+    assert got == want
+
+
+def test_golden_replay_scenario(spark, tmp_path):
+    """FIXTURES.md §B golden scenario end-to-end through the SINK:
+    3 inserts → multi-column update → NULL→value update → delete →
+    same-transaction double update; populate twice (idempotent resume);
+    reconstruct matches the hand-computed final state."""
+    from changedatacapture_reporting_spark.operators.populate import (
+        populate_changelog,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, base, "insert", "t", None, (1, "a", 10)),
+        (2, 0, base + dt.timedelta(minutes=1), "insert", "t", None, (2, "b", 20)),
+        (3, 0, base + dt.timedelta(minutes=2), "insert", "t", None, (3, "c", None)),
+        (4, 0, base + dt.timedelta(minutes=3), "update", "t",
+         (1, "a", 10), (1, "a2", 11)),
+        (5, 0, base + dt.timedelta(minutes=4), "update", "t",
+         (3, "c", None), (3, "c", 33)),
+        (6, 0, base + dt.timedelta(minutes=5), "delete", "t",
+         (2, "b", 20), None),
+        (7, 0, base + dt.timedelta(minutes=6), "update", "t",
+         (1, "a2", 11), (1, "a3", 11)),
+        (7, 1, base + dt.timedelta(minutes=6), "update", "t",
+         (1, "a3", 11), (1, "a4", 11)),
+    ]
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    sink = str(tmp_path / "sink")
+
+    r1 = populate_changelog(spark, events, sink, ["id"])
+    assert r1.rows_changed > 0
+    r2 = populate_changelog(spark, events, sink, ["id"])
+    assert r2.rows_changed == 0  # idempotent resume, no double-load
+
+    log = spark.read.parquet(sink)
+    # golden: markers + per-changed-column rows
+    got = {
+        (r.id, r.column_name, r.old_value, r.new_value)
+        for r in log.select("id", "column_name", "old_value", "new_value").collect()
+    }
+    assert (1, "name", "a", "a2") in got
+    assert (1, "qty", "10", "11") in got
+    assert (3, "qty", None, "33") in got
+    assert (2, None, "DELETED RECORD", None) in got
+    assert (1, "name", "a3", "a4") in got  # second same-txn update intact
+
+    state = {
+        r.id: (r.name, r.qty)
+        for r in reconstruct_state(log, ["id"], ["name", "qty"]).collect()
+    }
+    # insert images are NOT recorded by default → a never-updated column
+    # (3.name stayed 'c') is unknowable from the changelog alone
+    assert state == {1: ("a4", "11"), 3: (None, "33")}

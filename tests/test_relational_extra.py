@@ -1,0 +1,43 @@
+"""Bounds/determinism tests for the non-oracle relational queries
+(approximate aggregates, sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.contracts_relational import (
+    approx_distinct_stats,
+    deterministic_sample,
+)
+from changedatacapture_reporting_spark.sources.tables import load_table
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    approx = {
+        r.l_returnflag: (r.approx_orders, r.approx_parts)
+        for r in approx_distinct_stats(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.orders, r.parts)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    for flag, (ao, ap) in approx.items():
+        eo, ep = exact[flag]
+        assert abs(ao - eo) / eo < 0.05, f"{flag}: orders {ao} vs {eo}"
+        assert abs(ap - ep) / ep < 0.05, f"{flag}: parts {ap} vs {ep}"
+
+
+def test_sample_is_deterministic_and_bounded(spark, sf_dir):
+    s1 = deterministic_sample(spark, sf_dir)
+    s2 = deterministic_sample(spark, sf_dir)
+    rows1 = {tuple(r) for r in s1.collect()}
+    rows2 = {tuple(r) for r in s2.collect()}
+    assert rows1 == rows2  # same seed → same sample
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert 0.05 * total < len(rows1) < 0.15 * total
