@@ -59,6 +59,8 @@ HEADLINE = [
     "cdc_query_window",
     "cdc_incremental_resume",
     "cdc_changelog_daily_activity",
+    "cdc_reconstruct_state",
+    "cdc_debezium_roundtrip",
     # relational
     "q1_pricing_summary",
     "q3_top_unshipped",

@@ -7,16 +7,20 @@ Watermark/resume semantics (SURVEY.md §2.9):
   min_cdc_time)`` (populate:200–211) and maps times→LSNs with first-load
   inclusivity switching (populate:241–253). The +1-minute hop can silently
   skip changes committed within 60 s after the previous load.
-- Ours (default): exact high-watermark on ``lsn`` — each run processes
-  ``lsn > last_loaded`` (and ``lsn <= to_lsn`` when a bound is given,
-  matching the ``(@from_lsn, @to_lsn]`` window, populate:241). LSN is
-  monotone, so the filter prunes parquet row groups via min/max stats.
+- Ours (default): exact high-watermark on ``lsn``, kept PER TABLE — each
+  run processes ``lsn > last_loaded(table)`` (and ``lsn <= to_lsn`` when a
+  bound is given, matching the ``(@from_lsn, @to_lsn]`` window,
+  populate:241). LSN is monotone, so the filter prunes parquet row groups
+  via min/max stats.
 - ``CompatFlags.legacy_minute_skip`` reproduces the reference behaviour.
 
-The sink is an append-only parquet/Delta-style directory partitioned by
-``table_name`` — at 100 TB, partition pruning on table_name plus lsn
-row-group stats keeps each incremental run's scan proportional to the new
-data, not the history.
+Unlike the reference (one proc invocation per table), a single run ingests
+a multi-table event stream: watermarks are computed per ``table_name`` (one
+small aggregate over the sink, broadcast back against the events), so a
+slow table can't hold back or double-load a fast one. The sink is an
+append-only parquet directory partitioned by ``table_name`` — at 100 TB,
+partition pruning plus lsn row-group stats keep each incremental run's
+scan proportional to the new data, not the history.
 """
 
 from __future__ import annotations
@@ -38,18 +42,22 @@ class ValidationError(Exception):
 @dataclass
 class PopulateResult:
     rows_changed: int
-    from_lsn: int | None
+    from_lsn: int | None  # max watermark across tables (None on first load)
     to_lsn: int | None
 
 
-def _sink_watermark(spark: SparkSession, sink_path: str) -> int | None:
-    """Highest LSN already loaded (replaces MAX(commit_time)+1min,
-    populate:203). Stored as a column in the sink so it survives restarts
-    with no side-channel metadata."""
+def _sink_watermarks(spark: SparkSession, sink_path: str) -> DataFrame | None:
+    """Per-table highest loaded LSN (replaces MAX(commit_time)+1min,
+    populate:203). Read from the sink itself so it survives restarts with
+    no side-channel metadata; the aggregate is tiny (one row per table)."""
     if not os.path.exists(sink_path):
         return None
-    row = spark.read.parquet(sink_path).agg(F.max("lsn")).head()
-    return row[0] if row and row[0] is not None else None
+    wm = (
+        spark.read.parquet(sink_path)
+        .groupBy("table_name")
+        .agg(F.max("lsn").alias("_wm_lsn"))
+    )
+    return wm if wm.head(1) else None
 
 
 def populate_changelog(
@@ -60,29 +68,59 @@ def populate_changelog(
     to_lsn: int | None = None,
     flags: CompatFlags | None = None,
 ) -> PopulateResult:
-    """One incremental run: filter new events, build changelog, append.
+    """One incremental run: filter new events per table, build changelog,
+    append.
 
     ``to_lsn`` mirrors ``@to_date`` → ``@to_lsn`` ('largest less than',
     populate:241): pass None for "HIGHDATE completeness" (readme:24–25).
     Validation: a ``to_lsn`` below the resume point raises, as the
-    reference raises when ``@to_date < @from_date`` (populate:217–229).
+    reference raises when ``@to_date < @from_date`` (populate:217–229,
+    416–422). ``CompatFlags.swallow_errors`` reproduces the reference's
+    TRY/CATCH that reports any failure as "No changes were detected"
+    (populate:401–409) — default False: failures surface.
     """
     flags = flags or CompatFlags()
-    last = _sink_watermark(spark, sink_path)
+    try:
+        return _populate(spark, events, sink_path, pk_cols, to_lsn, flags)
+    except Exception:
+        if flags.swallow_errors:
+            # reference-faithful ST5: any error → "No changes were detected"
+            return PopulateResult(rows_changed=0, from_lsn=None, to_lsn=to_lsn)
+        raise
 
-    if flags.legacy_minute_skip and last is not None:
-        # reference-faithful: resume from MAX(commit_time)+1min
+
+def _populate(
+    spark: SparkSession,
+    events: DataFrame,
+    sink_path: str,
+    pk_cols: list[str],
+    to_lsn: int | None,
+    flags: CompatFlags,
+) -> PopulateResult:
+    wm = _sink_watermarks(spark, sink_path)
+    max_wm: int | None = None
+    if wm is not None:
+        row = wm.agg(F.max("_wm_lsn")).head()
+        max_wm = row[0] if row else None
+
+    if flags.legacy_minute_skip and wm is not None:
+        # reference-faithful: resume from MAX(commit_time)+1min (global —
+        # the reference is single-table per invocation)
         prev = spark.read.parquet(sink_path).agg(F.max("commit_time")).head()[0]
         batch = events.filter(
             F.col("commit_ts") >= F.lit(prev) + F.expr("INTERVAL 1 MINUTE")
         )
-    elif last is not None:
-        batch = events.filter(F.col("lsn") > F.lit(last))
+    elif wm is not None:
+        batch = (
+            events.join(F.broadcast(wm), on="table_name", how="left")
+            .filter(F.col("_wm_lsn").isNull() | (F.col("lsn") > F.col("_wm_lsn")))
+            .drop("_wm_lsn")
+        )
     else:
         batch = events
 
     if to_lsn is not None:
-        if last is not None and to_lsn <= last:
+        if max_wm is not None and to_lsn <= max_wm:
             raise ValidationError(
                 "TO date cannot be less than the minimum LSN date / resume point"
             )
@@ -99,10 +137,14 @@ def populate_changelog(
         .partitionBy("table_name")
         .parquet(sink_path)
     )
-    # @@ROWCOUNT analog (populate:399): rows appended by THIS run
+    # @@ROWCOUNT analog (populate:399): rows appended by THIS run —
+    # per-table: newer than that table's pre-run watermark
     loaded = spark.read.parquet(sink_path)
-    if last is not None and not flags.legacy_minute_skip:
-        loaded = loaded.filter(F.col("lsn") > F.lit(last))
+    if wm is not None and not flags.legacy_minute_skip:
+        loaded = (
+            loaded.join(F.broadcast(wm), on="table_name", how="left")
+            .filter(F.col("_wm_lsn").isNull() | (F.col("lsn") > F.col("_wm_lsn")))
+        )
     return PopulateResult(
-        rows_changed=loaded.count(), from_lsn=last, to_lsn=to_lsn
+        rows_changed=loaded.count(), from_lsn=max_wm, to_lsn=to_lsn
     )

@@ -1,0 +1,105 @@
+"""Incremental populate: per-table watermarks, compat flags (legacy minute
+skip ST1, error swallowing ST5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark.config import CompatFlags
+from changedatacapture_reporting_spark.operators.populate import (
+    PopulateResult,
+    populate_changelog,
+)
+
+SRC = T.StructType(
+    [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+)
+SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("before", SRC, True),
+        T.StructField("after", SRC, True),
+    ]
+)
+
+
+def _ev(lsn, table, minute, vid=1):
+    return (
+        lsn, 0, dt.datetime(2024, 1, 1, 12, minute), "insert", table,
+        None, (vid, f"v{lsn}"),
+    )
+
+
+def test_per_table_watermarks_are_independent(spark, tmp_path):
+    """Table B lagging behind table A must still load B's rows whose LSNs
+    are below A's watermark (a single global watermark would drop them)."""
+    sink = str(tmp_path / "sink")
+    first = spark.createDataFrame(
+        [_ev(100, "a", 0), _ev(101, "a", 1), _ev(10, "b", 2)], SCHEMA
+    )
+    r1 = populate_changelog(spark, first, sink, ["id"])
+    assert r1.rows_changed == 3
+
+    # second run: new rows for b with lsn 20/30 — below a's watermark (101)
+    second = spark.createDataFrame(
+        [_ev(100, "a", 0), _ev(101, "a", 1), _ev(10, "b", 2),
+         _ev(20, "b", 3), _ev(30, "b", 4), _ev(102, "a", 5)],
+        SCHEMA,
+    )
+    r2 = populate_changelog(spark, second, sink, ["id"])
+    assert r2.rows_changed == 3  # b:20, b:30, a:102 — nothing double-loaded
+
+    log = spark.read.parquet(sink)
+    assert log.count() == 6
+    assert log.filter(F.col("table_name") == "b").count() == 3
+
+
+def test_legacy_minute_skip_drops_close_changes(spark, tmp_path):
+    """CompatFlags.legacy_minute_skip reproduces the reference bug
+    (populate:203): a change committed <60s after the last load is lost."""
+    sink = str(tmp_path / "sink")
+    flags = CompatFlags(legacy_minute_skip=True)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    first = spark.createDataFrame(
+        [(1, 0, base, "insert", "t", None, (1, "a"))], SCHEMA
+    )
+    populate_changelog(spark, first, sink, ["id"], flags=flags)
+
+    # 30s after the watermark: inside the skipped minute
+    second = spark.createDataFrame(
+        [(1, 0, base, "insert", "t", None, (1, "a")),
+         (2, 0, base + dt.timedelta(seconds=30), "insert", "t", None, (2, "b")),
+         (3, 0, base + dt.timedelta(minutes=2), "insert", "t", None, (3, "c"))],
+        SCHEMA,
+    )
+    populate_changelog(spark, second, sink, ["id"], flags=flags)
+    ids = sorted(r.id for r in spark.read.parquet(sink).collect())
+    assert ids == [1, 3]  # id=2 silently lost — documented reference bug
+
+    # exact default semantics load it
+    sink2 = str(tmp_path / "sink2")
+    populate_changelog(spark, first, sink2, ["id"])
+    populate_changelog(spark, second, sink2, ["id"])
+    ids = sorted(r.id for r in spark.read.parquet(sink2).collect())
+    assert ids == [1, 2, 3]
+
+
+def test_swallow_errors_compat(spark, tmp_path):
+    """ST5: reference TRY/CATCHes any failure into 'No changes were
+    detected'; default surfaces the error."""
+    bad = spark.createDataFrame([(1, "x")], "a int, b string")  # wrong schema
+    sink = str(tmp_path / "sink")
+    with pytest.raises(Exception):
+        populate_changelog(spark, bad, sink, ["id"])
+    res = populate_changelog(
+        spark, bad, sink, ["id"], flags=CompatFlags(swallow_errors=True)
+    )
+    assert res == PopulateResult(rows_changed=0, from_lsn=None, to_lsn=None)
