@@ -384,6 +384,58 @@ GROUP BY 1, 2
 )
 
 
+def _q_row_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row audit trail — the changelog's point-lookup pattern
+    (partition pruning on table_name + pk predicate at the scan)."""
+    return _changelog(spark, sf_dir).filter(F.col("o_orderkey") % 1000 == 7)
+
+
+_SQL_ROW_HISTORY = (
+    _ORACLE_CHANGES
+    + "SELECT commit_time, table_name, o_orderkey, column_name, old_value,"
+    " new_value FROM changes WHERE o_orderkey % 1000 = 7"
+)
+
+
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column nulls/cardinality/bounds in one
+    scan (exact distinct here for oracle parity; HLL++ is the scale
+    default)."""
+    from changedatacapture_reporting_spark.operators.profile import profile_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    return profile_table(orders, cols, exact_distinct=True)
+
+
+_SQL_PROFILE = """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR),
+       CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderdate), CAST(MIN(o_orderdate) AS VARCHAR),
+       CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -409,6 +461,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_reconstruct_state": (_q_reconstruct_state, _SQL_RECONSTRUCT),
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
+    "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
+    "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
     **REGISTRY_STREAMING,

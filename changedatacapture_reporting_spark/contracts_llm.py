@@ -273,6 +273,19 @@ WHERE rank <= 10
 """
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (16 deterministic k-means centroids, nprobe=4) — the
+    cluster-pruned scale path. rows-only; recall vs brute force is
+    pytest-asserted."""
+    from changedatacapture_reporting_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=10).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 (8 tables × 8 planes) — the scale path.
     rows-only; recall vs brute force is pytest-asserted."""
@@ -329,6 +342,7 @@ REGISTRY_LLM = {
     "dedup_embedding_neardup": (dedup_embedding_neardup, SQL_EMB_NEARDUP),
     "ann_topk_bruteforce": (ann_topk_bruteforce, SQL_ANN_TOPK),
     "ann_topk_lsh": (ann_topk_lsh, None),
+    "ann_topk_ivf": (ann_topk_ivf, None),
     "multimodal_blob_metadata": (multimodal_blob_metadata, SQL_BLOB_META),
     "multimodal_features": (multimodal_features, None),
 }

@@ -134,6 +134,109 @@ def lsh_buckets_vectorized(tables: int = 12, planes: int = 4, dim: int = 64):
     return F.pandas_udf(_buckets, ArrayType(LongType()))
 
 
+def _assign_udf(centroids: "np.ndarray"):
+    """pandas_udf: vector → nearest-centroid id (argmax dot — fixture
+    vectors are L2-normalized, so max dot = min L2). One matmul per Arrow
+    batch; the k×d centroid matrix ships in the task closure."""
+    from pyspark.sql.types import IntegerType
+
+    mat = centroids.T  # d × k
+
+    def _assign(s: pandas.Series) -> pandas.Series:
+        v = np.stack(s.to_numpy()).astype(np.float64)
+        return pandas.Series(np.argmax(v @ mat, axis=1).astype("int32"))
+
+    return F.pandas_udf(_assign, IntegerType())
+
+
+def ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, "np.ndarray"]:
+    """IVF coarse quantizer: k-means with deterministic seeding (the
+    ``n_centroids`` lowest-id vectors) and ``iters`` Lloyd rounds.
+
+    Distribution: assignment is a per-batch matmul (no shuffle); the
+    centroid update is posexplode → groupBy(cluster, dim) avg — fully
+    distributed, with only the k×d centroid matrix ever on the driver.
+    Returns (corpus with a ``cluster`` column, centroid matrix).
+    """
+    seed_rows = (
+        corpus.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        means = (
+            assigned.groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        for r in means:
+            centroids[r.cluster, r.dim] = r.m
+        # re-normalize so dot stays a valid nearest-centroid criterion
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        centroids = centroids / np.clip(norms, 1e-12, None)
+
+    indexed = corpus.withColumn(
+        "cluster", _assign_udf(centroids)(F.col(vec_col))
+    )
+    return indexed, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest clusters per query,
+    exact-rank only their members. Work ∝ |corpus|·nprobe/n_centroids per
+    query; at 100 TB the indexed corpus (cluster column) is written once
+    and reused, and ``n_centroids`` grows with corpus size (√n rule)."""
+    indexed, centroids = ivf_index(corpus, vec_col, id_col, n_centroids, iters)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mat = centroids.T
+
+    def _probes(s: pandas.Series) -> pandas.Series:
+        v = np.stack(s.to_numpy()).astype(np.float64)
+        order = np.argsort(-(v @ mat), axis=1)[:, :nprobe].astype("int32")
+        return pandas.Series(list(order))
+
+    probes_udf = F.pandas_udf(_probes, ArrayType(IntegerType()))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes_udf(F.col(vec_col))).alias("cluster"),
+    )
+    c = indexed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster"
+    )
+    sim = dot_double(F.col("qv"), F.col("cv")).alias("sim")
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), on="cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -95,6 +95,31 @@ def test_lsh_topk_recall_vs_bruteforce(embeddings):
     assert recall >= 0.4, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_topk_recall_vs_bruteforce(embeddings):
+    """IVF (16 centroids, nprobe=4 → ~25% of corpus scanned per query)
+    must recover a solid share of the exact top-10 even on unclustered
+    random vectors."""
+    from changedatacapture_reporting_spark.operators.similarity import ivf_topk
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(embeddings, q, k=10)
+    approx = ivf_topk(embeddings, q, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_index_is_deterministic(embeddings):
+    from changedatacapture_reporting_spark.operators.similarity import ivf_index
+
+    _, c1 = ivf_index(embeddings)
+    _, c2 = ivf_index(embeddings)
+    import numpy as np
+
+    assert np.allclose(c1, c2)
+
+
 def test_lsh_topk_is_subset_ranked_correctly(embeddings):
     q = embeddings.filter(F.col("vec_id") == 0)
     out = lsh_topk(embeddings, q, k=5).collect()
