@@ -670,6 +670,32 @@ WHERE o_orderkey % 100 = 0
 """
 
 
+def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (the §2.12 decorrelation target): orders
+    priced above their customer's own average. Catalyst decorrelates this
+    into an aggregate + join — asserted in plan tests (no per-row
+    subquery execution)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS total_floor
+        FROM orders_sq o
+        WHERE o_totalprice > (SELECT AVG(i.o_totalprice)
+                              FROM orders_sq i
+                              WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+SQL_CORRELATED = """
+SELECT o_orderkey, o_custkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS total_floor
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (status)/(priority)/() — the general form
     rollup/cube specialize."""
@@ -767,6 +793,7 @@ REGISTRY_RELATIONAL = {
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "like_filter_parts": (like_filter_parts, SQL_LIKE),
     "scalar_functions_showcase": (scalar_functions_showcase, SQL_SCALARS),
+    "above_customer_avg_orders": (above_customer_avg_orders, SQL_CORRELATED),
     "grouping_sets_revenue": (grouping_sets_revenue, SQL_GROUPING_SETS),
     "percentile_spend": (percentile_spend, SQL_PERCENTILE),
     "approx_distinct_stats": (approx_distinct_stats, None),

@@ -69,6 +69,13 @@ def test_incremental_resume_filter_reaches_scan(plans):
     assert "GreaterThan(o_orderkey,3000)" in p
 
 
+def test_correlated_subquery_is_decorrelated(plans):
+    # Catalyst must rewrite the per-row scalar subquery into agg + join
+    p = plans("above_customer_avg_orders")
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    assert "Subquery" not in p.split("== Physical Plan ==")[-1].split("(1)")[0]
+
+
 def test_minhash_signature_is_codegen(plans):
     p = plans("dedup_minhash_lsh")
     assert "BatchEvalPython" not in p  # no row-python in the dedup path
