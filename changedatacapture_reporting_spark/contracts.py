@@ -436,6 +436,32 @@ FROM orders
 """
 
 
+def _q_transaction_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transaction rollup of the EAV changelog: how many columns
+    changed and which (sorted, comma-joined) — the 'what did this commit
+    touch' reporting pattern."""
+    log = _changelog(spark, sf_dir).filter(F.col("column_name").isNotNull())
+    return log.groupBy("o_orderkey", "commit_time").agg(
+        F.count("*").alias("n_cols_changed"),
+        F.array_join(
+            F.array_sort(F.collect_list("column_name")), ","
+        ).alias("changed_cols"),
+    )
+
+
+_SQL_TRANSACTION_SUMMARY = (
+    _ORACLE_CHANGES
+    + """
+SELECT o_orderkey, commit_time,
+       COUNT(*) AS n_cols_changed,
+       string_agg(column_name, ',' ORDER BY column_name) AS changed_cols
+FROM changes
+WHERE column_name IS NOT NULL
+GROUP BY o_orderkey, commit_time
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -462,6 +488,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
+    "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,

@@ -152,6 +152,79 @@ GROUP BY 1, 2
 """
 
 
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency analytics: top-5 non-stopword terms per language
+    (explode → count → windowed top-k, the classic text-aggregation
+    shape)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = list(
+        ("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
+    )
+    terms = d.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).filter(~F.lower(F.col("term")).isin(*stop))
+    counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+SQL_TOP_TERMS = r"""
+WITH terms AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT lang, term, COUNT(*) AS n
+  FROM terms
+  WHERE lower(term) NOT IN ('the','a','an','of','and','to','in','is','it','on','for')
+  GROUP BY lang, term
+)
+SELECT lang, term, n, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+      FROM counts)
+WHERE rank <= 5
+"""
+
+
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate: per-label mean embedding, long form
+    (label, dim, centroid component). posexplode → groupBy — the fully
+    distributed array-column aggregation; decimal-exact so the mean is
+    engine-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(20,10)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+SQL_CENTROIDS = """
+WITH comps AS (
+  SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS centroid,
+       COUNT(*) AS n_vectors
+FROM comps
+GROUP BY label, dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -335,6 +408,8 @@ REGISTRY_LLM = {
     "text_quality_scores": (text_quality_scores, SQL_QUALITY),
     "text_fingerprints": (text_fingerprints, SQL_FINGERPRINTS),
     "text_langid": (text_langid, SQL_LANGID),
+    "text_top_terms_per_lang": (text_top_terms_per_lang, SQL_TOP_TERMS),
+    "embedding_centroids_by_label": (embedding_centroids_by_label, SQL_CENTROIDS),
     "dedup_exact_groups": (dedup_exact_groups, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),

@@ -47,6 +47,22 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     }
 
 
+def test_recommend_sizing_scales_with_input():
+    from changedatacapture_reporting_spark.plans.tuning import recommend_sizing
+
+    small = recommend_sizing(100 * 1024 * 1024, cores=32)
+    assert small.shuffle_partitions == 32  # floor at full parallelism
+
+    big = recommend_sizing(1024**4, cores=32)  # 1 TB
+    assert big.shuffle_partitions >= 8000  # ~128MB reduce partitions
+    assert big.shuffle_partitions % 32 == 0  # whole waves
+
+    exploding = recommend_sizing(
+        1024**4, cores=32, shuffle_amplification=3.0
+    )
+    assert exploding.shuffle_partitions > big.shuffle_partitions
+
+
 def test_salted_aggregate_rejects_nondecomposable(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError):

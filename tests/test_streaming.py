@@ -134,6 +134,59 @@ def test_streaming_sessions_agree_with_batch(spark, sf_dir, workdir):
     assert got.exceptAll(expected).isEmpty()
 
 
+def test_late_events_beyond_watermark_are_dropped(spark, workdir):
+    """ST4: the reference hard-errors on out-of-range dates; the principled
+    streaming version is a watermark — an event arriving after the
+    watermark passed its window is dropped, already-emitted windows never
+    change."""
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.streaming.windows import tumbling_counts
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    on_time = [
+        (i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+        for i in range(60)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(f"{workdir}/ev")
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(f"{workdir}/ev").schema
+        ).option("maxFilesPerTrigger", 1).parquet(f"{workdir}/ev")
+        q = (
+            tumbling_counts(stream, window="5 minutes", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{workdir}/out")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    drain()
+    first = spark.read.parquet(f"{workdir}/out")
+    w0 = first.filter(F.col("window_start") == base)
+    assert w0.count() == 1 and w0.head().n_events == 5
+
+    # a very late event for the already-finalized first window
+    late = [(999, base + dt.timedelta(minutes=2), 9, "click", 1.0, "{}")]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(
+        f"{workdir}/ev"
+    )
+    drain()
+    again = spark.read.parquet(f"{workdir}/out").filter(
+        F.col("window_start") == base
+    )
+    # still exactly one emission with the original count — late row dropped
+    assert again.count() == 1 and again.head().n_events == 5
+
+
 def test_stateful_dedup_drops_duplicates(spark, workdir):
     import datetime as dt
 
