@@ -496,8 +496,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; these runtime confs are
+    required for correct semantics regardless of how it was built:
+    UTC pins timestamp semantics to match the DuckDB oracle, nanosAsLong
+    lets the events table's TIMESTAMP(NANOS) parquet be read at all."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _wrap(fn: QueryFn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: _wrap(fn) for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
