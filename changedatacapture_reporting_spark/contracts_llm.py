@@ -23,6 +23,7 @@ from changedatacapture_reporting_spark.functions.text import (
 )
 from changedatacapture_reporting_spark.operators.dedup import (
     embedding_neardup_pairs,
+    neardup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -277,6 +278,46 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (canonical keeper per
+    transitive group). Oracle replays the same jaccard-0.5 pair graph
+    through a recursive CTE."""
+    from changedatacapture_reporting_spark.operators.dedup import neardup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", None, n=3, threshold=0.5)
+    return neardup_clusters(pairs)
+
+
+SQL_CLUSTERS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                     i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+         END AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS member_id, MIN(root) AS cluster_id
+FROM reach
+GROUP BY node
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (32 hashes, 8 bands × 4) with exact
     Jaccard verification — the 100 TB dedup path. xxhash64 seeds aren't
@@ -411,6 +452,7 @@ REGISTRY_LLM = {
     "text_top_terms_per_lang": (text_top_terms_per_lang, SQL_TOP_TERMS),
     "embedding_centroids_by_label": (embedding_centroids_by_label, SQL_CENTROIDS),
     "dedup_exact_groups": (dedup_exact_groups, SQL_DEDUP_EXACT),
+    "dedup_clusters": (dedup_clusters, SQL_CLUSTERS),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),

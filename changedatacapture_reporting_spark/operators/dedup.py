@@ -256,6 +256,83 @@ def simhash_pairs(
     )
 
 
+def neardup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (member_id, cluster_id),
+    cluster_id = smallest member (the canonical keeper).
+
+    The closing step of a production dedup pipeline: LSH emits *pairs*;
+    keeping one doc per transitive group needs components. Algorithm is
+    large-star min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbours until a fixpoint —
+    O(diameter) joins, each a plain shuffle on node id. Near-dup graphs
+    have tiny diameters (dup groups are quasi-cliques), so this converges
+    in 2–3 rounds regardless of corpus size; each round's shuffle is
+    ∝ |pairs|, never |corpus|².
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                on="dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst_label").alias("nmin"))
+        )
+        stepped = labels.join(neighbor_min, on="node", how="left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt the label of one's label — contracts
+        # chains exponentially, so worst-case convergence is O(log
+        # diameter) rounds instead of O(diameter)
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
+        stepped = stepped.join(
+            jump, stepped.label == jump.j_node, "left"
+        ).select(
+            "node",
+            "old_label",
+            F.least(
+                F.col("label"), F.coalesce(F.col("j_label"), F.col("label"))
+            ).alias("label"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        )
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -143,6 +143,32 @@ def test_multimodal_features_deterministic(documents):
     assert {r.doc_id: r.features for r in f1} == {r.doc_id: r.features for r in f2}
 
 
+def test_neardup_clusters_transitive(spark):
+    """a-b and b-c pairs must land in ONE cluster with the smallest member
+    as canonical id; disjoint pairs stay separate."""
+    from changedatacapture_reporting_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (100, 101)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.member_id: r.cluster_id for r in neardup_clusters(pairs).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 100: 100, 101: 100}
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    """A path graph (worst-case diameter) still converges within the
+    iteration cap."""
+    from changedatacapture_reporting_spark.operators.dedup import neardup_clusters
+
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = neardup_clusters(pairs)
+    assert got.select("cluster_id").distinct().count() == 1
+    assert got.count() == 31
+
+
 def test_langid_on_real_sentences(spark):
     rows = [
         ("the cat is on the mat and that is fine", "en"),
