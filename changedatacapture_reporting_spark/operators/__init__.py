@@ -3,15 +3,35 @@ from changedatacapture_reporting_spark.operators.changelog import (
     changed_column_entries,
     pair_update_images,
 )
+from changedatacapture_reporting_spark.operators.maintenance import (
+    compact_changelog,
+    retain_changelog,
+)
+from changedatacapture_reporting_spark.operators.populate import (
+    PopulateResult,
+    populate_changelog,
+)
+from changedatacapture_reporting_spark.operators.profile import profile_table
 from changedatacapture_reporting_spark.operators.query_data import (
     freshness,
     query_changelog,
+    resolve_changelog_name,
+)
+from changedatacapture_reporting_spark.operators.reconstruct import (
+    reconstruct_state,
 )
 
 __all__ = [
     "build_changelog",
     "changed_column_entries",
     "pair_update_images",
+    "populate_changelog",
+    "PopulateResult",
     "query_changelog",
     "freshness",
+    "resolve_changelog_name",
+    "reconstruct_state",
+    "compact_changelog",
+    "retain_changelog",
+    "profile_table",
 ]

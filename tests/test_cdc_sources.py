@@ -81,6 +81,32 @@ def test_mssql_rows_pair_updates_on_seqval(spark):
     assert len(got) == 4
 
 
+def test_csv_json_event_roundtrip(spark, cdc_fixture, tmp_path):
+    """CSV (images as embedded JSON) and JSON-lines readers reproduce the
+    event frame exactly; the changelog built from either matches."""
+    from changedatacapture_reporting_spark.operators.changelog import build_changelog
+    from changedatacapture_reporting_spark.sources.files import (
+        read_cdc_csv,
+        read_cdc_json,
+        write_cdc_csv,
+    )
+
+    src = cdc_fixture.schema["after"].dataType
+    expected = build_changelog(cdc_fixture, ["id", "tenant_id"], with_audit_cols=False)
+
+    write_cdc_csv(cdc_fixture, str(tmp_path / "csv"))
+    from_csv = read_cdc_csv(spark, str(tmp_path / "csv"), src)
+    got_csv = build_changelog(from_csv, ["id", "tenant_id"], with_audit_cols=False)
+    assert got_csv.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got_csv).isEmpty()
+
+    cdc_fixture.write.json(str(tmp_path / "json"))
+    from_json = read_cdc_json(spark, str(tmp_path / "json"), src)
+    got_json = build_changelog(from_json, ["id", "tenant_id"], with_audit_cols=False)
+    assert got_json.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got_json).isEmpty()
+
+
 def test_debezium_parse_and_op_mapping(spark):
     docs = [
         ('{"before": null, "after": {"id": 1, "name": "a", "qty": 2},'

@@ -106,6 +106,19 @@ def test_truncate128_compat_flag(spark):
     assert exact.head().new_value == long_v
 
 
+def test_global_order_compat_flag(spark, cdc_fixture):
+    """CompatFlags.global_order reproduces the reference's total ORDER BY
+    (populate:390–394); default leaves ordering to the sink."""
+    ordered = build_changelog(
+        cdc_fixture, PK, flags=CompatFlags(global_order=True),
+        with_audit_cols=False,
+    ).collect()
+    keys = [
+        (r.commit_time, r.id, r.tenant_id, r.column_name or "") for r in ordered
+    ]
+    assert keys == sorted(keys)
+
+
 def test_pair_update_images_join_path(spark, cdc_fixture):
     """J1: the reference's literal join shape over split before/after rows
     must agree with the join-free paired path."""
