@@ -17,6 +17,9 @@ from changedatacapture_reporting_spark.contracts_relational import (
     SQL_SESSIONS,
     SQL_TUMBLING,
 )
+from changedatacapture_reporting_spark.sources.cdc_simulator import (
+    ORACLE_EVENTS_CTE,
+)
 from changedatacapture_reporting_spark.streaming.windows import (
     sliding_counts,
     streaming_sessions,
@@ -39,10 +42,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def _drain_to_table(spark: SparkSession, agg: DataFrame) -> DataFrame:
+def _drain_to_table(
+    spark: SparkSession, agg: DataFrame, mode: str = "complete"
+) -> DataFrame:
     name = f"stream_contract_{next(_counter)}"
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -112,8 +117,51 @@ GROUP BY 1, 2
 """
 
 
+def streaming_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState materialized current-state view over the
+    simulated CDC stream (streaming.stateful.current_state_stream), drained
+    through the real streaming engine. One event per key in the simulator,
+    so the oracle is the per-event last image; multi-batch statefulness is
+    covered by test_streaming.py::test_streaming_current_state_multibatch."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        SIM_PK,
+        simulate_cdc_events,
+    )
+    from changedatacapture_reporting_spark.streaming.stateful import (
+        current_state_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="cdc_state_stream_")
+    simulate_cdc_events(spark, sf_dir).write.parquet(f"{d}/ev")
+    schema = spark.read.parquet(f"{d}/ev").schema
+    stream = spark.readStream.schema(schema).parquet(f"{d}/ev")
+    out = current_state_stream(
+        stream, SIM_PK, ["status", "priority", "total", "note"]
+    )
+    drained = _drain_to_table(spark, out, mode="update")
+    return drained.select(
+        "o_orderkey", "status", "priority", "total", "note", "is_live", "as_of_lsn"
+    )
+
+
+SQL_CURRENT_STATE = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       CASE WHEN op = 'delete' THEN NULL ELSE a_status END AS status,
+       CASE WHEN op = 'delete' THEN NULL ELSE a_priority END AS priority,
+       CASE WHEN op = 'delete' THEN NULL ELSE CAST(a_total AS VARCHAR) END AS total,
+       CASE WHEN op = 'delete' THEN NULL ELSE a_note END AS note,
+       op <> 'delete' AS is_live,
+       lsn AS as_of_lsn
+FROM ev
+"""
+
+
 REGISTRY_STREAMING = {
     "streaming_tumbling_5min": (streaming_tumbling_5min, SQL_TUMBLING),
     "streaming_session_windows": (streaming_session_windows, SQL_STREAM_SESSIONS),
     "streaming_sliding_10min": (streaming_sliding_10min, SQL_SLIDING),
+    "streaming_current_state": (streaming_current_state, SQL_CURRENT_STATE),
 }

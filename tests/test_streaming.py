@@ -187,6 +187,86 @@ def test_late_events_beyond_watermark_are_dropped(spark, workdir):
     assert again.count() == 1 and again.head().n_events == 5
 
 
+def test_streaming_current_state_multibatch(spark, workdir):
+    """applyInPandasWithState current-state view: state survives across
+    micro-batches, last-writer-wins by (lsn, seq) regardless of arrival
+    order, deletes tombstone with the last image retained."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.stateful import (
+        current_state_stream,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    schema = cdc_event_schema(src)
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    batches = [
+        # batch 1: two inserts
+        [
+            (1, 0, ts, "insert", "t", None, (1, "a", 10)),
+            (2, 0, ts, "insert", "t", None, (2, "b", 20)),
+        ],
+        # batch 2: update k=1, delete k=2
+        [
+            (3, 0, ts, "update", "t", (1, "a", 10), (1, "a2", 11)),
+            (4, 0, ts, "delete", "t", (2, "b", 20), None),
+        ],
+        # batch 3: STALE update for k=1 (lsn 2 < state's 3 — must be
+        # ignored); same-lsn double update for k=3 (seq decides)
+        [
+            (2, 0, ts, "update", "t", (1, "a", 10), (1, "zzz", 99)),
+            (5, 0, ts, "insert", "t", None, (3, "c", 30)),
+            (6, 0, ts, "update", "t", (3, "c", 30), (3, "c1", 31)),
+            (6, 1, ts, "update", "t", (3, "c1", 31), (3, "c2", 32)),
+        ],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+            f"{workdir}/ev"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/ev")
+    )
+    q = (
+        current_state_stream(stream, ["id"], ["name", "qty"])
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("curstate_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    rows = spark.sql("SELECT * FROM curstate_out").collect()
+    # k=1 emitted in two different batches (state carried across batches);
+    # the stale lsn=2 event produced NO third emission
+    k1 = sorted((r for r in rows if r.id == "1"), key=lambda r: r.as_of_lsn)
+    assert [r.as_of_lsn for r in k1] == [1, 3]
+
+    final = {}
+    for r in rows:
+        if r.id not in final or r.as_of_lsn > final[r.id].as_of_lsn:
+            final[r.id] = r
+    assert (final["1"].name, final["1"].qty, final["1"].is_live) == ("a2", "11", True)
+    # tombstone: dead but last image retained
+    assert (final["2"].name, final["2"].qty, final["2"].is_live) == ("b", "20", False)
+    # same-lsn: seq=1 wins
+    assert (final["3"].name, final["3"].qty, final["3"].is_live) == ("c2", "32", True)
+
+
 def test_stateful_dedup_drops_duplicates(spark, workdir):
     import datetime as dt
 
