@@ -157,66 +157,55 @@ def build_changelog(
         _pk_json(pk_cols).alias("pk_json"),
     ]
 
-    updates = (
-        events.filter(F.col("op") == OP_UPDATE)
-        .select(
-            *base,
-            F.explode(changed_column_entries(value_cols, flags)).alias("e"),
-        )
-        .select(
-            *carry_cols,
-            "commit_time",
-            "table_name",
-            *pk_cols,
-            "pk_json",
-            F.col("e.column_name").alias("column_name"),
-            F.col("e.old_value").alias("old_value"),
-            F.col("e.new_value").alias("new_value"),
-        )
-    )
+    # SINGLE-PASS plan: one CASE-on-op entries array per event, one explode,
+    # no union. The union-of-filtered-branches formulation reads the source
+    # 3× (Spark does not share scans across union branches) — ruinous when
+    # the source is 100 TB of parquet or a from_json over Debezium bytes.
+    null_s = F.lit(None).cast("string")
 
-    def _marker(op: str, old: Column, new: Column) -> DataFrame:
-        return events.filter(F.col("op") == op).select(
-            *base,
-            F.lit(None).cast("string").alias("column_name"),
+    def _entry(column_name: Column, old: Column, new: Column) -> Column:
+        # same struct shape as changed_column_entries (the trailing
+        # `changed` flag is dropped at the final projection)
+        return F.struct(
+            column_name.alias("column_name"),
             old.alias("old_value"),
             new.alias("new_value"),
+            F.lit(True).alias("changed"),
         )
 
-    null_s = F.lit(None).cast("string")
-    deletes = _marker(OP_DELETE, F.lit(DELETED_RECORD), null_s)
-    inserts = _marker(OP_INSERT, null_s, F.lit(NEW_RECORD))
-
-    out = updates.unionByName(deletes).unionByName(inserts)
-
+    insert_entries = F.array(_entry(null_s, null_s, F.lit(NEW_RECORD)))
     if record_insert_images:
-        insert_entries = F.filter(
+        image_entries = F.filter(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("column_name"),
-                        _erase(F.col(f"after.{c}"), flags).alias("new_value"),
-                    )
+                    _entry(F.lit(c), null_s, _erase(F.col(f"after.{c}"), flags))
                     for c in value_cols
                 ]
             ),
             lambda e: e["new_value"].isNotNull(),
         )
-        insert_values = (
-            events.filter(F.col("op") == OP_INSERT)
-            .select(*base, F.explode(insert_entries).alias("e"))
-            .select(
-                *carry_cols,
-                "commit_time",
-                "table_name",
-                *pk_cols,
-                "pk_json",
-                F.col("e.column_name").alias("column_name"),
-                null_s.alias("old_value"),
-                F.col("e.new_value").alias("new_value"),
-            )
+        insert_entries = F.concat(insert_entries, image_entries)
+
+    entries = (
+        F.when(F.col("op") == OP_UPDATE, changed_column_entries(value_cols, flags))
+        .when(
+            F.col("op") == OP_DELETE,
+            F.array(_entry(null_s, F.lit(DELETED_RECORD), null_s)),
         )
-        out = out.unionByName(insert_values)
+        .when(F.col("op") == OP_INSERT, insert_entries)
+        # unknown ops → NULL array → explode emits nothing
+    )
+
+    out = events.select(*base, F.explode(entries).alias("e")).select(
+        *carry_cols,
+        "commit_time",
+        "table_name",
+        *pk_cols,
+        "pk_json",
+        F.col("e.column_name").alias("column_name"),
+        F.col("e.old_value").alias("old_value"),
+        F.col("e.new_value").alias("new_value"),
+    )
 
     if with_audit_cols:
         out = out.withColumn("created_dt", F.current_timestamp()).withColumn(
