@@ -9,7 +9,9 @@ for a changelog table and the invariant our property tests check
 (SURVEY.md §5.4: "changelog replay reconstructs final table state").
 
 Plan shape (scale notes):
-- one shuffle on the PK (window partition key);
+- two aggregations, zero joins: (pk, column) last-write, then pk-level
+  widen — marker rows flow through as the NULL-column group, so liveness
+  needs no separate aggregate or join;
 - per (pk, column), the last change wins — ``max_by`` over the event
   ordering (commit_time, lsn, seq), an ordinary aggregate with map-side
   partial application, NOT a window + filter (no sort of full history);
@@ -49,37 +51,33 @@ def reconstruct_state(
     avail = [c for c in order_cols if c in log.columns]
     ord_key = F.struct(*[F.col(c) for c in avail])
 
-    # last value per (pk, column) — max_by keeps it an ordinary aggregate
-    per_col = (
-        log.filter(F.col("column_name").isNotNull())
-        .groupBy(*pk_cols, "column_name")
-        .agg(F.max_by("new_value", ord_key).alias("last_value"))
+    # One pass, two aggregations, ZERO joins: marker rows (NULL column_name)
+    # ride through the same (pk, column) grouping as their own NULL-keyed
+    # group, so per-column last values AND liveness come out of a single
+    # dataflow. The previous formulation (separate value/marker aggregates
+    # + anti-join + union + left join) cost two extra shuffles and two join
+    # exchanges — pure overhead at changelog scale.
+    liveness_case = (
+        F.when(F.col("old_value") == DELETED_RECORD, F.lit("dead"))
+        .when(F.col("new_value") == NEW_RECORD, F.lit("live"))
+        .otherwise(F.lit("live"))
     )
-    wide = per_col.groupBy(*pk_cols).agg(
+    per_key = log.groupBy(*pk_cols, "column_name").agg(
+        F.max_by("new_value", ord_key).alias("last_value"),
+        F.max_by(liveness_case, ord_key).alias("liveness"),
+    )
+
+    # rows with updates but no marker in range are treated as live
+    # (the latest marker decides otherwise: insert → live, delete → gone)
+    wide = per_key.groupBy(*pk_cols).agg(
         *[
             F.max(F.when(F.col("column_name") == c, F.col("last_value"))).alias(c)
             for c in value_cols
-        ]
+        ],
+        F.max(F.when(F.col("column_name").isNull(), F.col("liveness"))).alias(
+            "__liveness"
+        ),
     )
-
-    # liveness: the latest marker decides (insert → live, delete → gone);
-    # rows with updates but no marker in range are treated as live
-    markers = (
-        log.filter(F.col("column_name").isNull())
-        .groupBy(*pk_cols)
-        .agg(
-            F.max_by(
-                F.when(F.col("old_value") == DELETED_RECORD, F.lit("dead"))
-                .when(F.col("new_value") == NEW_RECORD, F.lit("live"))
-                .otherwise(F.lit("live")),
-                ord_key,
-            ).alias("liveness")
-        )
-    )
-    live = markers.filter(F.col("liveness") == "live").select(*pk_cols)
-    no_marker = wide.join(markers, on=pk_cols, how="left_anti").select(*pk_cols)
-    keep = live.unionByName(no_marker)
-
-    return keep.join(wide, on=pk_cols, how="left").select(
-        *pk_cols, *[F.col(c) for c in value_cols]
-    )
+    return wide.filter(
+        F.col("__liveness").isNull() | (F.col("__liveness") == "live")
+    ).select(*pk_cols, *[F.col(c) for c in value_cols])
