@@ -771,6 +771,53 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators.range_join): every 1000th
+    order opens a review window of (o_orderkey % 90) days; count and sum
+    ALL orders (no key equality!) whose order date falls inside each
+    window. Bucketed equi-join — the plan must contain no nested loop."""
+    from changedatacapture_reporting_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.unix_date(F.to_date("o_orderdate")).cast("long")
+    points = o.select(
+        day.alias("day"), F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    )
+    intervals = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("interval_id"),
+        day.alias("start_day"),
+        (day + F.col("o_orderkey") % 90).alias("end_day"),
+    )
+    joined = point_in_interval_join(
+        points, intervals, "day", "start_day", "end_day", bucket_width=45
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price").cast("double").alias("window_revenue"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH intervals AS (
+  SELECT o_orderkey AS interval_id,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS start_day,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           + o_orderkey % 90 AS end_day
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT i.interval_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(p.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS window_revenue
+FROM orders p
+JOIN intervals i
+  ON CAST(CAST(p.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+     BETWEEN i.start_day AND i.end_day
+GROUP BY i.interval_id
+"""
+
+
 REGISTRY_RELATIONAL = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
@@ -798,4 +845,5 @@ REGISTRY_RELATIONAL = {
     "percentile_spend": (percentile_spend, SQL_PERCENTILE),
     "approx_distinct_stats": (approx_distinct_stats, None),
     "deterministic_sample": (deterministic_sample, None),
+    "range_join_order_windows": (range_join_order_windows, SQL_RANGE_JOIN),
 }

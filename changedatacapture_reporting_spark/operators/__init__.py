@@ -12,6 +12,10 @@ from changedatacapture_reporting_spark.operators.populate import (
     populate_changelog,
 )
 from changedatacapture_reporting_spark.operators.profile import profile_table
+from changedatacapture_reporting_spark.operators.range_join import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
 from changedatacapture_reporting_spark.operators.query_data import (
     freshness,
     query_changelog,
@@ -34,4 +38,6 @@ __all__ = [
     "compact_changelog",
     "retain_changelog",
     "profile_table",
+    "point_in_interval_join",
+    "interval_overlap_join",
 ]
