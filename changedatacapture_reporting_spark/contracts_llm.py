@@ -444,6 +444,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(d)
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampling (operators.multimodal.sample_frames):
+    every 4th 16-byte "frame" per document, fingerprinted. rows-only:
+    content is differentially verified against a Python reference in
+    tests/test_llm_ops.py."""
+    from changedatacapture_reporting_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    d = attach_blob(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(d, frame_bytes=16, every_nth=4)
+    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
 REGISTRY_LLM = {
     "text_token_stats": (text_token_stats, SQL_TOKEN_STATS),
     "text_quality_scores": (text_quality_scores, SQL_QUALITY),
@@ -462,4 +476,5 @@ REGISTRY_LLM = {
     "ann_topk_ivf": (ann_topk_ivf, None),
     "multimodal_blob_metadata": (multimodal_blob_metadata, SQL_BLOB_META),
     "multimodal_features": (multimodal_features, None),
+    "multimodal_frame_sample": (multimodal_frame_sample, None),
 }

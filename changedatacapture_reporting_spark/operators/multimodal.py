@@ -94,3 +94,117 @@ def extract_features(
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image resize over Arrow batches (decode/encode stubbed).
+
+    Real path (PIL) decodes → resizes → re-encodes; the deterministic
+    stand-in strided-samples the payload bytes down to exactly
+    ``width*height`` bytes (padding with zeros), preserving the
+    production contract: fixed-size binary out, one row per input row,
+    no shuffle, partition-local.
+    """
+    try:
+        import PIL  # noqa: F401
+
+        raise NotImplementedError(
+            "real image resize requires PIL decode/encode wiring"
+        )
+    except ImportError:
+        pass
+
+    n_out = width * height
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def _resize(payload: bytes) -> bytes:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                return bytes(n_out)
+            idx = np.linspace(0, arr.size - 1, n_out).astype(np.int64)
+            return arr[idx].tobytes()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "resized": pdf[blob_col].map(_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    every_nth: int = 4,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling over Arrow batches: 1 input row → N output
+    rows (every ``every_nth`` frame), the row-expanding mapInPandas shape
+    a video pipeline needs (ffmpeg absent — a "frame" is a
+    ``frame_bytes``-sized chunk of the payload; the real decoder slots
+    into ``_frames`` without touching the Spark plumbing).
+
+    Output stays partition-local (no shuffle); downstream per-frame
+    feature extraction chains another mapInPandas on the same partitions.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def _frames(payload: bytes) -> list[tuple[int, bytes]]:
+            chunks = [
+                payload[i : i + frame_bytes]
+                for i in range(0, len(payload), frame_bytes)
+            ]
+            return [
+                (i, c) for i, c in enumerate(chunks) if i % every_nth == 0
+            ]
+
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf[id_col], pdf[blob_col]):
+                for i, c in _frames(payload):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(c)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -16,6 +16,8 @@ from changedatacapture_reporting_spark.operators.multimodal import (
     FEATURE_DIM,
     attach_blob,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 from changedatacapture_reporting_spark.operators.similarity import (
     brute_force_topk,
@@ -125,6 +127,34 @@ def test_lsh_topk_is_subset_ranked_correctly(embeddings):
     out = lsh_topk(embeddings, q, k=5).collect()
     sims = [r.sim for r in sorted(out, key=lambda r: r.rank)]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_resize_fixed_size_output(documents):
+    """Resize stub: one row per input, exactly width*height bytes out,
+    deterministic across runs."""
+    out = resize_images(attach_blob(documents.limit(20)), 8, 4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r.resized) == 32 for r in rows)
+    assert all((r.width, r.height) == (8, 4) for r in rows)
+    again = {r.doc_id: bytes(r.resized) for r in out.collect()}
+    assert {r.doc_id: bytes(r.resized) for r in rows} == again
+
+
+def test_multimodal_frame_sampling_matches_reference(documents):
+    """Frame sampling: 1 row in → N rows out; multiplicity and content
+    match a pure-Python reference on the same payloads."""
+    docs = attach_blob(documents.limit(10))
+    got = sample_frames(docs, frame_bytes=16, every_nth=4).collect()
+    payloads = {r.doc_id: bytes(r.blob) for r in docs.select("doc_id", "blob").collect()}
+
+    expected = {}
+    for doc_id, p in payloads.items():
+        chunks = [p[i : i + 16] for i in range(0, len(p), 16)]
+        for i, c in enumerate(chunks):
+            if i % 4 == 0:
+                expected[(doc_id, i)] = c
+    assert {(r.doc_id, r.frame_idx): bytes(r.frame) for r in got} == expected
 
 
 def test_multimodal_features_shape(documents):
