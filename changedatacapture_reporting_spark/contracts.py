@@ -462,6 +462,46 @@ GROUP BY o_orderkey, commit_time
 )
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 fold of the changelog (operators.scd.scd2_history):
+    one row per (pk, version) with validity intervals. The simulator has
+    one event per key, so every surviving key yields exactly one open
+    version (insert → full image, update → changed columns only, delete →
+    no version); multi-version folding, carry-forward, change-to-NULL and
+    re-insert epochs are covered by tests/test_scd.py."""
+    from changedatacapture_reporting_spark.operators.scd import scd2_history
+
+    events = simulate_cdc_events(spark, sf_dir)
+    log = build_changelog(
+        events, SIM_PK, with_audit_cols=False, record_insert_images=True
+    )
+    return scd2_history(log, SIM_PK, ["status", "priority", "total", "note"])
+
+
+_SQL_SCD2 = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT o_orderkey,
+  CASE WHEN op = 'insert' THEN a_status
+       WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS status,
+  CASE WHEN op = 'insert' THEN a_priority
+       WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+  CASE WHEN op = 'insert' THEN CAST(a_total AS VARCHAR)
+       WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR)
+  END AS total,
+  CASE WHEN op = 'insert' THEN a_note
+       WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note,
+  commit_ts AS valid_from,
+  CAST(NULL AS TIMESTAMP) AS valid_to,
+  TRUE AS is_current
+FROM ev
+WHERE op = 'insert'
+   OR (op = 'update' AND (b_status IS DISTINCT FROM a_status
+        OR b_priority IS DISTINCT FROM a_priority
+        OR b_total IS DISTINCT FROM a_total
+        OR b_note IS DISTINCT FROM a_note))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -488,6 +528,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
+    "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     **REGISTRY_RELATIONAL,

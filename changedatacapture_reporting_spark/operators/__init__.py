@@ -24,6 +24,7 @@ from changedatacapture_reporting_spark.operators.query_data import (
 from changedatacapture_reporting_spark.operators.reconstruct import (
     reconstruct_state,
 )
+from changedatacapture_reporting_spark.operators.scd import scd2_history
 
 __all__ = [
     "build_changelog",
@@ -35,6 +36,7 @@ __all__ = [
     "freshness",
     "resolve_changelog_name",
     "reconstruct_state",
+    "scd2_history",
     "compact_changelog",
     "retain_changelog",
     "profile_table",

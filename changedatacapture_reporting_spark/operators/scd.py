@@ -1,0 +1,112 @@
+"""SCD Type-2 history: changelog → row versions with validity intervals.
+
+The changelog (one row per transaction × row × changed column,
+usp_cdc_populate_changelog.sql:138–177 schema) answers "what changed";
+dimension consumers ask "what was the row between t1 and t2". This
+operator folds the long-format changelog into slowly-changing-dimension
+Type-2 shape: one row per (pk, version) with ``valid_from`` /
+``valid_to`` / ``is_current``, values carried forward across versions.
+
+The reference has no such operator (its users hand-join the changelog);
+it is the interval-form dual of ``operators.reconstruct.reconstruct_state``
+(point-in-time form).
+
+Plan shape (scale notes):
+- one aggregation to fold per-column rows into per-transaction version
+  deltas (shuffle on (pk, txn));
+- one window pass per pk (shuffle on pk) to carry values forward
+  (``last(..., ignorenulls)``) and close intervals (``lead``);
+- no joins, no per-group Python; both exchanges are on the PK, so a
+  changelog sink bucketed by pk makes the first exchange free.
+
+Build the changelog with ``record_insert_images=True`` if the insert-time
+column values should appear in the first version — the reference-faithful
+changelog only records *changes*, so columns never updated after insert
+would otherwise be NULL in every version (documented reference gap,
+SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from changedatacapture_reporting_spark.schema import DELETED_RECORD, NEW_RECORD
+
+
+def scd2_history(
+    changelog: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str],
+    order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
+) -> DataFrame:
+    """One row per (pk, version): pk cols + value cols (string-typed, as
+    the changelog is type-erased) + ``valid_from``, ``valid_to`` (NULL =
+    still open), ``is_current``.
+
+    A delete transaction closes the previous version's interval without
+    emitting a version of its own; a later re-insert opens a new one.
+    """
+    avail = [c for c in order_cols if c in changelog.columns]
+
+    # fold the per-column rows of each transaction into one version delta;
+    # values are struct-wrapped so "changed to NULL" (a real changelog row
+    # with new_value NULL) stays distinguishable from "not changed in this
+    # transaction" (no row at all) through the carry-forward below
+    per_txn = changelog.groupBy(*pk_cols, *avail).agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("column_name") == c,
+                    F.struct(F.col("new_value").alias("v")),
+                )
+            ).alias(c)
+            for c in value_cols
+        ],
+        F.max(
+            F.col("column_name").isNull()
+            & (F.col("old_value") == DELETED_RECORD)
+        ).alias("__is_delete"),
+        F.max(
+            F.col("column_name").isNull() & (F.col("new_value") == NEW_RECORD)
+        ).alias("__is_insert"),
+    )
+
+    w = W.partitionBy(*pk_cols).orderBy(*avail)
+    fill = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # values carry forward version-to-version; a re-insert after a delete
+    # starts from its own images (delete resets the carry within the
+    # window by bounding the fill at the last delete)
+    delete_rank = F.sum(F.col("__is_delete").cast("int")).over(fill)
+    carried = per_txn.withColumn("__epoch", delete_rank).select(
+        *pk_cols,
+        *avail,
+        "__is_delete",
+        *[
+            F.last(F.col(c), ignorenulls=True)
+            .over(
+                W.partitionBy(*pk_cols, "__epoch")
+                .orderBy(*avail)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+
+    nxt = F.lead(F.struct(*avail)).over(w)
+    versions = carried.select(
+        *pk_cols,
+        *[F.col(c)["v"].alias(c) for c in value_cols],
+        F.col(avail[0]).alias("valid_from"),
+        nxt[avail[0]].alias("valid_to"),
+        F.col("__is_delete"),
+    )
+    return versions.filter(~F.col("__is_delete")).select(
+        *pk_cols,
+        *value_cols,
+        "valid_from",
+        "valid_to",
+        (F.col("valid_to").isNull()).alias("is_current"),
+    )

@@ -1,0 +1,116 @@
+"""SCD Type-2 history over the changelog: version intervals, carry-forward
+(including change-to-NULL), delete closing, epoch reset on re-insert."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.operators.changelog import build_changelog
+from changedatacapture_reporting_spark.operators.scd import scd2_history
+
+PK = ["id", "tenant_id"]
+VALS = ["name", "qty", "note"]
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_versions_from_fixture(spark, cdc_fixture):
+    log = build_changelog(
+        cdc_fixture, PK, with_audit_cols=False, record_insert_images=True
+    )
+    got = {
+        ((r.id, r.tenant_id), r.valid_from): r
+        for r in scd2_history(log, PK, VALS).collect()
+    }
+
+    # row (1,1): insert → 2 updates; NULL→value note transition
+    v1 = got[((1, 1), ts("2024-01-01 10:00:00"))]
+    assert (v1.name, v1.qty, v1.note) == ("a", "10", None)
+    assert v1.valid_to == ts("2024-01-02 09:00:00") and not v1.is_current
+    v2 = got[((1, 1), ts("2024-01-02 09:00:00"))]
+    assert (v2.name, v2.qty, v2.note) == ("a2", "11", None)
+    v3 = got[((1, 1), ts("2024-01-02 09:30:00"))]
+    assert (v3.name, v3.qty, v3.note) == ("a2", "11", "filled")
+    assert v3.valid_to is None and v3.is_current
+
+    # row (2,1): value→NULL transition must override the carried value,
+    # and the same-timestamp double update folds to its final image
+    v2b = got[((2, 1), ts("2024-01-02 09:45:00"))]
+    assert (v2b.name, v2b.qty, v2b.note) == ("b", "20", None)
+    v3b = got[((2, 1), ts("2024-01-04 12:00:00"))]
+    assert (v3b.name, v3b.qty, v3b.note) == ("b", "22", None)
+    assert v3b.is_current
+
+    # row (3,2): deleted — last version closed at delete time, no current
+    v1c = got[((3, 2), ts("2024-01-01 10:02:00"))]
+    assert v1c.valid_to == ts("2024-01-03 08:00:00") and not v1c.is_current
+    assert not any(k[0] == (3, 2) and got[k].is_current for k in got)
+
+    # version count: 3 + 3 + 1 (delete txn emits no version)
+    assert len(got) == 7
+
+
+def test_scd2_reinsert_after_delete_resets_carry(spark):
+    """A re-inserted key must NOT inherit values from its deleted life."""
+    from pyspark.sql import types as T
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("commit_ts", T.TimestampType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("before", src, True),
+            T.StructField("after", src, True),
+        ]
+    )
+    events = spark.createDataFrame(
+        [
+            (1, 0, ts("2024-01-01 10:00:00"), "insert", "t", None, (1, "a", 10)),
+            (2, 0, ts("2024-01-02 10:00:00"), "update", "t",
+             (1, "a", 10), (1, "a", 99)),
+            (3, 0, ts("2024-01-03 10:00:00"), "delete", "t", (1, "a", 99), None),
+            # re-insert with qty NULL — must not inherit 99
+            (4, 0, ts("2024-01-04 10:00:00"), "insert", "t", None, (1, "z", None)),
+        ],
+        schema,
+    )
+    log = build_changelog(
+        events, ["id"], with_audit_cols=False, record_insert_images=True
+    )
+    versions = scd2_history(log, ["id"], ["name", "qty"]).collect()
+    current = [v for v in versions if v.is_current]
+    assert len(current) == 1
+    assert (current[0].name, current[0].qty) == ("z", None)
+    # the pre-delete life is closed at the delete timestamp
+    closed = {v.valid_from: v.valid_to for v in versions if not v.is_current}
+    assert closed[ts("2024-01-02 10:00:00")] == ts("2024-01-03 10:00:00")
+
+
+def test_scd2_intervals_partition_time(spark, cdc_fixture):
+    """For every key: intervals are adjacent (valid_to == next valid_from),
+    non-overlapping, and at most one current version."""
+    log = build_changelog(
+        cdc_fixture, PK, with_audit_cols=False, record_insert_images=True
+    )
+    rows = scd2_history(log, PK, VALS).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault((r.id, r.tenant_id), []).append(r)
+    for vs in by_key.values():
+        vs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for v in vs if v.is_current) <= 1
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to is not None and a.valid_to <= b.valid_from
