@@ -18,9 +18,12 @@ Unlike the reference (one proc invocation per table), a single run ingests
 a multi-table event stream: watermarks are computed per ``table_name`` (one
 small aggregate over the sink, broadcast back against the events), so a
 slow table can't hold back or double-load a fast one. The sink is an
-append-only parquet directory partitioned by ``table_name`` — at 100 TB,
-partition pruning plus lsn row-group stats keep each incremental run's
-scan proportional to the new data, not the history.
+append-only parquet directory partitioned by ``(table_name, commit_month)``
+— time-range reports prune to the queried months (then to days via
+row-group stats, files being commit_time-sorted) and incremental runs
+never read history at all: watermarks come from the ``_watermarks``
+sidecar (one row per table per run) and ``rows_changed`` from the batch
+itself, so a populate run's I/O is proportional to the new data.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,14 +50,27 @@ class PopulateResult:
     to_lsn: int | None
 
 
+def _meta_path(sink_path: str) -> str:
+    # underscore prefix: invisible to parquet directory reads of the sink
+    return os.path.join(sink_path, "_watermarks")
+
+
 def _sink_watermarks(spark: SparkSession, sink_path: str) -> DataFrame | None:
     """Per-table highest loaded LSN (replaces MAX(commit_time)+1min,
-    populate:203). Read from the sink itself so it survives restarts with
-    no side-channel metadata; the aggregate is tiny (one row per table)."""
-    if not os.path.exists(sink_path):
+    populate:203).
+
+    Read from the ``_watermarks`` sidecar (one tiny row appended per table
+    per run) — scanning the changelog itself for MAX(lsn) would read the
+    ENTIRE history every run, turning an incremental load into a full-table
+    pass at 100 TB. Falls back to the full scan for sinks written before
+    the sidecar existed; either source survives restarts with no external
+    state."""
+    meta = _meta_path(sink_path)
+    src = meta if os.path.exists(meta) else sink_path
+    if not os.path.exists(src):
         return None
     wm = (
-        spark.read.parquet(sink_path)
+        spark.read.parquet(src)
         .groupBy("table_name")
         .agg(F.max("lsn").alias("_wm_lsn"))
     )
@@ -126,25 +143,40 @@ def _populate(
             )
         batch = batch.filter(F.col("lsn") <= F.lit(to_lsn))
 
+    # month granularity: day-level dirs explode into thousands of tiny
+    # partitions on historical backfills (measured: a 7-year fixture made
+    # a 1005-task scan); months keep directory counts sane and day-level
+    # pruning still happens via row-group min/max stats, because files are
+    # sorted by commit_time within each partition
     changelog = build_changelog(
         batch, pk_cols, flags=flags, carry_cols=["lsn", "seq"]
-    )
+    ).withColumn("commit_month", F.trunc("commit_time", "month"))
 
-    (
-        changelog.repartition("table_name")
-        .sortWithinPartitions("commit_time", *pk_cols, "column_name")
-        .write.mode("append")
-        .partitionBy("table_name")
-        .parquet(sink_path)
-    )
-    # @@ROWCOUNT analog (populate:399): rows appended by THIS run —
-    # per-table: newer than that table's pre-run watermark
-    loaded = spark.read.parquet(sink_path)
-    if wm is not None and not flags.legacy_minute_skip:
-        loaded = (
-            loaded.join(F.broadcast(wm), on="table_name", how="left")
-            .filter(F.col("_wm_lsn").isNull() | (F.col("lsn") > F.col("_wm_lsn")))
+    # one computation of the batch serves the write, @@ROWCOUNT
+    # (populate:399), AND the watermark sidecar — re-reading the sink to
+    # count "rows newer than the pre-run watermark" would scan all history
+    changelog.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        per_table = (
+            changelog.groupBy("table_name")
+            .agg(F.max("lsn").alias("lsn"), F.count("*").alias("n_rows"))
+            .collect()
         )
+        rows_changed = sum(r.n_rows for r in per_table)
+        if rows_changed:
+            (
+                changelog.repartition("table_name", "commit_month")
+                .sortWithinPartitions("commit_time", *pk_cols, "column_name")
+                .write.mode("append")
+                .partitionBy("table_name", "commit_month")
+                .parquet(sink_path)
+            )
+            spark.createDataFrame(
+                [(r.table_name, r.lsn) for r in per_table],
+                "table_name string, lsn long",
+            ).coalesce(1).write.mode("append").parquet(_meta_path(sink_path))
+    finally:
+        changelog.unpersist()
     return PopulateResult(
-        rows_changed=loaded.count(), from_lsn=max_wm, to_lsn=to_lsn
+        rows_changed=rows_changed, from_lsn=max_wm, to_lsn=to_lsn
     )

@@ -49,7 +49,10 @@ def query_changelog(
     to dates and the filter is inclusive: commit dates in [from_d, to_d].
 
     The filter is expressed on a date-cast of ``commit_time`` so Catalyst
-    still pushes a min/max-style predicate into the parquet scan.
+    still pushes a min/max-style predicate into the parquet scan; when the
+    frame carries the sink's ``commit_month`` partition column, the
+    month-truncated bounds are applied to it too, so the scan prunes whole
+    month partitions before reading a single row group.
     """
     to_date = to_date if to_date is not None else dt.datetime.now(dt.timezone.utc)
     from_c = F.to_date(F.lit(from_date).cast("timestamp"))
@@ -60,7 +63,12 @@ def query_changelog(
     if invalid:
         raise ValueError("The FROM DATE cannot be greater than the TO DATE")
     d = F.to_date("commit_time")
-    return changelog.filter((d >= from_c) & (d <= to_c))
+    pred = (d >= from_c) & (d <= to_c)
+    if "commit_month" in changelog.columns:
+        pred = pred & F.col("commit_month").between(
+            F.trunc(from_c, "month"), F.trunc(to_c, "month")
+        )
+    return changelog.filter(pred)
 
 
 def freshness(changelog: DataFrame, ts_col: str = "created_dt") -> DataFrame:
