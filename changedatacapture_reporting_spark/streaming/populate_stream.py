@@ -49,14 +49,17 @@ def stream_populate(
     stream = spark.readStream.schema(event_schema).parquet(events_path)
 
     def write_batch(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        # same sink layout as batch populate: (table_name, commit_month)
         changelog = build_changelog(
             batch_df, pk_cols, flags=flags, carry_cols=["lsn", "seq"]
-        )
+        ).withColumn("commit_month", F.trunc("commit_time", "month"))
         (
-            changelog.repartition("table_name")
+            changelog.repartition("table_name", "commit_month")
             .sortWithinPartitions("commit_time", *pk_cols, "column_name")
             .write.mode("append")
-            .partitionBy("table_name")
+            .partitionBy("table_name", "commit_month")
             .parquet(sink_path)
         )
 
