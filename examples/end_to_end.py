@@ -61,12 +61,15 @@ def main() -> None:
     )
     trail.show(truncate=False)
 
-    # 4. point-in-time state + compaction
+    # 4. point-in-time state + SCD2 dimension + compaction
+    from changedatacapture_reporting_spark.operators import scd2_history
+
     state = reconstruct_state(log, SIM_PK, ["status", "priority", "total", "note"])
+    scd2 = scd2_history(log, SIM_PK, ["status", "priority", "total", "note"])
     compacted = compact_changelog(log, SIM_PK)
     print(
-        f"live rows: {state.count()}; changelog {log.count()} rows → "
-        f"compacted {compacted.count()}"
+        f"live rows: {state.count()}; SCD2 versions: {scd2.count()}; "
+        f"changelog {log.count()} rows → compacted {compacted.count()}"
     )
 
 
