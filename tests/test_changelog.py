@@ -119,6 +119,57 @@ def test_global_order_compat_flag(spark, cdc_fixture):
     assert keys == sorted(keys)
 
 
+def test_schema_evolution_new_source_column(spark, tmp_path):
+    """S2 dynamic-schema story: when the source grows a column, the EAV
+    changelog absorbs it with NO sink schema change — the new column's
+    changes appear as ordinary (column_name, old, new) rows and append to
+    the same parquet sink (the reference re-discovers columns from
+    sys.columns each run, populate:295; ours re-reads df.schema)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    def evt_schema(fields):
+        src = T.StructType([T.StructField(n, t) for n, t in fields])
+        return T.StructType(
+            [
+                T.StructField("lsn", T.LongType(), False),
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("commit_ts", T.TimestampType(), False),
+                T.StructField("op", T.StringType(), False),
+                T.StructField("table_name", T.StringType(), False),
+                T.StructField("before", src, True),
+                T.StructField("after", src, True),
+            ]
+        )
+
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    v1 = spark.createDataFrame(
+        [(1, 0, ts, "update", "t", (1, "a"), (1, "b"))],
+        evt_schema([("id", T.IntegerType()), ("name", T.StringType())]),
+    )
+    v2 = spark.createDataFrame(
+        [(2, 0, ts, "update", "t", (1, "b", None), (1, "b", 5))],
+        evt_schema(
+            [
+                ("id", T.IntegerType()),
+                ("name", T.StringType()),
+                ("score", T.IntegerType()),
+            ]
+        ),
+    )
+    sink = str(tmp_path / "sink")
+    for ev in (v1, v2):
+        build_changelog(ev, ["id"], with_audit_cols=False).write.mode(
+            "append"
+        ).parquet(sink)
+
+    log = spark.read.parquet(sink)
+    assert {r.column_name for r in log.collect()} == {"name", "score"}
+    score_row = log.filter(F.col("column_name") == "score").head()
+    assert (score_row.old_value, score_row.new_value) == (None, "5")
+
+
 def test_changelog_plan_is_single_scan(spark, sf_dir):
     """The fused build must stay one source scan with no union — the
     branch-per-op formulation silently triples source reads."""
