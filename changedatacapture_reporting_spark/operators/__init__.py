@@ -24,6 +24,10 @@ from changedatacapture_reporting_spark.operators.query_data import (
 from changedatacapture_reporting_spark.operators.reconstruct import (
     reconstruct_state,
 )
+from changedatacapture_reporting_spark.operators.rollup import (
+    read_rollup,
+    update_rollup,
+)
 from changedatacapture_reporting_spark.operators.scd import scd2_history
 
 __all__ = [
@@ -37,6 +41,8 @@ __all__ = [
     "resolve_changelog_name",
     "reconstruct_state",
     "scd2_history",
+    "read_rollup",
+    "update_rollup",
     "compact_changelog",
     "retain_changelog",
     "profile_table",

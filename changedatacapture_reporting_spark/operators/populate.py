@@ -55,26 +55,34 @@ def _meta_path(sink_path: str) -> str:
     return os.path.join(sink_path, "_watermarks")
 
 
-def _sink_watermarks(spark: SparkSession, sink_path: str) -> DataFrame | None:
+def _sink_watermarks(spark: SparkSession, sink_path: str) -> dict[str, int] | None:
     """Per-table highest loaded LSN (replaces MAX(commit_time)+1min,
-    populate:203).
+    populate:203), returned as plain values.
 
     Read from the ``_watermarks`` sidecar (one tiny row appended per table
     per run) — scanning the changelog itself for MAX(lsn) would read the
     ENTIRE history every run, turning an incremental load into a full-table
     pass at 100 TB. Falls back to the full scan for sinks written before
     the sidecar existed; either source survives restarts with no external
-    state."""
+    state.
+
+    Collected to literals deliberately (the map is one entry per SOURCE
+    TABLE — small by construction): if the batch plan instead JOINED a
+    frame that reads from under the sink, every append this run performs
+    (sink, sidecar, rollup) would invalidate the cached batch via Spark's
+    recacheByPath and recompute it against the run's OWN new watermark —
+    i.e. as empty."""
     meta = _meta_path(sink_path)
     src = meta if os.path.exists(meta) else sink_path
     if not os.path.exists(src):
         return None
-    wm = (
+    rows = (
         spark.read.parquet(src)
         .groupBy("table_name")
         .agg(F.max("lsn").alias("_wm_lsn"))
+        .collect()
     )
-    return wm if wm.head(1) else None
+    return {r.table_name: r._wm_lsn for r in rows} or None
 
 
 def populate_changelog(
@@ -84,6 +92,7 @@ def populate_changelog(
     pk_cols: list[str],
     to_lsn: int | None = None,
     flags: CompatFlags | None = None,
+    maintain_rollup: bool = True,
 ) -> PopulateResult:
     """One incremental run: filter new events per table, build changelog,
     append.
@@ -98,7 +107,9 @@ def populate_changelog(
     """
     flags = flags or CompatFlags()
     try:
-        return _populate(spark, events, sink_path, pk_cols, to_lsn, flags)
+        return _populate(
+            spark, events, sink_path, pk_cols, to_lsn, flags, maintain_rollup
+        )
     except Exception:
         if flags.swallow_errors:
             # reference-faithful ST5: any error → "No changes were detected"
@@ -113,12 +124,10 @@ def _populate(
     pk_cols: list[str],
     to_lsn: int | None,
     flags: CompatFlags,
+    maintain_rollup: bool = True,
 ) -> PopulateResult:
     wm = _sink_watermarks(spark, sink_path)
-    max_wm: int | None = None
-    if wm is not None:
-        row = wm.agg(F.max("_wm_lsn")).head()
-        max_wm = row[0] if row else None
+    max_wm: int | None = max(wm.values()) if wm else None
 
     if flags.legacy_minute_skip and wm is not None:
         # reference-faithful: resume from MAX(commit_time)+1min (global —
@@ -128,11 +137,12 @@ def _populate(
             F.col("commit_ts") >= F.lit(prev) + F.expr("INTERVAL 1 MINUTE")
         )
     elif wm is not None:
-        batch = (
-            events.join(F.broadcast(wm), on="table_name", how="left")
-            .filter(F.col("_wm_lsn").isNull() | (F.col("lsn") > F.col("_wm_lsn")))
-            .drop("_wm_lsn")
-        )
+        # literal per-table thresholds (no file-source dependency — see
+        # _sink_watermarks); unknown tables pass through as first-load
+        wm_col = F.create_map(
+            *[F.lit(x) for kv in wm.items() for x in kv]
+        )[F.col("table_name")]
+        batch = events.filter(wm_col.isNull() | (F.col("lsn") > wm_col))
     else:
         batch = events
 
@@ -175,6 +185,14 @@ def _populate(
                 [(r.table_name, r.lsn) for r in per_table],
                 "table_name string, lsn long",
             ).coalesce(1).write.mode("append").parquet(_meta_path(sink_path))
+            if maintain_rollup:
+                # continuous aggregate: O(batch) partials over the already-
+                # persisted frame (operators.rollup merges them on read)
+                from changedatacapture_reporting_spark.operators.rollup import (
+                    update_rollup,
+                )
+
+                update_rollup(changelog, sink_path)
     finally:
         changelog.unpersist()
     return PopulateResult(

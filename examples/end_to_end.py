@@ -49,8 +49,12 @@ def main() -> None:
 
     log = spark.read.parquet(sink)
 
-    # 2. reporting: freshness banner + day-truncated slice
+    # 2. reporting: freshness banner + day-truncated slice + maintained rollup
+    from changedatacapture_reporting_spark.operators import read_rollup
+
     print(freshness(log, ts_col="commit_time").head().message)
+    daily = read_rollup(spark, sink)
+    print(f"rollup: {daily.count()} (table, day) aggregate rows maintained")
     window = query_changelog(log, "1996-01-01", "1996-12-31")
     print(f"changes in 1996: {window.count()}")
 
