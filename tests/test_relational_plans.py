@@ -56,9 +56,12 @@ def test_q6_all_predicates_pushed(plans):
 
 
 def test_changelog_whole_stage_codegen(plans):
-    # the CDC core must stay codegen'd (no Python UDFs / RDD breaks)
+    # the CDC core must stay codegen'd (no Python UDFs / RDD breaks).
+    # Since the single-scan fusion there is no standalone Filter: op
+    # dispatch is the CASE inside the codegen'd Project and non-matching
+    # ops fall out of the Generate as NULL arrays.
     p = plans("cdc_changelog_full")
-    assert "* Project" in p and "* Filter" in p  # '*' = codegen stage
+    assert "* Project" in p and "Generate" in p  # '*' = codegen stage
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
