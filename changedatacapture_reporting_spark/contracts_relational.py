@@ -967,6 +967,93 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year — a
+    conditional-aggregate ratio over a 5-way join (the share numerator is
+    a CASE inside the sum, so one pass computes both terms; no self-join)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(6,4)"
+    )).alias("rev")
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.year("o_orderdate").alias("o_year"), "n_name", rev)
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("n_name") == "NATION_9", F.col("rev")).otherwise(zero))
+            .cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+SQL_Q8 = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n_name = 'NATION_9'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND p_type = 'ECONOMY'
+GROUP BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts whose
+    name matches a substring — LIKE pushdown on the broadcast dim, then a
+    two-key rollup of the fact join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(6,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
 REGISTRY_RELATIONAL = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
@@ -999,4 +1086,6 @@ REGISTRY_RELATIONAL = {
     "q7_nation_volume": (q7_nation_volume, SQL_Q7),
     "q13_order_count_distribution": (q13_order_count_distribution, SQL_Q13),
     "q18_large_volume_customers": (q18_large_volume_customers, SQL_Q18),
+    "q8_market_share": (q8_market_share, SQL_Q8),
+    "q9_product_profit": (q9_product_profit, SQL_Q9),
 }
