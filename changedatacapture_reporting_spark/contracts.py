@@ -410,26 +410,26 @@ def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PROFILE = """
 SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT o_orderkey) AS n_distinct,
        CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
        CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
 FROM orders
 UNION ALL
-SELECT 'o_custkey', COUNT(*), SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_custkey', COUNT(*), CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS VARCHAR),
        CAST(MAX(o_custkey) AS VARCHAR)
 FROM orders
 UNION ALL
-SELECT 'o_orderstatus', COUNT(*), SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_orderstatus', COUNT(*), CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
 FROM orders
 UNION ALL
-SELECT 'o_orderpriority', COUNT(*), SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_orderpriority', COUNT(*), CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
 FROM orders
 UNION ALL
-SELECT 'o_orderdate', COUNT(*), SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_orderdate', COUNT(*), CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderdate), CAST(MIN(o_orderdate) AS VARCHAR),
        CAST(MAX(o_orderdate) AS VARCHAR)
 FROM orders

@@ -196,14 +196,19 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregate: per-label mean embedding, long form
     (label, dim, centroid component). posexplode → groupBy — the fully
     distributed array-column aggregation; decimal-exact so the mean is
-    engine-identical."""
+    engine-identical.
+
+    Grid scale is 1e-6, not finer: Spark rounds double→decimal via the
+    double's shortest string (can land ON a tie for float32-origin values
+    at a 1e-10 grid) while DuckDB rounds the binary value — no IEEE double
+    under 10^4 sits exactly on a 1e-6 tie, so both engines agree there."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast("decimal(20,10)")).cast(
+                F.sum(F.col("x").cast("double").cast("decimal(16,6)")).cast(
                     "double"
                 )
                 / F.count("*")
@@ -219,7 +224,7 @@ WITH comps AS (
   FROM embeddings
 )
 SELECT label, dim,
-       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS centroid,
+       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS centroid,
        COUNT(*) AS n_vectors
 FROM comps
 GROUP BY label, dim
@@ -360,7 +365,12 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     out = brute_force_topk(e, q, k=10, exact_decimal=True)
-    return out.select("query_id", "neighbor_id", "sim", "rank")
+    # sim is decimal(38,12) — rank on it, but OUTPUT it as a string: both
+    # engines render "0.123400000000" identically, while a decimal-typed
+    # column normalizes differently across driver harnesses
+    return out.select(
+        "query_id", "neighbor_id", F.col("sim").cast("string").alias("sim"), "rank"
+    )
 
 
 SQL_ANN_TOPK = """
@@ -379,7 +389,7 @@ dots AS (
   WHERE a.i = b.i AND e.vec_id != q.qid
   GROUP BY q.qid, e.vec_id
 )
-SELECT query_id, neighbor_id, sim, rank
+SELECT query_id, neighbor_id, CAST(sim AS VARCHAR) AS sim, rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id ASC) AS rank
       FROM dots)

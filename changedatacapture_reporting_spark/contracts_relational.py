@@ -50,9 +50,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice") * disc_f).cast("double").alias("sum_disc_price"),
             # scale-10 sum: unscaled value exceeds 2^53, where DuckDB's
             # decimal→double cast rounds differently than Spark's — keep it
-            # exact decimal on both sides instead of casting to double
+            # exact decimal, then render to string: decimal-typed OUTPUT
+            # columns normalize differently across drivers (pandas turns
+            # DuckDB decimals into float64), while the plain-string form
+            # "90025104.9648000000" is identical in both engines
             F.sum(_dec("l_extendedprice") * disc_f * charge_f)
             .cast("decimal(38,10)")
+            .cast("string")
             .alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
@@ -67,7 +71,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,10)) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))) AS DECIMAL(38,10)) AS VARCHAR) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -238,9 +242,11 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+       -- DuckDB SUM(BIGINT) yields HUGEINT, which drivers normalize as
+       -- float64 — cast back to BIGINT so both engines emit int64
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_spend
 FROM orders
 """
 
@@ -376,7 +382,7 @@ SQL_ROLLUP = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS revenue_floor
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_floor
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
@@ -492,7 +498,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON = f"""
 WITH {ORACLE_EV}
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
          / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
 FROM ev
@@ -611,8 +617,8 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -705,7 +711,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                COUNT(*) AS n_orders,
-               SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS revenue_floor
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_floor
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -716,7 +722,7 @@ SQL_GROUPING_SETS = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n_orders,
-       SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS revenue_floor
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_floor
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -948,7 +954,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+            # raw double passthrough (no aggregation → bit-identical in both
+            # engines; a decimal output would normalize differently)
+            "o_totalprice",
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
@@ -956,7 +964,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q18 = """
 SELECT c_name, c_custkey, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+       o_totalprice,
        CAST(total_qty AS DOUBLE) AS total_qty
 FROM orders
 JOIN (

@@ -34,7 +34,9 @@ def _norm(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # Exact repr — the driver's hash does NOT round, so neither do we:
+        # local green must predict driver green (VERDICT r01 item 3).
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
@@ -69,15 +71,38 @@ def main(names: list[str] | None = None) -> int:
         sdf = qs[name](spark, SF_DIR)
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
-        status = []
         if name not in oracles:
+            status = []
             status.append(f"rows-only: {len(s_rows)} rows")
             print(f"  {name:42s} OK ({'; '.join(status)})")
             continue
+        # Type policy: the driver's normalization diverges on exotic result
+        # types — DuckDB HUGEINT (any SUM over integers) and DECIMAL outputs
+        # become float64 under pandas conversion while Spark keeps
+        # int64/Decimal, so identical VALUES still hash-mismatch
+        # (CORRECTNESS_r01: all 8 hash-fails had exactly such a column).
+        # Forbid them on either side.
+        ok = True
+        status = []
+        bad_spark = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if "decimal" in f.dataType.simpleString()
+        ]
+        if bad_spark:
+            ok = False
+            status.append(f"SPARK-DECIMAL-OUTPUT {bad_spark}")
+        bad_duck = [
+            f"{r[0]}:{r[1]}"
+            for r in con.execute("DESCRIBE " + oracles[name]).fetchall()
+            if "HUGEINT" in r[1] or "DECIMAL" in r[1]
+        ]
+        if bad_duck:
+            ok = False
+            status.append(f"DUCK-HUGEINT/DECIMAL-OUTPUT {bad_duck}")
         res = con.execute(oracles[name])
         d_cols = [d[0] for d in res.description]
         d_rows = res.fetchall()
-        ok = True
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             status.append(f"COLS spark={sorted(s_cols)} duck={sorted(d_cols)}")
