@@ -768,13 +768,25 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampling — seeded Bernoulli sample. Spark's sampler is
-    implementation-defined (XORShift per partition), so no SQL oracle;
-    determinism across runs + fraction bounds are pytest-asserted."""
+    """Sampling — deterministic ~10% Bernoulli via content hashing: a row
+    is in the sample iff the first two hex chars of md5(pk) < '1a'
+    (26/256 ≈ 10.2%). Unlike ``df.sample()`` (per-partition XORShift —
+    resample on repartition), a hash sample is stable under any
+    partitioning/cluster layout AND replayable by any engine with md5 —
+    giving this operator an exact SQL oracle. Scale: embarrassingly
+    parallel, no shuffle, filter runs in the scan stage."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).select(
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    return l.filter(F.substring(F.md5(key), 1, 2) < "1a").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+SQL_SAMPLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+"""
 
 
 def range_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,7 +1100,7 @@ REGISTRY_RELATIONAL = {
     "grouping_sets_revenue": (grouping_sets_revenue, SQL_GROUPING_SETS),
     "percentile_spend": (percentile_spend, SQL_PERCENTILE),
     "approx_distinct_stats": (approx_distinct_stats, None),
-    "deterministic_sample": (deterministic_sample, None),
+    "deterministic_sample": (deterministic_sample, SQL_SAMPLE),
     "range_join_order_windows": (range_join_order_windows, SQL_RANGE_JOIN),
     "q4_late_orders": (q4_late_orders, SQL_Q4),
     "q7_nation_volume": (q7_nation_volume, SQL_Q7),
