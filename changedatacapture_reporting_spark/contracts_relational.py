@@ -756,15 +756,45 @@ GROUP BY o_orderstatus
 
 
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HyperLogLog++ / approx quantiles) — sketch
-    contents are engine-specific, so rows-only here; the ≤5%-error bound vs
-    exact counts is pytest-asserted (tests/test_relational_extra.py)."""
+    """Approximate aggregates (HyperLogLog++ / approx quantiles). Sketch
+    estimates are engine-specific, so the contract output is exact counts
+    plus IN-BOUNDS booleans (estimate within the configured error of the
+    exact value, computed in the same query) — the oracle asserts the
+    booleans are all true, making the sketch's accuracy contract itself
+    the thing the driver hash-checks (VERDICT r01 item 5)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("a_median"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
     )
+    within = lambda a, n: (  # noqa: E731 — 4σ of the rsd=2% HLL++ bound
+        F.abs(F.col(a) - F.col(n)) <= F.col(n) * 0.08
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        within("a_orders", "n_orders").alias("orders_est_ok"),
+        within("a_parts", "n_parts").alias("parts_est_ok"),
+        F.col("a_median").between(F.col("lo"), F.col("hi")).alias("median_est_ok"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       TRUE AS orders_est_ok,
+       TRUE AS parts_est_ok,
+       TRUE AS median_est_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,8 +915,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1996-12-31")
     )
     disc_f = (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
-    pair = (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
-    rpair = (F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE")
+    # fixture nations are NATION_0..24 — using names that exist keeps this
+    # contract non-vacuous (ADVICE r01: FRANCE/GERMANY matched zero rows)
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9")
+    rpair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -912,8 +944,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
-  AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-       OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+       OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
 GROUP BY 1, 2, 3
 """
 
@@ -1099,7 +1131,7 @@ REGISTRY_RELATIONAL = {
     "above_customer_avg_orders": (above_customer_avg_orders, SQL_CORRELATED),
     "grouping_sets_revenue": (grouping_sets_revenue, SQL_GROUPING_SETS),
     "percentile_spend": (percentile_spend, SQL_PERCENTILE),
-    "approx_distinct_stats": (approx_distinct_stats, None),
+    "approx_distinct_stats": (approx_distinct_stats, SQL_APPROX_DISTINCT),
     "deterministic_sample": (deterministic_sample, SQL_SAMPLE),
     "range_join_order_windows": (range_join_order_windows, SQL_RANGE_JOIN),
     "q4_late_orders": (q4_late_orders, SQL_Q4),
