@@ -473,7 +473,11 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = simulate_cdc_events(spark, sf_dir)
     log = build_changelog(
-        events, SIM_PK, with_audit_cols=False, record_insert_images=True
+        events,
+        SIM_PK,
+        with_audit_cols=False,
+        record_insert_images=True,
+        carry_cols=["lsn", "seq"],
     )
     return scd2_history(log, SIM_PK, ["status", "priority", "total", "note"])
 

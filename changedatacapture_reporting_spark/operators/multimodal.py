@@ -45,11 +45,32 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_real(payload: bytes) -> list[float]:
-    """Real decoder — requires media libs not present in this container."""
-    raise NotImplementedError(
-        "image/audio decode requires PIL/torchaudio; not available here"
-    )
+def _make_decoder():
+    """Capability probe: the real PIL decoder when the lib is importable,
+    the deterministic stand-in otherwise (import-try per the environment
+    contract). Returned as a closure so the probe runs once per Python
+    worker, not once per batch."""
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        def _decode_pil(payload: bytes) -> list[float]:
+            try:
+                img = Image.open(io.BytesIO(payload)).convert("L")
+            except Exception:
+                # payload isn't a decodable image (e.g. text fixtures) —
+                # fall through to the byte-histogram stand-in so mixed
+                # corpora don't poison the whole Arrow batch
+                return _decode_fake(payload)
+            img = img.resize((FEATURE_DIM, 1))
+            arr = np.asarray(img, dtype="float32") / 255.0
+            return arr.reshape(-1).tolist()
+
+        return _decode_pil
+    except ImportError:
+        return _decode_fake
 
 
 def _decode_fake(payload: bytes) -> list[float]:
@@ -74,12 +95,7 @@ def extract_features(
     deterministic fake decoder when media libs are absent (import-try per
     the environment contract).
     """
-    try:
-        import PIL  # noqa: F401
-
-        decode = _decode_real
-    except ImportError:
-        decode = _decode_fake
+    decode = _make_decoder()
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -113,35 +129,44 @@ def resize_images(
     blob_col: str = "blob",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Image resize over Arrow batches (decode/encode stubbed).
+    """Image resize over Arrow batches.
 
-    Real path (PIL) decodes → resizes → re-encodes; the deterministic
-    stand-in strided-samples the payload bytes down to exactly
-    ``width*height`` bytes (padding with zeros), preserving the
-    production contract: fixed-size binary out, one row per input row,
-    no shuffle, partition-local.
+    Real path (when PIL is importable) decodes → resizes → re-encodes
+    PNG; the deterministic stand-in strided-samples the payload bytes
+    down to exactly ``width*height`` bytes, and also catches payloads
+    PIL can't decode. Either way the production contract holds:
+    fixed-size output per row, one row per input row, no shuffle,
+    partition-local.
     """
-    try:
-        import PIL  # noqa: F401
-
-        raise NotImplementedError(
-            "real image resize requires PIL decode/encode wiring"
-        )
-    except ImportError:
-        pass
-
     n_out = width * height
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        def _resize(payload: bytes) -> bytes:
+        def _resize_sample(payload: bytes) -> bytes:
             arr = np.frombuffer(payload, dtype=np.uint8)
             if arr.size == 0:
                 return bytes(n_out)
             idx = np.linspace(0, arr.size - 1, n_out).astype(np.int64)
             return arr[idx].tobytes()
+
+        try:
+            import io
+
+            from PIL import Image
+
+            def _resize(payload: bytes) -> bytes:
+                try:
+                    img = Image.open(io.BytesIO(payload))
+                except Exception:
+                    return _resize_sample(payload)
+                out = io.BytesIO()
+                img.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+
+        except ImportError:
+            _resize = _resize_sample
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -40,6 +40,7 @@ def scd2_history(
     pk_cols: list[str],
     value_cols: list[str],
     order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
+    allow_coarse_order: bool = False,
 ) -> DataFrame:
     """One row per (pk, version): pk cols + value cols (string-typed, as
     the changelog is type-erased) + ``valid_from``, ``valid_to`` (NULL =
@@ -47,8 +48,24 @@ def scd2_history(
 
     A delete transaction closes the previous version's interval without
     emitting a version of its own; a later re-insert opens a new one.
+
+    The changelog must carry ``lsn``/``seq`` (build it with
+    ``carry_cols=["lsn", "seq"]``, as ``populate_changelog`` does):
+    ``commit_time`` alone cannot distinguish two transactions committed
+    in the same tick, so grouping by it would collapse them into one
+    version with per-column values mixed nondeterministically across
+    both (ADVICE r01). ``allow_coarse_order=True`` opts into that
+    coarser grouping for changelogs that genuinely lack lsn/seq.
     """
     avail = [c for c in order_cols if c in changelog.columns]
+    missing = [c for c in order_cols if c not in changelog.columns]
+    if missing and not allow_coarse_order:
+        raise ValueError(
+            f"changelog lacks transaction-ordering columns {missing}: "
+            "build it with carry_cols=['lsn', 'seq'] so same-commit_time "
+            "transactions stay distinct versions, or pass "
+            "allow_coarse_order=True to accept collapsing them"
+        )
 
     # fold the per-column rows of each transaction into one version delta;
     # values are struct-wrapped so "changed to NULL" (a real changelog row

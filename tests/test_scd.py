@@ -20,7 +20,8 @@ def ts(s: str) -> dt.datetime:
 
 def test_scd2_versions_from_fixture(spark, cdc_fixture):
     log = build_changelog(
-        cdc_fixture, PK, with_audit_cols=False, record_insert_images=True
+        cdc_fixture, PK, with_audit_cols=False, record_insert_images=True,
+        carry_cols=["lsn", "seq"]
     )
     got = {
         ((r.id, r.tenant_id), r.valid_from): r
@@ -88,7 +89,8 @@ def test_scd2_reinsert_after_delete_resets_carry(spark):
         schema,
     )
     log = build_changelog(
-        events, ["id"], with_audit_cols=False, record_insert_images=True
+        events, ["id"], with_audit_cols=False, record_insert_images=True,
+        carry_cols=["lsn", "seq"]
     )
     versions = scd2_history(log, ["id"], ["name", "qty"]).collect()
     current = [v for v in versions if v.is_current]
@@ -103,7 +105,8 @@ def test_scd2_intervals_partition_time(spark, cdc_fixture):
     """For every key: intervals are adjacent (valid_to == next valid_from),
     non-overlapping, and at most one current version."""
     log = build_changelog(
-        cdc_fixture, PK, with_audit_cols=False, record_insert_images=True
+        cdc_fixture, PK, with_audit_cols=False, record_insert_images=True,
+        carry_cols=["lsn", "seq"]
     )
     rows = scd2_history(log, PK, VALS).collect()
     by_key: dict = {}
@@ -114,3 +117,49 @@ def test_scd2_intervals_partition_time(spark, cdc_fixture):
         assert sum(1 for v in vs if v.is_current) <= 1
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to is not None and a.valid_to <= b.valid_from
+
+
+def test_scd2_requires_transaction_order_cols(spark, cdc_fixture):
+    """A changelog built without lsn/seq cannot distinguish
+    same-commit_time transactions — scd2_history must refuse it unless
+    the caller opts into coarse grouping (ADVICE r01)."""
+    import pytest
+
+    coarse = build_changelog(
+        cdc_fixture, PK, with_audit_cols=False, record_insert_images=True
+    )
+    with pytest.raises(ValueError, match="carry_cols"):
+        scd2_history(coarse, PK, VALS)
+    # explicit opt-in still works
+    assert scd2_history(coarse, PK, VALS, allow_coarse_order=True).count() > 0
+
+
+def test_scd2_same_commit_time_transactions_stay_distinct(spark):
+    """Two transactions on one pk with EQUAL commit_time but different
+    lsn must yield two versions in order — not one nondeterministically
+    mixed version."""
+    schema = (
+        "lsn long, seq long, commit_ts timestamp, op string, "
+        "table_name string, "
+        "before struct<id:long, name:string, qty:long>, "
+        "after struct<id:long, name:string, qty:long>"
+    )
+    t = ts("2024-06-01 12:00:00")
+    events = spark.createDataFrame(
+        [
+            (1, 0, t, "insert", "t", None, (1, "a", 10)),
+            (2, 0, t, "update", "t", (1, "a", 10), (1, "b", 10)),
+            (3, 0, t, "update", "t", (1, "b", 10), (1, "c", 20)),
+        ],
+        schema,
+    )
+    log = build_changelog(
+        events, ["id"], with_audit_cols=False, record_insert_images=True,
+        carry_cols=["lsn", "seq"]
+    )
+    versions = sorted(
+        scd2_history(log, ["id"], ["name", "qty"]).collect(),
+        key=lambda r: (r.valid_from, r.name),
+    )
+    assert [v.name for v in versions] == ["a", "b", "c"]
+    assert [v.is_current for v in versions] == [False, False, True]
