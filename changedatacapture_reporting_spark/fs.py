@@ -1,0 +1,145 @@
+"""Sink filesystem operations through the JVM Hadoop FileSystem API.
+
+The changelog sink may live on any filesystem Spark can read — local,
+HDFS, S3A, ABFS. Python ``os.path`` probes only see the local filesystem:
+on any scheme-qualified path ``os.path.exists`` is always False, which
+would make every incremental populate look like a first load and
+re-append the entire event history as duplicates (ADVICE r01). Every
+sink metadata operation therefore goes through the Hadoop ``FileSystem``
+bound to the path's scheme — the exact same abstraction Spark's own
+readers and committers use, so "Spark can read it" implies "we can probe
+it".
+
+Degradation: when the JVM gateway is unavailable (e.g. Spark Connect),
+helpers fall back to ``os.path`` semantics, which remain correct for
+plain local paths — the only case a Connect-local setup can reach.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def join(base: str, *parts: str) -> str:
+    """URI-safe path join: unlike ``os.path.join``, never mangles
+    ``scheme://`` prefixes and is identical on every platform."""
+    out = base.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def _hadoop(spark: SparkSession, path: str):
+    """(FileSystem, qualified Path) for ``path``, or None when no JVM
+    gateway exists."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, jpath
+    except Exception:
+        return None
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    h = _hadoop(spark, path)
+    if h is None:
+        return os.path.exists(path)
+    fs, jpath = h
+    return bool(fs.exists(jpath))
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    h = _hadoop(spark, path)
+    if h is None:
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, jpath = h
+    fs.mkdirs(jpath)
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete; False if the path didn't exist."""
+    h = _hadoop(spark, path)
+    if h is None:
+        import shutil
+
+        if not os.path.exists(path):
+            return False
+        shutil.rmtree(path)
+        return True
+    fs, jpath = h
+    return bool(fs.delete(jpath, True))
+
+
+def listdir(spark: SparkSession, path: str) -> list[str]:
+    """Names (not paths) of immediate children; [] if path is absent."""
+    if not exists(spark, path):
+        return []
+    h = _hadoop(spark, path)
+    if h is None:
+        return sorted(os.listdir(path))
+    fs, jpath = h
+    return sorted(st.getPath().getName() for st in fs.listStatus(jpath))
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive relative paths of data files under ``path``, skipping
+    hidden/marker entries (``_SUCCESS``, ``.crc``, ``_temporary`` dirs) at
+    every level."""
+    rels: list[str] = []
+    h = _hadoop(spark, path)
+    if h is None:
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                rels.append(
+                    os.path.relpath(os.path.join(root, f), path).replace(
+                        os.sep, "/"
+                    )
+                )
+        return sorted(rels)
+    fs, jpath = h
+    base = str(fs.makeQualified(jpath))
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        full = str(it.next().getPath())
+        rel = full[len(base) + 1 :]
+        segs = rel.split("/")
+        if any(s.startswith(("_", ".")) for s in segs):
+            continue
+        rels.append(rel)
+    return sorted(rels)
+
+
+def promote(spark: SparkSession, staging_dir: str, dest_dir: str) -> int:
+    """Move every data file under ``staging_dir`` to the same relative
+    location under ``dest_dir``; returns the number moved.
+
+    Idempotent by construction: a file already moved by a previous
+    (crashed) attempt is simply no longer in the staging listing. File
+    names carry Spark's per-task UUIDs, so re-staged attempts never
+    collide with published files. On HDFS each rename is an atomic
+    metadata op; on S3-style object stores rename is copy+delete — at
+    that point swap the sink for a transactional table format and this
+    module's promote degrades to its slow-but-correct path.
+    """
+    moved = 0
+    h = _hadoop(spark, staging_dir)
+    for rel in list_data_files(spark, staging_dir):
+        src = join(staging_dir, rel)
+        dst = join(dest_dir, rel)
+        if h is None:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        else:
+            fs, _ = h
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            fs.mkdirs(jvm_path(dst).getParent())
+            fs.rename(jvm_path(src), jvm_path(dst))
+        moved += 1
+    return moved

@@ -28,15 +28,18 @@ itself, so a populate run's I/O is proportional to the new data.
 
 from __future__ import annotations
 
-import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from changedatacapture_reporting_spark import fs
 from changedatacapture_reporting_spark.config import CompatFlags
 from changedatacapture_reporting_spark.operators.changelog import build_changelog
+
+STAGING_ROOT = "_staging"
 
 
 class ValidationError(Exception):
@@ -52,7 +55,10 @@ class PopulateResult:
 
 def _meta_path(sink_path: str) -> str:
     # underscore prefix: invisible to parquet directory reads of the sink
-    return os.path.join(sink_path, "_watermarks")
+    return fs.join(sink_path, "_watermarks")
+
+
+_SIDECAR_SCHEMA = "table_name string, lsn long, run_id string"
 
 
 def _sink_watermarks(spark: SparkSession, sink_path: str) -> dict[str, int] | None:
@@ -64,7 +70,9 @@ def _sink_watermarks(spark: SparkSession, sink_path: str) -> dict[str, int] | No
     ENTIRE history every run, turning an incremental load into a full-table
     pass at 100 TB. Falls back to the full scan for sinks written before
     the sidecar existed; either source survives restarts with no external
-    state.
+    state. Existence probes go through :mod:`..fs` (Hadoop FileSystem), so
+    HDFS/S3 sinks resume correctly — ``os.path`` would report the sidecar
+    absent and double-load history (ADVICE r01).
 
     Collected to literals deliberately (the map is one entry per SOURCE
     TABLE — small by construction): if the batch plan instead JOINED a
@@ -73,16 +81,171 @@ def _sink_watermarks(spark: SparkSession, sink_path: str) -> dict[str, int] | No
     recacheByPath and recompute it against the run's OWN new watermark —
     i.e. as empty."""
     meta = _meta_path(sink_path)
-    src = meta if os.path.exists(meta) else sink_path
-    if not os.path.exists(src):
+    if fs.exists(spark, meta):
+        src_df = spark.read.schema(_SIDECAR_SCHEMA).parquet(meta)
+    elif fs.exists(spark, sink_path) and fs.list_data_files(spark, sink_path):
+        # pre-sidecar sink: one full scan, then the sidecar takes over.
+        # The data-file probe also covers a dir holding only recovered-
+        # away staging debris (exists, but nothing readable in it).
+        src_df = spark.read.parquet(sink_path)
+    else:
         return None
     rows = (
-        spark.read.parquet(src)
-        .groupBy("table_name")
-        .agg(F.max("lsn").alias("_wm_lsn"))
-        .collect()
+        src_df.groupBy("table_name").agg(F.max("lsn").alias("_wm_lsn")).collect()
     )
     return {r.table_name: r._wm_lsn for r in rows} or None
+
+
+def _committed_run_ids(spark: SparkSession, sink_path: str) -> set[str]:
+    meta = _meta_path(sink_path)
+    if not fs.exists(spark, meta):
+        return set()
+    rows = (
+        spark.read.schema(_SIDECAR_SCHEMA)
+        .parquet(meta)
+        .select("run_id")
+        .filter(F.col("run_id").isNotNull())
+        .distinct()
+        .collect()
+    )
+    return {r.run_id for r in rows}
+
+
+def recover_sink(spark: SparkSession, sink_path: str) -> dict[str, int]:
+    """Heal a sink left by a crashed run — called automatically at the
+    start of every populate (batch and streaming).
+
+    The commit protocol (see :func:`commit_batch`) makes the sidecar
+    append the single commit point, so recovery is unambiguous:
+
+    - staged run present **in** the sidecar → the crash hit between
+      commit and publish: finish moving its files into the sink
+      (idempotent — already-moved files are gone from staging);
+    - staged run **absent** from the sidecar → the batch never
+      committed: drop the staging dir; the watermark never advanced, so
+      the next run re-selects exactly those events. No duplicates, no
+      loss, no full-history scans (ADVICE r01 items 2–3).
+
+    Returns ``{"published": n, "discarded": m}`` (counts of staged runs).
+    """
+    staging_root = fs.join(sink_path, STAGING_ROOT)
+    staged = fs.listdir(spark, staging_root)
+    if not staged:
+        return {"published": 0, "discarded": 0}
+    committed = _committed_run_ids(spark, sink_path)
+    published = discarded = 0
+    for run_id in staged:
+        staging = fs.join(staging_root, run_id)
+        if run_id in committed:
+            _publish(spark, staging, sink_path)
+            published += 1
+        else:
+            fs.delete(spark, staging)
+            discarded += 1
+    return {"published": published, "discarded": discarded}
+
+
+def _publish(spark: SparkSession, staging: str, sink_path: str) -> None:
+    """Move a committed staged run into the sink, then drop the staging
+    dir. Safe to re-run from any interruption point."""
+    from changedatacapture_reporting_spark.operators.rollup import ROLLUP_DIR
+
+    data_dir = fs.join(staging, "data")
+    if fs.exists(spark, data_dir):
+        fs.promote(spark, data_dir, sink_path)
+    rollup_dir = fs.join(staging, ROLLUP_DIR)
+    if fs.exists(spark, rollup_dir):
+        fs.promote(spark, rollup_dir, fs.join(sink_path, ROLLUP_DIR))
+    fs.delete(spark, staging)
+
+
+def commit_batch(
+    spark: SparkSession,
+    changelog: DataFrame,
+    sink_path: str,
+    pk_cols: list[str],
+    run_id: str,
+    maintain_rollup: bool = True,
+    salt_buckets: int | None = None,
+) -> int:
+    """Write one changelog batch with a single-commit-point protocol, so
+    the three sink artifacts (data, watermark sidecar, rollup partials)
+    can never disagree (ADVICE r01: three blind appends were non-atomic):
+
+    1. **stage** data + rollup partials under ``_staging/<run_id>``
+       (underscore → invisible to readers; ``overwrite`` → a re-attempt
+       of the same run wipes its own debris);
+    2. **commit**: append ONE sidecar file carrying the per-table
+       watermarks tagged with ``run_id`` — a single file rename inside
+       the parquet committer, the protocol's atomic point;
+    3. **publish**: move staged files into the sink and drop staging.
+
+    A crash before 2 discards the batch (watermark unmoved → events
+    re-selected next run); a crash after 2 is finished by
+    :func:`recover_sink`. The extra cost over a blind append is one
+    metadata rename per output file.
+
+    Returns the batch row count. The input frame should already be
+    persisted by the caller (it is consumed by the stage write, the
+    per-table aggregate, and the rollup partials).
+    """
+    staging = fs.join(sink_path, STAGING_ROOT, run_id)
+    per_table = (
+        changelog.groupBy("table_name")
+        .agg(F.max("lsn").alias("lsn"), F.count("*").alias("n_rows"))
+        .collect()
+    )
+    rows_changed = sum(r.n_rows for r in per_table)
+    if not rows_changed:
+        return 0
+
+    writer = _partition_writer(changelog, pk_cols, salt_buckets)
+    writer.mode("overwrite").partitionBy("table_name", "commit_month").parquet(
+        fs.join(staging, "data")
+    )
+    if maintain_rollup:
+        from changedatacapture_reporting_spark.operators.rollup import (
+            ROLLUP_DIR,
+            write_partials,
+        )
+
+        write_partials(changelog, fs.join(staging, ROLLUP_DIR), mode="overwrite")
+
+    # commit point: one coalesced file append — a single rename
+    spark.createDataFrame(
+        [(r.table_name, r.lsn, run_id) for r in per_table], _SIDECAR_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(_meta_path(sink_path))
+
+    _publish(spark, staging, sink_path)
+    return rows_changed
+
+
+def _partition_writer(
+    changelog: DataFrame, pk_cols: list[str], salt_buckets: int | None
+):
+    """Sink-layout shuffle: one task per (table, month) by default; with
+    ``salt_buckets=n`` a hot partition fans out over n tasks/files keyed
+    by a pk hash, so a batch where one table dominates a month still
+    writes in parallel (VERDICT r01 item 7). Files stay sorted by
+    commit_time either way, preserving row-group min/max pruning."""
+    sort_cols = ["commit_time", *pk_cols, "column_name"]
+    if salt_buckets and salt_buckets > 1:
+        # explicit partition count: AQE coalesces implicit-count
+        # repartitions back together, which would undo the fan-out; 4×
+        # headroom keeps hash collisions between salt values rare, so a
+        # hot (table, month) really does land on ~salt_buckets tasks
+        salted = changelog.repartition(
+            salt_buckets * 4,
+            F.col("table_name"),
+            F.col("commit_month"),
+            F.pmod(F.xxhash64(*pk_cols), F.lit(salt_buckets)),
+        )
+        return salted.sortWithinPartitions(*sort_cols).write
+    return (
+        changelog.repartition("table_name", "commit_month")
+        .sortWithinPartitions(*sort_cols)
+        .write
+    )
 
 
 def populate_changelog(
@@ -93,6 +256,7 @@ def populate_changelog(
     to_lsn: int | None = None,
     flags: CompatFlags | None = None,
     maintain_rollup: bool = True,
+    salt_buckets: int | None = None,
 ) -> PopulateResult:
     """One incremental run: filter new events per table, build changelog,
     append.
@@ -108,7 +272,14 @@ def populate_changelog(
     flags = flags or CompatFlags()
     try:
         return _populate(
-            spark, events, sink_path, pk_cols, to_lsn, flags, maintain_rollup
+            spark,
+            events,
+            sink_path,
+            pk_cols,
+            to_lsn,
+            flags,
+            maintain_rollup,
+            salt_buckets,
         )
     except Exception:
         if flags.swallow_errors:
@@ -125,7 +296,9 @@ def _populate(
     to_lsn: int | None,
     flags: CompatFlags,
     maintain_rollup: bool = True,
+    salt_buckets: int | None = None,
 ) -> PopulateResult:
+    recover_sink(spark, sink_path)  # heal any crashed previous run first
     wm = _sink_watermarks(spark, sink_path)
     max_wm: int | None = max(wm.values()) if wm else None
 
@@ -162,37 +335,21 @@ def _populate(
         batch, pk_cols, flags=flags, carry_cols=["lsn", "seq"]
     ).withColumn("commit_month", F.trunc("commit_time", "month"))
 
-    # one computation of the batch serves the write, @@ROWCOUNT
-    # (populate:399), AND the watermark sidecar — re-reading the sink to
-    # count "rows newer than the pre-run watermark" would scan all history
+    # one computation of the batch serves the staged write, @@ROWCOUNT
+    # (populate:399), the watermark sidecar AND the rollup partials —
+    # re-reading the sink to count "rows newer than the pre-run
+    # watermark" would scan all history
     changelog.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        per_table = (
-            changelog.groupBy("table_name")
-            .agg(F.max("lsn").alias("lsn"), F.count("*").alias("n_rows"))
-            .collect()
+        rows_changed = commit_batch(
+            spark,
+            changelog,
+            sink_path,
+            pk_cols,
+            run_id=uuid.uuid4().hex,
+            maintain_rollup=maintain_rollup,
+            salt_buckets=salt_buckets,
         )
-        rows_changed = sum(r.n_rows for r in per_table)
-        if rows_changed:
-            (
-                changelog.repartition("table_name", "commit_month")
-                .sortWithinPartitions("commit_time", *pk_cols, "column_name")
-                .write.mode("append")
-                .partitionBy("table_name", "commit_month")
-                .parquet(sink_path)
-            )
-            spark.createDataFrame(
-                [(r.table_name, r.lsn) for r in per_table],
-                "table_name string, lsn long",
-            ).coalesce(1).write.mode("append").parquet(_meta_path(sink_path))
-            if maintain_rollup:
-                # continuous aggregate: O(batch) partials over the already-
-                # persisted frame (operators.rollup merges them on read)
-                from changedatacapture_reporting_spark.operators.rollup import (
-                    update_rollup,
-                )
-
-                update_rollup(changelog, sink_path)
     finally:
         changelog.unpersist()
     return PopulateResult(

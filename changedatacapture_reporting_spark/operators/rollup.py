@@ -17,10 +17,10 @@ re-aggregation is exact — no retraction logic needed. Compaction
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark import fs
 
 ROLLUP_DIR = "_rollup_daily"
 
@@ -45,22 +45,29 @@ def _partials(batch_changelog: DataFrame) -> DataFrame:
     )
 
 
+def write_partials(
+    batch_changelog: DataFrame, out_dir: str, mode: str = "append"
+) -> None:
+    """Write one batch's partial aggregates (O(batch) work, tiny output)
+    to ``out_dir``. ``populate.commit_batch`` stages partials here before
+    its commit point so rollup and changelog advance atomically together."""
+    _partials(batch_changelog).coalesce(1).write.mode(mode).parquet(out_dir)
+
+
 def update_rollup(batch_changelog: DataFrame, sink_path: str) -> None:
-    """Append one batch's partial aggregates (O(batch) work, tiny output).
+    """Direct (non-staged) partial append for standalone use.
 
     Lives under the sink's ``_rollup_daily`` dir — the underscore keeps it
     invisible to parquet reads of the changelog itself.
     """
-    _partials(batch_changelog).coalesce(1).write.mode("append").parquet(
-        os.path.join(sink_path, ROLLUP_DIR)
-    )
+    write_partials(batch_changelog, fs.join(sink_path, ROLLUP_DIR))
 
 
 def read_rollup(spark: SparkSession, sink_path: str) -> DataFrame:
     """Merge partials on read: counts add across batches. The merge input
     is one row per (table, day, batch) — trivially small next to the
     changelog it summarizes."""
-    p = spark.read.parquet(os.path.join(sink_path, ROLLUP_DIR))
+    p = spark.read.parquet(fs.join(sink_path, ROLLUP_DIR))
     return p.groupBy("table_name", "activity_date").agg(
         F.sum("n_changes").alias("n_changes"),
         F.sum("n_column_changes").alias("n_column_changes"),

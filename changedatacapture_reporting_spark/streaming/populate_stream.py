@@ -9,9 +9,20 @@ Streaming replaces all of it exactly:
 - checkpoint offsets = the LSN window bookkeeping (ST1/ST2), exact;
 - ``trigger(availableNow=True)`` = the README's "pass HIGHDATE … TO ENSURE
   COMPLETENESS" mode (ST3): drain everything available, then stop;
-- idempotent re-run = checkpoint replay, no duplicate loads (ST6) — the
-  reference's TRY/CATCH "No changes were detected" swallow (ST5) becomes
-  a genuinely empty micro-batch.
+- the reference's TRY/CATCH "No changes were detected" swallow (ST5)
+  becomes a genuinely empty micro-batch.
+
+Exactly-once (ST6): ``foreachBatch`` alone is only at-least-once — the
+engine replays a micro-batch whose epoch didn't reach the checkpoint
+commit, and a blind ``mode('append')`` would duplicate those rows
+(ADVICE r01). Here every micro-batch goes through the same
+single-commit-point protocol as batch populate
+(:func:`..operators.populate.commit_batch`) keyed by a deterministic
+``epoch-<id>`` run id: a replayed epoch is detected in the sink's own
+watermark sidecar and skipped, and a crash mid-publish is healed by
+:func:`..operators.populate.recover_sink` on the next batch. Sink-side
+idempotency + engine-side replay = exactly-once, with no reliance on the
+checkpoint and the sink agreeing.
 
 The per-batch transformation is the SAME builder as batch mode
 (:func:`build_changelog`) inside ``foreachBatch`` — one code path for both
@@ -26,6 +37,17 @@ from pyspark.sql.streaming import StreamingQuery
 
 from changedatacapture_reporting_spark.config import CompatFlags
 from changedatacapture_reporting_spark.operators.changelog import build_changelog
+from changedatacapture_reporting_spark.operators.populate import (
+    _committed_run_ids,
+    commit_batch,
+    recover_sink,
+)
+
+
+def epoch_run_id(epoch_id: int) -> str:
+    """Deterministic run id for a micro-batch: replays of the same epoch
+    map to the same id, which is what makes them detectable."""
+    return f"epoch-{epoch_id:020d}"
 
 
 def stream_populate(
@@ -37,6 +59,7 @@ def stream_populate(
     pk_cols: list[str],
     flags: CompatFlags | None = None,
     available_now: bool = True,
+    salt_buckets: int | None = None,
 ) -> StreamingQuery:
     """Continuously (or drain-once) populate the changelog sink from a
     parquet event-stream directory.
@@ -49,19 +72,34 @@ def stream_populate(
     stream = spark.readStream.schema(event_schema).parquet(events_path)
 
     def write_batch(batch_df, epoch_id: int) -> None:
+        from pyspark import StorageLevel
         from pyspark.sql import functions as F
+
+        run_id = epoch_run_id(epoch_id)
+        session = batch_df.sparkSession
+        if run_id in _committed_run_ids(session, sink_path):
+            # engine replayed an epoch the sink already committed
+            # (crash landed between sink commit and checkpoint commit)
+            recover_sink(session, sink_path)  # finish its publish if needed
+            return
+        recover_sink(session, sink_path)
 
         # same sink layout as batch populate: (table_name, commit_month)
         changelog = build_changelog(
             batch_df, pk_cols, flags=flags, carry_cols=["lsn", "seq"]
         ).withColumn("commit_month", F.trunc("commit_time", "month"))
-        (
-            changelog.repartition("table_name", "commit_month")
-            .sortWithinPartitions("commit_time", *pk_cols, "column_name")
-            .write.mode("append")
-            .partitionBy("table_name", "commit_month")
-            .parquet(sink_path)
-        )
+        changelog.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            commit_batch(
+                session,
+                changelog,
+                sink_path,
+                pk_cols,
+                run_id=run_id,
+                salt_buckets=salt_buckets,
+            )
+        finally:
+            changelog.unpersist()
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_path

@@ -1,0 +1,173 @@
+"""Sink commit protocol: staged writes, single commit point, crash
+recovery, exactly-once streaming epochs, salt-bucket skew fan-out
+(ADVICE r01 items 1–3, VERDICT r01 item 7)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark import fs
+from changedatacapture_reporting_spark.operators.changelog import build_changelog
+from changedatacapture_reporting_spark.operators.populate import (
+    STAGING_ROOT,
+    commit_batch,
+    populate_changelog,
+    recover_sink,
+)
+from changedatacapture_reporting_spark.operators.rollup import read_rollup
+
+SRC = T.StructType(
+    [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+)
+SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("before", SRC, True),
+        T.StructField("after", SRC, True),
+    ]
+)
+
+
+def _ev(lsn, table, minute, vid=1):
+    return (
+        lsn, 0, dt.datetime(2024, 1, 1, 12, minute), "insert", table,
+        None, (vid, f"v{lsn}"),
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _changelog(events, month=True):
+    log = build_changelog(events, ["id"], carry_cols=["lsn", "seq"])
+    return log.withColumn("commit_month", F.trunc("commit_time", "month"))
+
+
+def test_fs_join_is_uri_safe():
+    assert fs.join("s3a://bucket/key/", "x", "y") == "s3a://bucket/key/x/y"
+    assert fs.join("/local/path", "_watermarks") == "/local/path/_watermarks"
+    assert fs.join("hdfs://nn:8020/a/", "/b/") == "hdfs://nn:8020/a/b"
+
+
+def test_crash_before_commit_discards_staging(spark, tmp_path):
+    """Stage only (no sidecar row) = crash before the commit point: the
+    next populate discards the debris and re-ingests the same events —
+    no loss, no duplicates."""
+    sink = str(tmp_path / "sink")
+    events = _events(spark, [_ev(1, "t", 0), _ev(2, "t", 1)])
+    # simulate the pre-commit crash: data staged, sidecar never written
+    _changelog(events).write.mode("overwrite").partitionBy(
+        "table_name", "commit_month"
+    ).parquet(fs.join(sink, STAGING_ROOT, "deadbeef", "data"))
+
+    r = populate_changelog(spark, events, sink, ["id"])
+    assert r.rows_changed == 2
+    assert fs.listdir(spark, fs.join(sink, STAGING_ROOT)) == []
+    assert spark.read.parquet(sink).count() == 2  # once, not twice
+
+
+def test_crash_after_commit_is_published_by_recovery(spark, tmp_path):
+    """Sidecar row present but files still staged = crash between commit
+    and publish: recovery must finish the move, and a second recovery
+    must be a no-op."""
+    sink = str(tmp_path / "sink")
+    base = _events(spark, [_ev(1, "t", 0)])
+    assert populate_changelog(spark, base, sink, ["id"]).rows_changed == 1
+
+    # hand-build the post-commit crash state for a second batch
+    events2 = _events(spark, [_ev(2, "t", 5), _ev(3, "u", 6)])
+    log2 = _changelog(events2)
+    log2.write.mode("overwrite").partitionBy("table_name", "commit_month").parquet(
+        fs.join(sink, STAGING_ROOT, "run2", "data")
+    )
+    spark.createDataFrame(
+        [("t", 2, "run2"), ("u", 3, "run2")],
+        "table_name string, lsn long, run_id string",
+    ).coalesce(1).write.mode("append").parquet(fs.join(sink, "_watermarks"))
+
+    got = recover_sink(spark, sink)
+    assert got == {"published": 1, "discarded": 0}
+    assert spark.read.parquet(sink).count() == 3
+    assert recover_sink(spark, sink) == {"published": 0, "discarded": 0}
+
+    # watermark advanced with the published batch: replaying the same
+    # events loads nothing
+    r = populate_changelog(spark, events2, sink, ["id"])
+    assert r.rows_changed == 0
+
+
+def test_rollup_advances_atomically_with_data(spark, tmp_path):
+    """Rollup partials ride the same staged commit as the data, so the
+    maintained aggregate can't diverge from the changelog."""
+    sink = str(tmp_path / "sink")
+    events = _events(spark, [_ev(1, "t", 0), _ev(2, "t", 1), _ev(3, "u", 2)])
+    populate_changelog(spark, events, sink, ["id"])
+    roll = {r.table_name: r.n_changes for r in read_rollup(spark, sink).collect()}
+    live = {
+        r.table_name: r.n
+        for r in spark.read.parquet(sink)
+        .groupBy("table_name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert roll == live
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying a committed epoch (the foreachBatch at-least-once case)
+    must not duplicate rows: the sink's own ledger detects it."""
+    from changedatacapture_reporting_spark.operators.populate import (
+        _committed_run_ids,
+    )
+    from changedatacapture_reporting_spark.streaming.populate_stream import (
+        epoch_run_id,
+    )
+    from pyspark import StorageLevel
+
+    sink = str(tmp_path / "sink")
+    events = _events(spark, [_ev(1, "t", 0), _ev(2, "t", 1)])
+    log = _changelog(events)
+    log.persist(StorageLevel.MEMORY_AND_DISK)
+    run_id = epoch_run_id(7)
+
+    # what stream_populate's write_batch does, twice for the same epoch
+    for _ in range(2):
+        if run_id in _committed_run_ids(spark, sink):
+            recover_sink(spark, sink)
+            continue
+        recover_sink(spark, sink)
+        commit_batch(spark, log, sink, ["id"], run_id=run_id)
+    log.unpersist()
+
+    assert spark.read.parquet(sink).count() == 2  # not 4
+
+
+def test_salt_buckets_fan_out_hot_partition(spark, tmp_path):
+    """A batch where one table dominates one month must still write that
+    partition as multiple files when salted (the hot-partition fan-out;
+    unsalted it would be a single task / single file)."""
+    hot = [_ev(i, "hot", i % 60, vid=i) for i in range(1, 181)]  # 90%+
+    cold = [_ev(1000 + i, "cold", i, vid=i) for i in range(1, 11)]
+    events = _events(spark, hot + cold)
+    sink = str(tmp_path / "sink")
+    r = populate_changelog(spark, events, sink, ["id"], salt_buckets=8)
+    assert r.rows_changed == 190
+
+    hot_files = [
+        f
+        for f in fs.list_data_files(spark, sink)
+        if f.startswith("table_name=hot/")
+    ]
+    # hash fan-out is statistical (salt values can collide in the
+    # shuffle map), but the hot partition must genuinely parallelize
+    assert 4 <= len(hot_files) <= 8
+    # all rows still land correctly
+    assert spark.read.parquet(sink).filter(F.col("table_name") == "hot").count() == 180
