@@ -33,12 +33,28 @@ class CompatFlags:
         Reference TRY/CATCHes any populate failure into a "No changes were
         detected" message (usp_cdc_populate_changelog.sql:401–409). Default
         False: surface real failures.
+    surrogate_id:
+        Reference DDL leads with a ``<desttable>_id BIGINT IDENTITY(1,1)``
+        clustered key (usp_cdc_populate_changelog.sql:144,156). No reference
+        query depends on its VALUES (SURVEY.md §1.3), but ``query:50`` is a
+        ``SELECT *``, so byte-compat consumers need the column present.
+        True adds ``changelog_id`` (``monotonically_increasing_id()`` —
+        unique and ascending per partition; IDENTITY's global contiguity is
+        a single-writer T-SQL-ism that would serialize a cluster). Default
+        False.
+    audit_modified_cols:
+        Reference DDL carries ``modified_dt``/``modified_by`` (populate:
+        153–154) that nothing ever writes (the changelog is append-only) —
+        they exist for hand-edits. True adds them as typed NULLs for
+        ``SELECT *`` schema parity. Default False.
     """
 
     truncate128: bool = False
     legacy_minute_skip: bool = False
     global_order: bool = False
     swallow_errors: bool = False
+    surrogate_id: bool = False
+    audit_modified_cols: bool = False
 
     @classmethod
     def reference_faithful(cls) -> "CompatFlags":
@@ -48,4 +64,6 @@ class CompatFlags:
             legacy_minute_skip=True,
             global_order=True,
             swallow_errors=True,
+            surrogate_id=True,
+            audit_modified_cols=True,
         )

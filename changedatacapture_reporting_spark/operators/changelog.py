@@ -212,6 +212,16 @@ def build_changelog(
             "created_by",
             F.lit(created_by or out.sparkSession.sparkContext.sparkUser()),
         )
+    if flags.audit_modified_cols:
+        # DDL parity (populate:153–154): present, typed, never written
+        out = out.withColumn(
+            "modified_dt", F.lit(None).cast("timestamp")
+        ).withColumn("modified_by", F.lit(None).cast("string"))
+    if flags.surrogate_id:
+        # DDL parity (populate:144,156): leading surrogate key column
+        out = out.select(
+            F.monotonically_increasing_id().alias("changelog_id"), "*"
+        )
 
     if flags.global_order:
         # reference-faithful global ORDER BY (populate:390–394): forces a

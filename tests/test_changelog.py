@@ -222,3 +222,37 @@ def test_pair_update_images_join_path(spark, cdc_fixture):
         "commit_time", "table_name", "id", "tenant_id",
         "column_name", "old_value", "new_value").collect()}
     assert j == d
+
+
+def test_byte_compat_schema_mirrors_reference_ddl(spark, cdc_fixture):
+    """With the fidelity flags on, SELECT * consumers of the reference
+    changelog (usp_cdc_query_data.sql:50) see every DDL column
+    (usp_cdc_populate_changelog.sql:144–156) in DDL order; pk_json is our
+    documented composite-PK extension."""
+    flags = CompatFlags(surrogate_id=True, audit_modified_cols=True)
+    out = build_changelog(cdc_fixture, PK, flags=flags)
+
+    ddl_cols = [
+        "changelog_id",  # <desttable>_id IDENTITY (populate:144,156)
+        "commit_time",
+        "table_name",
+        *PK,
+        "column_name",
+        "old_value",
+        "new_value",
+        "created_dt",
+        "created_by",
+        "modified_dt",
+        "modified_by",
+    ]
+    got = [c for c in out.columns if c in ddl_cols]
+    assert got == ddl_cols
+
+    rows = out.select("changelog_id", "modified_dt", "modified_by").collect()
+    assert len({r.changelog_id for r in rows}) == len(rows)  # unique key
+    assert all(r.modified_dt is None and r.modified_by is None for r in rows)
+
+    # defaults stay lean: no compat columns unless asked
+    lean = build_changelog(cdc_fixture, PK)
+    assert "changelog_id" not in lean.columns
+    assert "modified_dt" not in lean.columns
