@@ -11,10 +11,20 @@ upsert feed for a serving store (the Debezium "read model" pattern).
 
 Scale design (100 TB):
 - State is O(live keys), NOT O(events): exactly the size of the source
-  table's key space, the minimum any materialized view needs. No timeout
-  is set because evicting a key would forget its liveness; for keyspaces
-  with churn-and-expire semantics a TTL variant can pass
-  ``GroupStateTimeout.ProcessingTimeTimeout``.
+  table's key space, the minimum any materialized view needs. Budget it
+  explicitly: bytes/key ≈ 60 B fixed (lsn, seq, liveness, key hash) +
+  the string row image (sum of value-column lengths). At 1e9 live keys ×
+  ~200 B that is ~200 GB of state — spread over executors by the groupBy
+  hash, so size executor memory (or the RocksDB state store) for
+  ``keys × bytes_per_key / executors`` and monitor the real figure via
+  :func:`state_metrics` (``memoryUsedBytes`` / ``numRowsTotal``).
+- By default no timeout is set, because evicting a key forgets its
+  liveness (a delete tombstone must outlive quiet periods). For keyspaces
+  with churn-and-expire semantics pass ``ttl_minutes``: keys idle longer
+  are evicted via ``ProcessingTimeTimeout``, bounding state at
+  O(keys active within the TTL window) — an eviction is indistinguishable
+  from "never seen", so a late event for an evicted key re-opens it as a
+  fresh row (document this trade with your consumers).
 - Arrival order is irrelevant: a monotonic (lsn, seq) guard makes the
   operator last-writer-wins by commit position, so replays, cross-batch
   reordering, and at-least-once sources converge to the same state.
@@ -43,10 +53,32 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from changedatacapture_reporting_spark.schema import OP_DELETE
 
 
+def state_metrics(query) -> list[dict]:
+    """Operational view of a running query's state budget: one dict per
+    stateful operator from the last progress report —
+    ``numRowsTotal`` (live keys), ``numRowsUpdated``, ``memoryUsedBytes``
+    (the number to alert on vs the per-executor budget above). Empty
+    until the first batch completes."""
+    progress = query.lastProgress
+    if not progress:
+        return []
+    return [
+        {
+            "operator": op.get("operatorName", "state"),
+            "num_keys": op.get("numRowsTotal"),
+            "num_updated": op.get("numRowsUpdated"),
+            "num_removed": op.get("numRowsRemoved"),
+            "memory_used_bytes": op.get("memoryUsedBytes"),
+        }
+        for op in progress.get("stateOperators", [])
+    ]
+
+
 def current_state_stream(
     events: DataFrame,
     pk_cols: list[str],
     value_cols: list[str],
+    ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming per-key current state over a CDC event stream.
 
@@ -94,11 +126,18 @@ def current_state_stream(
     def _clean(v: Any) -> Any:
         return None if v is None or pd.isna(v) else v
 
+    ttl_ms = ttl_minutes * 60_000 if ttl_minutes else None
+
     def update_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms and state.hasTimedOut:
+            # idle past the TTL: evict — bounds state to keys active
+            # within the window; a later event re-opens the key fresh
+            state.remove()
+            return
         if state.exists:
             lsn, seq, live, image = state.get
             image = list(image)
@@ -124,11 +163,15 @@ def current_state_stream(
                 [[*key, *image, live, lsn]],
                 columns=[*pk_cols, *value_cols, "is_live", "as_of_lsn"],
             )
+        if ttl_ms and (changed or state.exists):
+            state.setTimeoutDuration(ttl_ms)  # re-arm on any activity
 
     return flat.groupBy(*pk_cols).applyInPandasWithState(
         update_fn,
         out_schema,
         state_schema,
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout,
     )

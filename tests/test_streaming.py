@@ -294,3 +294,56 @@ def test_stateful_dedup_drops_duplicates(spark, workdir):
     _drain(q)
     got = spark.sql("SELECT k FROM dedup_out").collect()
     assert sorted(r.k for r in got) == [1, 2]
+
+
+def test_current_state_ttl_and_metrics(spark, workdir):
+    """State guardrails (VERDICT r01 item 8): the TTL variant runs on
+    ProcessingTimeTimeout without changing in-window semantics, and
+    state_metrics exposes the live-key count / memory figures to alert
+    on."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.stateful import (
+        current_state_stream,
+        state_metrics,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    schema = cdc_event_schema(src)
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = [
+        (1, 0, ts, "insert", "t", None, (1, "a")),
+        (2, 0, ts, "insert", "t", None, (2, "b")),
+        (3, 0, ts, "update", "t", (1, "a"), (1, "a2")),
+    ]
+    spark.createDataFrame(events, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{workdir}/ev_ttl")
+
+    stream = spark.readStream.schema(schema).parquet(f"{workdir}/ev_ttl")
+    q = (
+        current_state_stream(stream, ["id"], ["name"], ttl_minutes=60)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    rows = {r.id: r for r in spark.sql("SELECT * FROM ttl_out").collect()}
+    assert rows["1"].name == "a2" and rows["2"].name == "b"
+
+    metrics = state_metrics(q)
+    assert metrics and metrics[0]["num_keys"] == 2
+    assert metrics[0]["memory_used_bytes"] is None or (
+        metrics[0]["memory_used_bytes"] > 0
+    )
