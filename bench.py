@@ -9,8 +9,10 @@ which lets Catalyst prune every unreferenced projection (a projection-heavy
 query "benchmarked" with count() measures a parquet row-count instead),
 the noop write materializes all output columns with zero sink cost. Each
 query is timed end-to-end including planning; the reported figure is the
-min of $SPARK_GRAFT_BENCH_REPS (default 2) runs, which suppresses
-co-tenant CPU noise without hiding real cost.
+min of $SPARK_GRAFT_BENCH_REPS (default 3) runs, which suppresses
+co-tenant CPU noise without hiding real cost (measured r02: back-to-back
+full-suite runs on this box swing individual queries 4-10× on a single
+rep, so the min matters).
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ def main() -> None:
     # warm the JVM + parquet footers with one untimed tiny action
     qs[headline[0]](spark, sf_dir).limit(1).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         runs = []
