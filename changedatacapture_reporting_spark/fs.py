@@ -74,6 +74,40 @@ def delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jpath, True))
 
 
+def write_text(spark: SparkSession, path: str, text: str = "") -> None:
+    """Write a small text file in one call (commit markers/manifests)."""
+    h = _hadoop(spark, path)
+    if h is None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    fs, jpath = h
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    h = _hadoop(spark, path)
+    if h is None:
+        with open(path) as f:
+            return f.read()
+    fs, jpath = h
+    stream = fs.open(jpath)
+    try:
+        # decode JVM-side: py4j passes buffer arguments by value, so a
+        # Python bytearray handed to stream.read() is never filled — the
+        # caller would see NULs of the right length
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def listdir(spark: SparkSession, path: str) -> list[str]:
     """Names (not paths) of immediate children; [] if path is absent."""
     if not exists(spark, path):

@@ -5,11 +5,14 @@ from changedatacapture_reporting_spark.operators.changelog import (
 )
 from changedatacapture_reporting_spark.operators.maintenance import (
     compact_changelog,
+    compact_sink_files,
+    expire_changelog_months,
     retain_changelog,
 )
 from changedatacapture_reporting_spark.operators.populate import (
     PopulateResult,
     populate_changelog,
+    recover_sink,
 )
 from changedatacapture_reporting_spark.operators.profile import profile_table
 from changedatacapture_reporting_spark.operators.range_join import (
@@ -44,6 +47,9 @@ __all__ = [
     "read_rollup",
     "update_rollup",
     "compact_changelog",
+    "compact_sink_files",
+    "expire_changelog_months",
+    "recover_sink",
     "retain_changelog",
     "profile_table",
     "point_in_interval_join",

@@ -14,14 +14,44 @@ At 100 TB these are the two maintenance passes a real deployment runs:
 
 Both are pure DataFrames (callers decide how to swap the sink directory —
 write-new-then-rename, or MERGE on a table format like Delta/Iceberg).
+
+PHYSICAL maintenance, sharing the sink commit protocol
+(:mod:`.populate`):
+
+- :func:`compact_sink_files` — merge the small files per-batch appends
+  accumulate inside a ``(table_name, commit_month)`` partition into a few
+  sorted files, swapped in atomically (staged + ``_COMMIT_REPLACE``
+  marker; a crash on either side of the marker is healed by
+  ``recover_sink``). Content-preserving: same rows, fewer files, restored
+  commit_time sort order → row-group pruning quality actually improves
+  as history compacts.
+- :func:`expire_changelog_months` — partition-drop retention: delete
+  whole month dirs older than a cutoff. O(#dirs) metadata work, no data
+  read — the only retention shape that is practical at 100 TB. Pair with
+  :func:`retain_changelog` first (append a compacted snapshot floor) if
+  point-in-time reconstruction must stay exact at the boundary; rollup
+  partials and watermarks are deliberately untouched (the maintained
+  aggregate keeps reporting on expired months; lsn watermarks are maxima
+  and never regress).
+
+Single-maintenance-writer assumption (like every file-format sink
+without a transactional catalog): don't run compaction concurrently
+with itself. Concurrent populate appends to a partition being compacted
+are structurally safe — the swap deletes only the snapshot the rewrite
+consumed (the marker's old-generation manifest), never "whatever else
+is there" — though on object stores without atomic rename a reader can
+observe a transient partial swap; use a table format there.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark import fs
 
 
 def _latest_per(
@@ -76,3 +106,124 @@ def retain_changelog(
         log.filter(F.col("commit_time") <= cut), pk_cols, order_cols
     )
     return floor.select(*log.columns).unionByName(tail)
+
+
+def _sink_partitions(
+    spark: SparkSession, sink_path: str
+) -> list[tuple[str, str]]:
+    """(table_name=... , commit_month=...) leaf dirs of the sink."""
+    out = []
+    for t in fs.listdir(spark, sink_path):
+        if not t.startswith("table_name="):
+            continue
+        for m in fs.listdir(spark, fs.join(sink_path, t)):
+            if m.startswith("commit_month="):
+                out.append((t, m))
+    return out
+
+
+def compact_sink_files(
+    spark: SparkSession,
+    sink_path: str,
+    pk_cols: list[str],
+    max_files: int = 4,
+    target_files: int = 1,
+) -> dict[str, int]:
+    """Merge small files inside sink partitions that have accumulated
+    more than ``max_files`` data files (each populate batch appends at
+    least one file per touched partition, so a busy month fragments over
+    time; parquet scan cost and footer pressure grow with file count).
+
+    Per selected partition: snapshot its file listing, read EXACTLY
+    those files, restore the global ``(commit_time, pk…, column_name)``
+    sort, write ``target_files`` files to staging, verify row counts,
+    then commit with a ``_COMMIT_REPLACE`` marker and swap atomically
+    (``populate._publish_replace`` — crash-healed by ``recover_sink``
+    from either side of the marker). The marker carries the snapshot
+    (the old generation) as its manifest, so the swap deletes only what
+    was compacted — a file a concurrent populate appends meanwhile is
+    neither lost nor duplicated. Content-preserving by construction and
+    verified by count before the marker is written.
+
+    Returns ``{"partitions_compacted": n, "files_before": a,
+    "files_after": b}``.
+    """
+    from changedatacapture_reporting_spark.operators.populate import (
+        REPLACE_MARKER,
+        STAGING_ROOT,
+        _publish_replace,
+    )
+
+    selected = []
+    old_generation: list[str] = []
+    for t, m in _sink_partitions(spark, sink_path):
+        part = fs.join(sink_path, t, m)
+        names = fs.list_data_files(spark, part)
+        if len(names) > max_files:
+            selected.append((t, m, part, names))
+            old_generation += [f"{t}/{m}/{name}" for name in names]
+    if not selected:
+        return {
+            "partitions_compacted": 0,
+            "files_before": 0,
+            "files_after": 0,
+        }
+
+    run_id = "compact-" + uuid.uuid4().hex
+    staging = fs.join(sink_path, STAGING_ROOT, run_id)
+    sort_cols = [c for c in ("commit_time", *pk_cols, "column_name")]
+    for t, m, part, names in selected:
+        # explicit file list (not the dir): the staged rewrite holds
+        # exactly the snapshot the manifest will delete
+        df = spark.read.parquet(*[fs.join(part, name) for name in names])
+        staged_part = fs.join(staging, "data", t, m)
+        (
+            df.repartition(target_files)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(staged_part)
+        )
+        # content preservation gate before the commit marker
+        if spark.read.parquet(staged_part).count() != df.count():
+            fs.delete(spark, staging)
+            raise RuntimeError(f"compaction row-count mismatch in {part}")
+
+    # commit point: one marker write; its content is the old-generation
+    # manifest recovery needs to finish the swap without guessing
+    fs.write_text(
+        spark, fs.join(staging, REPLACE_MARKER), "\n".join(old_generation)
+    )
+    _publish_replace(spark, staging, sink_path)
+
+    files_after = sum(
+        len(fs.list_data_files(spark, part)) for _t, _m, part, _n in selected
+    )
+    return {
+        "partitions_compacted": len(selected),
+        "files_before": len(old_generation),
+        "files_after": files_after,
+    }
+
+
+def expire_changelog_months(
+    spark: SparkSession, sink_path: str, keep_from: str
+) -> dict[str, int]:
+    """Partition-drop retention: delete every ``commit_month`` dir
+    strictly older than ``keep_from`` (an ISO month/date string, e.g.
+    ``"2024-02-01"``). Metadata-only (no data read), monotone and
+    idempotent — a crash mid-way is finished by re-running.
+
+    Reconstruction fidelity before the cutoff is gone by design; append
+    a :func:`retain_changelog` snapshot floor FIRST when "state as of
+    the cutoff" must remain answerable.
+    """
+    cutoff = dt.date.fromisoformat(keep_from).replace(day=1)
+    dropped = kept = 0
+    for t, m in _sink_partitions(spark, sink_path):
+        month = dt.date.fromisoformat(m.split("=", 1)[1])
+        if month < cutoff:
+            fs.delete(spark, fs.join(sink_path, t, m))
+            dropped += 1
+        else:
+            kept += 1
+    return {"months_dropped": dropped, "months_kept": kept}

@@ -136,13 +136,54 @@ def recover_sink(spark: SparkSession, sink_path: str) -> dict[str, int]:
     published = discarded = 0
     for run_id in staged:
         staging = fs.join(staging_root, run_id)
-        if run_id in committed:
+        if fs.exists(spark, fs.join(staging, REPLACE_MARKER)):
+            # committed partition replacement (file compaction):
+            # finish the swap instead of an append-publish
+            _publish_replace(spark, staging, sink_path)
+            published += 1
+        elif run_id in committed:
             _publish(spark, staging, sink_path)
             published += 1
         else:
             fs.delete(spark, staging)
             discarded += 1
     return {"published": published, "discarded": discarded}
+
+
+REPLACE_MARKER = "_COMMIT_REPLACE"
+
+
+def _publish_replace(spark: SparkSession, staging: str, sink_path: str) -> None:
+    """Swap staged files IN PLACE OF the exact sink files named in the
+    run's manifest (the compaction commit,
+    ``maintenance.compact_sink_files``): manifest files are removed,
+    staged files move in, staging is dropped.
+
+    The manifest (the marker file's content, written at commit time) is
+    the OLD generation — the precise file set the compacted output was
+    computed from. Deleting from that explicit list (never "everything
+    not staged") makes the swap safe twice over: a file a concurrent
+    populate appended after staging survives untouched, and after a
+    crash mid-promote already-moved-in new files can never be mistaken
+    for old ones — every step (delete of a named file, move of a staged
+    file) is idempotent, so recovery just re-runs the tail."""
+    manifest = [
+        line
+        for line in fs.read_text(
+            spark, fs.join(staging, REPLACE_MARKER)
+        ).splitlines()
+        if line
+    ]
+    for rel in manifest:
+        # a corrupt manifest must never widen the delete scope beyond
+        # single data files inside partition dirs — refuse instead
+        # (staging stays put; the old generation is still complete)
+        if "/" not in rel or rel.startswith(("_", ".", "/")) or ".." in rel:
+            raise RuntimeError(f"malformed replace manifest entry: {rel!r}")
+    for rel in manifest:
+        fs.delete(spark, fs.join(sink_path, rel))  # no-op if already gone
+    fs.promote(spark, fs.join(staging, "data"), sink_path)
+    fs.delete(spark, staging)
 
 
 def _publish(spark: SparkSession, staging: str, sink_path: str) -> None:

@@ -171,3 +171,182 @@ def test_salt_buckets_fan_out_hot_partition(spark, tmp_path):
     assert 4 <= len(hot_files) <= 8
     # all rows still land correctly
     assert spark.read.parquet(sink).filter(F.col("table_name") == "hot").count() == 180
+
+
+def _populate_months(spark, sink, n_batches=5):
+    """Several small batches into one month (fragmenting it) plus one
+    batch in a second month."""
+    for b in range(n_batches):
+        rows = [_ev(b * 10 + i, "t", b, vid=i) for i in range(1, 4)]
+        populate_changelog(spark, _events(spark, rows), sink, ["id"])
+    feb = [
+        (100 + i, 0, dt.datetime(2024, 2, 1, 12, i), "insert", "t",
+         None, (i, f"v{i}"))
+        for i in range(1, 4)
+    ]
+    populate_changelog(spark, _events(spark, feb), sink, ["id"])
+
+
+def test_compaction_merges_files_preserving_content(spark, tmp_path):
+    from changedatacapture_reporting_spark.operators.maintenance import (
+        compact_sink_files,
+    )
+
+    sink = str(tmp_path / "sink")
+    _populate_months(spark, sink)
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("lsn", "pk_json", "column_name", "new_value")
+        .collect()
+    }
+    jan = "table_name=t/commit_month=2024-01-01"
+    assert len([f for f in fs.list_data_files(spark, sink) if f.startswith(jan)]) == 5
+
+    got = compact_sink_files(spark, sink, ["id"], max_files=4)
+    assert got["partitions_compacted"] == 1  # feb (1 file) left alone
+    assert got["files_after"] == 1
+
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("lsn", "pk_json", "column_name", "new_value")
+        .collect()
+    }
+    assert after == before
+    assert fs.listdir(spark, fs.join(sink, STAGING_ROOT)) == []
+    # idempotent: nothing left over threshold
+    assert compact_sink_files(spark, sink, ["id"], max_files=4) == {
+        "partitions_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+    }
+
+
+def test_compaction_crash_before_marker_discards(spark, tmp_path):
+    """Staged compaction without its marker = pre-commit crash: recovery
+    discards it and the sink keeps its original files."""
+    sink = str(tmp_path / "sink")
+    _populate_months(spark, sink, n_batches=3)
+    files0 = fs.list_data_files(spark, sink)
+
+    jan = fs.join(sink, "table_name=t/commit_month=2024-01-01")
+    staged = fs.join(sink, STAGING_ROOT, "compact-dead", "data",
+                     "table_name=t/commit_month=2024-01-01")
+    spark.read.parquet(jan).coalesce(1).write.mode("overwrite").parquet(staged)
+
+    assert recover_sink(spark, sink) == {"published": 0, "discarded": 1}
+    assert fs.list_data_files(spark, sink) == files0
+
+
+def test_compaction_crash_after_marker_is_completed(spark, tmp_path):
+    """Marker present (commit happened) but swap not finished — even with
+    the staged file ALREADY moved in, recovery completes the swap: the
+    manifest names the old generation, so new files are never deleted
+    and re-running every step is idempotent."""
+    from changedatacapture_reporting_spark.operators.populate import (
+        REPLACE_MARKER,
+    )
+
+    sink = str(tmp_path / "sink")
+    _populate_months(spark, sink, n_batches=3)
+    jan_rel = "table_name=t/commit_month=2024-01-01"
+    jan = fs.join(sink, jan_rel)
+    old_names = fs.list_data_files(spark, jan)
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(jan).select("lsn", "pk_json").collect()
+    }
+
+    staging = fs.join(sink, STAGING_ROOT, "compact-crash")
+    staged_part = fs.join(staging, "data", jan_rel)
+    spark.read.parquet(jan).coalesce(1).write.mode("overwrite").parquet(staged_part)
+    # the commit marker carries the OLD generation (what the rewrite read)
+    fs.write_text(
+        spark,
+        fs.join(staging, REPLACE_MARKER),
+        "\n".join(f"{jan_rel}/{n}" for n in old_names),
+    )
+
+    # simulate the worst crash point: the staged file ALREADY moved in,
+    # old files not yet deleted, staging still present
+    fs.promote(spark, fs.join(staging, "data"), sink)
+    assert recover_sink(spark, sink) == {"published": 1, "discarded": 0}
+
+    jan_files = [
+        f for f in fs.list_data_files(spark, sink) if f.startswith(jan_rel)
+    ]
+    assert len(jan_files) == 1  # old generation gone, new one intact
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(jan).select("lsn", "pk_json").collect()
+    }
+    assert after == before
+
+
+def test_compaction_swap_spares_concurrent_append(spark, tmp_path):
+    """A file appended to a partition AFTER compaction staged its
+    snapshot must survive the swap — the manifest-scoped delete never
+    touches files outside the old generation."""
+    from changedatacapture_reporting_spark.operators.maintenance import (
+        compact_sink_files,
+    )
+    from changedatacapture_reporting_spark.operators import populate as P
+
+    sink = str(tmp_path / "sink")
+    _populate_months(spark, sink, n_batches=5)
+    jan_rel = "table_name=t/commit_month=2024-01-01"
+
+    # interleave: between the commit marker and the swap, a populate
+    # commit appends one more file into the partition being compacted
+    # (commit_batch, not populate_changelog — the latter would first
+    # recover-publish the pending compaction itself)
+    orig = P._publish_replace
+
+    def racy_publish(spark_, staging, sink_path):
+        late = [_ev(900 + i, "t", 55, vid=i) for i in range(1, 3)]
+        commit_batch(
+            spark_, _changelog(_events(spark_, late)), sink, ["id"],
+            run_id="late-append", maintain_rollup=False,
+        )
+        orig(spark_, staging, sink_path)
+
+    P._publish_replace = racy_publish
+    try:
+        got = compact_sink_files(spark, sink, ["id"], max_files=4)
+    finally:
+        P._publish_replace = orig
+
+    assert got["partitions_compacted"] == 1
+    jan_files = [
+        f for f in fs.list_data_files(spark, sink) if f.startswith(jan_rel)
+    ]
+    assert len(jan_files) == 2  # compacted file + late append
+    jan_df = spark.read.parquet(fs.join(sink, jan_rel))
+    assert jan_df.count() == 15 + 2  # 5 batches × 3 inserts + 2 late
+    assert jan_df.filter(F.col("lsn") >= 900).count() == 2
+
+
+def test_retention_drops_only_old_months(spark, tmp_path):
+    from changedatacapture_reporting_spark.operators.maintenance import (
+        expire_changelog_months,
+    )
+
+    sink = str(tmp_path / "sink")
+    _populate_months(spark, sink, n_batches=2)
+    total = spark.read.parquet(sink).count()
+    feb_rows = (
+        spark.read.parquet(sink)
+        .filter(F.col("commit_month") == "2024-02-01")
+        .count()
+    )
+    assert 0 < feb_rows < total
+
+    got = expire_changelog_months(spark, sink, "2024-02-01")
+    assert got == {"months_dropped": 1, "months_kept": 1}
+    assert spark.read.parquet(sink).count() == feb_rows
+    # idempotent
+    assert expire_changelog_months(spark, sink, "2024-02-01") == {
+        "months_dropped": 0,
+        "months_kept": 1,
+    }
