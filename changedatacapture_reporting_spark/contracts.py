@@ -581,6 +581,9 @@ _CHECK_WINDOW: list[str] = [
     "multimodal_blob_metadata",
     "multimodal_features",
     "multimodal_frame_sample",
+    # corpus-pipeline compositions — new in r2, never driver-checked
+    "corpus_prepare",
+    "corpus_pack_sequences",
     # streaming surface — never driver-checked in r01
     "streaming_tumbling_5min",
     "streaming_session_windows",
@@ -594,7 +597,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_watermark_bounds",
     "cdc_incremental_resume",
     "cdc_reconstruct_state",
-    "cdc_row_history",
     "cdc_scd2_history",
     # relational §2.12 — one representative per family
     "q3_top_unshipped",
@@ -605,8 +607,10 @@ _CHECK_WINDOW: list[str] = [
     "range_join_order_windows",
     "scalar_functions_showcase",
     "above_customer_avg_orders",
-    "percentile_spend",
 ]
+# displaced to past-window in r2 (both r01-green, machinery covered by
+# in-window siblings): cdc_row_history (changelog pk filter ⊂
+# cdc_query_window), percentile_spend (agg family ⊂ q1/rollup/cube)
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(
     set(_CHECK_WINDOW) - set(_REGISTRY_ALL)

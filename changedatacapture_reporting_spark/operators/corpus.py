@@ -1,0 +1,164 @@
+"""End-to-end training-corpus preparation — the composition the LLM-data
+mandate exists for (SURVEY.md §2.13): quality filtering, near-duplicate
+removal and context-window sequence packing as single operators over the
+``documents`` table.
+
+Not in the reference (a CDC reporting engine stops at the changelog);
+this is the downstream consumer a 100 TB deployment actually feeds.
+
+Scale posture:
+
+- :func:`prepare_corpus` — quality signals are pure codegen'd column
+  expressions (one scan); near-dup detection is MinHash-LSH banding
+  (candidates ∝ true collisions, never n²) + exact-Jaccard verification;
+  canonicalization is the pointer-jumping connected-components operator
+  (:func:`..dedup.neardup_clusters`, O(log n) rounds). No step is
+  quadratic, no step collects to the driver.
+- :func:`pack_sequences` — a global greedy packing is inherently
+  sequential, so packing is SHARDED: documents hash to ``n_shards``
+  independent streams, each packed by a per-shard window cumsum (shuffle
+  by shard, sort within — Spark's window machinery, fully parallel
+  across shards). Choose ``n_shards`` ≈ cluster cores at scale; packs
+  never cross shards, which is exactly how multi-worker training data
+  loaders shard anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.functions.text import (
+    quality_columns,
+    tokens,
+)
+from changedatacapture_reporting_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    neardup_clusters,
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_ratio: float = 0.02,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Gopher-style heuristic quality gate: token-count band, alphabetic
+    ratio, and (for English only — the stopword list is English) a
+    minimum stopword ratio. Appends the signal columns and keeps passing
+    rows; pure built-in expressions, single scan."""
+    q = quality_columns(text_col)
+    scored = df.withColumns(
+        {
+            "n_tokens": q["n_tokens"],
+            "alpha_ratio": q["alpha_ratio"],
+            "stopword_ratio": q["stopword_ratio"],
+        }
+    )
+    keep = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (
+            (F.col(lang_col) != "en")
+            | (F.col("stopword_ratio") >= min_stopword_ratio)
+        )
+    )
+    return scored.filter(keep)
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_ratio: float = 0.02,
+    neardup_threshold: float = 0.8,
+) -> DataFrame:
+    """The standard pre-training data pipeline as ONE operator:
+    quality-filter → MinHash-LSH near-dup clusters (exact-verified) →
+    keep the canonical head (min id) of every cluster.
+
+    Returns the surviving documents with their quality signals and
+    ``n_neardups`` (cluster size − 1; 0 for unique docs). Deterministic
+    end-to-end, so the whole pipeline is oracle-checkable (the DuckDB
+    replay uses exact all-pairs Jaccard + a recursive-CTE component
+    search — quadratic, oracle-only; THIS path is the scale path)."""
+    kept = quality_filter(
+        df,
+        text_col,
+        min_tokens,
+        max_tokens,
+        min_alpha_ratio,
+        min_stopword_ratio,
+    )
+    pairs = minhash_lsh_pairs(
+        kept, text_col, id_col, threshold=neardup_threshold
+    )
+    clusters = neardup_clusters(pairs)  # (member_id, cluster_id)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("_cluster_n")
+    )
+    heads = (
+        clusters.filter(F.col("member_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(
+            F.col("member_id").alias(id_col),
+            (F.col("_cluster_n") - 1).alias("n_neardups"),
+        )
+    )
+    members = clusters.filter(
+        F.col("member_id") != F.col("cluster_id")
+    ).select(F.col("member_id").alias(id_col))
+    return (
+        kept.join(members, id_col, "left_anti")
+        .join(heads, id_col, "left")
+        .fillna(0, ["n_neardups"])
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_pack_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    token_count: Column | None = None,
+) -> DataFrame:
+    """Deterministic sharded sequence packing: concatenate documents (in
+    id order within each shard) into packs of ~``max_pack_tokens``
+    whitespace tokens — a document belongs to the pack its STARTING
+    token offset falls in, the chunked-concat scheme streaming loaders
+    use. Shard = ``id mod n_shards`` so the assignment is reproducible
+    across engines and runs.
+
+    Returns one row per document: (shard, pack_id, doc, n_tokens,
+    token_offset). Aggregate per (shard, pack_id) for pack manifests.
+    Per-shard window cumsum — shuffles once on shard, no global sort."""
+    n_tok = (
+        token_count if token_count is not None else F.size(tokens(text_col))
+    ).cast("long")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(
+        F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(w)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("token_offset"),
+        F.floor((cum - F.col("n_tokens")) / max_pack_tokens)
+        .cast("long")
+        .alias("pack_id"),
+    )

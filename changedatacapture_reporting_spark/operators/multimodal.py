@@ -86,16 +86,21 @@ def _decode_fake(payload: bytes) -> list[float]:
 
 
 def extract_features(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    decoder: str = "auto",
 ) -> DataFrame:
     """Partition-local feature extraction over Arrow batches.
 
     ``mapInPandas`` = one Python worker round-trip per Arrow batch, not per
-    row; no shuffle — output co-partitioned with input. Falls back to the
-    deterministic fake decoder when media libs are absent (import-try per
-    the environment contract).
+    row; no shuffle — output co-partitioned with input. ``decoder="auto"``
+    capability-probes for PIL and falls back to the deterministic fake
+    decoder when media libs are absent (import-try per the environment
+    contract); ``decoder="fake"`` pins the byte-histogram stand-in — used
+    by contracts that must stay bit-stable across environments.
     """
-    decode = _make_decoder()
+    decode = _decode_fake if decoder == "fake" else _make_decoder()
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -241,3 +241,61 @@ def test_decoder_capability_probe(monkeypatch):
     assert decode is not mm._decode_fake
     payload = b"definitely not an image"
     assert decode(payload) == mm._decode_fake(payload)
+
+
+# ---------------------------------------------------------------------------
+# corpus pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_corpus_filters_and_dedups(spark):
+    from changedatacapture_reporting_spark.operators.corpus import prepare_corpus
+
+    base = "the cat sat on the mat and it is a fine day for everyone involved "
+    rows = [
+        # near-dup trio: only the smallest id survives as head
+        (1, "en", base * 3),
+        (2, "en", base * 3 + "tail"),
+        (3, "en", base * 3 + "other tail"),
+        # unique passing doc
+        (4, "en", "this is a perfectly normal document about the weather "
+                  "and it keeps going on for quite a while to pass the bar "
+                  "of twenty tokens in total size"),
+        # fails: too short
+        (5, "en", "too short"),
+        # fails: no stopwords (English)
+        (6, "en", " ".join(f"word{i}" for i in range(30))),
+        # passes: non-English exempt from the stopword gate
+        (7, "de", " ".join(f"wort{i} und" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = (
+        prepare_corpus(df, min_alpha_ratio=0.6)
+        .select("doc_id", "n_neardups")
+        .collect()
+    )
+    got = {r.doc_id: r.n_neardups for r in out}
+    assert set(got) == {1, 4, 7}
+    assert got[1] == 2  # head of the trio
+    assert got[4] == 0 and got[7] == 0
+
+
+def test_pack_sequences_offsets_and_ids(spark):
+    from changedatacapture_reporting_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (10 + i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, max_pack_tokens=30, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.doc_id)
+        # offsets are the running token count in id order, packs chunk it
+        offset = 0
+        for r in docs:
+            assert r.doc_id % 4 == shard
+            assert r.token_offset == offset
+            assert r.pack_id == offset // 30
+            offset += r.n_tokens

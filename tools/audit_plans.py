@@ -30,6 +30,12 @@ ALLOW = {
     "dedup_ngram_jaccard": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     "dedup_embedding_neardup": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     "ann_topk_bruteforce": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # accuracy contracts that compare the scale path against an embedded
+    # exact reference (all-pairs jaccard / brute-force top-k) — the
+    # quadratic node is the reference side, not the production path
+    "dedup_simhash": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "ann_topk_lsh": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "ann_topk_ivf": {"CartesianProduct", "BroadcastNestedLoopJoin"},
 }
 
 FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]
