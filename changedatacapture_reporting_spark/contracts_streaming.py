@@ -159,9 +159,35 @@ FROM ev
 """
 
 
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming.dedup.streaming_dedup) on
+    (user_id, event_type), executed by the streaming engine. Which row
+    wins per key depends on arrival order, so the contract compares the
+    deterministic part: the emitted key set must be exactly the batch
+    DISTINCT, with one row each."""
+    from changedatacapture_reporting_spark.streaming.dedup import (
+        streaming_dedup,
+    )
+
+    deduped = streaming_dedup(
+        _events_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    out = _drain_to_table(spark, deduped, mode="append")
+    return out.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type, CAST(1 AS BIGINT) AS n_rows
+FROM events
+"""
+
+
 REGISTRY_STREAMING = {
     "streaming_tumbling_5min": (streaming_tumbling_5min, SQL_TUMBLING),
     "streaming_session_windows": (streaming_session_windows, SQL_STREAM_SESSIONS),
     "streaming_sliding_10min": (streaming_sliding_10min, SQL_SLIDING),
     "streaming_current_state": (streaming_current_state, SQL_CURRENT_STATE),
+    "streaming_dedup_keys": (streaming_dedup_keys, SQL_STREAM_DEDUP),
 }

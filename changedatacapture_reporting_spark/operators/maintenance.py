@@ -152,6 +152,7 @@ def compact_sink_files(
         REPLACE_MARKER,
         STAGING_ROOT,
         _publish_replace,
+        sink_write_options,
     )
 
     selected = []
@@ -181,6 +182,7 @@ def compact_sink_files(
             df.repartition(target_files)
             .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
+            .options(**sink_write_options())  # keep pk bloom filters
             .parquet(staged_part)
         )
         # content preservation gate before the commit marker

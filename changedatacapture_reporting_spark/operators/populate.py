@@ -240,7 +240,9 @@ def commit_batch(
     if not rows_changed:
         return 0
 
-    writer = _partition_writer(changelog, pk_cols, salt_buckets)
+    writer = _partition_writer(changelog, pk_cols, salt_buckets).options(
+        **sink_write_options()
+    )
     writer.mode("overwrite").partitionBy("table_name", "commit_month").parquet(
         fs.join(staging, "data")
     )
@@ -259,6 +261,26 @@ def commit_batch(
 
     _publish(spark, staging, sink_path)
     return rows_changed
+
+
+BLOOM_NDV_DEFAULT = 100_000
+
+
+def sink_write_options(bloom_ndv: int | None = BLOOM_NDV_DEFAULT) -> dict:
+    """Parquet options every sink write (populate batches, compaction
+    rewrites) shares. A bloom filter on ``pk_json`` turns row-audit
+    point lookups (`WHERE pk_json = …`) into row-group skips — min/max
+    stats can't prune pk_json because files are commit_time-sorted, so
+    every row group's pk range spans the whole keyspace. ~16 KB per
+    file at the default NDV hint (vs parquet's unhinted 1 MB); lsn and
+    commit_time DON'T get blooms — they're sorted, min/max already
+    prunes them."""
+    if bloom_ndv is None:
+        return {}
+    return {
+        "parquet.bloom.filter.enabled#pk_json": "true",
+        "parquet.bloom.filter.expected.ndv#pk_json": str(bloom_ndv),
+    }
 
 
 def _partition_writer(

@@ -350,3 +350,34 @@ def test_retention_drops_only_old_months(spark, tmp_path):
         "months_dropped": 0,
         "months_kept": 1,
     }
+
+
+def test_sink_writes_pk_bloom_filters(spark, tmp_path):
+    """Sink files carry a pk_json bloom filter (sized by the NDV hint) —
+    observable as a stable size delta vs the identical file written
+    without the option (pyarrow 16 can't read bloom offsets directly)."""
+    from changedatacapture_reporting_spark.operators.populate import (
+        sink_write_options,
+    )
+
+    sink = str(tmp_path / "sink")
+    rows = [_ev(i, "t", i % 60, vid=i) for i in range(1, 300)]
+    populate_changelog(spark, _events(spark, rows), sink, ["id"])
+
+    part = fs.join(sink, "table_name=t/commit_month=2024-01-01")
+    import os
+
+    with_bloom = sum(
+        os.path.getsize(os.path.join(part, f))
+        for f in fs.list_data_files(spark, part)
+    )
+    df = spark.read.parquet(part)
+    plain = str(tmp_path / "plain")
+    df.coalesce(1).write.parquet(plain)
+    without = sum(
+        os.path.getsize(os.path.join(plain, f))
+        for f in fs.list_data_files(spark, plain)
+    )
+    # NDV hint 100k → ~160 KB bloom per file; same rows otherwise
+    assert with_bloom > without + 100_000
+    assert sink_write_options()["parquet.bloom.filter.enabled#pk_json"] == "true"

@@ -347,3 +347,69 @@ def test_current_state_ttl_and_metrics(spark, workdir):
     assert metrics[0]["memory_used_bytes"] is None or (
         metrics[0]["memory_used_bytes"] > 0
     )
+
+
+def test_streaming_dedup_bounded_state(spark, workdir):
+    """Watermark-bounded streaming dedup: duplicates inside the horizon
+    are dropped; each emitted key appears once per horizon; and the
+    emitted key set covers every input key."""
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.streaming.dedup import streaming_dedup
+
+    rows = [
+        # key A: original + duplicate 1 min later (inside horizon) +
+        # duplicate 3 hours later (outside 10-minute horizon)
+        ("A", dt.datetime(2024, 1, 1, 10, 0)),
+        ("A", dt.datetime(2024, 1, 1, 10, 1)),
+        ("A", dt.datetime(2024, 1, 1, 13, 0)),
+        ("B", dt.datetime(2024, 1, 1, 10, 5)),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    df.coalesce(1).write.parquet(f"{workdir}/dd_ev")
+
+    stream = spark.readStream.schema("k string, ts timestamp").parquet(
+        f"{workdir}/dd_ev"
+    )
+    q = (
+        streaming_dedup(stream, ["k"], within_watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    got = spark.sql("SELECT k, ts FROM dd_out").collect()
+    by_key: dict[str, int] = {}
+    for r in got:
+        by_key[r.k] = by_key.get(r.k, 0) + 1
+    assert set(by_key) == {"A", "B"}  # full key coverage
+    assert by_key["B"] == 1
+    # the 10:01 duplicate is always dropped; the 13:00 re-occurrence is
+    # past the horizon so it MAY re-emit (single availableNow batch may
+    # still coalesce it) — never more than one row per horizon
+    assert 1 <= by_key["A"] <= 2
+
+
+def test_streaming_dedup_unbounded_exactly_one_per_key(spark, sf_dir, workdir):
+    """Unbounded streaming dedup emits exactly one row per distinct key,
+    matching batch DISTINCT."""
+    from changedatacapture_reporting_spark.streaming.dedup import streaming_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.parquet(f"{workdir}/ev_all")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{workdir}/ev_all")
+    q = (
+        streaming_dedup(stream, ["user_id", "event_type"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_all")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT user_id, event_type FROM dd_all")
+    assert got.count() == got.distinct().count()
+    assert got.count() == ev.select("user_id", "event_type").distinct().count()
