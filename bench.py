@@ -31,7 +31,7 @@ def main() -> None:
     from changedatacapture_reporting_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = e.queries()
+    qs = e.queries() | _overrides()
     headline = [n for n in qs if n in HEADLINE] or list(qs)[:8]
 
     # warm the JVM + parquet footers with one untimed tiny action
@@ -61,6 +61,24 @@ def main() -> None:
             }
         )
     )
+
+
+def _overrides() -> dict:
+    """Bench-only replacements where a registry entry became an accuracy
+    CONTRACT (r2: ann_topk_lsh embeds a brute-force comparison leg) —
+    the bench keeps timing the PRODUCTION path so per-query numbers stay
+    comparable across rounds."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_reporting_spark.operators.similarity import lsh_topk
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    def ann_lsh_production(spark, sf_dir):
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 10)
+        return lsh_topk(e, q, k=10)
+
+    return {"ann_topk_lsh": ann_lsh_production}
 
 
 HEADLINE = [

@@ -3,7 +3,8 @@ user of the reference would run, in one script:
 
     simulate CDC events → incremental populate (twice: proves exact
     resume) → time-range report + freshness → per-row audit →
-    point-in-time reconstruction → compaction.
+    point-in-time reconstruction → compaction (logical + physical) →
+    training-corpus pipeline over the documents table.
 
 Run:  python examples/end_to_end.py [sf_dir]
 """
@@ -75,6 +76,36 @@ def main() -> None:
         f"live rows: {state.count()}; SCD2 versions: {scd2.count()}; "
         f"changelog {log.count()} rows → compacted {compacted.count()}"
     )
+
+    # 5. physical sink maintenance: merge small files in place (atomic
+    # swap, crash-recovered), then drop months past retention
+    from changedatacapture_reporting_spark.operators import (
+        compact_sink_files,
+        expire_changelog_months,
+    )
+
+    stats = compact_sink_files(spark, sink, SIM_PK, max_files=1)
+    print(
+        f"sink compaction: {stats['files_before']} files → "
+        f"{stats['files_after']} in {stats['partitions_compacted']} partitions"
+    )
+    kept = expire_changelog_months(spark, sink, "1995-01-01")
+    print(f"retention: dropped {kept['months_dropped']} months, kept {kept['months_kept']}")
+
+    # 6. training-corpus pipeline over the documents fixture: quality
+    # gate → near-dup removal → sharded ~512-token sequence packing
+    from changedatacapture_reporting_spark.operators.corpus import (
+        pack_sequences,
+        prepare_corpus,
+    )
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = prepare_corpus(docs)
+    packs = pack_sequences(corpus, max_pack_tokens=512)
+    n_in, n_kept = docs.count(), corpus.count()
+    n_packs = packs.select("shard", "pack_id").distinct().count()
+    print(f"corpus: {n_in} docs → {n_kept} kept → {n_packs} packs")
 
 
 if __name__ == "__main__":
