@@ -608,6 +608,38 @@ WHERE i % 4 = 0
 """
 
 
+def text_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-join sentiment scoring (functions.text.sentiment_scores):
+    broadcast-lexicon join over exploded tokens — the scale pattern for
+    real 10⁴-term lexicons; oracle replays the same join in SQL."""
+    from changedatacapture_reporting_spark.functions.text import (
+        sentiment_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return sentiment_scores(d)
+
+
+SQL_SENTIMENT = r"""
+WITH lex(term, weight) AS (
+  VALUES ('fast', CAST(1.0 AS DOUBLE)), ('good', 1.0), ('great', 2.0),
+         ('efficient', 1.0), ('slow', -1.0), ('bad', -1.0), ('poor', -2.0),
+         ('big', 0.5), ('small', -0.5)
+),
+tok AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       count(l.weight) AS n_hits,
+       round(coalesce(sum(l.weight), 0) / n_tokens, 6) AS sentiment
+FROM tok LEFT JOIN lex l USING (term)
+GROUP BY doc_id, n_tokens
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus pipeline (composition)
 # ---------------------------------------------------------------------------
@@ -725,6 +757,7 @@ REGISTRY_LLM = {
     "text_fingerprints": (text_fingerprints, SQL_FINGERPRINTS),
     "text_langid": (text_langid, SQL_LANGID),
     "text_top_terms_per_lang": (text_top_terms_per_lang, SQL_TOP_TERMS),
+    "text_sentiment_scores": (text_sentiment_scores, SQL_SENTIMENT),
     "embedding_centroids_by_label": (embedding_centroids_by_label, SQL_CENTROIDS),
     "dedup_exact_groups": (dedup_exact_groups, SQL_DEDUP_EXACT),
     "dedup_clusters": (dedup_clusters, SQL_CLUSTERS),

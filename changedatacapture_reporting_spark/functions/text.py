@@ -162,3 +162,55 @@ def simhash64(text: Column | str) -> Column:
             F.when(vote(i) > 0, bit_val).otherwise(F.lit(0).cast("long"))
         )
     return sig
+
+
+# Demo lexicon for the dictionary-join scoring operator; a real
+# deployment swaps in a full sentiment lexicon (VADER/AFINN-sized, 10⁴
+# terms) — the join pattern is what matters, not the word list.
+DEFAULT_SENTIMENT_LEXICON: dict[str, float] = {
+    "fast": 1.0,
+    "good": 1.0,
+    "great": 2.0,
+    "efficient": 1.0,
+    "slow": -1.0,
+    "bad": -1.0,
+    "poor": -2.0,
+    "big": 0.5,
+    "small": -0.5,
+}
+
+
+def sentiment_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lexicon: dict[str, float] | None = None,
+):
+    """Dictionary-join scoring (SURVEY §2.13 "sentiment-ish scoring"):
+    explode lowered tokens → broadcast-join the lexicon → per-document
+    hit count and length-normalized score.
+
+    An ``isin`` expression (the stopword-ratio approach) compiles the
+    word list into the plan — fine for 11 stopwords, not for a 10⁴-term
+    lexicon. The broadcast join is the shape that scales: the lexicon
+    ships once per executor, the token explosion never shuffles (map-side
+    join), and the per-doc aggregation combines map-side before the only
+    shuffle (by id). Returns (id, n_tokens, n_hits, sentiment)."""
+    lex = lexicon if lexicon is not None else DEFAULT_SENTIMENT_LEXICON
+    spark = df.sparkSession
+    lex_df = spark.createDataFrame(
+        list(lex.items()), "term string, weight double"
+    )
+    t = tokens(text_col)
+    exploded = df.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.explode_outer(t).alias("_tok"),
+    ).withColumn("term", F.lower(F.col("_tok")))
+    joined = exploded.join(F.broadcast(lex_df), "term", "left")
+    return joined.groupBy(id_col, "n_tokens").agg(
+        F.count("weight").alias("n_hits"),
+        F.round(
+            F.coalesce(F.sum("weight"), F.lit(0.0)) / F.col("n_tokens"), 6
+        ).alias("sentiment"),
+    )

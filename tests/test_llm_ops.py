@@ -299,3 +299,21 @@ def test_pack_sequences_offsets_and_ids(spark):
             assert r.token_offset == offset
             assert r.pack_id == offset // 30
             offset += r.n_tokens
+
+
+def test_sentiment_scores_dictionary_join(spark):
+    from changedatacapture_reporting_spark.functions.text import sentiment_scores
+
+    rows = [
+        (1, "fast fast good"),        # (1+1+1)/3 = 1.0
+        (2, "slow and bad weather"),  # (-1-1)/4 = -0.5
+        (3, "neutral words only"),    # no hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in sentiment_scores(df).collect()}
+    assert got[1].n_hits == 3 and got[1].sentiment == 1.0
+    assert got[2].n_hits == 2 and got[2].sentiment == -0.5
+    assert got[3].n_hits == 0 and got[3].sentiment == 0.0
+    # plan: lexicon must broadcast, tokens must not shuffle before the join
+    plan = sentiment_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
