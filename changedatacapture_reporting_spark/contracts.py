@@ -231,6 +231,45 @@ def _q_reconstruct_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_state_snapshot_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving snapshot round trip (operators.serving): materialize
+    current state from the first half of the LSN range, then refresh
+    incrementally with the full changelog — only buckets containing
+    changed pks are rewritten (marker-manifest replace commit). The
+    final snapshot must equal the one-shot reconstruction, so it shares
+    the reconstruct oracle; the merge semantics (per-column touched
+    flags, delete, re-insert epochs, crash idempotence) are pytest-
+    covered in tests/test_serving.py."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.operators.serving import (
+        build_state_snapshot,
+        refresh_state_snapshot,
+    )
+
+    events = simulate_cdc_events(spark, sf_dir)
+    log = build_changelog(
+        events,
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    value_cols = ["status", "priority", "total", "note"]
+    mid = int(log.agg(F.expr("percentile(lsn, 0.5)")).head()[0])
+    path = tempfile.mkdtemp(prefix="state_snap_") + "/state"
+    build_state_snapshot(
+        spark,
+        log.filter(F.col("lsn") <= mid),
+        path,
+        SIM_PK,
+        value_cols,
+        n_buckets=16,
+    )
+    refresh_state_snapshot(spark, log, path, SIM_PK, value_cols)
+    return spark.read.parquet(path).select(*SIM_PK, *value_cols)
+
+
 # each key has exactly one simulated event, so final state per key is that
 # event's contribution: inserts record every column; updates only changed
 # columns; deletes drop the row
@@ -529,6 +568,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_incremental_resume": (_q_incremental_resume, _SQL_INCREMENTAL_RESUME),
     "cdc_changelog_daily_activity": (_q_changelog_daily_activity, _SQL_CHANGELOG_DAILY),
     "cdc_reconstruct_state": (_q_reconstruct_state, _SQL_RECONSTRUCT),
+    "cdc_state_snapshot_refresh": (_q_state_snapshot_refresh, _SQL_RECONSTRUCT),
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),

@@ -15,6 +15,10 @@ from changedatacapture_reporting_spark.operators.populate import (
     recover_sink,
 )
 from changedatacapture_reporting_spark.operators.profile import profile_table
+from changedatacapture_reporting_spark.operators.serving import (
+    build_state_snapshot,
+    refresh_state_snapshot,
+)
 from changedatacapture_reporting_spark.operators.range_join import (
     interval_overlap_join,
     point_in_interval_join,
@@ -52,6 +56,8 @@ __all__ = [
     "recover_sink",
     "retain_changelog",
     "profile_table",
+    "build_state_snapshot",
+    "refresh_state_snapshot",
     "point_in_interval_join",
     "interval_overlap_join",
 ]

@@ -317,3 +317,15 @@ def test_sentiment_scores_dictionary_join(spark):
     # plan: lexicon must broadcast, tokens must not shuffle before the join
     plan = sentiment_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_prepare_corpus_output_has_no_neardups(documents):
+    """Invariant of the pipeline: no two surviving documents are near-dups
+    (any jaccard-0.8 pair would have been one cluster → one survivor)."""
+    from changedatacapture_reporting_spark.operators.corpus import prepare_corpus
+
+    corpus = prepare_corpus(documents)
+    leftover = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", None, n=3, threshold=0.8
+    ).count()
+    assert leftover == 0
