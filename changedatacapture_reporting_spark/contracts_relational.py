@@ -1106,6 +1106,164 @@ GROUP BY 1, 2
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    in a shipdate window). Both legs decimal-exact; the ratio computed
+    double-from-decimal identically on both engines."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    amount = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(6,4)"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", amount)).alias("_promo"),
+            F.sum(amount).alias("_total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 6)
+       AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average — revenue of lines
+    whose quantity is below 20% of that part's average quantity, for one
+    brand. Decorrelated as an aggregate + broadcast join (the per-part
+    avg table is |parts|-sized, a dim)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    per_part = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), l.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS _pk, AVG(l_quantity) AS _avg_qty
+      FROM lineitem GROUP BY 1) ON l_partkey = _pk
+WHERE p_brand = 'Brand#9' AND l_quantity < 0.2 * _avg_qty
+"""
+
+
+def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicate across the join
+    (brand × size × quantity windows) — exercises Catalyst disjunction
+    handling and join-predicate pushdown."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    amount = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(6,4)"
+    )
+    brackets = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(brackets)
+        .agg(
+            F.sum(amount).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_single_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's columns): the double
+    EXISTS / NOT EXISTS self-join on lineitem — suppliers having a line
+    in a multi-line order where NO other supplier appears. Expressed as
+    semi + anti self-joins, counted per supplier."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = l.alias("l1")
+    l2 = l.alias("l2")
+    l3 = l.alias("l3")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_linenumber") != F.col("l2.l_linenumber")),
+        "left_semi",
+    )
+    only_supp = multi.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        only_supp.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+    )
+
+
+SQL_Q21 = """
+SELECT s_name, COUNT(*) AS n_lines
+FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_linenumber <> l1.l_linenumber)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
 REGISTRY_RELATIONAL = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
@@ -1140,4 +1298,8 @@ REGISTRY_RELATIONAL = {
     "q18_large_volume_customers": (q18_large_volume_customers, SQL_Q18),
     "q8_market_share": (q8_market_share, SQL_Q8),
     "q9_product_profit": (q9_product_profit, SQL_Q9),
+    "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, SQL_Q17),
+    "q19_disjunctive_brackets": (q19_disjunctive_brackets, SQL_Q19),
+    "q21_single_supplier_orders": (q21_single_supplier_orders, SQL_Q21),
 }
