@@ -1264,6 +1264,120 @@ GROUP BY s_name
 """
 
 
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    3-way fact join filtered on the return flag, grouped by the customer
+    dim, top-20 with a deterministic tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(6,4)"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(amount).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue "view" (per-supplier total in a
+    shipdate window) consumed twice — once aggregated to its max, once
+    filtered to the suppliers achieving it. Decimal-exact so the
+    max-equality join can't be broken by float summation order."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    amount = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(6,4)"
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(amount).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(6,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no URGENT orders (every fixture customer has SOME order, so the
+    literal no-orders form would be vacuous) — scalar-subquery threshold
+    + anti join, grouped by nation. The threshold is collected to a
+    literal (one scalar — the idiomatic decorrelation; a broadcast
+    theta-join of the 1-row aggregate plans as a nested loop that the
+    audit would rightly flag on any bigger build side). Balance sums
+    decimal-cast for order-independence."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).head()[0]
+    )
+    rich = c.filter(F.col("c_acctbal") > F.lit(threshold))
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_custs"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+SQL_Q22 = """
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 REGISTRY_RELATIONAL = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
@@ -1302,4 +1416,7 @@ REGISTRY_RELATIONAL = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, SQL_Q17),
     "q19_disjunctive_brackets": (q19_disjunctive_brackets, SQL_Q19),
     "q21_single_supplier_orders": (q21_single_supplier_orders, SQL_Q21),
+    "q10_returned_item_revenue": (q10_returned_item_revenue, SQL_Q10),
+    "q15_top_supplier": (q15_top_supplier, SQL_Q15),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, SQL_Q22),
 }

@@ -159,3 +159,71 @@ def test_refresh_is_idempotent_after_meta_crash(spark, snapshot):
     assert _state(spark, snapshot) == state1
     assert state1[5] == ("vv", None)  # explicit NULL-set survived re-apply
     assert 6 not in state1
+
+
+# ---------------------------------------------------------------------------
+# property: build(prefix) + refresh(full) == reconstruct(full), any history
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _interpret(draws):
+    """Turn raw hypothesis draws into a VALID CDC history over ids 1-5:
+    insert when absent, update/delete when present."""
+    alive: dict[int, tuple] = {}
+    events = []
+    lsn = 0
+    for action, rid, name_i, qty in draws:
+        rid = rid % 5 + 1
+        lsn += 1
+        ts = _ts(lsn % 60)
+        if rid not in alive:
+            row = (rid, f"n{name_i}", qty)
+            events.append((lsn, 0, ts, "insert", "t", None, row))
+            alive[rid] = row
+        elif action == 0:
+            events.append((lsn, 0, ts, "delete", "t", alive.pop(rid), None))
+        else:
+            old = alive[rid]
+            new = (rid, f"n{name_i}" if action == 1 else old[1],
+                   qty if action == 2 else old[2])
+            events.append((lsn, 0, ts, "update", "t", old, new))
+            alive[rid] = new
+    return events
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    draws=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 50),
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=3,
+        max_size=16,
+    ),
+    split_frac=st.floats(0.1, 0.9),
+)
+def test_split_refresh_equals_full_reconstruct(spark, tmp_path_factory,
+                                               draws, split_frac):
+    events = _interpret(draws)
+    full = _log(spark, events)
+    mid = max(1, int(len(events) * split_frac))
+    path = str(tmp_path_factory.mktemp("prop") / "state")
+
+    build_state_snapshot(
+        spark, full.filter(F.col("lsn") <= mid), path, ["id"], VALUE_COLS,
+        n_buckets=4,
+    )
+    refresh_state_snapshot(spark, full, path, ["id"], VALUE_COLS)
+
+    got = _state(spark, path)
+    expect = {
+        r.id: (r.name, r.qty)
+        for r in reconstruct_state(full, ["id"], VALUE_COLS).collect()
+    }
+    assert got == expect
