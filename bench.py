@@ -35,32 +35,42 @@ def main() -> None:
     headline = [n for n in qs if n in HEADLINE] or list(qs)[:8]
 
     # warm the JVM + parquet footers with one untimed tiny action
-    qs[headline[0]](spark, sf_dir).limit(1).collect()
+    try:
+        qs[headline[0]](spark, sf_dir).limit(1).collect()
+    except Exception as exc:  # noqa: BLE001 — warmup must never kill the bench
+        print(f"# warmup failed: {exc}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # per-query isolation: one broken query must cost only its own number,
+    # never the whole bench (r04 lost ALL perf signal to one loader bug)
     for name in headline:
         runs = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]}s (min of {reps})", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 def _overrides() -> dict:

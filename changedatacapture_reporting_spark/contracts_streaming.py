@@ -37,9 +37,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(path, os.path.join(d, "events.parquet"))
-    raw_schema = spark.read.parquet(path).schema  # ts read as long (nanos)
+    raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(d)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # same dtype-branching ts normalization as the batch loader, so the
+    # stream survives fixture re-encodings (nanos-as-long vs native µs)
+    from changedatacapture_reporting_spark.sources.tables import (
+        normalize_events_ts,
+    )
+
+    return normalize_events_ts(stream)
 
 
 def _drain_to_table(

@@ -26,15 +26,31 @@ TABLE_NAMES = [
 ]
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zone TIMESTAMP regardless of how
+    the fixture parquet encoded it.
+
+    Fixtures have shipped with two encodings:
+      * TIMESTAMP(NANOS), surfaced as BIGINT nanoseconds when
+        ``spark.sql.legacy.parquet.nanosAsLong`` is on — truncate ns→µs
+        exactly as DuckDB's ``CAST(ts AS TIMESTAMP)`` does;
+      * native TIMESTAMP(MICROS) (TimestampType or TimestampNTZType) —
+        just cast, no arithmetic.
+    Branching on the actual dtype keeps every events consumer working
+    across fixture regenerations.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) (read as long via
-        # spark.sql.legacy.parquet.nanosAsLong) — truncate ns→µs exactly as
-        # DuckDB's CAST(ts AS TIMESTAMP) does, so oracles agree
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_events_ts(df)
     return df
 
 
