@@ -388,6 +388,31 @@ def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC parsing parity for the third SURVEY §1.3 input form: serialize
+    the simulated events into Delta-CDF-convention rows (update pre/post
+    image pairs sharing a ``_commit_version``), re-pair them back into the
+    event model (sources.delta_cdf.cdf_rows_to_events — one aggregation,
+    no self-join), build the changelog. Oracle = the same SQL as
+    cdc_changelog_full — the adapter must be a lossless round trip."""
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        SIM_VALUE_COLS,
+    )
+    from changedatacapture_reporting_spark.sources.delta_cdf import (
+        cdf_rows_to_events,
+        events_to_cdf_rows,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    cdf = events_to_cdf_rows(ev)
+    events = cdf_rows_to_events(
+        cdf, SIM_PK, SIM_VALUE_COLS, table_name="orders"
+    )
+    return build_changelog(events, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
 def _q_changelog_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reporting rollup over the changelog: per-day, per-kind activity
     (exercises groupBy over the EAV output)."""
@@ -571,6 +596,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_state_snapshot_refresh": (_q_state_snapshot_refresh, _SQL_RECONSTRUCT),
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
+    "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
@@ -603,6 +629,7 @@ _CHECK_WINDOW: list[str] = [
     "cdc_state_snapshot_refresh",
     "cdc_mssql_shape_roundtrip",
     "cdc_debezium_roundtrip",
+    "cdc_delta_cdf_roundtrip",  # new this round (third S1 input form)
     "cdc_row_history",
     "cdc_transaction_summary",
     # never driver-checked: relational / TPC-H shapes
@@ -638,7 +665,8 @@ _CHECK_WINDOW: list[str] = [
     "cdc_changelog_full",
     "cdc_incremental_resume",
     "cdc_reconstruct_state",
-    "cdc_scd2_history",
+    # (cdc_scd2_history rotated out — r03+r04 driver-green; CDC family
+    # keeps three reps and the slot funds cdc_delta_cdf_roundtrip)
     "q1_pricing_summary",
     "range_join_order_windows",
     "deterministic_sample",

@@ -15,6 +15,12 @@ Plan shape (scale notes):
 - per (pk, column), the last change wins — ``max_by`` over the event
   ordering (commit_time, lsn, seq), an ordinary aggregate with map-side
   partial application, NOT a window + filter (no sort of full history);
+- delete → re-insert starts a new EPOCH: a column value only counts if it
+  was written strictly after the key's last delete marker (carried as an
+  ord struct through the same aggregates — still zero joins). Without
+  this, a pre-delete value leaks into the re-inserted row, which the
+  serving-snapshot refresh correctly refuses to do — the two paths must
+  agree (caught by test_serving.py::test_split_refresh_equals_full_reconstruct);
 - the EAV→wide pivot is a conditional-aggregate projection over the fixed
   column list — no Spark ``pivot()`` metadata scan needed when the schema
   is known.
@@ -65,19 +71,47 @@ def reconstruct_state(
     per_key = log.groupBy(*pk_cols, "column_name").agg(
         F.max_by("new_value", ord_key).alias("last_value"),
         F.max_by(liveness_case, ord_key).alias("liveness"),
+        F.max(ord_key).alias("last_ord"),
+        # ord of the key's last delete marker (NULL-column group only) —
+        # the epoch boundary: values written at or before it belong to a
+        # previous incarnation of the row and must not leak into the
+        # current one (delete → re-insert resets every column)
+        F.max(
+            F.when(F.col("old_value") == DELETED_RECORD, ord_key)
+        ).alias("last_delete_ord"),
     )
 
     # rows with updates but no marker in range are treated as live
     # (the latest marker decides otherwise: insert → live, delete → gone)
     wide = per_key.groupBy(*pk_cols).agg(
         *[
-            F.max(F.when(F.col("column_name") == c, F.col("last_value"))).alias(c)
+            F.max(
+                F.when(
+                    F.col("column_name") == c,
+                    F.struct(
+                        F.col("last_ord").alias("o"),
+                        F.col("last_value").alias("v"),
+                    ),
+                )
+            ).alias(f"_s_{c}")
             for c in value_cols
         ],
         F.max(F.when(F.col("column_name").isNull(), F.col("liveness"))).alias(
             "__liveness"
         ),
+        F.max(
+            F.when(F.col("column_name").isNull(), F.col("last_delete_ord"))
+        ).alias("__del_ord"),
+    )
+    current_epoch = lambda c: F.col("__del_ord").isNull() | (  # noqa: E731
+        F.col(f"_s_{c}")["o"] > F.col("__del_ord")
     )
     return wide.filter(
         F.col("__liveness").isNull() | (F.col("__liveness") == "live")
-    ).select(*pk_cols, *[F.col(c) for c in value_cols])
+    ).select(
+        *pk_cols,
+        *[
+            F.when(current_epoch(c), F.col(f"_s_{c}")["v"]).alias(c)
+            for c in value_cols
+        ],
+    )

@@ -70,22 +70,56 @@ def _delta_state(
     per_key = changelog.groupBy(*pk_cols, "column_name").agg(
         F.max_by("new_value", ord_key).alias("_v"),
         F.max_by(liveness, ord_key).alias("_live"),
+        F.max(ord_key).alias("_ord"),
+        F.max(
+            F.when(F.col("old_value") == DELETED_RECORD, ord_key)
+        ).alias("_del_ord"),
         F.max("lsn").alias("_lsn"),
     )
-    return per_key.groupBy(*pk_cols).agg(
+    wide = per_key.groupBy(*pk_cols).agg(
         *[
             F.max(
                 F.when(
                     F.col("column_name") == c,
-                    F.struct(F.lit(True).alias("t"), F.col("_v").alias("v")),
+                    F.struct(
+                        F.lit(True).alias("t"),
+                        F.col("_v").alias("v"),
+                        F.col("_ord").alias("o"),
+                    ),
                 )
-            ).alias(f"_s_{c}")
+            ).alias(f"_sr_{c}")
             for c in value_cols
         ],
         F.max(F.when(F.col("column_name").isNull(), F.col("_live"))).alias(
             "__marker"
         ),
+        F.max(
+            F.when(F.col("column_name").isNull(), F.col("_del_ord"))
+        ).alias("__del_ord"),
         F.max("_lsn").alias("__lsn"),
+    )
+    # epoch filter WITHIN the slice (same rule as reconstruct_state): a
+    # column write at or before the slice's last delete marker belongs to
+    # a dead incarnation — drop it so "touched" means touched in the
+    # current epoch. Keeps the _s_<c> struct(t, v) consumer contract.
+    return wide.select(
+        *pk_cols,
+        *[
+            F.when(
+                F.col(f"_sr_{c}").isNotNull()
+                & (
+                    F.col("__del_ord").isNull()
+                    | (F.col(f"_sr_{c}")["o"] > F.col("__del_ord"))
+                ),
+                F.struct(
+                    F.col(f"_sr_{c}")["t"].alias("t"),
+                    F.col(f"_sr_{c}")["v"].alias("v"),
+                ),
+            ).alias(f"_s_{c}")
+            for c in value_cols
+        ],
+        "__marker",
+        "__lsn",
     )
 
 

@@ -130,3 +130,56 @@ def test_debezium_parse_and_op_mapping(spark):
     assert got[11].op == "update" and got[11].before.name == "a"
     assert got[1].op == "insert"  # snapshot 'r'
     assert got[10].commit_ts == dt.datetime(2024, 1, 1, 0, 0)
+
+
+def test_delta_cdf_pairing_and_roundtrip(spark):
+    """CDF convention rows (update pre/post pairs sharing a commit
+    version) re-pair into engine events via ONE aggregation — and the
+    events→CDF→events round trip is lossless."""
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.sources.delta_cdf import (
+        cdf_rows_to_events,
+        events_to_cdf_rows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # insert of pk 1 at version 5
+        (1, "a", 10, "insert", 5, t0),
+        # update of pk 2 at version 6: preimage + postimage
+        (2, "b", 20, "update_preimage", 6, t0),
+        (2, "b2", 21, "update_postimage", 6, t0),
+        # delete of pk 3 at version 7
+        (3, "c", 30, "delete", 7, t0),
+        # same pk updated again in a later version — distinct event
+        (2, "b2", 21, "update_preimage", 8, t0),
+        (2, "b3", 22, "update_postimage", 8, t0),
+    ]
+    cdf = spark.createDataFrame(
+        rows,
+        "id int, name string, qty int, _change_type string,"
+        " _commit_version long, _commit_timestamp timestamp",
+    )
+    events = cdf_rows_to_events(cdf, ["id"], ["id", "name", "qty"], "t")
+    got = {(r.lsn, r.before.id if r.before else None,
+            r.after.id if r.after else None): r for r in events.collect()}
+    assert len(got) == 4
+    ins = next(r for r in got.values() if r.op == "insert")
+    assert ins.before is None and ins.after.name == "a" and ins.lsn == 5
+    dele = next(r for r in got.values() if r.op == "delete")
+    assert dele.after is None and dele.before.qty == 30
+    upd6 = next(r for r in got.values() if r.op == "update" and r.lsn == 6)
+    assert (upd6.before.name, upd6.after.name) == ("b", "b2")
+    upd8 = next(r for r in got.values() if r.op == "update" and r.lsn == 8)
+    assert (upd8.before.qty, upd8.after.qty) == (21, 22)
+
+    # pairing must be join-free: one shuffle (HashAggregate), no SortMergeJoin
+    plan = events._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+    # lossless inverse
+    back = cdf_rows_to_events(
+        events_to_cdf_rows(events), ["id"], ["id", "name", "qty"], "t"
+    )
+    assert sorted(map(str, back.collect())) == sorted(map(str, events.collect()))

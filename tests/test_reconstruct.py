@@ -157,3 +157,37 @@ def test_golden_replay_scenario(spark, tmp_path):
     # insert images are NOT recorded by default → a never-updated column
     # (3.name stayed 'c') is unknowable from the changelog alone
     assert state == {1: ("a4", "11"), 3: (None, "33")}
+
+
+def test_reinsert_epoch_does_not_leak_predelete_values(spark):
+    """r5 regression (found by test_split_refresh_equals_full_reconstruct):
+    update → delete → re-insert must NOT resurrect the pre-delete column
+    value. The re-inserted row knows only columns written after the
+    re-insert (insert markers carry no values by default)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, base, "insert", "t", None, (1, "a", 10)),
+        (2, 0, base + dt.timedelta(minutes=1), "update", "t",
+         (1, "a", 10), (1, "a", 0)),          # qty ← 0 (pre-delete epoch)
+        (3, 0, base + dt.timedelta(minutes=2), "delete", "t",
+         (1, "a", 0), None),
+        (4, 0, base + dt.timedelta(minutes=3), "insert", "t", None,
+         (1, "z", 5)),                         # re-insert (marker only)
+    ]
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    log = build_changelog(events, ["id"], carry_cols=["lsn", "seq"])
+    state = {
+        r.id: (r.name, r.qty)
+        for r in reconstruct_state(log, ["id"], ["name", "qty"]).collect()
+    }
+    assert state == {1: (None, None)}  # not (None, "0")
+
+    # with insert images recorded, the new epoch's own values win instead
+    log2 = build_changelog(
+        events, ["id"], carry_cols=["lsn", "seq"], record_insert_images=True
+    )
+    state2 = {
+        r.id: (r.name, r.qty)
+        for r in reconstruct_state(log2, ["id"], ["name", "qty"]).collect()
+    }
+    assert state2 == {1: ("z", "5")}
