@@ -51,7 +51,9 @@ def write_partials(
     """Write one batch's partial aggregates (O(batch) work, tiny output)
     to ``out_dir``. ``populate.commit_batch`` stages partials here before
     its commit point so rollup and changelog advance atomically together."""
-    _partials(batch_changelog).coalesce(1).write.mode(mode).parquet(out_dir)
+    # repartition(1), not coalesce(1): the partials are tiny, and coalesce
+    # pays a fixed per-merged-parent-partition cost on local[N]
+    _partials(batch_changelog).repartition(1).write.mode(mode).parquet(out_dir)
 
 
 def update_rollup(batch_changelog: DataFrame, sink_path: str) -> None:

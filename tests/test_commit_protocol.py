@@ -91,7 +91,7 @@ def test_crash_after_commit_is_published_by_recovery(spark, tmp_path):
     spark.createDataFrame(
         [("t", 2, "run2"), ("u", 3, "run2")],
         "table_name string, lsn long, run_id string",
-    ).coalesce(1).write.mode("append").parquet(fs.join(sink, "_watermarks"))
+    ).repartition(1).write.mode("append").parquet(fs.join(sink, "_watermarks"))
 
     got = recover_sink(spark, sink)
     assert got == {"published": 1, "discarded": 0}
@@ -233,7 +233,7 @@ def test_compaction_crash_before_marker_discards(spark, tmp_path):
     jan = fs.join(sink, "table_name=t/commit_month=2024-01-01")
     staged = fs.join(sink, STAGING_ROOT, "compact-dead", "data",
                      "table_name=t/commit_month=2024-01-01")
-    spark.read.parquet(jan).coalesce(1).write.mode("overwrite").parquet(staged)
+    spark.read.parquet(jan).repartition(1).write.mode("overwrite").parquet(staged)
 
     assert recover_sink(spark, sink) == {"published": 0, "discarded": 1}
     assert fs.list_data_files(spark, sink) == files0
@@ -260,7 +260,7 @@ def test_compaction_crash_after_marker_is_completed(spark, tmp_path):
 
     staging = fs.join(sink, STAGING_ROOT, "compact-crash")
     staged_part = fs.join(staging, "data", jan_rel)
-    spark.read.parquet(jan).coalesce(1).write.mode("overwrite").parquet(staged_part)
+    spark.read.parquet(jan).repartition(1).write.mode("overwrite").parquet(staged_part)
     # the commit marker carries the OLD generation (what the rewrite read)
     fs.write_text(
         spark,
@@ -373,7 +373,7 @@ def test_sink_writes_pk_bloom_filters(spark, tmp_path):
     )
     df = spark.read.parquet(part)
     plain = str(tmp_path / "plain")
-    df.coalesce(1).write.parquet(plain)
+    df.repartition(1).write.parquet(plain)
     without = sum(
         os.path.getsize(os.path.join(plain, f))
         for f in fs.list_data_files(spark, plain)

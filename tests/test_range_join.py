@@ -17,9 +17,14 @@ def frames(spark):
     # deterministic, includes: interval spanning many buckets, zero-length
     # interval, point on both boundaries, point matching nothing,
     # overlapping intervals
+    # repartition(1): createDataFrame spreads even 5 rows over 32
+    # partitions (local[32] default parallelism); the naive crossJoin then
+    # runs 32x32 = 1024 task pairs (~15s of scheduler overhead per action
+    # on 200 logical rows), and coalesce(1) pays a fixed per-merged-parent
+    # cost. A one-partition shuffle of tiny data is sub-second.
     points = spark.createDataFrame(
         [(i, i * 7 % 100) for i in range(40)], "pid long, day long"
-    )
+    ).repartition(1)
     intervals = spark.createDataFrame(
         [
             (1, 0, 10),
@@ -29,7 +34,7 @@ def frames(spark):
             (5, 200, 300),   # matches nothing
         ],
         "iid long, start_day long, end_day long",
-    )
+    ).repartition(1)
     return points, intervals
 
 
@@ -37,6 +42,15 @@ def _naive(points, intervals):
     return points.crossJoin(intervals).filter(
         F.col("day").between(F.col("start_day"), F.col("end_day"))
     )
+
+
+def _assert_same_multiset(got, expected):
+    """One collect per side (results are tiny) beats exceptAll round
+    trips, which re-execute both plans per direction."""
+    cols = sorted(got.columns)
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    e = sorted(map(tuple, expected.select(*cols).collect()))
+    assert g == e
 
 
 @pytest.mark.parametrize("width", [1, 7, 1000])
@@ -47,9 +61,7 @@ def test_point_in_interval_matches_naive(spark, frames, width):
         points, intervals, "day", "start_day", "end_day", bucket_width=width
     )
     expected = _naive(points, intervals)
-    assert got.count() == expected.count()
-    assert got.exceptAll(expected).isEmpty()
-    assert expected.exceptAll(got).isEmpty()
+    _assert_same_multiset(got, expected)
 
 
 def test_left_join_keeps_unmatched_points(spark, frames):
@@ -83,18 +95,16 @@ def test_interval_overlap_matches_naive(spark):
     left = spark.createDataFrame(
         [(i, i * 13 % 80, i * 13 % 80 + i % 9) for i in range(30)],
         "lid long, ls long, le long",
-    )
+    ).repartition(1)
     right = spark.createDataFrame(
         [(j, j * 11 % 70, j * 11 % 70 + j % 25) for j in range(30)],
         "rid long, rs long, re long",
-    )
+    ).repartition(1)
     got = interval_overlap_join(left, right, "ls", "le", "rs", "re", 10)
     expected = left.crossJoin(right).filter(
         (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
     )
-    assert got.count() == expected.count()
-    assert got.exceptAll(expected).isEmpty()
-    assert expected.exceptAll(got).isEmpty()
+    _assert_same_multiset(got, expected)
 
 
 def test_column_collision_rejected(spark, frames):

@@ -152,7 +152,7 @@ def test_late_events_beyond_watermark_are_dropped(spark, workdir):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string"
     )
-    spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(f"{workdir}/ev")
+    spark.createDataFrame(on_time, schema).repartition(1).write.parquet(f"{workdir}/ev")
 
     def drain():
         stream = spark.readStream.schema(
@@ -176,7 +176,7 @@ def test_late_events_beyond_watermark_are_dropped(spark, workdir):
 
     # a very late event for the already-finalized first window
     late = [(999, base + dt.timedelta(minutes=2), 9, "click", 1.0, "{}")]
-    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(
+    spark.createDataFrame(late, schema).repartition(1).write.mode("append").parquet(
         f"{workdir}/ev"
     )
     drain()
@@ -231,7 +231,7 @@ def test_streaming_current_state_multibatch(spark, workdir):
         ],
     ]
     for b in batches:
-        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(
+        spark.createDataFrame(b, schema).repartition(1).write.mode("append").parquet(
             f"{workdir}/ev"
         )
 
@@ -324,7 +324,7 @@ def test_current_state_ttl_and_metrics(spark, workdir):
         (2, 0, ts, "insert", "t", None, (2, "b")),
         (3, 0, ts, "update", "t", (1, "a"), (1, "a2")),
     ]
-    spark.createDataFrame(events, schema).coalesce(1).write.mode(
+    spark.createDataFrame(events, schema).repartition(1).write.mode(
         "append"
     ).parquet(f"{workdir}/ev_ttl")
 
@@ -366,7 +366,7 @@ def test_streaming_dedup_bounded_state(spark, workdir):
         ("B", dt.datetime(2024, 1, 1, 10, 5)),
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp")
-    df.coalesce(1).write.parquet(f"{workdir}/dd_ev")
+    df.repartition(1).write.parquet(f"{workdir}/dd_ev")
 
     stream = spark.readStream.schema("k string, ts timestamp").parquet(
         f"{workdir}/dd_ev"
