@@ -1378,6 +1378,248 @@ GROUP BY 1
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixture has no partsupp table, so the
+    (part, supplier) supply-cost relation is derived from lineitem as the
+    MIN observed unit price). Correlated-MIN subquery decorrelated to a
+    per-part aggregate + equi-join on the exact min; all dims broadcast;
+    deterministic ORDER BY + LIMIT top-100. The double division is
+    bit-identical in both engines, so the min-equality join is safe."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") % 10 == 5)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supply_cost"
+        )
+    )
+    cost = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+            "supply_cost",
+        )
+    )
+    wmin = cost.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    return (
+        cost.join(
+            wmin,
+            (cost.p_partkey == wmin._pk)
+            & (cost.supply_cost == wmin._min_cost),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+),
+cost AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, supply_cost
+  FROM ps
+  JOIN part ON l_partkey = p_partkey AND p_size % 10 = 5
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM cost
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM cost c2
+                     WHERE c2.p_partkey = cost.p_partkey)
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value share vs a GLOBAL scalar (HAVING
+    value > fraction of total). Value per part from ASIA-region suppliers;
+    decimal-exact sums so the threshold comparison is engine-identical;
+    the one-row total is broadcast, not recomputed per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    val = _dec("l_extendedprice") * _dec("l_quantity")
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    grouped = (
+        l.join(F.broadcast(asia), l.l_suppkey == asia.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(val).alias("_value"))
+    )
+    total = grouped.agg(F.sum("_value").alias("_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_total") * F.lit(0.0001).cast("decimal(5,4)"))
+        .select(
+            "partkey", F.col("_value").cast("double").alias("part_value")
+        )
+    )
+
+
+SQL_Q11 = """
+WITH grouped AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+  GROUP BY 1
+)
+SELECT partkey, CAST(value AS DOUBLE) AS part_value
+FROM grouped
+WHERE value > (SELECT SUM(value) FROM grouped) * CAST(0.0001 AS DECIMAL(5,4))
+"""
+
+
+def q12_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixture lineitem has no shipmode /
+    commit / receipt dates, so the category is the order→ship LATENCY
+    bucket): CASE-bucketed conditional counting of high- vs low-priority
+    orders per class — one scan, one aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    latency = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    cls = (
+        F.when(latency <= 30, F.lit("fast"))
+        .when(latency <= 90, F.lit("medium"))
+        .otherwise(F.lit("slow"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(cls.alias("latency_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+            WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 90 THEN 'medium'
+            ELSE 'slow' END AS latency_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: DISTINCT supplier count per part attribute group,
+    minus a NOT-IN supplier subquery (negative balance here standing in
+    for the complaint filter). NOT IN is a broadcast anti-join — never a
+    per-row subquery."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: availqty derived from shipped volume):
+    suppliers who shipped MORE THAN HALF of some part's total 1996 volume
+    — a nested semi-join chain (shipped → per-part total → qualifying
+    suppliers → supplier/nation dims). The threshold compare doubles the
+    decimal (qty * 2 > total) instead of multiplying by 0.5, keeping the
+    comparison exact in both engines."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty")
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    excess = (
+        shipped.join(tot, shipped.l_partkey == tot._pk)
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_Q20 = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey)
+                    WHERE qty * 2 > total_qty)
+ORDER BY s_name
+"""
+
+
 REGISTRY_RELATIONAL = {
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
@@ -1419,4 +1661,9 @@ REGISTRY_RELATIONAL = {
     "q10_returned_item_revenue": (q10_returned_item_revenue, SQL_Q10),
     "q15_top_supplier": (q15_top_supplier, SQL_Q15),
     "q22_idle_rich_customers": (q22_idle_rich_customers, SQL_Q22),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, SQL_Q2),
+    "q11_important_parts": (q11_important_parts, SQL_Q11),
+    "q12_shipping_latency": (q12_shipping_latency, SQL_Q12),
+    "q16_supplier_count_by_part": (q16_supplier_count_by_part, SQL_Q16),
+    "q20_excess_suppliers": (q20_excess_suppliers, SQL_Q20),
 }

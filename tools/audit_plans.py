@@ -31,6 +31,10 @@ ALLOW = {
     # nested-loop node.
     "dedup_ngram_jaccard": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     "ann_topk_bruteforce": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # Q11's HAVING > fraction-of-global-total: the ONE-ROW total is
+    # broadcast and crossJoined (no equi key exists for a scalar
+    # threshold) — O(n x 1), the correct plan at any scale
+    "q11_important_parts": {"BroadcastNestedLoopJoin"},
     # accuracy contracts that compare the scale path against an embedded
     # exact reference (all-pairs jaccard / brute-force top-k) — the
     # quadratic node is the reference side, not the production path
