@@ -21,6 +21,7 @@ from changedatacapture_reporting_spark.sources.cdc_simulator import (
     ORACLE_EVENTS_CTE,
 )
 from changedatacapture_reporting_spark.streaming.windows import (
+    enriched_segment_counts,
     sliding_counts,
     streaming_sessions,
     tumbling_counts,
@@ -190,7 +191,34 @@ FROM events
 """
 
 
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static star join: events stream enriched with the broadcast
+    customer dim, windowed counts/sums per market segment — executed by
+    the streaming engine; oracle is the equivalent batch join+window
+    SQL."""
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer")
+    agg = enriched_segment_counts(_events_stream(spark, sf_dir), dim)
+    out = _drain_to_table(spark, agg)
+    return out.select("window_start", "segment", "n_events", "sum_value")
+
+
+SQL_STREAM_ENRICHED = f"""
+WITH {ORACLE_EV}
+SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+       c_mktsegment AS segment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM ev JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 REGISTRY_STREAMING = {
+    "streaming_enriched_segments": (
+        streaming_enriched_segments,
+        SQL_STREAM_ENRICHED,
+    ),
     "streaming_tumbling_5min": (streaming_tumbling_5min, SQL_TUMBLING),
     "streaming_session_windows": (streaming_session_windows, SQL_STREAM_SESSIONS),
     "streaming_sliding_10min": (streaming_sliding_10min, SQL_SLIDING),

@@ -84,6 +84,44 @@ def streaming_sessions(
     )
 
 
+def enriched_segment_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str] = ("user_id", "c_custkey"),
+    segment_col: str = "c_mktsegment",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a broadcast
+    dimension, then windowed aggregation per dimension attribute — the
+    canonical streaming star-join. A stream-static inner join is
+    STATELESS in Structured Streaming (the static side is broadcast per
+    micro-batch, no join state accumulates), so total state stays
+    O(active windows × segments) regardless of stream length."""
+    left, right = on
+    enriched = events.join(
+        F.broadcast(dim.select(right, segment_col)),
+        F.col(left) == F.col(right),
+    )
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), segment_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(segment_col).alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stateful_dedup(
     events: DataFrame,
     keys: list[str],

@@ -413,3 +413,55 @@ def test_streaming_dedup_unbounded_exactly_one_per_key(spark, sf_dir, workdir):
     got = spark.sql("SELECT user_id, event_type FROM dd_all")
     assert got.count() == got.distinct().count()
     assert got.count() == ev.select("user_id", "event_type").distinct().count()
+
+
+def test_streaming_enrichment_agrees_with_batch(spark, sf_dir, workdir):
+    """Stream-static broadcast enrichment (streaming star join) == the
+    same join+window computed in batch. The static dim side must keep the
+    streaming query STATELESS beyond the window aggregation."""
+    from changedatacapture_reporting_spark.streaming.windows import (
+        enriched_segment_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer")
+    events_path = f"{workdir}/events_enrich"
+    events.write.parquet(events_path)
+    schema = spark.read.parquet(events_path).schema
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    q = (
+        enriched_segment_counts(stream, dim)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r.window_start, r.segment): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    batch = (
+        events.join(
+            dim.select("c_custkey", "c_mktsegment"),
+            events.user_id == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.window("ts", "5 minutes").alias("w"), "c_mktsegment"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    want = {
+        (r.w.start, r.c_mktsegment): (r.n, r.s) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
