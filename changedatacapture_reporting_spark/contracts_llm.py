@@ -22,6 +22,7 @@ from changedatacapture_reporting_spark.functions.text import (
     word_tokens,
 )
 from changedatacapture_reporting_spark.operators.dedup import (
+    benchmark_overlap,
     embedding_neardup_bucketed,
     neardup_clusters,
     exact_dedup,
@@ -756,6 +757,68 @@ FROM c
 """
 
 
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.benchmark_overlap):
+    corpus docs (doc_id % 7 != 0) sharing ≥3 distinct 3-gram shingles
+    with any 'benchmark' doc (doc_id % 7 == 0). hashed=False here so the
+    join key replays in DuckDB; test_llm_ops asserts the xxhash64-keyed
+    production path selects identical pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    return benchmark_overlap(
+        corpus, bench, "text", "doc_id", n=3, min_shared=3, hashed=False
+    )
+
+
+SQL_DECONTAM = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                     i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+         END AS sh
+  FROM documents
+),
+c AS (SELECT doc_id AS corpus_id, unnest(sh) AS s FROM sh WHERE doc_id % 7 <> 0),
+b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM sh WHERE doc_id % 7 = 0)
+SELECT corpus_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM c JOIN b USING (s)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators.corpus.chunk_documents):
+    16-token chunks with 4-token overlap over every document —
+    expression-only, no shuffle."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=16, overlap=4)
+
+
+SQL_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - 1, 0) + 1, 12)) AS start
+  FROM toks
+)
+SELECT doc_id, CAST(start // 12 AS INTEGER) AS chunk_id,
+       CAST(len(t[start + 1 : start + 16]) AS BIGINT) AS n_tokens,
+       array_to_string(t[start + 1 : start + 16], ' ') AS chunk_text
+FROM ex
+"""
+
+
 REGISTRY_LLM = {
     "text_token_stats": (text_token_stats, SQL_TOKEN_STATS),
     "text_quality_scores": (text_quality_scores, SQL_QUALITY),
@@ -778,4 +841,6 @@ REGISTRY_LLM = {
     "multimodal_frame_sample": (multimodal_frame_sample, SQL_FRAME_SAMPLE),
     "corpus_prepare": (corpus_prepare, SQL_CORPUS_PREPARE),
     "corpus_pack_sequences": (corpus_pack_sequences, SQL_PACK_SEQUENCES),
+    "corpus_decontaminate": (corpus_decontaminate, SQL_DECONTAM),
+    "corpus_chunks": (corpus_chunks, SQL_CHUNKS),
 }

@@ -162,3 +162,43 @@ def pack_sequences(
         .cast("long")
         .alias("pack_id"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the step between a
+    cleaned corpus and sequence packing when documents exceed the model
+    context. Expression-only (split → sequence of starts → posexplode →
+    slice): no Python in the row path, one generator, no shuffle at all —
+    chunking is embarrassingly parallel and stays inside whole-stage
+    codegen.
+
+    Output: (id, chunk_id, n_tokens, chunk_text); chunk_id is 0-based in
+    document order, consecutive chunks share ``overlap`` tokens.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -408,3 +408,45 @@ def embedding_neardup_bucketed(
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Training-set DECONTAMINATION: flag corpus documents sharing at
+    least ``min_shared`` distinct n-gram shingles with any benchmark
+    document — the standard guard against evaluation leakage in a
+    training corpus.
+
+    Plan shape (the 100 TB posture): both sides explode their distinct
+    shingles, equi-join on the shingle, count shared per (corpus doc,
+    benchmark doc). Shuffle is ∝ total shingle occurrences; the benchmark
+    side is typically tiny (eval suites are KBs, corpora are TBs), so
+    Catalyst broadcasts it and the corpus side never shuffles at all.
+    ``hashed=True`` joins on xxhash64(shingle) — 8-byte keys instead of
+    strings (cheaper exchange); ``hashed=False`` keeps the raw string key
+    (engine-portable, used by the DuckDB-oracled contract; the pytest
+    asserts both keys select identical pairs).
+
+    Output: (corpus_id, bench_id, n_shared) for every contaminated pair.
+    """
+    def side(df: DataFrame, out: str) -> DataFrame:
+        sh = F.explode(shingles(F.col(text_col), n)).alias("_sh_raw")
+        e = df.select(F.col(id_col).alias(out), sh)
+        key = F.xxhash64("_sh_raw") if hashed else F.col("_sh_raw")
+        return e.select(out, key.alias("_sh"))
+
+    c = side(corpus, "corpus_id")
+    b = side(benchmark, "bench_id")
+    return (
+        c.join(b, "_sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

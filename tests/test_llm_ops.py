@@ -329,3 +329,55 @@ def test_prepare_corpus_output_has_no_neardups(documents):
         corpus, "text", "doc_id", None, n=3, threshold=0.8
     ).count()
     assert leftover == 0
+
+
+def test_benchmark_overlap_hashed_equals_string_key(spark, sf_dir):
+    """Production path (xxhash64 shingle key) selects exactly the pairs
+    the engine-portable string-key path selects."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        benchmark_overlap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0)
+    args = (corpus, bench, "text", "doc_id")
+    got_h = {
+        tuple(r)
+        for r in benchmark_overlap(*args, min_shared=3, hashed=True).collect()
+    }
+    got_s = {
+        tuple(r)
+        for r in benchmark_overlap(*args, min_shared=3, hashed=False).collect()
+    }
+    assert got_h == got_s and len(got_h) > 0
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark, sf_dir):
+    """Chunks cover the document in order: dropping each chunk's leading
+    `overlap` tokens (after the first) and concatenating reproduces the
+    original token stream; consecutive chunks share exactly the overlap."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    chunks = chunk_documents(d, "text", "doc_id", chunk_tokens=16, overlap=4)
+    rows = chunks.orderBy("doc_id", "chunk_id").collect()
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, ch in by_doc.items():
+        orig = texts[doc_id].strip().split()
+        rebuilt = ch[0].chunk_text.split()
+        for prev, cur in zip(ch, ch[1:]):
+            ptoks, ctoks = prev.chunk_text.split(), cur.chunk_text.split()
+            assert ptoks[-4:] == ctoks[: len(ptoks[-4:])] or len(ctoks) < 4
+            rebuilt.extend(ctoks[4:])
+        assert rebuilt == orig, doc_id
+        assert all(c.n_tokens <= 16 for c in ch)
