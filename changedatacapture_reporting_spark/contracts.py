@@ -661,19 +661,22 @@ _CHECK_WINDOW: list[str] = [
     "streaming_dedup_keys",
     # changed this round — bucketed candidate path replaces all-pairs
     "dedup_embedding_neardup",
-    # green representatives, one per family (r03/r04 driver-green)
+    # new in r5 — need their first driver-green round
+    "q2_min_cost_supplier",
+    "corpus_decontaminate",
+    "corpus_chunks",
+    "streaming_enriched_segments",
+    # green representatives, one per family (r03/r04 driver-green;
+    # rotated out for the r5 entries above, each with two green rounds:
+    # cdc_scd2_history, q1_pricing_summary, dedup_minhash_lsh,
+    # ann_topk_ivf, corpus_prepare — their families keep in-window
+    # coverage via siblings)
     "cdc_changelog_full",
     "cdc_incremental_resume",
     "cdc_reconstruct_state",
-    # (cdc_scd2_history rotated out — r03+r04 driver-green; CDC family
-    # keeps three reps and the slot funds cdc_delta_cdf_roundtrip)
-    "q1_pricing_summary",
     "range_join_order_windows",
     "deterministic_sample",
-    "dedup_minhash_lsh",
     "ann_topk_lsh",
-    "ann_topk_ivf",
-    "corpus_prepare",
     "streaming_current_state",
 ]
 
