@@ -757,6 +757,93 @@ FROM c
 """
 
 
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions.text.redact_pii): every document is
+    decorated with deterministic synthetic PII (an email, a phone, an
+    IPv4 — derived from doc_id so both engines build the identical
+    string), then redacted. The contract hash-checks the per-type match
+    counts and the MD5 of the redacted text — proving byte-identical
+    redaction without shipping the text."""
+    from changedatacapture_reporting_spark.functions.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), k, F.lit("@example.com or +1 555 010 "),
+        k, F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    counts = [
+        F.size(F.regexp_extract_all(decorated, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name.strip('<>').lower()}")
+        for pat, name in PII_PATTERNS
+    ]
+    return d.select(
+        "doc_id", *counts, F.md5(redact_pii(decorated)).alias("redacted_fp")
+    )
+
+
+SQL_PII = r"""
+WITH dec AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555 010 ' || CAST(doc_id AS VARCHAR)
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+FROM dec
+"""
+
+
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal
+    (functions.text.repetition_scores): duplicate-3-gram fraction per
+    document, expression-only."""
+    from changedatacapture_reporting_spark.functions.text import (
+        repetition_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    r = repetition_scores("text")
+    return d.select(
+        "doc_id",
+        r["n_3grams"].alias("n_3grams"),
+        r["dup_3gram_frac"].alias("dup_3gram_frac"),
+    )
+
+
+SQL_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) AS total,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN 0
+              ELSE len(list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                     i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' '))))
+         END AS n_distinct
+  FROM documents
+)
+SELECT doc_id, CAST(total AS BIGINT) AS n_3grams,
+       CASE WHEN total > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE)
+            ELSE 0.0 END AS dup_3gram_frac
+FROM t
+"""
+
+
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators.dedup.benchmark_overlap):
     corpus docs (doc_id % 7 != 0) sharing ≥3 distinct 3-gram shingles
@@ -843,4 +930,6 @@ REGISTRY_LLM = {
     "corpus_pack_sequences": (corpus_pack_sequences, SQL_PACK_SEQUENCES),
     "corpus_decontaminate": (corpus_decontaminate, SQL_DECONTAM),
     "corpus_chunks": (corpus_chunks, SQL_CHUNKS),
+    "text_pii_redaction": (text_pii_redaction, SQL_PII),
+    "text_repetition_scores": (text_repetition_scores, SQL_REPETITION),
 }

@@ -191,6 +191,41 @@ FROM events
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming.joins): purchases joined to
+    same-user signups within the 2-hour attribution window BEFORE the
+    purchase — both sides live watermarked streams; state is bounded by
+    watermark + interval, and the inner join's emitted matches must equal
+    the batch join exactly."""
+    from changedatacapture_reporting_spark.streaming.joins import (
+        interval_join_purchases_signups,
+    )
+
+    p = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    s = _events_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
+    out = _drain_to_table(
+        spark, interval_join_purchases_signups(p, s), mode="append"
+    )
+    return out.select(
+        "purchase_event_id", "user_id", "purchase_ts",
+        "signup_event_id", "signup_ts",
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN = f"""
+WITH {ORACLE_EV}
+SELECT p.event_id AS purchase_event_id, p.user_id, p.ts AS purchase_ts,
+       s.event_id AS signup_event_id, s.ts AS signup_ts
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND s.ts <= p.ts
+ AND s.ts >= p.ts - INTERVAL 2 HOUR
+"""
+
+
 def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static star join: events stream enriched with the broadcast
     customer dim, windowed counts/sums per market segment — executed by
@@ -218,6 +253,10 @@ REGISTRY_STREAMING = {
     "streaming_enriched_segments": (
         streaming_enriched_segments,
         SQL_STREAM_ENRICHED,
+    ),
+    "streaming_interval_join": (
+        streaming_interval_join,
+        SQL_STREAM_INTERVAL_JOIN,
     ),
     "streaming_tumbling_5min": (streaming_tumbling_5min, SQL_TUMBLING),
     "streaming_session_windows": (streaming_session_windows, SQL_STREAM_SESSIONS),

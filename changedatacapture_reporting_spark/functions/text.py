@@ -214,3 +214,45 @@ def sentiment_scores(
             F.coalesce(F.sum("weight"), F.lit(0.0)) / F.col("n_tokens"), 6
         ).alias("sentiment"),
     )
+
+
+PII_PATTERNS = [
+    # order matters: emails before phones (an email's digits must not be
+    # half-eaten by the phone pattern)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """PII redaction for training corpora: emails, phone numbers, IPv4
+    addresses → typed placeholder tokens. Chained ``regexp_replace`` —
+    pure JVM expressions, whole-stage-codegen-resident, no Python. The
+    patterns use only RE2-portable syntax so the DuckDB oracle replays
+    them verbatim."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_scores(text: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals (expression-only):
+
+    - ``dup_3gram_frac`` — fraction of 3-gram occurrences that are
+      repeats of an earlier occurrence (1 − distinct/total); boilerplate
+      and degenerate generations score high;
+    - ``n_3grams`` — total 3-gram occurrences (the denominator, exposed
+      for thresholding at corpus scale).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    total = F.greatest(F.size(t) - 2, F.lit(0))
+    distinct = F.size(shingles(c, 3))
+    return {
+        "n_3grams": total.cast("long"),
+        "dup_3gram_frac": F.when(total > 0,
+            F.lit(1.0) - distinct.cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0)),
+    }

@@ -465,3 +465,40 @@ def test_streaming_enrichment_agrees_with_batch(spark, sf_dir, workdir):
         (r.w.start, r.c_mktsegment): (r.n, r.s) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_agrees_with_batch(spark, sf_dir, workdir):
+    """Stream-stream interval join (watermark-bounded state on both
+    sides) emits exactly the batch join's matched pairs."""
+    from changedatacapture_reporting_spark.streaming.joins import (
+        interval_join_purchases_signups,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    events_path = f"{workdir}/events_ssj"
+    events.write.parquet(events_path)
+    schema = spark.read.parquet(events_path).schema
+
+    def side(tp):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_path)
+            .filter(F.col("event_type") == tp)
+        )
+
+    q = (
+        interval_join_purchases_signups(side("purchase"), side("signup"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+
+    p = events.filter(F.col("event_type") == "purchase")
+    s = events.filter(F.col("event_type") == "signup")
+    batch = interval_join_purchases_signups(p, s)
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
