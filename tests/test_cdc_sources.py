@@ -183,3 +183,22 @@ def test_delta_cdf_pairing_and_roundtrip(spark):
         events_to_cdf_rows(events), ["id"], ["id", "name", "qty"], "t"
     )
     assert sorted(map(str, back.collect())) == sorted(map(str, events.collect()))
+
+
+def test_orc_event_roundtrip(spark, cdc_fixture, tmp_path):
+    """ORC reader/writer round-trips the event frame (nested structs
+    carried natively) and the changelog built from it matches."""
+    from changedatacapture_reporting_spark.operators.changelog import build_changelog
+    from changedatacapture_reporting_spark.sources.files import (
+        read_cdc_orc,
+        write_cdc_orc,
+    )
+
+    src = cdc_fixture.schema["after"].dataType
+    expected = build_changelog(cdc_fixture, ["id", "tenant_id"], with_audit_cols=False)
+
+    write_cdc_orc(cdc_fixture, str(tmp_path / "orc"))
+    from_orc = read_cdc_orc(spark, str(tmp_path / "orc"), src)
+    got = build_changelog(from_orc, ["id", "tenant_id"], with_audit_cols=False)
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
