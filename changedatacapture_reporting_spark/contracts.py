@@ -666,18 +666,19 @@ _CHECK_WINDOW: list[str] = [
     "corpus_decontaminate",
     "corpus_chunks",
     "streaming_enriched_segments",
-    # green representatives, one per family (r03/r04 driver-green;
-    # rotated out for the r5 entries above, each with two green rounds:
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "streaming_interval_join",
+    # green representatives (r03/r04 driver-green; rotated out for the
+    # r5 entries above, each with two green rounds already:
     # cdc_scd2_history, q1_pricing_summary, dedup_minhash_lsh,
-    # ann_topk_ivf, corpus_prepare — their families keep in-window
-    # coverage via siblings)
+    # ann_topk_ivf, corpus_prepare, deterministic_sample, ann_topk_lsh,
+    # streaming_current_state — all locally re-verified via
+    # tools/check_contract.py each round)
     "cdc_changelog_full",
     "cdc_incremental_resume",
-    "cdc_reconstruct_state",
+    "cdc_reconstruct_state",  # epoch-semantics change this round
     "range_join_order_windows",
-    "deterministic_sample",
-    "ann_topk_lsh",
-    "streaming_current_state",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(
