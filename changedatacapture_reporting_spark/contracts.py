@@ -607,15 +607,19 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
-# entries. r05 rotation: every entry that was in-window through r03/r04
-# now has at least one driver-green round, so the window rotates to the
-# 31 entries that had NEVER been driver-checked, plus the 6 that erred in
-# r04 (events ts loader, fixed this round — they need a green round on the
-# new fixture encoding), plus 13 green representatives spanning every
-# operator family (dedup_embedding_neardup stays in because its registered
-# path changed to the LSH-bucketed candidate generator this round).
-# Rotated-out entries all have r03+r04 driver-green history and remain
-# covered locally by tools/check_contract.py (81/81).
+# entries. r06 rotation (per VERDICT_r05 "Next round" item 1): the ONLY
+# four registry entries with zero driver history — q11_important_parts,
+# q12_shipping_latency, q16_supplier_count_by_part, q20_excess_suppliers
+# (landed late in r5, locally 4/4 green via tools/check_contract.py) —
+# rotate IN, replacing q4_late_orders, q5_region_revenue,
+# topk_orders_per_customer, cube_lineitem_counts, which each carry two
+# driver-green rounds (r03 + r05). Everything else in the r05 window
+# stays put: the r05 window went 50/50 green, and keeping it stable for a
+# second round gives every r5 addition (delta-cdf, chunks, pii, interval
+# join, …) a two-green-round history. Behavior-changed entries this round
+# (cdc_delta_cdf_roundtrip — delete+insert commit fix; corpus_chunks —
+# tail-chunk fix; text_pii_redaction — tightened phone pattern) are
+# already in-window and re-prove on the new semantics.
 _CHECK_WINDOW: list[str] = [
     # erred in r04 (events ts encoding) — fixed, must re-prove
     "json_props_stats",
@@ -633,8 +637,8 @@ _CHECK_WINDOW: list[str] = [
     "cdc_row_history",
     "cdc_transaction_summary",
     # never driver-checked: relational / TPC-H shapes
-    "q4_late_orders",
-    "q5_region_revenue",
+    "q11_important_parts",
+    "q12_shipping_latency",
     "q6_revenue_forecast",
     "q7_nation_volume",
     "q8_market_share",
@@ -647,12 +651,12 @@ _CHECK_WINDOW: list[str] = [
     "q19_disjunctive_brackets",
     "q21_single_supplier_orders",
     "q22_idle_rich_customers",
-    "topk_orders_per_customer",
+    "q16_supplier_count_by_part",
     "order_gaps",
     "part_price_ranks",
     "customers_without_orders",
     "order_priority_stats",
-    "cube_lineitem_counts",
+    "q20_excess_suppliers",
     "events_tumbling_5min",
     "like_filter_parts",
     "percentile_spend",

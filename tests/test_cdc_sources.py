@@ -202,3 +202,73 @@ def test_orc_event_roundtrip(spark, cdc_fixture, tmp_path):
     got = build_changelog(from_orc, ["id", "tenant_id"], with_audit_cols=False)
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
+
+
+def test_delta_cdf_same_commit_delete_insert(spark):
+    """A Delta MERGE may delete and re-insert one key in ONE commit; the
+    pairing must emit BOTH events in order (delete seq 0, insert seq 1)
+    so reconstruct_state's delete→re-insert epoch reset fires — not
+    collapse them into a lone insert. The pair also survives the
+    events→CDF→events round trip."""
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.sources.delta_cdf import (
+        cdf_rows_to_events,
+        events_to_cdf_rows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, "old", 10, "delete", 5, t0),
+        (1, "new", 99, "insert", 5, t0),
+        (2, "b", 20, "insert", 5, t0),  # unrelated plain insert, same commit
+    ]
+    cdf = spark.createDataFrame(
+        rows,
+        "id int, name string, qty int, _change_type string,"
+        " _commit_version long, _commit_timestamp timestamp",
+    )
+    events = cdf_rows_to_events(cdf, ["id"], ["id", "name", "qty"], "t")
+    got = sorted(events.collect(), key=lambda r: (r.lsn, r.before is None, r.seq))
+    pk1 = [r for r in got if (r.before or r.after).id == 1]
+    assert [(r.op, r.seq) for r in pk1] == [("delete", 0), ("insert", 1)]
+    assert pk1[0].before.name == "old" and pk1[0].after is None
+    assert pk1[1].after.qty == 99 and pk1[1].before is None
+    pk2 = [r for r in got if (r.before or r.after).id == 2]
+    assert [(r.op, r.seq) for r in pk2] == [("insert", 0)]
+
+    back = cdf_rows_to_events(
+        events_to_cdf_rows(events), ["id"], ["id", "name", "qty"], "t"
+    )
+    assert sorted(map(str, back.collect())) == sorted(map(str, events.collect()))
+
+
+def test_delta_cdf_malformed_groups_raise(spark):
+    """One-(commit,pk) groups outside the CDF grammar (dup inserts,
+    unpaired preimage, unknown change type) raise at execution instead of
+    silently dropping or mis-pairing rows."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from changedatacapture_reporting_spark.sources.delta_cdf import (
+        cdf_rows_to_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "id int, name string, qty int, _change_type string,"
+        " _commit_version long, _commit_timestamp timestamp"
+    )
+    bad_shapes = [
+        [(1, "a", 1, "insert", 5, t0), (1, "b", 2, "insert", 5, t0)],
+        [(1, "a", 1, "update_preimage", 5, t0)],
+        [(1, "a", 1, "update_postimage", 5, t0),
+         (1, "a", 1, "insert", 5, t0),
+         (1, "a", 1, "update_preimage", 5, t0)],
+        [(1, "a", 1, "upsert", 5, t0)],  # unknown _change_type
+    ]
+    for rows in bad_shapes:
+        df = spark.createDataFrame(rows, schema)
+        with pytest.raises(SparkRuntimeException, match="unexpected change-row"):
+            cdf_rows_to_events(df, ["id"], ["id", "name", "qty"], "t").collect()
