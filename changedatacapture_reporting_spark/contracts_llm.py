@@ -798,11 +798,11 @@ WITH dec AS (
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(t, '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\+\d{1,3}(?:[ -]?\d){6,12}\b|\(\d{3}\)[ -]?\d{3}[ -]\d{4}\b|\b\d{3}[ -]\d{3}[ -]\d{4}\b')) AS BIGINT) AS n_phone,
        CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
        md5(regexp_replace(regexp_replace(regexp_replace(t,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g'),
+             '\+\d{1,3}(?:[ -]?\d){6,12}\b|\(\d{3}\)[ -]?\d{3}[ -]\d{4}\b|\b\d{3}[ -]\d{3}[ -]\d{4}\b', '<PHONE>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
 FROM dec
 """
@@ -892,11 +892,12 @@ def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHUNKS = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents
 ),
 ex AS (
   SELECT doc_id, t,
-         unnest(range(0, greatest(len(t) - 1, 0) + 1, 12)) AS start
+         unnest(range(0, greatest(len(t) - 4 - 1, 0) + 1, 12)) AS start
   FROM toks
 )
 SELECT doc_id, CAST(start // 12 AS INTEGER) AS chunk_id,

@@ -220,7 +220,19 @@ PII_PATTERNS = [
     # order matters: emails before phones (an email's digits must not be
     # half-eaten by the phone pattern)
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+    # A digit run is a phone only when it is SHAPED like one: either a
+    # leading + (international: 7-15 total digits with optional single
+    # space/hyphen separators) or explicit 3-3-4 grouping, optionally
+    # with a parenthesized area code. A plain \d[\d -]{7,}\d run-matcher
+    # redacts ISO-date pairs and bare numeric IDs — corpus-damaging
+    # false positives that an engine-parity contract can never catch,
+    # because both engines replay the same mistake.
+    (
+        r"\+\d{1,3}(?:[ -]?\d){6,12}\b"
+        r"|\(\d{3}\)[ -]?\d{3}[ -]\d{4}\b"
+        r"|\b\d{3}[ -]\d{3}[ -]\d{4}\b",
+        "<PHONE>",
+    ),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 

@@ -184,9 +184,16 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # Generate start s only while the PREVIOUS chunk did not already
+    # reach the document end (s - stride + chunk_tokens < size, i.e.
+    # s < size - overlap): otherwise the tail start yields a chunk fully
+    # contained in its predecessor (e.g. 25 tokens, chunk 16, stride 12
+    # → a 1-token chunk duplicating covered text).
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size(toks) - overlap - 1, F.lit(0)),
+        F.lit(stride),
     )
     piece = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
     return (

@@ -381,3 +381,67 @@ def test_chunk_documents_reconstructs_and_overlaps(spark, sf_dir):
             rebuilt.extend(ctoks[4:])
         assert rebuilt == orig, doc_id
         assert all(c.n_tokens <= 16 for c in ch)
+
+
+def test_redact_pii_precision(spark):
+    """Phone redaction must be shaped, not a digit-run matcher: ISO date
+    pairs and bare numeric IDs survive; +international, 3-3-4, and
+    parenthesized forms redact; emails and IPs redact independently."""
+    from changedatacapture_reporting_spark.functions.text import redact_pii
+
+    cases = [
+        # (input, expected after redaction)
+        ("dates 2024-01-01 2024-01-02 ok", "dates 2024-01-01 2024-01-02 ok"),
+        ("order id 987654321 shipped", "order id 987654321 shipped"),
+        ("big id 12345678901234 raw", "big id 12345678901234 raw"),
+        ("call +1 555 123 4567 now", "call <PHONE> now"),
+        ("call 555-123-4567 now", "call <PHONE> now"),
+        ("call (555) 123-4567 now", "call <PHONE> now"),
+        ("call +442079460958 now", "call <PHONE> now"),
+        ("mail a.b+c@example.co.uk now", "mail <EMAIL> now"),
+        ("host 192.168.0.1 up", "host <IP> up"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "t string")
+    got = [r[0] for r in df.select(redact_pii("t")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_chunk_documents_tail_and_null_edges(spark):
+    """The final start stops once the previous chunk reaches the document
+    end (no fully-contained duplicate tail chunk), and NULL text behaves
+    like empty text instead of poisoning F.size with -1/null."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    doc25 = " ".join(f"w{i}" for i in range(25))
+    doc16 = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, doc25), (2, doc16), (3, None), (4, "one")],
+        "doc_id int, text string",
+    )
+    rows = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=16, overlap=4
+    ).orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # 25 tokens / chunk 16 / stride 12: starts 0 and 12 only — the old
+    # third start (24) produced a 1-token chunk inside chunk 1.
+    assert [r.n_tokens for r in by_doc[1]] == [16, 13]
+    assert by_doc[1][1].chunk_text.split()[-1] == "w24"
+    # exactly chunk_tokens: ONE chunk, no 4-token contained tail
+    assert [r.n_tokens for r in by_doc[2]] == [16]
+    # NULL text → one empty chunk (same shape as empty string), not -1
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens >= 0
+    assert by_doc[4][0].chunk_text == "one" and len(by_doc[4]) == 1
+
+    # full coverage invariant: drop each later chunk's leading overlap
+    # and concatenation reproduces the token stream
+    for doc_id, text in [(1, doc25), (2, doc16)]:
+        ch = by_doc[doc_id]
+        rebuilt = ch[0].chunk_text.split()
+        for cur in ch[1:]:
+            rebuilt.extend(cur.chunk_text.split()[4:])
+        assert rebuilt == text.split()
