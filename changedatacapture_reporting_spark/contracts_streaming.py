@@ -124,12 +124,9 @@ GROUP BY 1, 2
 """
 
 
-def streaming_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState materialized current-state view over the
-    simulated CDC stream (streaming.stateful.current_state_stream), drained
-    through the real streaming engine. One event per key in the simulator,
-    so the oracle is the per-event last image; multi-batch statefulness is
-    covered by test_streaming.py::test_streaming_current_state_multibatch."""
+def _current_state_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink plan for the stateful current-state view (shared by the
+    contract below and the --streaming plan audit)."""
     import tempfile
 
     from changedatacapture_reporting_spark.sources.cdc_simulator import (
@@ -144,9 +141,18 @@ def streaming_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     simulate_cdc_events(spark, sf_dir).write.parquet(f"{d}/ev")
     schema = spark.read.parquet(f"{d}/ev").schema
     stream = spark.readStream.schema(schema).parquet(f"{d}/ev")
-    out = current_state_stream(
+    return current_state_stream(
         stream, SIM_PK, ["status", "priority", "total", "note"]
     )
+
+
+def streaming_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState materialized current-state view over the
+    simulated CDC stream (streaming.stateful.current_state_stream), drained
+    through the real streaming engine. One event per key in the simulator,
+    so the oracle is the per-event last image; multi-batch statefulness is
+    covered by test_streaming.py::test_streaming_current_state_multibatch."""
+    out = _current_state_pre_sink(spark, sf_dir)
     drained = _drain_to_table(spark, out, mode="update")
     return drained.select(
         "o_orderkey", "status", "priority", "total", "note", "is_live", "as_of_lsn"
@@ -172,14 +178,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins per key depends on arrival order, so the contract compares the
     deterministic part: the emitted key set must be exactly the batch
     DISTINCT, with one row each."""
-    from changedatacapture_reporting_spark.streaming.dedup import (
-        streaming_dedup,
-    )
-
-    deduped = streaming_dedup(
-        _events_stream(spark, sf_dir), ["user_id", "event_type"]
-    )
-    out = _drain_to_table(spark, deduped, mode="append")
+    out = _drain_to_table(spark, _dedup_keys_pre_sink(spark, sf_dir), mode="append")
     return out.groupBy("user_id", "event_type").agg(
         F.count("*").cast("long").alias("n_rows")
     )
@@ -197,16 +196,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase — both sides live watermarked streams; state is bounded by
     watermark + interval, and the inner join's emitted matches must equal
     the batch join exactly."""
-    from changedatacapture_reporting_spark.streaming.joins import (
-        interval_join_purchases_signups,
-    )
-
-    p = _events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    )
-    s = _events_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
     out = _drain_to_table(
-        spark, interval_join_purchases_signups(p, s), mode="append"
+        spark, _interval_join_pre_sink(spark, sf_dir), mode="append"
     )
     return out.select(
         "purchase_event_id", "user_id", "purchase_ts",
@@ -231,11 +222,7 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dim, windowed counts/sums per market segment — executed by
     the streaming engine; oracle is the equivalent batch join+window
     SQL."""
-    from changedatacapture_reporting_spark.sources.tables import load_table
-
-    dim = load_table(spark, sf_dir, "customer")
-    agg = enriched_segment_counts(_events_stream(spark, sf_dir), dim)
-    out = _drain_to_table(spark, agg)
+    out = _drain_to_table(spark, _enriched_segments_pre_sink(spark, sf_dir))
     return out.select("window_start", "segment", "n_events", "sum_value")
 
 
@@ -247,6 +234,62 @@ SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
 FROM ev JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
+
+
+def _interval_join_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from changedatacapture_reporting_spark.streaming.joins import (
+        interval_join_purchases_signups,
+    )
+
+    p = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    s = _events_stream(spark, sf_dir).filter(F.col("event_type") == "signup")
+    return interval_join_purchases_signups(p, s)
+
+
+def _enriched_segments_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer")
+    return enriched_segment_counts(_events_stream(spark, sf_dir), dim)
+
+
+def _dedup_keys_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from changedatacapture_reporting_spark.streaming.dedup import (
+        streaming_dedup,
+    )
+
+    # the watermark-bounded regime (state O(keys per horizon), the 100 TB
+    # path — flagged by audit_plans --streaming when it was unbounded
+    # dropDuplicates). 30 days dwarfs the fixture's time span, so within
+    # this drain no key's state expires and the emitted key set is still
+    # exactly the batch DISTINCT.
+    return streaming_dedup(
+        _events_stream(spark, sf_dir),
+        ["user_id", "event_type"],
+        within_watermark="30 days",
+    )
+
+
+# Pre-sink streaming plans, one per streaming_* contract entry: the
+# UNSTARTED streaming DataFrame each contract drains. tools/audit_plans.py
+# --streaming explains these (no execution, no availableNow drain) and
+# flags unbounded-state shapes — a stateful operator with no
+# EventTimeWatermark ancestor in the plan.
+STREAM_PLANS = {
+    "streaming_tumbling_5min": lambda spark, sf: tumbling_counts(
+        _events_stream(spark, sf)
+    ),
+    "streaming_session_windows": lambda spark, sf: streaming_sessions(
+        _events_stream(spark, sf)
+    ),
+    "streaming_sliding_10min": lambda spark, sf: sliding_counts(
+        _events_stream(spark, sf)
+    ),
+    "streaming_current_state": _current_state_pre_sink,
+    "streaming_dedup_keys": _dedup_keys_pre_sink,
+    "streaming_interval_join": _interval_join_pre_sink,
+    "streaming_enriched_segments": _enriched_segments_pre_sink,
+}
 
 
 REGISTRY_STREAMING = {

@@ -9,9 +9,19 @@ Greps each query's executed plan for scale red flags:
 - parquet scans that read every column (no pruning) for queries that
   project a subset.
 
+``streaming_*`` entries are audited via their PRE-SINK plans
+(contracts_streaming.STREAM_PLANS): the unstarted streaming DataFrame is
+explained — no execution, no availableNow drain — and additionally
+checked for unbounded-state shapes: a stateful operator (StateStoreSave /
+SessionWindowStateStore / StreamingSymmetricHashJoin /
+StreamingDeduplicate) with no EventTimeWatermark in the plan, which at
+100 TB is state that grows without bound.
+
 Exit code 1 if any non-allowlisted flag fires. Usage:
 
-    python tools/audit_plans.py [query ...]
+    python tools/audit_plans.py [query ...]        # batch + streaming
+    python tools/audit_plans.py --streaming        # streaming only
+    python tools/audit_plans.py --batch            # batch only
 """
 
 from __future__ import annotations
@@ -41,25 +51,75 @@ ALLOW = {
     "dedup_simhash": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     "ann_topk_lsh": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     "ann_topk_ivf": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    # applyInPandasWithState keyed on the CDC primary key: state is
+    # O(live keys) and bounded by delete-tombstone semantics + timeouts,
+    # not by event time — no watermark is required or meaningful here
+    "streaming_current_state": {"StatefulWithoutWatermark"},
 }
 
 FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython"]
 
+# physical stateful operators that, without an EventTimeWatermark in the
+# same plan, accumulate state forever
+STATEFUL_MARKERS = [
+    "StateStoreSave",
+    "SessionWindowStateStore",
+    "StreamingSymmetricHashJoin",
+    "StreamingDeduplicate",
+    "FlatMapGroupsInPandasWithState",
+    "FlatMapGroupsWithState",
+]
+
+
+def _flag_hits(name: str, plan: str, streaming: bool) -> list[str]:
+    hits = [f for f in FLAGS if f in plan and f not in ALLOW.get(name, set())]
+    if streaming:
+        stateful = any(m in plan for m in STATEFUL_MARKERS)
+        if (
+            stateful
+            and "EventTimeWatermark" not in plan
+            and "StatefulWithoutWatermark" not in ALLOW.get(name, set())
+        ):
+            hits.append("StatefulWithoutWatermark")
+        if not stateful and "StreamingRelation" not in plan:
+            # a "streaming" plan with no streaming source at all means the
+            # pre-sink builder drifted from the contract — audit is void
+            hits.append("NotAStreamingPlan")
+    return hits
+
 
 def main() -> int:
     import __spark_entry__ as e
+    from changedatacapture_reporting_spark.contracts_streaming import (
+        STREAM_PLANS,
+    )
     from changedatacapture_reporting_spark.session import get_spark
 
     spark = get_spark("plan_audit")
     qs = e.queries()
-    # streaming_* contract entries EXECUTE the stream (availableNow drain)
-    # before returning a memory-sink scan — minutes of runtime for a
-    # trivial audited plan. Their transformation plans are covered by the
-    # batch analogs (events_tumbling_5min, events_sessionization, ...) and
-    # tests/test_streaming.py; skip them unless named explicitly.
-    names = sys.argv[1:] or [n for n in qs if not n.startswith("streaming_")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = {a for a in sys.argv[1:] if a.startswith("--")}
+
+    batch_names = [n for n in qs if not n.startswith("streaming_")]
+    stream_names = list(STREAM_PLANS)
+    if args:
+        batch_names = [n for n in args if n in qs and n not in STREAM_PLANS]
+        stream_names = [n for n in args if n in STREAM_PLANS]
+    if "--streaming" in mode:
+        batch_names = []
+    if "--batch" in mode:
+        stream_names = []
+
+    missing = set(n for n in qs if n.startswith("streaming_")) - set(
+        STREAM_PLANS
+    )
     bad = 0
-    for name in names:
+    if missing and not args:
+        # every streaming contract entry must have a pre-sink plan to audit
+        print(f"  streaming entries without STREAM_PLANS: {sorted(missing)}")
+        bad += 1
+
+    for name in batch_names:
         try:
             df = qs[name](spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -67,13 +127,33 @@ def main() -> int:
             print(f"  {name:42s} ERROR building plan: {ex}")
             bad += 1
             continue
-        hits = [f for f in FLAGS if f in plan and f not in ALLOW.get(name, set())]
+        hits = _flag_hits(name, plan, streaming=False)
         if hits:
             print(f"  {name:42s} FLAG {','.join(hits)}")
             bad += 1
         else:
             print(f"  {name:42s} ok")
-    print(f"{len(names) - bad}/{len(names)} clean")
+
+    explain = spark._sc._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString
+    for name in stream_names:
+        try:
+            df = STREAM_PLANS[name](spark, SF_DIR)
+            # pre-start explain: physical plan with StreamingRelation
+            # placeholders — never executes the stream
+            plan = explain(df._jdf.queryExecution(), "extended")
+        except Exception as ex:  # noqa: BLE001
+            print(f"  {name:42s} ERROR building plan: {ex}")
+            bad += 1
+            continue
+        hits = _flag_hits(name, plan, streaming=True)
+        if hits:
+            print(f"  {name:42s} FLAG {','.join(hits)}")
+            bad += 1
+        else:
+            print(f"  {name:42s} ok (streaming pre-sink)")
+
+    total = len(batch_names) + len(stream_names) + (1 if missing and not args else 0)
+    print(f"{total - bad}/{total} clean")
     return 1 if bad else 0
 
 
