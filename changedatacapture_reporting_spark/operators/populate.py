@@ -231,11 +231,28 @@ def commit_batch(
     per-table aggregate, and the rollup partials).
     """
     staging = fs.join(sink_path, STAGING_ROOT, run_id)
-    per_table = (
-        changelog.groupBy("table_name")
-        .agg(F.max("lsn").alias("lsn"), F.count("*").alias("n_rows"))
-        .collect()
-    )
+    if salt_buckets and salt_buckets > 1:
+        # salt_buckets signals "hot table_name expected": the per-table
+        # watermark aggregate takes the salted two-phase plan too, so a
+        # batch where one table holds most rows doesn't funnel that
+        # table's rows through a single reduce task (plans/skew.py).
+        # max/count are algebraic — partial+merge is exact, not approx.
+        from changedatacapture_reporting_spark.plans.skew import (
+            salted_aggregate,
+        )
+
+        per_table = salted_aggregate(
+            changelog,
+            ["table_name"],
+            {"lsn": ("max", "lsn"), "n_rows": ("count", "*")},
+            salt_buckets=salt_buckets,
+        ).collect()
+    else:
+        per_table = (
+            changelog.groupBy("table_name")
+            .agg(F.max("lsn").alias("lsn"), F.count("*").alias("n_rows"))
+            .collect()
+        )
     rows_changed = sum(r.n_rows for r in per_table)
     if not rows_changed:
         return 0

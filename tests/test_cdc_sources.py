@@ -272,3 +272,93 @@ def test_delta_cdf_malformed_groups_raise(spark):
         df = spark.createDataFrame(rows, schema)
         with pytest.raises(SparkRuntimeException, match="unexpected change-row"):
             cdf_rows_to_events(df, ["id"], ["id", "name", "qty"], "t").collect()
+
+
+def _mk_events_v1(spark):
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+
+    src_v1 = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, 0, ts, "insert", "t", None, (1, "a", 10)),
+            (2, 0, ts, "update", "t", (1, "a", 10), (1, "b", 11)),
+        ],
+        cdc_event_schema(src_v1),
+    )
+    return src_v1, ev
+
+
+V2_ADDED = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("qty", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),  # new column appears
+    ]
+)
+V2_DROPPED = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),  # qty dropped
+    ]
+)
+
+
+def _assert_evolved_reads(reader, spark, path):
+    """Old files + NEW source struct: added column reads as NULL in both
+    images; dropped column vanishes without error — no rewrite of
+    historical files (the 100 TB schema-drift story: explicit schemas
+    absorb drift at read time)."""
+    up = lambda df: df.filter(F.col("op") == "update").head()  # noqa: E731
+
+    added = reader(spark, path, V2_ADDED)
+    r = up(added)
+    assert r.after.name == "b" and r.after.qty == 11
+    assert r.before.score is None and r.after.score is None
+
+    dropped = reader(spark, path, V2_DROPPED)
+    r = up(dropped)
+    assert r.after.asDict() == {"id": 1, "name": "b"}
+    assert "qty" not in dropped.schema["after"].dataType.fieldNames()
+
+
+def test_json_reader_schema_evolution(spark, tmp_path):
+    from changedatacapture_reporting_spark.sources.files import read_cdc_json
+
+    _, ev = _mk_events_v1(spark)
+    p = str(tmp_path / "json")
+    ev.write.mode("overwrite").json(p)
+    _assert_evolved_reads(read_cdc_json, spark, p)
+
+
+def test_csv_reader_schema_evolution(spark, tmp_path):
+    from changedatacapture_reporting_spark.sources.files import (
+        read_cdc_csv,
+        write_cdc_csv,
+    )
+
+    _, ev = _mk_events_v1(spark)
+    p = str(tmp_path / "csv")
+    write_cdc_csv(ev, p)
+    _assert_evolved_reads(read_cdc_csv, spark, p)
+
+
+def test_orc_reader_schema_evolution(spark, tmp_path):
+    from changedatacapture_reporting_spark.sources.files import (
+        read_cdc_orc,
+        write_cdc_orc,
+    )
+
+    _, ev = _mk_events_v1(spark)
+    p = str(tmp_path / "orc")
+    write_cdc_orc(ev, p)
+    _assert_evolved_reads(read_cdc_orc, spark, p)
