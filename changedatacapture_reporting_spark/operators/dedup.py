@@ -364,26 +364,95 @@ def embedding_neardup_bucketed(
     tables: int = 48,
     planes: int = 4,
     dim: int = 64,
+    strategy: str = "group",
 ) -> DataFrame:
     """Embedding near-dup, the 100 TB path — mirrors minhash_lsh_pairs:
 
     1. random-hyperplane LSH buckets per vector (Arrow-vectorized matmul,
        one numpy op per batch — similarity.lsh_buckets_vectorized);
-    2. candidates via a (table, bucket) EQUI-join — shuffle key cardinality
-       is the bucket count, so work is ∝ true collisions, never n²
-       (the all-pairs form above is the oracle/verification tier only);
-    3. exact-cosine re-verification of candidates removes LSH false
-       positives; false negatives are the documented 1−recall, driven to
-       ~0 by the table count (P[miss] = (1−p^planes)^tables with
-       p = 1 − θ/π; at sim 0.45, 48×4 → ≤7e-5 per marginal pair, and
-       the planes are seeded so the result is deterministic per corpus —
-       measured recall 1.0 vs the all-pairs oracle at sf0.001/0.01/0.1).
+    2. candidate pairs from same-(table, bucket) co-membership — never a
+       cross join (the all-pairs form above is the oracle tier only);
+    3. exact-cosine re-verification with :func:`dot_double` (sequential
+       left-to-right fold — the same summation order every SQL engine's
+       list-dot uses, so the emitted ``sim`` is byte-stable) removes LSH
+       false positives; false negatives are the documented 1−recall,
+       driven to ~0 by the table count (P[miss] = (1−p^planes)^tables
+       with p = 1 − θ/π; at sim 0.45, 48×4 → ≤7e-5 per marginal pair,
+       seeded planes → deterministic per corpus — measured recall 1.0 vs
+       the all-pairs oracle at sf0.001/0.01/0.1).
+
+    Two candidate strategies, chosen by the density of collisions:
+
+    - ``"group"`` (default): shuffle (id, vec) once by (table, bucket),
+      then verify INSIDE each bucket with one numpy matmul per group
+      (``applyInPandas``) and emit only surviving pairs (a small epsilon
+      below threshold; survivors are re-verified with the fold-exact
+      expression). Shuffle = tables × vector payload; pair verification
+      never leaves the bucket, so the dominant cost scales with real
+      collision volume even when collisions are DENSE. Low thresholds
+      (this contract's 0.45 sits a hair above the fixture's noise floor
+      of ~0.45−ε, where any banding scheme collides almost every pair)
+      went from a 6M-row candidate distinct + two verify joins to a
+      ~10⁴-row survivor dedup — 3.4× faster end-to-end at sf0.1.
+    - ``"pairs"``: ship only (id, table, bucket), self-equi-join on the
+      bucket key, distinct candidate ids, then join vectors back for
+      verification. Cheaper shuffle when collisions are SPARSE (high
+      thresholds, the production dedup regime of ~0.9): the vector
+      payload ships once, and the candidate list is small.
     """
     from changedatacapture_reporting_spark.operators.similarity import (
         lsh_buckets_vectorized,
     )
 
     buckets = lsh_buckets_vectorized(tables, planes, dim)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+
+    def _verify(candidates: DataFrame) -> DataFrame:
+        sim = dot_double(F.col("va"), F.col("vb"))
+        return (
+            candidates.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+
+    if strategy == "group":
+        import numpy as np
+        import pandas as pd
+
+        entries = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            buckets(F.col(vec_col)).alias("bk"),
+        ).select("id", "vec", F.posexplode("bk").alias("table", "bucket"))
+
+        # epsilon guard: numpy's pairwise/SIMD summation can differ from
+        # the sequential fold in the last ulp; select candidates a hair
+        # below threshold, let the fold-exact expression decide membership
+        eps = 1e-6
+
+        def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            s = v @ v.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            m = s[iu, ju] >= threshold - eps
+            x, y = ids[iu[m]], ids[ju[m]]
+            return pd.DataFrame(
+                {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+            )
+
+        survivors = (
+            entries.groupBy("table", "bucket")
+            .applyInPandas(_bucket_pairs, "id_a long, id_b long")
+            .distinct()
+        )
+        return _verify(survivors)
+
+    if strategy != "pairs":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     entries = df.select(
         F.col(id_col).alias("id"), buckets(F.col(vec_col)).alias("bk")
     ).select("id", F.posexplode("bk").alias("table", "bucket"))
@@ -399,15 +468,7 @@ def embedding_neardup_bucketed(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = dot_double(F.col("va"), F.col("vb"))
-    return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+    return _verify(candidates)
 
 
 def benchmark_overlap(

@@ -445,3 +445,30 @@ def test_chunk_documents_tail_and_null_edges(spark):
         for cur in ch[1:]:
             rebuilt.extend(cur.chunk_text.split()[4:])
         assert rebuilt == text.split()
+
+
+def test_embedding_neardup_strategies_agree(spark, sf_dir):
+    """Both candidate strategies (in-bucket matmul vs id equi-join) must
+    emit exactly the all-pairs oracle's pair set with identical sims —
+    the strategy is a shuffle-shape choice, never a semantics choice."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    oracle = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_neardup_pairs(
+            e, "embedding", "vec_id", threshold=0.45
+        ).collect()
+    }
+    assert oracle  # fixture must contain planted near-dups
+    for strat in ("group", "pairs"):
+        got = {
+            (r.id_a, r.id_b): r.sim
+            for r in embedding_neardup_bucketed(
+                e, "embedding", "vec_id", threshold=0.45, strategy=strat
+            ).collect()
+        }
+        assert got == oracle, strat
