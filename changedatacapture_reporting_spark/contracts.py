@@ -526,6 +526,77 @@ GROUP BY o_orderkey, commit_time
 )
 
 
+def _q_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-changes collapse (operators.net_changes.net_changes — the
+    ``fn_cdc_get_net_changes_*`` analog): the multi-event simulated
+    stream (base + second-update wave + trailing-delete wave) collapses
+    to one net row per key; insert→delete histories vanish. One hash
+    aggregation, zero joins; the oracle replays the window-edge pick with
+    first/last-lsn self-joins (oracle-tier shape only)."""
+    from changedatacapture_reporting_spark.operators.net_changes import (
+        net_changes,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events_multi,
+    )
+
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    n = net_changes(ev, SIM_PK)
+    return n.select(
+        "o_orderkey",
+        "net_op",
+        F.col("before.status").alias("b_status"),
+        F.col("before.priority").alias("b_priority"),
+        F.col("before.total").alias("b_total"),
+        F.col("before.note").alias("b_note"),
+        F.col("after.status").alias("a_status"),
+        F.col("after.priority").alias("a_priority"),
+        F.col("after.total").alias("a_total"),
+        F.col("after.note").alias("a_note"),
+        "last_lsn",
+    )
+
+
+def _build_sql_net_changes() -> str:
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        ORACLE_EVENTS_MULTI_CTE,
+    )
+
+    return (
+        "WITH "
+        + ORACLE_EVENTS_MULTI_CTE
+        + """,
+bounds AS (
+  SELECT o_orderkey AS k, MIN(lsn) AS first_lsn, MAX(lsn) AS last_lsn
+  FROM evm GROUP BY 1
+),
+f AS (SELECT evm.* FROM evm JOIN bounds ON evm.o_orderkey = bounds.k
+      AND evm.lsn = bounds.first_lsn),
+l AS (SELECT evm.* FROM evm JOIN bounds ON evm.o_orderkey = bounds.k
+      AND evm.lsn = bounds.last_lsn)
+SELECT f.o_orderkey,
+       CASE WHEN f.op <> 'insert' AND l.op <> 'delete' THEN 'update'
+            WHEN f.op = 'insert' THEN 'insert'
+            ELSE 'delete' END AS net_op,
+       CASE WHEN f.op <> 'insert' THEN f.b_status END AS b_status,
+       CASE WHEN f.op <> 'insert' THEN f.b_priority END AS b_priority,
+       CASE WHEN f.op <> 'insert' THEN f.b_total END AS b_total,
+       CASE WHEN f.op <> 'insert' THEN f.b_note END AS b_note,
+       CASE WHEN l.op <> 'delete' THEN l.a_status END AS a_status,
+       CASE WHEN l.op <> 'delete' THEN l.a_priority END AS a_priority,
+       CASE WHEN l.op <> 'delete' THEN l.a_total END AS a_total,
+       CASE WHEN l.op <> 'delete' THEN l.a_note END AS a_note,
+       bounds.last_lsn
+FROM f JOIN l ON f.o_orderkey = l.o_orderkey
+JOIN bounds ON bounds.k = f.o_orderkey
+WHERE NOT (f.op = 'insert' AND l.op = 'delete')
+"""
+    )
+
+
+_SQL_NET_CHANGES = _build_sql_net_changes()
+
+
 def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 fold of the changelog (operators.scd.scd2_history):
     one row per (pk, version) with validity intervals. The simulator has
@@ -598,6 +669,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
+    "cdc_net_changes": (_q_net_changes, _SQL_NET_CHANGES),
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
@@ -681,8 +753,10 @@ _CHECK_WINDOW: list[str] = [
     # tools/check_contract.py each round)
     "cdc_changelog_full",
     "cdc_incremental_resume",
-    "cdc_reconstruct_state",  # epoch-semantics change this round
-    "range_join_order_windows",
+    "cdc_reconstruct_state",
+    # new in r6 (net-changes operator) — first driver round; takes the
+    # slot of range_join_order_windows (r03 + r05 driver-green)
+    "cdc_net_changes",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -113,3 +113,87 @@ ev AS (
   FROM orders
 )
 """
+
+
+# Offsets placing the extra event waves strictly after every base lsn
+# (o_orderkey < 10^8 at any driver SF) while keeping lsn arithmetic
+# integer-exact in both engines.
+MULTI_OFF_UPDATE = 100_000_000
+MULTI_OFF_DELETE = 200_000_000
+
+
+def simulate_cdc_events_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-event-per-key stream (for windowed/net-changes semantics —
+    the base simulator emits exactly one event per key, which makes a
+    net-changes collapse the identity). Derived from the base stream with
+    the same integer/string arithmetic so the DuckDB oracle replays it:
+
+    - keys with ``k % 4 == 1`` get a SECOND update at
+      ``lsn = k + MULTI_OFF_UPDATE``: before = the base event's after
+      image, after = same image with status 'Y' and total + 7;
+    - keys with ``k % 20 ∈ {5, 11}`` get a trailing DELETE at
+      ``lsn = k + MULTI_OFF_DELETE`` whose before is the key's latest
+      image. ``k % 20 == 5`` keys also carry the second update → their
+      history is update → update → delete (net delete); ``k % 20 == 11``
+      keys start with a base insert (k % 10 == 1) and carry no second
+      update → insert → delete (net ZERO — the dropped-row case).
+    """
+    base = simulate_cdc_events(spark, sf_dir)
+    k = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+    null_image = F.lit(None).cast(base.schema["after"].dataType)
+
+    upd_after = (
+        F.col("after")
+        .withField("status", F.lit("Y"))
+        .withField("total", F.col("after.total") + 7)
+    )
+    upd = base.filter(k % 4 == 1).select(
+        (F.col("lsn") + MULTI_OFF_UPDATE).alias("lsn"),
+        F.col("seq"),
+        F.col("commit_ts"),
+        F.lit("update").alias("op"),
+        F.col("table_name"),
+        F.col("after").alias("before"),
+        upd_after.alias("after"),
+    )
+
+    latest = F.when(k % 4 == 1, upd_after).otherwise(F.col("after"))
+    dele = base.filter((k % 20).isin(5, 11)).select(
+        (F.col("lsn") + MULTI_OFF_DELETE).alias("lsn"),
+        F.col("seq"),
+        F.col("commit_ts"),
+        F.lit("delete").alias("op"),
+        F.col("table_name"),
+        latest.alias("before"),
+        null_image.alias("after"),
+    )
+    return base.unionByName(upd).unionByName(dele)
+
+
+# The same derivation as DuckDB CTEs (flattened b_*/a_* convention like
+# ORACLE_EVENTS_CTE; consumers apply op-aware NULLing). Base delete rows
+# (k % 10 == 2) are even keys, so the extra waves (odd keys) never stack
+# on a base delete.
+ORACLE_EVENTS_MULTI_CTE = (
+    ORACLE_EVENTS_CTE
+    + """,
+evm AS (
+  SELECT lsn, commit_ts, op, o_orderkey,
+         b_status, a_status, b_priority, a_priority,
+         b_total, a_total, b_note, a_note
+  FROM ev
+  UNION ALL
+  SELECT lsn + 100000000, commit_ts, 'update', o_orderkey,
+         a_status, 'Y', a_priority, a_priority,
+         a_total, a_total + 7, a_note, a_note
+  FROM ev WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT lsn + 200000000, commit_ts, 'delete', o_orderkey,
+         CASE WHEN o_orderkey % 4 = 1 THEN 'Y' ELSE a_status END, NULL,
+         a_priority, NULL,
+         a_total + CASE WHEN o_orderkey % 4 = 1 THEN 7 ELSE 0 END, NULL,
+         a_note, NULL
+  FROM ev WHERE o_orderkey % 20 IN (5, 11)
+)
+"""
+)

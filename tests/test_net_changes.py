@@ -1,0 +1,93 @@
+"""Net-changes collapse (operators.net_changes): the
+fn_cdc_get_net_changes analog — one net row per key per window."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark.operators.net_changes import net_changes
+
+SRC = T.StructType(
+    [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+)
+SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("before", SRC, True),
+        T.StructField("after", SRC, True),
+    ]
+)
+
+TS = dt.datetime(2024, 1, 1, 12, 0)
+
+
+def _events(spark):
+    rows = [
+        # key 1: insert → update → update  ⇒ net insert with FINAL image
+        (1, 0, TS, "insert", "t", None, (1, "a")),
+        (2, 0, TS, "update", "t", (1, "a"), (1, "b")),
+        (3, 0, TS, "update", "t", (1, "b"), (1, "c")),
+        # key 2: update → delete           ⇒ net delete with FIRST before
+        (4, 0, TS, "update", "t", (2, "x"), (2, "y")),
+        (5, 0, TS, "delete", "t", (2, "y"), None),
+        # key 3: insert → delete           ⇒ net zero (no row)
+        (6, 0, TS, "insert", "t", None, (3, "q")),
+        (7, 0, TS, "delete", "t", (3, "q"), None),
+        # key 4: delete → re-insert        ⇒ net update (existed both edges)
+        (8, 0, TS, "delete", "t", (4, "old"), None),
+        (9, 0, TS, "insert", "t", None, (4, "new")),
+        # key 5: lone update               ⇒ net update unchanged
+        (10, 0, TS, "update", "t", (5, "m"), (5, "n")),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_net_changes_semantics(spark):
+    got = {r.id: r for r in net_changes(_events(spark), ["id"]).collect()}
+    assert set(got) == {1, 2, 4, 5}  # key 3 nets to zero
+
+    assert got[1].net_op == "insert"
+    assert got[1].before is None and got[1].after.v == "c"
+    assert got[1].last_lsn == 3
+
+    assert got[2].net_op == "delete"
+    assert got[2].before.v == "x" and got[2].after is None
+
+    assert got[4].net_op == "update"
+    assert (got[4].before.v, got[4].after.v) == ("old", "new")
+
+    assert got[5].net_op == "update"
+    assert (got[5].before.v, got[5].after.v) == ("m", "n")
+
+
+def test_net_changes_lsn_window(spark):
+    """The window bound changes which events are 'edges': restricting to
+    lsn 2..5 makes key 1's first op an update (it 'existed before')."""
+    got = {
+        r.id: r
+        for r in net_changes(
+            _events(spark), ["id"], from_lsn=2, to_lsn=5
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1].net_op == "update"
+    assert (got[1].before.v, got[1].after.v) == ("a", "c")
+
+
+def test_net_changes_plan_single_aggregate_no_join(spark):
+    """One hash aggregation, zero joins — never a window sort of the
+    full history."""
+    plan = (
+        net_changes(_events(spark), ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
