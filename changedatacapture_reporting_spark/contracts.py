@@ -751,12 +751,14 @@ _CHECK_WINDOW: list[str] = [
     # ann_topk_ivf, corpus_prepare, deterministic_sample, ann_topk_lsh,
     # streaming_current_state — all locally re-verified via
     # tools/check_contract.py each round)
-    "cdc_changelog_full",
     "cdc_incremental_resume",
     "cdc_reconstruct_state",
-    # new in r6 (net-changes operator) — first driver round; takes the
-    # slot of range_join_order_windows (r03 + r05 driver-green)
+    # new in r6 — first driver round each: net-changes takes the slot of
+    # range_join_order_windows (r03 + r05 green), stratified/quota
+    # sampling takes the slot of cdc_changelog_full (r01 + r03 + r05
+    # green, the deepest history in the registry)
     "cdc_net_changes",
+    "corpus_sampled_mix",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

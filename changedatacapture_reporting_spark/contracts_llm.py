@@ -808,6 +808,48 @@ FROM dec
 """
 
 
+def corpus_sampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing (operators.sampling): hash-deterministic
+    per-language Bernoulli fractions (scan-stage filter, zero shuffle)
+    UNION a hard per-language quota (hash-rank top-40 per stratum, one
+    shuffle) — both exactly replayable by the oracle because the sampling
+    rule is a content-hash comparison, not an RNG stream."""
+    from changedatacapture_reporting_spark.operators.sampling import (
+        quota_sample,
+        stratified_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    frac = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.3, "zh": 1.0, "es": 0.5},
+        ["doc_id"],
+        default_fraction=0.25,
+    ).select(F.lit("frac").alias("method"), "doc_id", "lang")
+    quota = quota_sample(d, "lang", 40, ["doc_id"]).select(
+        F.lit("quota").alias("method"), "doc_id", "lang"
+    )
+    return frac.unionByName(quota)
+
+
+SQL_SAMPLED_MIX = """
+SELECT 'frac' AS method, doc_id, lang
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang WHEN 'en' THEN '4ccc' WHEN 'zh' THEN 'g'
+                WHEN 'es' THEN '8000' ELSE '4000' END
+UNION ALL
+SELECT 'quota' AS method, doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+) WHERE rk <= 40
+"""
+
+
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal
     (functions.text.repetition_scores): duplicate-3-gram fraction per
@@ -931,6 +973,7 @@ REGISTRY_LLM = {
     "corpus_pack_sequences": (corpus_pack_sequences, SQL_PACK_SEQUENCES),
     "corpus_decontaminate": (corpus_decontaminate, SQL_DECONTAM),
     "corpus_chunks": (corpus_chunks, SQL_CHUNKS),
+    "corpus_sampled_mix": (corpus_sampled_mix, SQL_SAMPLED_MIX),
     "text_pii_redaction": (text_pii_redaction, SQL_PII),
     "text_repetition_scores": (text_repetition_scores, SQL_REPETITION),
 }

@@ -1,0 +1,91 @@
+"""Deterministic stratified sampling — corpus balancing for training-data
+pipelines.
+
+Rebalancing a multi-source / multi-language corpus ("cap English at 30%,
+keep at most 10k docs per source") is a standard step between cleaning
+and packing. Both operators here are HASH-deterministic, not RNG-based:
+``df.sample()`` draws from a per-partition XORShift stream, so its output
+changes under repartition/cluster layout and no other engine can replay
+it; a content-hash rule is stable under any physical plan and exactly
+replayable by the DuckDB oracle (same md5), which is what makes these
+contract-checkable.
+
+- :func:`stratified_sample` — per-stratum Bernoulli fraction by hash
+  threshold. NO shuffle: the per-stratum threshold is a small broadcast
+  map and the filter runs in the scan stage. Sample size per stratum is
+  binomial around fraction·n (exact expectation, not exact count).
+- :func:`quota_sample` — exactly min(quota, n) rows per stratum: hash-
+  rank rows within each stratum and keep the quota smallest. One shuffle
+  (hash-partition by stratum) + in-partition sort. At 100 TB prefer the
+  fraction form when a ±√n tolerance is fine — it never shuffles; use
+  quotas when hard caps matter. Skewed strata (one giant language) sort
+  within their own partitions only — no global sort.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fraction_to_hex_threshold(fraction: float) -> str:
+    """fraction ∈ [0, 1] → threshold over the first 4 md5 chars: a row
+    is kept iff ``substring(md5(key), 1, 4) < threshold`` (resolution
+    1/65536). The comparison is LEXICOGRAPHIC on equal-length lowercase
+    hex — identical to numeric order — so it is exactly replayable in
+    any engine with md5, with no base-16→int conversion whose overflow/
+    signedness varies. Fraction 1.0 returns ``'g'``: 'g' sorts above
+    every hex digit at position 1, so every row passes — a FIVE-char
+    '10000' would NOT (lexicographic '4ccc' > '10000' because '4' > '1';
+    caught by test_sampling.py before it shipped, and invisible to the
+    oracle contract because both engines would replay the same mistake)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction not in [0, 1]: {fraction}")
+    v = int(fraction * (1 << 16))
+    return "g" if v >= (1 << 16) else format(v, "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff hash(key) falls under its stratum's fraction.
+    Strata absent from ``fractions`` use ``default_fraction`` (0.0 =
+    drop — explicit opt-in per stratum, the usual corpus-mix posture)."""
+    thresholds = F.create_map(
+        *chain.from_iterable(
+            (F.lit(s), F.lit(fraction_to_hex_threshold(f)))
+            for s, f in fractions.items()
+        )
+    )
+    limit = F.coalesce(
+        thresholds[F.col(strata_col)],
+        F.lit(fraction_to_hex_threshold(default_fraction)),
+    )
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(F.substring(F.md5(key), 1, 4) < limit)
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Exactly min(quota, n) rows per stratum: rank by md5(key) inside
+    each stratum (an unbiased, replayable shuffle order) and keep the
+    ``quota`` smallest. Emits the input columns unchanged."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(strata_col).orderBy(F.md5(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )

@@ -1,0 +1,68 @@
+"""Deterministic stratified sampling (operators.sampling)."""
+
+from __future__ import annotations
+
+import pytest
+
+from changedatacapture_reporting_spark.operators.sampling import (
+    fraction_to_hex_threshold,
+    quota_sample,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    rows = [(i, ["en", "de", "fr", "zh"][i % 4]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hex_thresholds():
+    assert fraction_to_hex_threshold(0.0) == "0000"
+    assert fraction_to_hex_threshold(1.0) == "g"
+    assert fraction_to_hex_threshold(0.5) == "8000"
+    with pytest.raises(ValueError):
+        fraction_to_hex_threshold(1.5)
+
+
+def test_stratified_sample_fractions_and_default(spark):
+    d = _docs(spark)
+    out = stratified_sample(
+        d, "lang", {"en": 1.0, "de": 0.5}, ["doc_id"], default_fraction=0.0
+    )
+    by_lang = {
+        r.lang: r.n for r in out.groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_lang.get("en") == 100            # fraction 1.0 keeps all
+    assert 20 <= by_lang.get("de", 0) <= 80    # binomial around 50
+    assert "fr" not in by_lang and "zh" not in by_lang  # default 0 drops
+
+
+def test_stratified_sample_stable_under_repartition(spark):
+    """The whole point vs df.sample(): identical rows regardless of the
+    physical layout."""
+    d = _docs(spark)
+    pick = lambda df: {  # noqa: E731
+        r.doc_id
+        for r in stratified_sample(
+            df, "lang", {"en": 0.4, "de": 0.4, "fr": 0.4, "zh": 0.4},
+            ["doc_id"],
+        ).collect()
+    }
+    assert pick(d) == pick(d.repartition(13)) == pick(d.coalesce(1))
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    d = _docs(spark)
+    out = quota_sample(d, "lang", 30, ["doc_id"])
+    counts = {r.lang: r.n for r in out.groupBy("lang").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts == {"en": 30, "de": 30, "fr": 30, "zh": 30}
+    # quota above stratum size keeps the whole stratum
+    full = quota_sample(d, "lang", 1000, ["doc_id"])
+    assert full.count() == d.count()
+    # same rows on every run / layout
+    ids = lambda df: {r.doc_id for r in df.collect()}  # noqa: E731
+    assert ids(out) == ids(quota_sample(d.repartition(7), "lang", 30, ["doc_id"]))
+    with pytest.raises(ValueError):
+        quota_sample(d, "lang", 0, ["doc_id"])
