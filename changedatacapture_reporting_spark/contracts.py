@@ -730,7 +730,7 @@ _CHECK_WINDOW: list[str] = [
     "order_priority_stats",
     "q20_excess_suppliers",
     "events_tumbling_5min",
-    "like_filter_parts",
+    "corpus_ngram_vocab",  # new in r6 — slot of like_filter_parts (r3+r5 green)
     "percentile_spend",
     # never driver-checked: LLM / streaming
     "text_sentiment_scores",

@@ -808,6 +808,43 @@ FROM dec
 """
 
 
+def corpus_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary (operators.corpus.ngram_vocab): top-100
+    bigrams by total occurrences with document frequency — the input a
+    BPE/unigram tokenizer training run starts from. Deterministic
+    tie-break makes the top-k cut engine-stable."""
+    from changedatacapture_reporting_spark.operators.corpus import ngram_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_vocab(d, "text", "doc_id", n=2, top_k=100)
+
+
+SQL_NGRAM_VOCAB = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+),
+grams AS (
+  SELECT doc_id, list_extract(t, i) || ' ' || list_extract(t, i + 1) AS ngram
+  FROM pos
+),
+perdoc AS (
+  SELECT ngram, doc_id, COUNT(*) AS n
+  FROM grams WHERE ngram <> '' GROUP BY 1, 2
+)
+SELECT ngram,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM perdoc
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 100
+"""
+
+
 def corpus_sampled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebalancing (operators.sampling): hash-deterministic
     per-language Bernoulli fractions (scan-stage filter, zero shuffle)
@@ -974,6 +1011,7 @@ REGISTRY_LLM = {
     "corpus_decontaminate": (corpus_decontaminate, SQL_DECONTAM),
     "corpus_chunks": (corpus_chunks, SQL_CHUNKS),
     "corpus_sampled_mix": (corpus_sampled_mix, SQL_SAMPLED_MIX),
+    "corpus_ngram_vocab": (corpus_ngram_vocab, SQL_NGRAM_VOCAB),
     "text_pii_redaction": (text_pii_redaction, SQL_PII),
     "text_repetition_scores": (text_repetition_scores, SQL_REPETITION),
 }

@@ -209,3 +209,63 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+def ngram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    top_k: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level n-gram vocabulary statistics — the input a tokenizer
+    training run (BPE/unigram) or a stopword/boilerplate analysis starts
+    from: the ``top_k`` n-grams by total occurrences, with document
+    frequency alongside.
+
+    Output: (ngram, n_occurrences, n_docs), ordered by
+    (n_occurrences DESC, ngram) — the tie-break makes the cut
+    deterministic, so two runs (or two engines) pick the same top-k.
+
+    Scale posture: explode n-grams once; ``count + approx-free distinct
+    doc count`` come from ONE (ngram, doc) pre-aggregation (map-side
+    combine collapses within-document repeats first, which is where the
+    volume is) followed by one ngram-level aggregation; the top-k is a
+    TakeOrdered (per-partition heaps + merge), never a global sort of
+    the vocabulary.
+    """
+    from changedatacapture_reporting_spark.functions.text import tokens
+
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    t = tokens(c)
+    if n > 1:
+        # positional n-grams (with repeats — occurrence counts need them;
+        # functions.text.shingles dedups, which is right for Jaccard but
+        # wrong here)
+        acc = t
+        for i in range(1, n):
+            shifted = F.slice(t, i + 1, F.greatest(F.size(t) - i, F.lit(0)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+        grams = F.slice(
+            acc, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))
+        )
+    else:
+        grams = t
+    per_doc = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(grams).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram", "_doc")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("_n").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(top_k)
+    )

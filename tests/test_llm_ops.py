@@ -472,3 +472,36 @@ def test_embedding_neardup_strategies_agree(spark, sf_dir):
             ).collect()
         }
         assert got == oracle, strat
+
+
+def test_ngram_vocab_counts_and_ties(spark):
+    """Occurrence counts keep within-document repeats, doc frequency
+    doesn't; top-k cut is deterministic under count ties."""
+    from changedatacapture_reporting_spark.operators.corpus import ngram_vocab
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "a b x"),
+            (3, "Z z"),  # lowercased together
+        ],
+        "doc_id long, text string",
+    )
+    uni = {r.ngram: (r.n_occurrences, r.n_docs)
+           for r in ngram_vocab(df, n=1, top_k=100).collect()}
+    assert uni["a"] == (3, 2) and uni["b"] == (3, 2)
+    assert uni["z"] == (2, 1)
+    bi = {r.ngram: (r.n_occurrences, r.n_docs)
+          for r in ngram_vocab(df, n=2, top_k=100).collect()}
+    assert bi["a b"] == (3, 2)   # twice in doc 1, once in doc 2
+    assert bi["b a"] == (1, 1)
+    assert bi["z z"] == (1, 1)  # "Z z" lowercases into one bigram
+    tri = {r.ngram for r in ngram_vocab(df, n=3, top_k=100).collect()}
+    assert "a b a" in tri and "b a b" in tri
+
+    # deterministic top-k under ties: all count-1 bigrams, cut at k=2
+    tie = spark.createDataFrame(
+        [(1, "p q"), (2, "r s"), (3, "t u")], "doc_id long, text string"
+    )
+    top2 = [r.ngram for r in ngram_vocab(tie, n=2, top_k=2).collect()]
+    assert top2 == ["p q", "r s"]  # lexicographic tie-break
