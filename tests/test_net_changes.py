@@ -91,3 +91,88 @@ def test_net_changes_plan_single_aggregate_no_join(spark):
     )
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# property: net_changes == a Python reference fold, for ANY valid history
+# and ANY window placement
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _interpret(draws):
+    """Raw draws → a VALID CDC history over ids 1-4 (insert when absent,
+    update/delete when present), one event per lsn."""
+    alive: dict[int, tuple] = {}
+    events = []
+    lsn = 0
+    for action, rid, v in draws:
+        rid = rid % 4 + 1
+        lsn += 1
+        if rid not in alive:
+            row = (rid, f"v{v}")
+            events.append((lsn, 0, TS, "insert", "t", None, row))
+            alive[rid] = row
+        elif action == 0:
+            events.append((lsn, 0, TS, "delete", "t", alive.pop(rid), None))
+        else:
+            old = alive[rid]
+            new = (rid, f"v{v}")
+            events.append((lsn, 0, TS, "update", "t", old, new))
+            alive[rid] = new
+    return events
+
+
+def _reference_net(events, lo, hi):
+    """Dead-simple per-key fold over the window — the semantics oracle."""
+    window = [e for e in events if lo <= e[0] <= hi]
+    by_key: dict[int, list] = {}
+    for e in window:
+        rid = (e[6] or e[5])[0]
+        by_key.setdefault(rid, []).append(e)
+    out = {}
+    for rid, evs in by_key.items():
+        first, last = evs[0], evs[-1]  # already lsn-ordered
+        existed = first[3] != "insert"
+        exists = last[3] != "delete"
+        if not existed and not exists:
+            continue
+        op = ("update" if existed and exists
+              else "insert" if exists else "delete")
+        out[rid] = (
+            op,
+            first[5][1] if existed else None,
+            last[6][1] if exists else None,
+            last[0],
+        )
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    draws=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=3,
+        max_size=18,
+    ),
+    win=st.tuples(st.floats(0.0, 1.0), st.floats(0.0, 1.0)),
+)
+def test_net_changes_matches_reference_fold(spark, draws, win):
+    events = _interpret(draws)
+    n = len(events)
+    lo, hi = sorted((max(1, int(w * n)) for w in win))
+    got = {
+        r.id: (
+            r.net_op,
+            r.before.v if r.before else None,
+            r.after.v if r.after else None,
+            r.last_lsn,
+        )
+        for r in net_changes(
+            spark.createDataFrame(events, SCHEMA), ["id"],
+            from_lsn=lo, to_lsn=hi,
+        ).collect()
+    }
+    assert got == _reference_net(events, lo, hi)
