@@ -125,13 +125,16 @@ HEADLINE = [
     "text_quality_scores",
     # streaming engine
     "streaming_tumbling_5min",
-    # r5 additions (first trend point r6) — appended AFTER the original
+    # r5/r6 additions (first trend points) — appended AFTER the original
     # 17 so cross-round comparability of the established list is intact.
-    # Streaming entries stay out (they drain a real stream); these three
+    # Streaming entries stay out (they drain a real stream); these
     # registry entries already time their production batch paths.
     "dedup_embedding_neardup",
     "corpus_chunks",
     "text_pii_redaction",
+    "cdc_net_changes",
+    "corpus_sampled_mix",
+    "corpus_ngram_vocab",
 ]
 
 # The headline total sums only these 17 — the list benched every round
