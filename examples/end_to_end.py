@@ -107,6 +107,36 @@ def main() -> None:
     n_packs = packs.select("shard", "pack_id").distinct().count()
     print(f"corpus: {n_in} docs → {n_kept} kept → {n_packs} packs")
 
+    # 7. the round-6 additions: net-changes window collapse, corpus
+    # rebalancing, and vocabulary stats
+    from changedatacapture_reporting_spark.operators.corpus import ngram_vocab
+    from changedatacapture_reporting_spark.operators.net_changes import (
+        net_changes,
+    )
+    from changedatacapture_reporting_spark.operators.sampling import (
+        quota_sample,
+        stratified_sample,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events_multi,
+    )
+
+    net = net_changes(simulate_cdc_events_multi(spark, sf_dir), SIM_PK)
+    by_op = {r.net_op: r.n for r in net.groupBy("net_op").count()
+             .withColumnRenamed("count", "n").collect()}
+    print(f"net changes per op: {by_op}")
+
+    balanced = stratified_sample(
+        docs, "lang", {"en": 0.3}, ["doc_id"], default_fraction=1.0
+    )
+    capped = quota_sample(docs, "lang", 40, ["doc_id"])
+    vocab = ngram_vocab(docs, n=2, top_k=5)
+    top = [r.ngram for r in vocab.collect()]
+    print(
+        f"rebalanced: {balanced.count()} docs (en downsampled); "
+        f"quota-capped: {capped.count()}; top bigrams: {top}"
+    )
+
 
 if __name__ == "__main__":
     main()
