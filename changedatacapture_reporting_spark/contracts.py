@@ -685,13 +685,17 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # (landed late in r5, locally 4/4 green via tools/check_contract.py) —
 # rotate IN, replacing q4_late_orders, q5_region_revenue,
 # topk_orders_per_customer, cube_lineitem_counts, which each carry two
-# driver-green rounds (r03 + r05). Everything else in the r05 window
-# stays put: the r05 window went 50/50 green, and keeping it stable for a
-# second round gives every r5 addition (delta-cdf, chunks, pii, interval
-# join, …) a two-green-round history. Behavior-changed entries this round
+# driver-green rounds (r03 + r05). The three NEW r6 entries
+# (cdc_net_changes, corpus_sampled_mix, corpus_ngram_vocab) also enter
+# immediately — no entry ships without a driver slot again — replacing
+# range_join_order_windows (r03+r05), cdc_changelog_full (r01+r03+r05),
+# and like_filter_parts (r03+r05). Everything else in the r05 window
+# stays put for a second green round. Behavior-changed entries this round
 # (cdc_delta_cdf_roundtrip — delete+insert commit fix; corpus_chunks —
-# tail-chunk fix; text_pii_redaction — tightened phone pattern) are
-# already in-window and re-prove on the new semantics.
+# tail-chunk fix; text_pii_redaction — tightened phone pattern;
+# streaming_dedup_keys — watermark-bounded regime) are already in-window
+# and re-prove on the new semantics. All rotated-out entries remain
+# covered every round by the local tools/check_contract.py full run.
 _CHECK_WINDOW: list[str] = [
     # erred in r04 (events ts encoding) — fixed, must re-prove
     "json_props_stats",
