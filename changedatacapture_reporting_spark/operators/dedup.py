@@ -435,12 +435,25 @@ def embedding_neardup_bucketed(
         def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             ids = pdf["id"].to_numpy()
             v = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            s = v @ v.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            m = s[iu, ju] >= threshold - eps
-            x, y = ids[iu[m]], ids[ju[m]]
+            b = len(ids)
+            # blockwise rows-vs-all: peak memory is block×b doubles, not
+            # b², so a degenerate giant bucket degrades gracefully
+            # instead of materializing the full similarity matrix
+            block = 4096
+            outs = []
+            for lo in range(0, b, block):
+                hi = min(lo + block, b)
+                s = v[lo:hi] @ v.T  # (hi-lo) × b
+                r, c = np.nonzero(s >= threshold - eps)
+                r = r + lo
+                keep = r < c  # upper triangle only — each pair once
+                x, y = ids[r[keep]], ids[c[keep]]
+                outs.append((np.minimum(x, y), np.maximum(x, y)))
             return pd.DataFrame(
-                {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+                {
+                    "id_a": np.concatenate([o[0] for o in outs]),
+                    "id_b": np.concatenate([o[1] for o in outs]),
+                }
             )
 
         survivors = (

@@ -337,7 +337,10 @@ def test_current_state_ttl_and_metrics(spark, workdir):
         .trigger(availableNow=True)
         .start()
     )
-    _drain(q)
+    # a ProcessingTimeTimeout keeps the query alive waiting for the 60-min
+    # TTL to fire, so awaitTermination would burn its full budget (this
+    # was 120s of the suite); wait for the DATA instead, then stop
+    q.processAllAvailable()
 
     rows = {r.id: r for r in spark.sql("SELECT * FROM ttl_out").collect()}
     assert rows["1"].name == "a2" and rows["2"].name == "b"
@@ -347,6 +350,7 @@ def test_current_state_ttl_and_metrics(spark, workdir):
     assert metrics[0]["memory_used_bytes"] is None or (
         metrics[0]["memory_used_bytes"] > 0
     )
+    q.stop()
 
 
 def test_streaming_dedup_bounded_state(spark, workdir):
