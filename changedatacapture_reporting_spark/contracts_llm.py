@@ -986,7 +986,56 @@ FROM ex
 """
 
 
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (operators.dedup.incremental_dedup):
+    the batch (doc_id % 3 == 0) deduplicates against the already-ingested
+    corpus (the rest) through the corpus's persisted MinHash band index —
+    the corpus text is touched only for exact verification of candidate
+    collisions. The duplicate rule (corpus match, or smaller-id batch
+    match, exact shingle Jaccard ≥ 0.8) is fully replayed by the oracle,
+    so this hash-checks end-to-end recall = 1 on the fixture, like
+    dedup_minhash_lsh."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    index = minhash_band_index(corpus)
+    return incremental_dedup(new, corpus, corpus_index=index, threshold=0.8)
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                     i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+         END AS sh
+  FROM documents
+),
+m AS (
+  SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+  FROM sh n JOIN sh o
+    ON n.doc_id % 3 = 0
+   AND (o.doc_id % 3 != 0 OR o.doc_id < n.doc_id)
+   AND o.doc_id != n.doc_id
+  WHERE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(n.sh, o.sh))) >= 0.8
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of
+FROM documents d LEFT JOIN m USING (doc_id)
+WHERE d.doc_id % 3 = 0
+"""
+
+
 REGISTRY_LLM = {
+    "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
     "text_token_stats": (text_token_stats, SQL_TOKEN_STATS),
     "text_quality_scores": (text_quality_scores, SQL_QUALITY),
     "text_fingerprints": (text_fingerprints, SQL_FINGERPRINTS),

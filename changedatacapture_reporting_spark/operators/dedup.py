@@ -134,6 +134,44 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH band index of a corpus: one (id, band_id, band_hash) row per
+    band per document.
+
+    This is the PERSISTABLE artifact of a streaming/incremental dedup
+    pipeline: write it partitioned (or bucketed) by ``band_hash`` once,
+    and every later ingestion batch joins its own (tiny) band entries
+    against it without ever re-reading or re-hashing the corpus text.
+    Seeds are fixed (minhash_signatures), so indexes built across rounds
+    are mutually compatible and the index is append-only.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -155,24 +193,7 @@ def minhash_lsh_pairs(
     verify=True re-checks candidates with exact shingle Jaccard (removes
     LSH false positives; false negatives are the documented 1−recall).
     """
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_entries = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{b * r + i}") for i in range(r)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    band_entries = minhash_band_index(df, text_col, id_col, n, num_hashes, bands)
 
     a, b_ = band_entries.alias("a"), band_entries.alias("b")
     candidates = (
@@ -482,6 +503,103 @@ def embedding_neardup_bucketed(
         .distinct()
     )
     return _verify(candidates)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-ingested corpus — the
+    steady-state shape of corpus building at 100 TB. A one-shot dedup
+    (minhash_lsh_pairs over everything) re-shingles and re-hashes the
+    whole corpus on every ingestion; this operator never touches the
+    existing corpus except through (a) its persisted band index
+    (``corpus_index``, built once via :func:`minhash_band_index` and
+    appended to per batch) and (b) an id-semi-joined text fetch for the
+    few candidate matches that need exact verification.
+
+    Duplicate rule (deterministic, SQL-replayable — no recursive
+    survivor logic): a new document is a duplicate iff its exact shingle
+    Jaccard ≥ ``threshold`` against (a) ANY corpus document, or (b) any
+    EARLIER (smaller id) document of its own batch. ``dup_of`` is the
+    smallest matching id overall.
+
+    Plan shape: new batch shingled/hashed once; candidates from two
+    (band_id, band_hash) equi-joins — new×index (the index side is huge
+    but the join key is the bucket, and with a small batch AQE broadcasts
+    the new side) and new×new (tiny self-join); exact verification joins
+    texts for candidate ids only (left-semi fetch). Shuffle volume is
+    ∝ batch size + collisions, never corpus size.
+
+    Output: one row per new document — (id, is_dup, dup_of).
+    """
+    if corpus_index is None:
+        corpus_index = minhash_band_index(
+            corpus, text_col, id_col, n, num_hashes, bands
+        )
+    new_index = minhash_band_index(
+        new_docs, text_col, id_col, n, num_hashes, bands
+    )
+
+    nb, cb = new_index.alias("nb"), corpus_index.alias("cb")
+    cand_corpus = nb.join(
+        cb,
+        (F.col("nb.band_id") == F.col("cb.band_id"))
+        & (F.col("nb.band_hash") == F.col("cb.band_hash")),
+    ).select(
+        F.col(f"nb.{id_col}").alias("new_id"),
+        F.col(f"cb.{id_col}").alias("other_id"),
+    )
+    a, b = new_index.alias("a"), new_index.alias("b")
+    cand_batch = b.join(
+        a,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"b.{id_col}").alias("new_id"),
+        F.col(f"a.{id_col}").alias("other_id"),
+    )
+    candidates = cand_corpus.unionByName(cand_batch).distinct()
+
+    # exact verification: shingle only the candidate "other" docs (semi
+    # join keeps the corpus scan pruned to matched ids) + the new batch
+    docs_all = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col))
+    )
+    other_ids = candidates.select(F.col("other_id").alias(id_col)).distinct()
+    sh_other = docs_all.join(other_ids, on=id_col, how="left_semi").select(
+        F.col(id_col).alias("other_id"), shingles(text_col, n).alias("sh_o")
+    )
+    sh_new = new_docs.select(
+        F.col(id_col).alias("new_id"), shingles(text_col, n).alias("sh_n")
+    )
+    jac = F.size(F.array_intersect("sh_n", "sh_o")).cast("double") / F.size(
+        F.array_union("sh_n", "sh_o")
+    )
+    matches = (
+        candidates.join(sh_new, "new_id")
+        .join(sh_other, "other_id")
+        .filter(jac >= F.lit(threshold))
+        .groupBy("new_id")
+        .agg(F.min("other_id").alias("dup_of"))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
 
 
 def benchmark_overlap(

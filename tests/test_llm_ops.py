@@ -505,3 +505,43 @@ def test_ngram_vocab_counts_and_ties(spark):
     )
     top2 = [r.ngram for r in ngram_vocab(tie, n=2, top_k=2).collect()]
     assert top2 == ["p q", "r s"]  # lexicographic tie-break
+
+
+def test_incremental_dedup_matches_definition(documents):
+    """incremental_dedup vs its own exact definition: a new doc is a dup
+    iff it jaccard-0.8-matches any corpus doc or a smaller-id batch doc;
+    dup_of is the min matching id. With a precomputed band index the
+    result must be identical to the index-free call (index reuse changes
+    the plan, never the answer)."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+
+    new = documents.filter(F.col("doc_id") % 3 == 0)
+    corpus = documents.filter(F.col("doc_id") % 3 != 0)
+
+    out = incremental_dedup(new, corpus, threshold=0.8)
+    got = {r.doc_id: (r.is_dup, r.dup_of) for r in out.collect()}
+    assert len(got) == new.count()  # exactly one verdict per new doc
+
+    # exact reference: all-pairs jaccard among all docs, filtered to the
+    # asymmetric new-vs-(corpus ∪ earlier-batch) rule
+    pairs = ngram_jaccard_pairs(documents, block_col=None, threshold=0.8)
+    ref: dict[int, int] = {}
+    for r in pairs.collect():
+        for nid, oid in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if nid % 3 != 0:
+                continue
+            if oid % 3 == 0 and oid >= nid:
+                continue
+            ref[nid] = min(ref.get(nid, oid), oid)
+    assert any(v[0] for v in got.values()), "fixture should contain dups"
+    for doc_id, (is_dup, dup_of) in got.items():
+        assert is_dup == (doc_id in ref)
+        assert dup_of == ref.get(doc_id)
+
+    # index reuse: prebuilt corpus index → byte-identical verdicts
+    idx = minhash_band_index(corpus)
+    out_idx = incremental_dedup(new, corpus, corpus_index=idx, threshold=0.8)
+    assert {tuple(r) for r in out_idx.collect()} == {tuple(r) for r in out.collect()}
