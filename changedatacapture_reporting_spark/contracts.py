@@ -597,6 +597,71 @@ WHERE NOT (f.op = 'insert' AND l.op = 'delete')
 _SQL_NET_CHANGES = _build_sql_net_changes()
 
 
+def _q_apply_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumer-side MERGE (operators.apply.apply_changes): the state
+    reconstructed from the base event wave is the target snapshot; the
+    tail window (second-update + trailing-delete waves) collapses to net
+    changes, which merge in via anti-join + upsert-union — the target
+    never shuffles (net side broadcasts). The result must equal the state
+    a consumer would get replaying the FULL stream row-level; the oracle
+    computes that end state directly."""
+    from changedatacapture_reporting_spark.operators.apply import apply_changes
+    from changedatacapture_reporting_spark.operators.net_changes import (
+        net_changes,
+    )
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_state,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_UPDATE,
+        simulate_cdc_events_multi,
+    )
+
+    value_cols = ["status", "priority", "total", "note"]
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    base_log = build_changelog(
+        ev.filter(F.col("lsn") < MULTI_OFF_UPDATE),
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    target = reconstruct_state(base_log, SIM_PK, value_cols)
+    net = net_changes(ev, SIM_PK, from_lsn=MULTI_OFF_UPDATE)
+    return apply_changes(target, net, SIM_PK, value_cols, broadcast_net=True)
+
+
+# final state after base-wave replay + tail-window merge: tail-touched
+# keys are k%4==1 (second update; whole-row net image wins) and
+# k%20 ∈ {5,11} (trailing delete; 5 also carries the update → both drop);
+# every other key keeps its base reconstruction
+_SQL_APPLY_NET = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT o_orderkey,
+       CASE WHEN op = 'insert' THEN a_status
+            WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS status,
+       CASE WHEN op = 'insert' THEN a_priority
+            WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+       CASE WHEN op = 'insert' THEN CAST(a_total AS VARCHAR)
+            WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR) END AS total,
+       CASE WHEN op = 'insert' THEN a_note
+            WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note
+FROM ev
+WHERE op != 'delete'
+  AND NOT (op = 'update'
+           AND b_status IS NOT DISTINCT FROM a_status
+           AND b_priority IS NOT DISTINCT FROM a_priority
+           AND b_total IS NOT DISTINCT FROM a_total
+           AND b_note IS NOT DISTINCT FROM a_note)
+  AND o_orderkey % 4 != 1 AND o_orderkey % 20 NOT IN (5, 11)
+UNION ALL
+SELECT o_orderkey, 'Y' AS status, a_priority AS priority,
+       CAST(a_total + 7 AS VARCHAR) AS total, a_note AS note
+FROM ev
+WHERE o_orderkey % 4 = 1 AND o_orderkey % 20 != 5
+"""
+
+
 def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 fold of the changelog (operators.scd.scd2_history):
     one row per (pk, version) with validity intervals. The simulator has
@@ -670,6 +735,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
     "cdc_net_changes": (_q_net_changes, _SQL_NET_CHANGES),
+    "cdc_apply_net_changes": (_q_apply_net_changes, _SQL_APPLY_NET),
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
