@@ -1034,8 +1034,47 @@ WHERE d.doc_id % 3 = 0
 """
 
 
+def corpus_token_freq_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring against corpus statistics
+    (operators.corpus.token_frequency_scores): rare-token counts and
+    mean corpus frequency per document, broadcast-vocab join. Scores are
+    rational (int sums + one division), so the contract hash-checks them
+    exactly."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        token_frequency_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_frequency_scores(d, rare_threshold=3)
+
+
+SQL_TOKEN_FREQ = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE tok != ''
+),
+pdt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS freq FROM pdt GROUP BY tok),
+sc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN freq < 3 THEN c ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+         MIN(freq) AS min_token_freq,
+         CAST(SUM(c * freq) AS DOUBLE) / SUM(c) AS mean_token_freq
+  FROM pdt JOIN vocab USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.n_rare_tokens,
+       sc.min_token_freq, sc.mean_token_freq
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
+    "corpus_token_freq_scores": (corpus_token_freq_scores, SQL_TOKEN_FREQ),
     "text_token_stats": (text_token_stats, SQL_TOKEN_STATS),
     "text_quality_scores": (text_quality_scores, SQL_QUALITY),
     "text_fingerprints": (text_fingerprints, SQL_FINGERPRINTS),

@@ -269,3 +269,85 @@ def ngram_vocab(
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(top_k)
     )
+
+
+def token_frequency_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_threshold: int = 3,
+    lowercase: bool = True,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Unigram-LM-style document scoring against CORPUS statistics — the
+    second family of quality signal a pretraining pipeline runs after the
+    per-document heuristics (functions.text.quality_columns): how typical
+    is each document's vocabulary of the corpus it sits in? Documents
+    dominated by singleton/rare tokens are OCR garbage, hex dumps, or
+    boilerplate IDs; documents of only ultra-common tokens are low-content
+    filler. Both tails get filtered or downweighted before training.
+
+    Two aggregations over one tokenization:
+
+    1. vocab: corpus-wide token → occurrence count;
+    2. per-doc fold of each token's corpus frequency.
+
+    Scores are kept RATIONAL on purpose (no log/exp): sums of exact
+    int64 counts and a single final division are bit-identical across
+    engines, so the whole output is oracle-hashable — a log-space
+    perplexity differs in last-ulp between libm implementations and
+    would turn the contract into an approximate one.
+
+    Scale posture: the token explode feeds a (doc, token) pre-aggregation
+    (map-side combine absorbs within-doc repeats — the volume — before
+    any shuffle); the vocab is Zipf-shaped and orders of magnitude
+    smaller than the corpus, so ``broadcast_vocab=True`` (default) makes
+    the frequency lookup a broadcast hash join and the only remaining
+    shuffle is the per-doc re-aggregation. Set it False when the vocab
+    genuinely exceeds executor memory (web-scale garbage tokens) — the
+    join falls back to a shuffle on the token with AQE skew handling.
+
+    Output: one row per document — (id, n_tokens, n_rare_tokens,
+    min_token_freq, mean_token_freq). Documents with no tokens (empty /
+    whitespace text) emit n_tokens = 0 and NULL frequency stats.
+    """
+    from changedatacapture_reporting_spark.functions.text import tokens
+
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = df.select(F.col(id_col).alias("_doc"), F.explode(tokens(c)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    per_doc_tok = toks.groupBy("_doc", "tok").agg(F.count("*").alias("_c"))
+    vocab = per_doc_tok.groupBy("tok").agg(
+        F.sum("_c").cast("long").alias("_freq")
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    scored = (
+        per_doc_tok.join(vocab, "tok")
+        .groupBy("_doc")
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_freq") < rare_threshold, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_rare_tokens"),
+            F.min("_freq").alias("min_token_freq"),
+            (
+                F.sum(F.col("_c") * F.col("_freq")).cast("double")
+                / F.sum("_c")
+            ).alias("mean_token_freq"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "n_rare_tokens",
+            "min_token_freq",
+            "mean_token_freq",
+        )
+    )

@@ -545,3 +545,41 @@ def test_incremental_dedup_matches_definition(documents):
     idx = minhash_band_index(corpus)
     out_idx = incremental_dedup(new, corpus, corpus_index=idx, threshold=0.8)
     assert {tuple(r) for r in out_idx.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_token_frequency_scores_semantics(spark):
+    """Hand-checked corpus: freqs, rare counts, empty doc, mean."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        token_frequency_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),          # a×2, b×1
+            (2, "A c"),            # lowercased → a, c
+            (3, "   "),            # whitespace only → 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    # corpus freqs: a=3, b=1, c=1
+    out = {r.doc_id: r for r in token_frequency_scores(df, rare_threshold=2).collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].n_rare_tokens == 1            # b (freq 1 < 2); a has freq 3
+    assert out[1].min_token_freq == 1
+    assert out[1].mean_token_freq == (3 + 3 + 1) / 3
+    assert out[2].n_tokens == 2
+    assert out[2].n_rare_tokens == 1            # c
+    assert out[2].mean_token_freq == (3 + 1) / 2
+    assert out[3].n_tokens == 0
+    assert out[3].n_rare_tokens is None and out[3].mean_token_freq is None
+
+    # broadcast off → identical values through the shuffle-join path
+    alt = {
+        r.doc_id: r
+        for r in token_frequency_scores(
+            df, rare_threshold=2, broadcast_vocab=False
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in alt.items()
+    }
