@@ -1072,9 +1072,31 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding (operators.export): md5-derived
+    shard assignment over 16 shards with the per-shard manifest stats
+    (docs / tokens / bytes). The assignment is a pure function of the
+    key, so the oracle replays it exactly ('0x'||md5-prefix cast)."""
+    from changedatacapture_reporting_spark.operators.export import shard_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return shard_stats(d, n_shards=16)
+
+
+SQL_SHARD_STATS = r"""
+SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
     "corpus_token_freq_scores": (corpus_token_freq_scores, SQL_TOKEN_FREQ),
+    "corpus_shard_stats": (corpus_shard_stats, SQL_SHARD_STATS),
     "text_token_stats": (text_token_stats, SQL_TOKEN_STATS),
     "text_quality_scores": (text_quality_scores, SQL_QUALITY),
     "text_fingerprints": (text_fingerprints, SQL_FINGERPRINTS),
