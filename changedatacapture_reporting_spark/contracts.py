@@ -706,6 +706,94 @@ WHERE op = 'insert'
 """
 
 
+def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators.scd.scd2_merge): the
+    base-wave history is the existing dimension; the tail window's
+    changelog (second updates + trailing deletes) folds in without a
+    full rebuild — untouched keys anti-join through, only open versions
+    re-derive. The oracle computes the full two-version history with
+    interval closing directly from the event arithmetic."""
+    from changedatacapture_reporting_spark.operators.scd import (
+        scd2_history,
+        scd2_merge,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_UPDATE,
+        simulate_cdc_events_multi,
+    )
+
+    value_cols = ["status", "priority", "total", "note"]
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+
+    def log_of(e: DataFrame) -> DataFrame:
+        return build_changelog(
+            e,
+            SIM_PK,
+            with_audit_cols=False,
+            record_insert_images=True,
+            carry_cols=["lsn", "seq"],
+        )
+
+    existing = scd2_history(
+        log_of(ev.filter(F.col("lsn") < MULTI_OFF_UPDATE)), SIM_PK, value_cols
+    )
+    return scd2_merge(
+        existing,
+        log_of(ev.filter(F.col("lsn") >= MULTI_OFF_UPDATE)),
+        SIM_PK,
+        value_cols,
+    )
+
+
+# full two-version history of the multi-event stream: v1 = the base
+# event's version (closed by the second update for k%4==1 keys, or by the
+# trailing delete for insert→delete k%20==11 keys); v2 = the second
+# update's version (status 'Y', total+7, carry elsewhere; closed by the
+# trailing delete for k%20==5). No-op base updates emit no v1 but still
+# get a carry-less v2.
+_SQL_SCD2_INCREMENTAL = f"""
+WITH {ORACLE_EVENTS_CTE},
+v1 AS (
+  SELECT o_orderkey,
+    CASE WHEN op = 'insert' THEN a_status
+         WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS status,
+    CASE WHEN op = 'insert' THEN a_priority
+         WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+    CASE WHEN op = 'insert' THEN CAST(a_total AS VARCHAR)
+         WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR)
+    END AS total,
+    CASE WHEN op = 'insert' THEN a_note
+         WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note,
+    commit_ts AS valid_from,
+    CASE WHEN o_orderkey % 4 = 1 OR o_orderkey % 20 = 11
+         THEN commit_ts END AS valid_to
+  FROM ev
+  WHERE op != 'delete'
+    AND NOT (op = 'update'
+             AND b_status IS NOT DISTINCT FROM a_status
+             AND b_priority IS NOT DISTINCT FROM a_priority
+             AND b_total IS NOT DISTINCT FROM a_total
+             AND b_note IS NOT DISTINCT FROM a_note)
+),
+v2 AS (
+  SELECT o_orderkey,
+    'Y' AS status,
+    CASE WHEN op = 'insert' THEN a_priority
+         WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+    CAST(a_total + 7 AS VARCHAR) AS total,
+    CASE WHEN op = 'insert' THEN a_note
+         WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note,
+    commit_ts AS valid_from,
+    CASE WHEN o_orderkey % 20 = 5 THEN commit_ts END AS valid_to
+  FROM ev
+  WHERE o_orderkey % 4 = 1
+)
+SELECT o_orderkey, status, priority, total, note, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -737,6 +825,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_net_changes": (_q_net_changes, _SQL_NET_CHANGES),
     "cdc_apply_net_changes": (_q_apply_net_changes, _SQL_APPLY_NET),
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
+    "cdc_scd2_incremental": (_q_scd2_incremental, _SQL_SCD2_INCREMENTAL),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     **REGISTRY_RELATIONAL,

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from changedatacapture_reporting_spark.schema import DELETED_RECORD, NEW_RECORD
+from changedatacapture_reporting_spark.schema import DELETED_RECORD
 
 
 def scd2_history(
@@ -67,11 +67,22 @@ def scd2_history(
             "allow_coarse_order=True to accept collapsing them"
         )
 
-    # fold the per-column rows of each transaction into one version delta;
-    # values are struct-wrapped so "changed to NULL" (a real changelog row
-    # with new_value NULL) stays distinguishable from "not changed in this
-    # transaction" (no row at all) through the carry-forward below
-    per_txn = changelog.groupBy(*pk_cols, *avail).agg(
+    per_txn = _per_txn(changelog, pk_cols, avail, value_cols)
+    return _fold_versions(per_txn, pk_cols, avail, value_cols)
+
+
+def _per_txn(
+    changelog: DataFrame,
+    pk_cols: list[str],
+    avail: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Fold the per-column rows of each transaction into one version
+    delta; values are struct-wrapped so "changed to NULL" (a real
+    changelog row with new_value NULL) stays distinguishable from "not
+    changed in this transaction" (no row at all) through the
+    carry-forward in _fold_versions."""
+    return changelog.groupBy(*pk_cols, *avail).agg(
         *[
             F.max(
                 F.when(
@@ -85,11 +96,17 @@ def scd2_history(
             F.col("column_name").isNull()
             & (F.col("old_value") == DELETED_RECORD)
         ).alias("__is_delete"),
-        F.max(
-            F.col("column_name").isNull() & (F.col("new_value") == NEW_RECORD)
-        ).alias("__is_insert"),
     )
 
+
+def _fold_versions(
+    per_txn: DataFrame,
+    pk_cols: list[str],
+    avail: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Carry values across a key's version deltas (delete-bounded epochs)
+    and close intervals — the window half of scd2_history."""
     w = W.partitionBy(*pk_cols).orderBy(*avail)
     fill = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     # values carry forward version-to-version; a re-insert after a delete
@@ -126,4 +143,74 @@ def scd2_history(
         "valid_from",
         "valid_to",
         (F.col("valid_to").isNull()).alias("is_current"),
+    )
+
+
+def scd2_merge(
+    existing: DataFrame,
+    new_log: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str],
+    order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
+    allow_coarse_order: bool = False,
+) -> DataFrame:
+    """Incrementally maintain an SCD2 history: merge a NEW changelog
+    batch into an ``existing`` :func:`scd2_history` output without
+    re-reading the full changelog — the steady-state dimension-refresh
+    shape (nightly batch folds into a years-deep history).
+
+    Per-key work is bounded by the batch:
+
+    - keys absent from the batch pass through untouched (anti join);
+    - touched keys keep their CLOSED versions verbatim; only the open
+      version is re-derived — it becomes the carry SEED (ordered before
+      every batch transaction) and the batch's version deltas fold on
+      top through the same delete-bounded-epoch window as the full
+      rebuild, closing the seed's interval if the batch adds versions
+      and handling delete → re-insert epochs across the boundary.
+
+    Precondition (the watermark contract populate_changelog maintains):
+    every batch transaction orders AFTER the existing open versions'
+    ``valid_from`` under ``order_cols`` — i.e. batches arrive in order.
+
+    Equality contract (pytest + driver-checked):
+    ``scd2_merge(scd2_history(log ≤ W), log > W) == scd2_history(log)``
+    for any window split W.
+    """
+    avail = [c for c in order_cols if c in new_log.columns]
+    missing = [c for c in order_cols if c not in new_log.columns]
+    if missing and not allow_coarse_order:
+        raise ValueError(
+            f"changelog lacks transaction-ordering columns {missing}: "
+            "build it with carry_cols=['lsn', 'seq'], or pass "
+            "allow_coarse_order=True"
+        )
+
+    touched = new_log.select(*pk_cols).distinct()
+    untouched = existing.join(touched, pk_cols, "left_anti")
+    ex_touched = existing.join(touched, pk_cols, "left_semi")
+    closed = ex_touched.filter(~F.col("is_current"))
+
+    per_txn_new = _per_txn(new_log, pk_cols, avail, value_cols)
+    order_types = {f.name: f.dataType for f in per_txn_new.schema.fields}
+    seed = ex_touched.filter(F.col("is_current")).select(
+        *pk_cols,
+        F.col("valid_from").cast(order_types[avail[0]]).alias(avail[0]),
+        # remaining order cols sort the seed before any real transaction
+        # sharing the first order value (lsn/seq are non-negative)
+        *[F.lit(-1).cast(order_types[c]).alias(c) for c in avail[1:]],
+        *[F.struct(F.col(c).alias("v")).alias(c) for c in value_cols],
+        F.lit(False).alias("__is_delete"),
+    )
+    recomputed = _fold_versions(
+        seed.unionByName(per_txn_new.select(*seed.columns)),
+        pk_cols,
+        avail,
+        value_cols,
+    )
+    out_cols = [*pk_cols, *value_cols, "valid_from", "valid_to", "is_current"]
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(recomputed.select(*out_cols))
     )

@@ -163,3 +163,91 @@ def test_scd2_same_commit_time_transactions_stay_distinct(spark):
     )
     assert [v.name for v in versions] == ["a", "b", "c"]
     assert [v.is_current for v in versions] == [False, False, True]
+
+
+def _vset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_scd2_merge_equals_full_rebuild_every_split(spark, cdc_fixture):
+    """scd2_merge(scd2_history(log ≤ W), log > W) == scd2_history(log)
+    at EVERY lsn split of the fixture — covers boundaries that land
+    before/after deletes, mid-key, and on the same-lsn double update."""
+    from changedatacapture_reporting_spark.operators.scd import scd2_merge
+
+    def log_of(ev):
+        return build_changelog(
+            ev, PK, with_audit_cols=False, record_insert_images=True,
+            carry_cols=["lsn", "seq"],
+        )
+
+    full = _vset(scd2_history(log_of(cdc_fixture), PK, VALS))
+    for w in range(1, 8):
+        existing = scd2_history(
+            log_of(cdc_fixture.filter(F.col("lsn") <= w)), PK, VALS
+        )
+        merged = scd2_merge(
+            existing, log_of(cdc_fixture.filter(F.col("lsn") > w)), PK, VALS
+        )
+        assert _vset(merged) == full, f"split at lsn {w} diverged"
+
+
+def test_scd2_merge_reinsert_crossing_the_batch_boundary(spark):
+    """Key deleted in the existing history, re-inserted by the batch:
+    the new life must not inherit values from the deleted one."""
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.operators.scd import scd2_merge
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("tenant_id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("commit_ts", T.TimestampType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("before", src, True),
+            T.StructField("after", src, True),
+        ]
+    )
+    first = spark.createDataFrame(
+        [
+            (1, 0, ts("2024-01-01 00:00:00"), "insert", "t", None,
+             (9, 1, "old", 5, "sticky")),
+            (2, 0, ts("2024-01-02 00:00:00"), "delete", "t",
+             (9, 1, "old", 5, "sticky"), None),
+        ],
+        schema,
+    )
+    second = spark.createDataFrame(
+        [
+            (3, 0, ts("2024-01-03 00:00:00"), "insert", "t", None,
+             (9, 1, "new", 6, None)),
+        ],
+        schema,
+    )
+
+    def log_of(ev):
+        return build_changelog(
+            ev, PK, with_audit_cols=False, record_insert_images=True,
+            carry_cols=["lsn", "seq"],
+        )
+
+    existing = scd2_history(log_of(first), PK, VALS)
+    merged = scd2_merge(existing, log_of(second), PK, VALS)
+    rows = {(r.id, r.tenant_id, r.valid_from): r for r in merged.collect()}
+    v_old = rows[(9, 1, ts("2024-01-01 00:00:00"))]
+    assert v_old.valid_to == ts("2024-01-02 00:00:00") and not v_old.is_current
+    v_new = rows[(9, 1, ts("2024-01-03 00:00:00"))]
+    assert (v_new.name, v_new.qty, v_new.note) == ("new", "6", None)
+    assert v_new.is_current
+    assert len(rows) == 2
