@@ -851,14 +851,25 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # streaming_dedup_keys — watermark-bounded regime) are already in-window
 # and re-prove on the new semantics. All rotated-out entries remain
 # covered every round by the local tools/check_contract.py full run.
+# Late-r6 rotation: five NEW entries (cdc_apply_net_changes,
+# cdc_scd2_incremental, dedup_incremental_batch, corpus_token_freq_scores,
+# corpus_shard_stats) enter immediately — no entry ships without a driver
+# slot — replacing five entries that each carry two driver-green rounds
+# (r03 + r05) and were unchanged this round: json_props_stats,
+# asof_signup_attribution, streaming_session_windows,
+# streaming_sliding_10min, cdc_incremental_resume. All rotated-out
+# entries remain covered by the local tools/check_contract.py full run.
 _CHECK_WINDOW: list[str] = [
-    # erred in r04 (events ts encoding) — fixed, must re-prove
-    "json_props_stats",
+    # erred in r04 (events ts encoding) — fixed r5; these two stay for a
+    # third green round as the family representatives
     "events_sessionization",
-    "asof_signup_attribution",
     "streaming_tumbling_5min",
-    "streaming_session_windows",
-    "streaming_sliding_10min",
+    # new late-r6 entries — first driver round each
+    "cdc_apply_net_changes",
+    "cdc_scd2_incremental",
+    "dedup_incremental_batch",
+    "corpus_token_freq_scores",
+    "corpus_shard_stats",
     # never driver-checked: CDC family
     "cdc_changelog_daily_activity",
     "cdc_state_snapshot_refresh",
@@ -904,13 +915,14 @@ _CHECK_WINDOW: list[str] = [
     "text_pii_redaction",
     "text_repetition_scores",
     "streaming_interval_join",
-    # green representatives (r03/r04 driver-green; rotated out for the
-    # r5 entries above, each with two green rounds already:
-    # cdc_scd2_history, q1_pricing_summary, dedup_minhash_lsh,
-    # ann_topk_ivf, corpus_prepare, deterministic_sample, ann_topk_lsh,
-    # streaming_current_state — all locally re-verified via
-    # tools/check_contract.py each round)
-    "cdc_incremental_resume",
+    # green representative (r03/r05 driver-green; behavior changed r5 —
+    # epoch semantics — so it stays for a second green on the new
+    # semantics). Other representatives rotated out across r5/r6 with
+    # two green rounds each: cdc_scd2_history, q1_pricing_summary,
+    # dedup_minhash_lsh, ann_topk_ivf, corpus_prepare,
+    # deterministic_sample, ann_topk_lsh, streaming_current_state,
+    # cdc_incremental_resume — all locally re-verified via
+    # tools/check_contract.py each round
     "cdc_reconstruct_state",
     # new in r6 — first driver round each: net-changes takes the slot of
     # range_join_order_windows (r03 + r05 green), stratified/quota
