@@ -135,6 +135,12 @@ HEADLINE = [
     "cdc_net_changes",
     "corpus_sampled_mix",
     "corpus_ngram_vocab",
+    # late-r6 additions (first trend points)
+    "cdc_apply_net_changes",
+    "cdc_scd2_incremental",
+    "dedup_incremental_batch",
+    "corpus_token_freq_scores",
+    "corpus_shard_stats",
 ]
 
 # The headline total sums only these 17 — the list benched every round
