@@ -141,6 +141,8 @@ HEADLINE = [
     "dedup_incremental_batch",
     "corpus_token_freq_scores",
     "corpus_shard_stats",
+    "events_funnel",
+    "events_cohort_retention",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -860,10 +860,14 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # streaming_sliding_10min, cdc_incremental_resume. All rotated-out
 # entries remain covered by the local tools/check_contract.py full run.
 _CHECK_WINDOW: list[str] = [
-    # erred in r04 (events ts encoding) — fixed r5; these two stay for a
-    # third green round as the family representatives
-    "events_sessionization",
-    "streaming_tumbling_5min",
+    # the two r4-red families stay represented through NEW entries on the
+    # same loading path: events_funnel / events_cohort_retention exercise
+    # the events ts pipeline (events_sessionization and
+    # streaming_tumbling_5min each carry two driver-green rounds,
+    # r03 + r05, and rotate out for them; events_tumbling_5min below
+    # keeps the windowed-agg shape in-window)
+    "events_funnel",
+    "events_cohort_retention",
     # new late-r6 entries — first driver round each
     "cdc_apply_net_changes",
     "cdc_scd2_incremental",

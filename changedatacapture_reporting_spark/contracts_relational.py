@@ -583,6 +583,80 @@ GROUP BY 1, 2
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (operators.funnel.funnel_counts):
+    view → click → purchase within 7 days of the first view, each step
+    strictly after the previous. The engine runs the single-shuffle
+    collect+fold plan; the oracle replays the equivalent join-chain
+    formulation — the two must agree exactly."""
+    from changedatacapture_reporting_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        e, ["view", "click", "purchase"], horizon="7 days"
+    )
+
+
+SQL_FUNNEL = f"""
+WITH {ORACLE_EV},
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM ev e
+  JOIN s2 ON e.user_id = s2.user_id
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+       (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators.cohort.cohort_retention):
+    the stream collapses to the distinct (user, week) grid first; cohort
+    assignment and the matrix both derive from the grid."""
+    from changedatacapture_reporting_spark.operators.cohort import (
+        cohort_retention,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
+SQL_COHORT = f"""
+WITH {ORACLE_EV},
+grid AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM ev
+),
+coh AS (SELECT u, MIN(wk) AS cohort_week FROM grid GROUP BY 1)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS n_users
+FROM grid JOIN coh USING (u)
+GROUP BY 1, 2
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a >30-min silence starts a new session
     (lag + conditional cumsum — the batch equivalent of
@@ -1640,6 +1714,8 @@ REGISTRY_RELATIONAL = {
     "asof_signup_attribution": (asof_signup_attribution, SQL_ASOF),
     "events_tumbling_5min": (events_tumbling_5min, SQL_TUMBLING),
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
+    "events_funnel": (events_funnel, SQL_FUNNEL),
+    "events_cohort_retention": (events_cohort_retention, SQL_COHORT),
     "like_filter_parts": (like_filter_parts, SQL_LIKE),
     "scalar_functions_showcase": (scalar_functions_showcase, SQL_SCALARS),
     "above_customer_avg_orders": (above_customer_avg_orders, SQL_CORRELATED),

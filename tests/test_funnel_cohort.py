@@ -1,0 +1,147 @@
+"""operators.funnel + operators.cohort — event analytics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.operators.cohort import cohort_retention
+from changedatacapture_reporting_spark.operators.funnel import (
+    funnel_counts,
+    funnel_times,
+)
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # user 1: full funnel in order
+        (1, ts("2024-01-01 10:00:00"), "view"),
+        (1, ts("2024-01-01 10:05:00"), "click"),
+        (1, ts("2024-01-01 10:30:00"), "purchase"),
+        # user 2: purchase BEFORE click — funnel stalls at click... no:
+        # view → purchase → click: click counts (after view), purchase
+        # does NOT (its only event is before the click)
+        (2, ts("2024-01-02 09:00:00"), "view"),
+        (2, ts("2024-01-02 09:10:00"), "purchase"),
+        (2, ts("2024-01-02 09:20:00"), "click"),
+        # user 3: click only — never enters the funnel
+        (3, ts("2024-01-03 12:00:00"), "click"),
+        # user 4: view, then click outside a 1-hour horizon
+        (4, ts("2024-01-04 08:00:00"), "view"),
+        (4, ts("2024-01-04 10:30:00"), "click"),
+        # user 5: same-timestamp view+click — tie must NOT advance
+        (5, ts("2024-01-05 07:00:00"), "view"),
+        (5, ts("2024-01-05 07:00:00"), "click"),
+    ]
+    return spark.createDataFrame(
+        [(u, t, et) for u, t, et in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_times_ordering_rules(ev):
+    t = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in funnel_times(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert t[1] == (
+        ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:05:00"),
+        ts("2024-01-01 10:30:00"),
+    )
+    # user 2: click counts, purchase (earlier than click) does not
+    assert t[2] == (
+        ts("2024-01-02 09:00:00"),
+        ts("2024-01-02 09:20:00"),
+        None,
+    )
+    assert 3 not in t or t[3] == (None, None, None)
+    # user 5: identical timestamps do not advance
+    assert t[5] == (ts("2024-01-05 07:00:00"), None, None)
+
+
+def test_funnel_counts_and_horizon(ev):
+    got = {
+        r.step_name: r.n_users
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+
+    bounded = {
+        r.step_name: r.n_users
+        for r in funnel_counts(
+            ev, ["view", "click", "purchase"], horizon="1 hour"
+        ).collect()
+    }
+    # user 4's click is 2.5h after the view — outside the horizon
+    assert bounded == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_requires_two_steps(ev):
+    with pytest.raises(ValueError):
+        funnel_times(ev, ["view"])
+
+
+def test_funnel_matches_join_chain(spark, sf_dir):
+    """Fold formulation == join-chain formulation on the fixture."""
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    fold = {r.step_name: r.n_users for r in funnel_counts(e, steps).collect()}
+
+    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    assert fold == {
+        "view": s1.count(),
+        "click": s2.count(),
+        "purchase": s3.count(),
+    }
+
+
+def test_cohort_retention_hand_checked(spark):
+    rows = [
+        # cohort of Mon 2024-01-01: users 1, 2
+        (1, ts("2024-01-02 10:00:00")),  # week 0
+        (1, ts("2024-01-09 10:00:00")),  # week 1
+        (1, ts("2024-01-24 10:00:00")),  # week 3
+        (2, ts("2024-01-03 10:00:00")),  # week 0
+        (2, ts("2024-01-10 10:00:00")),  # week 1
+        # cohort of Mon 2024-01-08: user 3
+        (3, ts("2024-01-08 00:00:00")),  # week 0 (boundary instant)
+        (3, ts("2024-01-16 10:00:00")),  # week 1
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week.isoformat(), r.week_offset): r.n_users
+        for r in cohort_retention(e).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 2,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
