@@ -706,6 +706,71 @@ WHERE op = 'insert'
 """
 
 
+def _q_reconstruct_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSN-bounded point-in-time state (reconstruct_state(as_of_lsn=…)):
+    the boundary SQL Server CDC consumers actually hold (time→LSN mapped
+    via fn_cdc_map_time_to_lsn, populate:241–253). The bound slices the
+    multi-event stream BETWEEN the second-update wave and the
+    trailing-delete wave, so updated values must show while the
+    about-to-be-deleted keys are still live — a timestamp bound cannot
+    express this cut (all three waves share commit_ts)."""
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_state,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_DELETE,
+        MULTI_OFF_UPDATE,
+        simulate_cdc_events_multi,
+    )
+
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    log = build_changelog(
+        ev,
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    mid = (MULTI_OFF_UPDATE + MULTI_OFF_DELETE) // 2
+    return reconstruct_state(
+        log, SIM_PK, ["status", "priority", "total", "note"], as_of_lsn=mid
+    )
+
+
+# state between the second-update and trailing-delete waves: base
+# reconstruction, with k%4==1 keys overlaid by the second update (status
+# 'Y', total+7; carry elsewhere) and NO deletes applied
+_SQL_RECONSTRUCT_AT_LSN = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT o_orderkey,
+       CASE WHEN op = 'insert' THEN a_status
+            WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS status,
+       CASE WHEN op = 'insert' THEN a_priority
+            WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+       CASE WHEN op = 'insert' THEN CAST(a_total AS VARCHAR)
+            WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR) END AS total,
+       CASE WHEN op = 'insert' THEN a_note
+            WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note
+FROM ev
+WHERE op != 'delete'
+  AND NOT (op = 'update'
+           AND b_status IS NOT DISTINCT FROM a_status
+           AND b_priority IS NOT DISTINCT FROM a_priority
+           AND b_total IS NOT DISTINCT FROM a_total
+           AND b_note IS NOT DISTINCT FROM a_note)
+  AND o_orderkey % 4 != 1
+UNION ALL
+SELECT o_orderkey, 'Y' AS status,
+       CASE WHEN op = 'insert' THEN a_priority
+            WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+       CAST(a_total + 7 AS VARCHAR) AS total,
+       CASE WHEN op = 'insert' THEN a_note
+            WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note
+FROM ev
+WHERE o_orderkey % 4 = 1
+"""
+
+
 def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 maintenance (operators.scd.scd2_merge): the
     base-wave history is the existing dimension; the tail window's
@@ -826,6 +891,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_apply_net_changes": (_q_apply_net_changes, _SQL_APPLY_NET),
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_scd2_incremental": (_q_scd2_incremental, _SQL_SCD2_INCREMENTAL),
+    "cdc_reconstruct_at_lsn": (_q_reconstruct_at_lsn, _SQL_RECONSTRUCT_AT_LSN),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     **REGISTRY_RELATIONAL,
@@ -919,15 +985,18 @@ _CHECK_WINDOW: list[str] = [
     "text_pii_redaction",
     "text_repetition_scores",
     "streaming_interval_join",
-    # green representative (r03/r05 driver-green; behavior changed r5 —
-    # epoch semantics — so it stays for a second green on the new
-    # semantics). Other representatives rotated out across r5/r6 with
-    # two green rounds each: cdc_scd2_history, q1_pricing_summary,
-    # dedup_minhash_lsh, ann_topk_ivf, corpus_prepare,
-    # deterministic_sample, ann_topk_lsh, streaming_current_state,
-    # cdc_incremental_resume — all locally re-verified via
+    # LSN-bounded reconstruction (new late-r6) takes the slot of
+    # cdc_reconstruct_state (r03 + r05 driver-green, the r5 green already
+    # on the new epoch semantics): same operator code path, plus the
+    # as_of_lsn bound, over the multi-event stream; the epoch logic stays
+    # in-window via cdc_state_snapshot_refresh (same reconstruct oracle).
+    # Representatives rotated out across r5/r6 with two green rounds
+    # each: cdc_scd2_history, q1_pricing_summary, dedup_minhash_lsh,
+    # ann_topk_ivf, corpus_prepare, deterministic_sample, ann_topk_lsh,
+    # streaming_current_state, cdc_incremental_resume,
+    # cdc_reconstruct_state — all locally re-verified via
     # tools/check_contract.py each round
-    "cdc_reconstruct_state",
+    "cdc_reconstruct_at_lsn",
     # new in r6 — first driver round each: net-changes takes the slot of
     # range_join_order_windows (r03 + r05 green), stratified/quota
     # sampling takes the slot of cdc_changelog_full (r01 + r03 + r05

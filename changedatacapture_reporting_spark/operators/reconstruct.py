@@ -42,17 +42,25 @@ def reconstruct_state(
     value_cols: list[str],
     as_of: dt.datetime | str | None = None,
     order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
+    as_of_lsn: int | None = None,
 ) -> DataFrame:
     """Rebuild the (string-typed) current image of every live row.
 
     A row is live iff its latest marker event is not a delete. Values are
-    the last ``new_value`` per column at or before ``as_of``. Output:
-    pk cols + one string column per value col (the changelog is
-    type-erased — re-cast downstream if the source schema is known).
+    the last ``new_value`` per column at or before ``as_of`` (a commit
+    time) and/or ``as_of_lsn`` — the LSN form is the one SQL Server CDC
+    consumers actually hold (``sys.fn_cdc_map_time_to_lsn`` hands them an
+    LSN boundary, usp_cdc_populate_changelog.sql:241–253), and unlike a
+    timestamp it is exact: two transactions in the same clock tick still
+    split deterministically. Output: pk cols + one string column per
+    value col (the changelog is type-erased — re-cast downstream if the
+    source schema is known).
     """
     log = changelog
     if as_of is not None:
         log = log.filter(F.col("commit_time") <= F.lit(as_of).cast("timestamp"))
+    if as_of_lsn is not None:
+        log = log.filter(F.col("lsn") <= F.lit(as_of_lsn))
 
     avail = [c for c in order_cols if c in log.columns]
     ord_key = F.struct(*[F.col(c) for c in avail])

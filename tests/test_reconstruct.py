@@ -191,3 +191,43 @@ def test_reinsert_epoch_does_not_leak_predelete_values(spark):
         for r in reconstruct_state(log2, ["id"], ["name", "qty"]).collect()
     }
     assert state2 == {1: ("z", "5")}
+
+
+def test_reconstruct_as_of_lsn_slices_mid_history(spark, sf_dir):
+    """The LSN bound cuts between the second-update and trailing-delete
+    waves of the multi stream — something the commit-time bound cannot
+    express (all waves share commit_ts)."""
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_DELETE,
+        MULTI_OFF_UPDATE,
+        SIM_PK,
+        simulate_cdc_events_multi,
+    )
+
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    log = build_changelog(
+        ev, SIM_PK, with_audit_cols=False, carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    cols = ["status", "priority", "total", "note"]
+    mid = (MULTI_OFF_UPDATE + MULTI_OFF_DELETE) // 2
+
+    at_mid = {r.o_orderkey: r for r in
+              reconstruct_state(log, SIM_PK, cols, as_of_lsn=mid).collect()}
+    full = {r.o_orderkey: r for r in
+            reconstruct_state(log, SIM_PK, cols).collect()}
+
+    # a key carrying update→update→delete history: alive (updated) at the
+    # mid cut, gone at the end
+    k5 = [k for k in at_mid if k % 20 == 5]
+    assert k5, "fixture must contain k%20==5 keys"
+    for k in k5:
+        assert at_mid[k].status == "Y"
+        assert k not in full
+    # second-update keys that survive: 'Y' at mid and at the end
+    k1 = [k for k in at_mid if k % 4 == 1 and k % 20 != 5]
+    assert k1 and all(at_mid[k].status == "Y" for k in k1)
+    # keys untouched by the extra waves agree between the two cuts
+    for k in list(at_mid)[:50]:
+        if k % 4 != 1 and k % 20 not in (5, 11):
+            assert tuple(at_mid[k]) == tuple(full[k])
