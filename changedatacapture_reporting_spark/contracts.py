@@ -388,6 +388,73 @@ def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_debezium_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter classification (sources.debezium.parse_debezium_tagged):
+    the simulated stream is serialized to Debezium JSON with DETERMINISTIC
+    corruption — op replaced (k%13), lsn nulled (k%17), JSON truncated
+    (k%19), required image nulled (k%23), first match wins — and the
+    tagged parser must route every document to exactly the reason the
+    arithmetic predicts (NULL = well-formed). The oracle replays the
+    modular rules directly."""
+    from changedatacapture_reporting_spark.sources.debezium import (
+        parse_debezium_tagged,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    k = F.col("lsn")
+    c_op = k % 13 == 0
+    c_lsn = ~c_op & (k % 17 == 0)
+    c_json = ~c_op & ~c_lsn & (k % 19 == 0)
+    c_img = ~c_op & ~c_lsn & ~c_json & (k % 23 == 0)
+
+    dbz_op = (
+        F.when(c_op, F.lit("x"))
+        .when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    null_img = F.lit(None).cast(ev.schema["after"].dataType)
+    before = F.when(c_img & (F.col("op") == "delete"), null_img).otherwise(
+        F.col("before")
+    )
+    after = F.when(c_img & (F.col("op") != "delete"), null_img).otherwise(
+        F.col("after")
+    )
+    envelope = F.to_json(
+        F.struct(
+            before.alias("before"),
+            after.alias("after"),
+            F.struct(
+                F.when(~c_lsn, F.col("lsn")).alias("lsn"),
+                F.col("seq").alias("sequence"),
+                (F.unix_micros(F.col("commit_ts").cast("timestamp")) / 1000)
+                .cast("long")
+                .alias("ts_ms"),
+                F.col("table_name").alias("table"),
+            ).alias("source"),
+            dbz_op.alias("op"),
+        )
+    )
+    doc = F.when(c_json, F.substring(envelope, 1, 10)).otherwise(envelope)
+    json_df = ev.select(doc.alias("value"))
+    tagged = parse_debezium_tagged(
+        json_df, "value", ev.schema["after"].dataType
+    )
+    return tagged.groupBy("reject_reason").agg(F.count("*").alias("n"))
+
+
+_SQL_DEBEZIUM_DLQ = """
+SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'unknown-op'
+            WHEN o_orderkey % 17 = 0 THEN 'missing-lsn'
+            WHEN o_orderkey % 19 = 0 THEN 'unparseable'
+            WHEN o_orderkey % 23 = 0 THEN 'missing-image'
+       END AS reject_reason,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
 def _q_delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC parsing parity for the third SURVEY §1.3 input form: serialize
     the simulated events into Delta-CDF-convention rows (update pre/post
@@ -885,6 +952,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_state_snapshot_refresh": (_q_state_snapshot_refresh, _SQL_RECONSTRUCT),
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
+    "cdc_debezium_dlq": (_q_debezium_dlq, _SQL_DEBEZIUM_DLQ),
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
     "cdc_net_changes": (_q_net_changes, _SQL_NET_CHANGES),
@@ -975,8 +1043,11 @@ _CHECK_WINDOW: list[str] = [
     # never driver-checked: LLM / streaming
     "text_sentiment_scores",
     "streaming_dedup_keys",
-    # changed this round — bucketed candidate path replaces all-pairs
-    "dedup_embedding_neardup",
+    # Debezium dead-letter classification (new late-r6) takes the slot of
+    # dedup_embedding_neardup (r03/r04/r05 driver-green, three rounds;
+    # its r6 blockwise-verify change is answer-preserving and covered by
+    # test_embedding_neardup_strategies_agree + the local oracle run)
+    "cdc_debezium_dlq",
     # new in r5 — need their first driver-green round
     "q2_min_cost_supplier",
     "corpus_decontaminate",

@@ -51,28 +51,101 @@ def op_to_engine(op: Column) -> Column:
     return out
 
 
-def parse_debezium(
+def parse_debezium_tagged(
     df: DataFrame, json_col: str, source_struct: T.StructType
 ) -> DataFrame:
-    """JSON envelope column → event DataFrame (schema.cdc_event_schema).
+    """One-pass parse + validation: event columns plus ``raw_value`` (the
+    original document) and ``reject_reason`` (NULL = well-formed) — the
+    dead-letter-queue form of :func:`parse_debezium` for production
+    ingestion, where a poison document must be ROUTED, not dropped.
 
-    Malformed documents parse to NULL envelopes and are dropped (count them
-    upstream with ``F.col(json_col).isNotNull() & env.isNull()`` if a
-    dead-letter queue is needed).
+    Reasons, checked in order:
+
+    - ``unparseable``  — the JSON does not parse (or the input is NULL);
+    - ``unknown-op``   — op missing or outside c/r/u/d;
+    - ``missing-lsn``  — no log position (events would be unorderable);
+    - ``missing-image`` — the op's REQUIRED image is absent: insert
+      without ``after``, delete without ``before``, update without
+      ``after``. (An update without ``before`` is accepted — Debezium
+      emits exactly that under partial REPLICA IDENTITY.)
+
+    At scale route both sides of the split in ONE write pass (foreachBatch
+    over this frame, or persist it before filtering) — filtering twice
+    from the raw source would parse every document twice.
 
     The envelope is materialized through ``inline`` (a generator) rather
     than plain projections: Catalyst's CollapseProject would otherwise
     inline the ``from_json`` into every output column and parse each
     document several times — a 3× slowdown measured at sf0.1.
     """
-    env = F.from_json(F.col(json_col), debezium_envelope_schema(source_struct))
-    exploded = df.select(F.inline(F.array(env)))
+    # a corrupt-record column distinguishes invalid JSON from a VALID
+    # document that simply lacks fields ('{}' must classify unknown-op,
+    # not unparseable)
+    schema = debezium_envelope_schema(source_struct).add(
+        "_corrupt", T.StringType()
+    )
+    env = F.from_json(
+        F.col(json_col),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    exploded = df.select(
+        F.col(json_col).alias("raw_value"), F.inline(F.array(env))
+    )
+    op = op_to_engine(F.col("op"))
+    reason = (
+        F.when(
+            F.col("_corrupt").isNotNull() | F.col("raw_value").isNull(),
+            F.lit("unparseable"),
+        )
+        .when(op.isNull(), F.lit("unknown-op"))
+        .when(F.col("source.lsn").isNull(), F.lit("missing-lsn"))
+        .when(
+            ((op == "insert") & F.col("after").isNull())
+            | ((op == "delete") & F.col("before").isNull())
+            | ((op == "update") & F.col("after").isNull()),
+            F.lit("missing-image"),
+        )
+    )
     return exploded.select(
         F.col("source.lsn").alias("lsn"),
         F.coalesce(F.col("source.sequence"), F.lit(0)).alias("seq"),
         F.timestamp_millis(F.col("source.ts_ms")).alias("commit_ts"),
-        op_to_engine(F.col("op")).alias("op"),
+        op.alias("op"),
         F.col("source.table").alias("table_name"),
         F.col("before").alias("before"),
         F.col("after").alias("after"),
-    ).filter(F.col("op").isNotNull() & F.col("lsn").isNotNull())
+        F.col("raw_value"),
+        reason.alias("reject_reason"),
+    )
+
+
+def debezium_events(tagged: DataFrame) -> DataFrame:
+    """Well-formed side of :func:`parse_debezium_tagged` (event model)."""
+    return tagged.filter(F.col("reject_reason").isNull()).drop(
+        "raw_value", "reject_reason"
+    )
+
+
+def debezium_rejects(tagged: DataFrame) -> DataFrame:
+    """Dead-letter side: (raw_value, reject_reason) for quarantine sinks."""
+    return tagged.filter(F.col("reject_reason").isNotNull()).select(
+        "raw_value", "reject_reason"
+    )
+
+
+def parse_debezium(
+    df: DataFrame, json_col: str, source_struct: T.StructType
+) -> DataFrame:
+    """JSON envelope column → event DataFrame (schema.cdc_event_schema).
+
+    Documents without a parseable envelope, a known op, or a log position
+    are dropped (historic behavior; rows flagged only ``missing-image``
+    pass through — callers needing strict image validation or a
+    dead-letter queue use :func:`parse_debezium_tagged`).
+    """
+    tagged = parse_debezium_tagged(df, json_col, source_struct)
+    keep = F.col("reject_reason").isNull() | (
+        F.col("reject_reason") == "missing-image"
+    )
+    return tagged.filter(keep).drop("raw_value", "reject_reason")

@@ -362,3 +362,50 @@ def test_orc_reader_schema_evolution(spark, tmp_path):
     p = str(tmp_path / "orc")
     write_cdc_orc(ev, p)
     _assert_evolved_reads(read_cdc_orc, spark, p)
+
+
+def test_debezium_tagged_dlq_classification(spark):
+    """Every reject reason routes correctly; an update WITHOUT a before
+    image (partial REPLICA IDENTITY) is well-formed; the permissive
+    parse_debezium keeps historic behavior (missing-image passes)."""
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.debezium import (
+        debezium_events,
+        debezium_rejects,
+        parse_debezium,
+        parse_debezium_tagged,
+    )
+
+    src = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good = '{"after":{"id":1,"v":"a"},"source":{"lsn":10,"ts_ms":0,"table":"t"},"op":"c"}'
+    upd_no_before = '{"after":{"id":1,"v":"b"},"source":{"lsn":11,"ts_ms":0,"table":"t"},"op":"u"}'
+    docs = [
+        (good,),
+        (upd_no_before,),
+        ('not json at all',),                                    # unparseable
+        ('{}',),                                                 # unknown-op
+        ('{"after":{"id":2,"v":"c"},"source":{"ts_ms":0,"table":"t"},"op":"c"}',),  # missing-lsn
+        ('{"source":{"lsn":12,"ts_ms":0,"table":"t"},"op":"c"}',),  # insert w/o after
+        ('{"source":{"lsn":13,"ts_ms":0,"table":"t"},"op":"d"}',),  # delete w/o before
+    ]
+    df = spark.createDataFrame(docs, "value string")
+    tagged = parse_debezium_tagged(df, "value", src)
+    reasons = [r.reject_reason for r in tagged.collect()]
+    assert reasons == [
+        None,
+        None,
+        "unparseable",
+        "unknown-op",
+        "missing-lsn",
+        "missing-image",
+        "missing-image",
+    ]
+    assert debezium_events(tagged).count() == 2
+    rejects = {r.raw_value: r.reject_reason for r in debezium_rejects(tagged).collect()}
+    assert len(rejects) == 5 and rejects["not json at all"] == "unparseable"
+    # permissive form: good + update-without-before + the two
+    # missing-image docs (historic behavior)
+    assert parse_debezium(df, "value", src).count() == 4
