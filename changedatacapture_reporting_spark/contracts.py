@@ -729,6 +729,59 @@ WHERE o_orderkey % 4 = 1 AND o_orderkey % 20 != 5
 """
 
 
+def _q_column_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(table, column) change-frequency profile
+    (operators.profile.column_churn) over the multi-event stream's
+    changelog (no insert images — pure churn): change counts, distinct
+    hot keys, to-NULL transitions, last change time. The oracle rebuilds
+    the per-column change rows from the event arithmetic (base update
+    wave + always-changing status/total of the second wave)."""
+    from changedatacapture_reporting_spark.operators.profile import (
+        column_churn,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events_multi,
+    )
+
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    log = build_changelog(
+        ev, SIM_PK, with_audit_cols=False, carry_cols=["lsn", "seq"]
+    )
+    return column_churn(log, SIM_PK)
+
+
+_SQL_COLUMN_CHURN = f"""
+WITH {ORACLE_EVENTS_CTE},
+chg AS (
+  SELECT 'status' AS column_name, o_orderkey, commit_ts,
+         a_status IS NULL AS to_null
+  FROM ev WHERE op = 'update' AND b_status IS DISTINCT FROM a_status
+  UNION ALL
+  SELECT 'priority', o_orderkey, commit_ts, a_priority IS NULL
+  FROM ev WHERE op = 'update' AND b_priority IS DISTINCT FROM a_priority
+  UNION ALL
+  SELECT 'total', o_orderkey, commit_ts, a_total IS NULL
+  FROM ev WHERE op = 'update' AND b_total IS DISTINCT FROM a_total
+  UNION ALL
+  SELECT 'note', o_orderkey, commit_ts, a_note IS NULL
+  FROM ev WHERE op = 'update' AND b_note IS DISTINCT FROM a_note
+  UNION ALL
+  SELECT 'status', o_orderkey, commit_ts, FALSE
+  FROM ev WHERE o_orderkey % 4 = 1
+  UNION ALL
+  SELECT 'total', o_orderkey, commit_ts, FALSE
+  FROM ev WHERE o_orderkey % 4 = 1
+)
+SELECT 'orders' AS table_name, column_name,
+       COUNT(*) AS n_changes,
+       COUNT(DISTINCT o_orderkey) AS n_keys,
+       CAST(SUM(CASE WHEN to_null THEN 1 ELSE 0 END) AS BIGINT) AS n_to_null,
+       MAX(commit_ts) AS last_change
+FROM chg
+GROUP BY 1, 2
+"""
+
+
 def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 fold of the changelog (operators.scd.scd2_history):
     one row per (pk, version) with validity intervals. The simulator has
@@ -962,6 +1015,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_reconstruct_at_lsn": (_q_reconstruct_at_lsn, _SQL_RECONSTRUCT_AT_LSN),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
+    "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
     **REGISTRY_STREAMING,
@@ -1019,13 +1073,17 @@ _CHECK_WINDOW: list[str] = [
     # never driver-checked: relational / TPC-H shapes
     "q11_important_parts",
     "q12_shipping_latency",
-    "q6_revenue_forecast",
+    # q6_revenue_forecast and q14_promo_revenue (single-row aggregate
+    # shapes, r5 driver-green, unchanged) yield their slots to the last
+    # two late-r6 entries; 14 TPC-H shapes remain in-window and the local
+    # oracle run covers the rotated pair every round
+    "cdc_column_churn",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_item_revenue",
     "q13_order_count_distribution",
-    "q14_promo_revenue",
+    "corpus_budget_mix",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q19_disjunctive_brackets",

@@ -1093,10 +1093,65 @@ GROUP BY 1
 """
 
 
+# one dict feeds BOTH engines: the operator normalizes w/sum(w) in this
+# iteration order, and the oracle inlines the identical Python doubles —
+# any divergence in normalization arithmetic would hash-mismatch
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+_MIX_BUDGET = 10_000
+
+
+def corpus_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (operators.sampling.budget_mix):
+    per-language fractions computed IN THE PLAN from a token aggregate
+    (fraction = min(1, budget·w / lang_tokens)), md5-threshold keep rule
+    — deterministic, collect-free, exactly oracle-replayable."""
+    from changedatacapture_reporting_spark.operators.sampling import (
+        budget_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = budget_mix(d, "lang", _MIX_WEIGHTS, _MIX_BUDGET, ["doc_id"])
+    return out.select("doc_id", "lang", "source")
+
+
+def _build_sql_budget_mix() -> str:
+    total = sum(_MIX_WEIGHTS.values())
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w / total!r}" for s, w in _MIX_WEIGHTS.items()
+    )
+    return rf"""
+WITH t AS (
+  SELECT lang,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS st
+  FROM documents GROUP BY 1
+),
+lim AS (
+  SELECT lang,
+         CASE WHEN v >= 65536 THEN 'g'
+              ELSE lower(lpad(to_hex(v), 4, '0')) END AS thr
+  FROM (
+    SELECT lang,
+           CAST(FLOOR(LEAST(1.0,
+                {float(_MIX_BUDGET)!r} * (CASE lang {cases} END) / st)
+                * 65536) AS INT) AS v
+    FROM t
+    WHERE lang IN ({", ".join(f"'{s}'" for s in _MIX_WEIGHTS)})
+  )
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN lim ON d.lang = lim.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < lim.thr
+"""
+
+
+SQL_BUDGET_MIX = _build_sql_budget_mix()
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
     "corpus_token_freq_scores": (corpus_token_freq_scores, SQL_TOKEN_FREQ),
     "corpus_shard_stats": (corpus_shard_stats, SQL_SHARD_STATS),
+    "corpus_budget_mix": (corpus_budget_mix, SQL_BUDGET_MIX),
     "text_token_stats": (text_token_stats, SQL_TOKEN_STATS),
     "text_quality_scores": (text_quality_scores, SQL_QUALITY),
     "text_fingerprints": (text_fingerprints, SQL_FINGERPRINTS),

@@ -49,3 +49,36 @@ def profile_table(
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def column_churn(
+    changelog: DataFrame,
+    pk_cols: list[str],
+    exact_keys: bool = True,
+) -> DataFrame:
+    """Per-(table, column) change-frequency profile of a changelog — the
+    tuning question a CDC operator asks first: WHICH columns churn, how
+    hot are their keys, and when did they last move? High-churn columns
+    drive capture-instance column lists, index choices, and SCD2
+    value-column selection; a column whose changes concentrate in few
+    keys (n_changes ≫ n_keys) signals an update loop upstream.
+
+    One hash aggregation on (table_name, column_name) — marker rows
+    (NULL column_name) are excluded, so the output covers real column
+    writes only. n_keys is exact COUNT(DISTINCT pk); at 100 TB swap in
+    approx_count_distinct via the ``exact_keys`` flag.
+    """
+    pk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in pk_cols])
+    n_keys = (
+        F.countDistinct(pk) if exact_keys else F.approx_count_distinct(pk)
+    )
+    return (
+        changelog.filter(F.col("column_name").isNotNull())
+        .groupBy("table_name", "column_name")
+        .agg(
+            F.count("*").alias("n_changes"),
+            n_keys.alias("n_keys"),
+            F.sum(F.col("new_value").isNull().cast("long")).alias("n_to_null"),
+            F.max("commit_time").alias("last_change"),
+        )
+    )

@@ -89,3 +89,68 @@ def quota_sample(
         .filter(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    key_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Sample to ≈``token_budget`` total whitespace tokens with the given
+    mixture ``weights`` — "give me 1B tokens, half English, a fifth
+    German…", the step that turns a cleaned multi-source corpus into a
+    training mix. Per stratum:
+
+        fraction = min(1, token_budget · weight / stratum_tokens)
+
+    (weights are normalized; a stratum too small for its allocation is
+    taken whole and UNDER-delivers rather than silently borrowing from
+    the others — renormalize and rerun if exact totals matter). Strata
+    absent from ``weights`` drop.
+
+    Deterministic like everything in this module: the keep-rule is the
+    same md5-hex-threshold as :func:`stratified_sample`, but the
+    threshold is COMPUTED IN THE PLAN from a per-stratum token aggregate
+    (a handful of rows) broadcast back onto the scan — no driver-side
+    collect, no RNG, stable under any partitioning, exactly replayable
+    by a SQL oracle. Expected sample size per stratum is binomial around
+    fraction · n (token counts concentrate tightly for large corpora).
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wmap = F.create_map(
+        *chain.from_iterable(
+            (F.lit(s), F.lit(w / total_w)) for s, w in weights.items()
+        )
+    )
+    toks = F.size(F.split(F.trim(text_col), r"\s+")).cast("long")
+    per_stratum = (
+        df.select(F.col(strata_col).alias("_st"), toks.alias("_t"))
+        .groupBy("_st")
+        .agg(F.sum("_t").alias("_stratum_tokens"))
+    )
+    w = wmap[F.col("_st")]
+    # guard the null before least(): Spark's least SKIPS nulls, so an
+    # unweighted stratum would silently get fraction 1.0 instead of 0
+    frac = F.when(
+        w.isNotNull(),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget)) * w / F.col("_stratum_tokens"),
+        ),
+    )
+    v = F.floor(frac * (1 << 16)).cast("int")
+    thr = F.when(v >= (1 << 16), F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(v), 4, "0"))
+    )
+    limits = F.broadcast(per_stratum.select("_st", thr.alias("_thr")))
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        df.join(limits, df[strata_col] == limits["_st"])
+        .filter(F.substring(F.md5(key), 1, 4) < F.col("_thr"))
+        .drop("_st", "_thr")
+    )

@@ -176,3 +176,45 @@ def test_net_changes_matches_reference_fold(spark, draws, win):
         ).collect()
     }
     assert got == _reference_net(events, lo, hi)
+
+
+def test_column_churn_counts(spark):
+    """Hand-checked churn profile over a tiny changelog."""
+    from changedatacapture_reporting_spark.operators.changelog import (
+        build_changelog,
+    )
+    from changedatacapture_reporting_spark.operators.profile import column_churn
+    from pyspark.sql import types as T
+    import datetime as dt
+
+    src = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType()),
+         T.StructField("w", T.StringType())]
+    )
+    schema = T.StructType(
+        [T.StructField("lsn", T.LongType()), T.StructField("seq", T.LongType()),
+         T.StructField("commit_ts", T.TimestampType()),
+         T.StructField("op", T.StringType()),
+         T.StructField("table_name", T.StringType()),
+         T.StructField("before", src), T.StructField("after", src)]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    ev = spark.createDataFrame(
+        [
+            (1, 0, t0, "update", "t", (1, "a", "x"), (1, "b", "x")),  # v
+            (2, 0, t1, "update", "t", (1, "b", "x"), (1, "c", None)),  # v + w→NULL
+            (3, 0, t1, "update", "t", (2, "a", "x"), (2, "b", "x")),  # v
+            (4, 0, t1, "delete", "t", (2, "b", "x"), None),           # marker only
+        ],
+        schema,
+    )
+    log = build_changelog(ev, ["id"], with_audit_cols=False)
+    got = {r.column_name: r for r in column_churn(log, ["id"]).collect()}
+    assert set(got) == {"v", "w"}
+    assert (got["v"].n_changes, got["v"].n_keys, got["v"].n_to_null) == (3, 2, 0)
+    assert (got["w"].n_changes, got["w"].n_keys, got["w"].n_to_null) == (1, 1, 1)
+    assert got["v"].last_change == t1
+    # approx mode returns the same shape (values approximate)
+    approx = column_churn(log, ["id"], exact_keys=False)
+    assert {r.column_name for r in approx.collect()} == {"v", "w"}

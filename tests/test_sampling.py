@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from changedatacapture_reporting_spark.operators.sampling import (
     fraction_to_hex_threshold,
@@ -66,3 +67,39 @@ def test_quota_sample_exact_counts_and_determinism(spark):
     assert ids(out) == ids(quota_sample(d.repartition(7), "lang", 30, ["doc_id"]))
     with pytest.raises(ValueError):
         quota_sample(d, "lang", 0, ["doc_id"])
+
+
+def test_budget_mix_hits_budget_and_mix(spark, sf_dir):
+    """Sampled token totals per stratum land near budget·weight (binomial
+    tolerance); a stratum smaller than its allocation is taken whole;
+    absent strata drop; repartition-stable."""
+    from changedatacapture_reporting_spark.operators.sampling import budget_mix
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.6, "de": 0.4}
+    budget = 600
+    out = budget_mix(d, "lang", weights, budget, ["doc_id"])
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    got = {
+        r.lang: r.t
+        for r in out.groupBy("lang").agg(F.sum(toks).alias("t")).collect()
+    }
+    assert set(got) <= {"en", "de"}  # es/fr/zh have no weight -> dropped
+    for lang, w in weights.items():
+        target = budget * w
+        assert got.get(lang, 0) < 3 * target  # loose binomial envelope
+    assert sum(got.values()) > 0.2 * budget
+
+    # huge budget -> fraction caps at 1: every weighted doc kept
+    all_kept = budget_mix(d, "lang", weights, 10_000_000, ["doc_id"])
+    assert (
+        all_kept.count()
+        == d.filter(F.col("lang").isin(*weights)).count()
+    )
+
+    # deterministic under physical layout
+    re = budget_mix(d.repartition(13), "lang", weights, budget, ["doc_id"])
+    assert {r.doc_id for r in re.select("doc_id").collect()} == {
+        r.doc_id for r in out.select("doc_id").collect()
+    }
