@@ -143,6 +143,10 @@ HEADLINE = [
     "corpus_shard_stats",
     "events_funnel",
     "events_cohort_retention",
+    "cdc_reconstruct_at_lsn",
+    "cdc_debezium_dlq",
+    "cdc_column_churn",
+    "corpus_budget_mix",
 ]
 
 # The headline total sums only these 17 — the list benched every round
