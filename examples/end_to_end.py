@@ -137,6 +137,83 @@ def main() -> None:
         f"quota-capped: {capped.count()}; top bigrams: {top}"
     )
 
+    # 8. the late-round-6 additions, CDC side: merge the net changes into
+    # a snapshot (consumer-side MERGE), fold a fresh changelog batch into
+    # an SCD2 history incrementally, reconstruct at an LSN boundary, and
+    # profile which columns actually churn
+    from changedatacapture_reporting_spark.operators.apply import apply_changes
+    from changedatacapture_reporting_spark.operators.changelog import (
+        build_changelog,
+    )
+    from changedatacapture_reporting_spark.operators.profile import column_churn
+    from changedatacapture_reporting_spark.operators.scd import (
+        scd2_history,
+        scd2_merge,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_UPDATE,
+    )
+
+    ev_multi = simulate_cdc_events_multi(spark, sf_dir)
+    vcols = ["status", "priority", "total", "note"]
+
+    def log_of(e):
+        return build_changelog(
+            e, SIM_PK, with_audit_cols=False, carry_cols=["lsn", "seq"],
+            record_insert_images=True,
+        )
+
+    base = ev_multi.filter(F.col("lsn") < MULTI_OFF_UPDATE)
+    tail = ev_multi.filter(F.col("lsn") >= MULTI_OFF_UPDATE)
+    target = reconstruct_state(log_of(base), SIM_PK, vcols)
+    merged = apply_changes(
+        target, net_changes(ev_multi, SIM_PK, from_lsn=MULTI_OFF_UPDATE),
+        SIM_PK, vcols, broadcast_net=True,
+    )
+    hist = scd2_merge(scd2_history(log_of(base), SIM_PK, vcols),
+                      log_of(tail), SIM_PK, vcols)
+    at_lsn = reconstruct_state(
+        log_of(ev_multi), SIM_PK, vcols, as_of_lsn=150_000_000
+    )
+    churn = {r.column_name: r.n_changes
+             for r in column_churn(log_of(ev_multi), SIM_PK).collect()}
+    print(
+        f"merge-applied state: {merged.count()} rows; SCD2 versions: "
+        f"{hist.count()}; state@lsn150M: {at_lsn.count()}; churn: {churn}"
+    )
+
+    # 9. the late-round-6 additions, pipeline side: dedup a new batch
+    # against the corpus index, score docs against corpus statistics,
+    # mix to a token budget, and export deterministic shards
+    from changedatacapture_reporting_spark.operators.corpus import (
+        token_frequency_scores,
+    )
+    from changedatacapture_reporting_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+    from changedatacapture_reporting_spark.operators.export import export_shards
+    from changedatacapture_reporting_spark.operators.sampling import budget_mix
+
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    old_corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    verdicts = incremental_dedup(
+        new_batch, old_corpus,
+        corpus_index=minhash_band_index(old_corpus),
+    )
+    n_dup = verdicts.filter(F.col("is_dup")).count()
+    rare = token_frequency_scores(docs).filter(F.col("n_rare_tokens") > 5)
+    mixed = budget_mix(
+        docs, "lang", {"en": 0.5, "de": 0.3, "fr": 0.2}, 5_000, ["doc_id"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="shards_") + "/export"
+    manifest = export_shards(spark, mixed, out_dir, n_shards=4)
+    shard_sizes = {r.shard: r.n_docs for r in manifest.collect()}
+    print(
+        f"incremental dedup: {n_dup}/{verdicts.count()} new docs are dups; "
+        f"rare-heavy docs: {rare.count()}; budget mix → shards: {shard_sizes}"
+    )
+
 
 if __name__ == "__main__":
     main()
