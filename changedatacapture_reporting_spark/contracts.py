@@ -353,34 +353,17 @@ def _q_mssql_shape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC parsing parity for the open wire format: serialize the simulated
-    events as Debezium JSON envelopes (to_json), parse them back
-    (sources.debezium.parse_debezium → from_json), build the changelog.
-    Oracle = the same SQL as cdc_changelog_full."""
-    from changedatacapture_reporting_spark.sources.debezium import parse_debezium
+    events as Debezium JSON envelopes (sources.debezium.events_to_debezium
+    — the outbound adapter), parse them back (parse_debezium → from_json),
+    build the changelog. Oracle = the same SQL as cdc_changelog_full, so
+    the adapter pair must be a lossless round trip."""
+    from changedatacapture_reporting_spark.sources.debezium import (
+        events_to_debezium,
+        parse_debezium,
+    )
 
     ev = simulate_cdc_events(spark, sf_dir)
-    dbz_op = (
-        F.when(F.col("op") == "insert", F.lit("c"))
-        .when(F.col("op") == "update", F.lit("u"))
-        .otherwise(F.lit("d"))
-    )
-    envelope = F.to_json(
-        F.struct(
-            F.col("before"),
-            F.col("after"),
-            F.struct(
-                F.col("lsn"),
-                F.col("seq").alias("sequence"),
-                # commit_ts is TIMESTAMP_NTZ off parquet; session TZ is UTC
-                (F.unix_micros(F.col("commit_ts").cast("timestamp")) / 1000)
-                .cast("long")
-                .alias("ts_ms"),
-                F.col("table_name").alias("table"),
-            ).alias("source"),
-            dbz_op.alias("op"),
-        )
-    )
-    json_df = ev.select(envelope.alias("value"))
+    json_df = events_to_debezium(ev)
     source_struct = ev.schema["after"].dataType
     events = parse_debezium(json_df, "value", source_struct)
     return build_changelog(events, SIM_PK, with_audit_cols=False).select(

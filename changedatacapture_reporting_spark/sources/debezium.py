@@ -51,6 +51,37 @@ def op_to_engine(op: Column) -> Column:
     return out
 
 
+def events_to_debezium(events: DataFrame) -> DataFrame:
+    """Engine event model → Debezium JSON envelopes (one ``value`` string
+    column) — the outbound half of the adapter, for publishing a
+    changelog to Debezium-speaking consumers (Kafka sinks, other CDC
+    pipelines). ``parse_debezium(events_to_debezium(ev))`` is lossless
+    for the event model (the roundtrip contract proves it), with the one
+    wire-format caveat that ts_ms truncates commit_ts to milliseconds.
+    """
+    dbz_op = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.col("before"),
+            F.col("after"),
+            F.struct(
+                F.col("lsn"),
+                F.col("seq").alias("sequence"),
+                (F.unix_micros(F.col("commit_ts").cast("timestamp")) / 1000)
+                .cast("long")
+                .alias("ts_ms"),
+                F.col("table_name").alias("table"),
+            ).alias("source"),
+            dbz_op.alias("op"),
+        )
+    )
+    return events.select(envelope.alias("value"))
+
+
 def parse_debezium_tagged(
     df: DataFrame, json_col: str, source_struct: T.StructType
 ) -> DataFrame:

@@ -506,3 +506,55 @@ def test_stream_stream_interval_join_agrees_with_batch(spark, sf_dir, workdir):
     batch = interval_join_purchases_signups(p, s)
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_debezium_dlq_routing(spark, workdir):
+    """parse_debezium_tagged runs identically under readStream: one
+    foreachBatch pass routes well-formed events and rejects to separate
+    sinks — the production DLQ topology (parse once, route both sides)."""
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.debezium import (
+        debezium_events,
+        debezium_rejects,
+        parse_debezium_tagged,
+    )
+
+    src = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    docs = [
+        ('{"after":{"id":1,"v":"a"},"source":{"lsn":10,"ts_ms":0,"table":"t"},"op":"c"}',),
+        ('{"after":{"id":2,"v":"b"},"source":{"lsn":11,"ts_ms":0,"table":"t"},"op":"u"}',),
+        ("garbage{",),
+        ('{"after":{"id":3,"v":"c"},"source":{"ts_ms":0,"table":"t"},"op":"c"}',),
+    ]
+    in_path = f"{workdir}/dbz_json"
+    spark.createDataFrame(docs, "value string").write.parquet(in_path)
+
+    stream = spark.readStream.schema("value string").parquet(in_path)
+    tagged = parse_debezium_tagged(stream, "value", src)
+
+    good_path = f"{workdir}/dbz_events"
+    dlq_path = f"{workdir}/dbz_dlq"
+
+    def route(batch_df, _batch_id):
+        batch_df.persist()
+        debezium_events(batch_df).write.mode("append").parquet(good_path)
+        debezium_rejects(batch_df).write.mode("append").parquet(dlq_path)
+        batch_df.unpersist()
+
+    q = (
+        tagged.writeStream.foreachBatch(route)
+        .option("checkpointLocation", f"{workdir}/dbz_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    good = spark.read.parquet(good_path)
+    dlq = spark.read.parquet(dlq_path)
+    assert sorted(r.lsn for r in good.collect()) == [10, 11]
+    reasons = {r.raw_value: r.reject_reason for r in dlq.collect()}
+    assert reasons["garbage{"] == "unparseable"
+    assert len(reasons) == 2 and "missing-lsn" in reasons.values()
