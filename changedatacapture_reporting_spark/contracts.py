@@ -1069,7 +1069,9 @@ _CHECK_WINDOW: list[str] = [
     "corpus_budget_mix",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_brackets",
+    # q19_disjunctive_brackets (r5 green, unchanged single-row agg)
+    # yields to the embedding incremental-dedup entry
+    "dedup_embedding_incremental",
     "q21_single_supplier_orders",
     "q22_idle_rich_customers",
     "q16_supplier_count_by_part",

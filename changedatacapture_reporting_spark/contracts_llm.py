@@ -1147,8 +1147,47 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < lim.thr
 SQL_BUDGET_MIX = _build_sql_budget_mix()
 
 
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup (operators.dedup.
+    incremental_embedding_dedup): the batch (vec_id % 3 == 0) dedups
+    against the rest through the corpus's persisted hyperplane bucket
+    index. The oracle replays the exact cosine rule all-pairs — the
+    contract hash-checks end-to-end recall 1 at the 0.45 threshold, like
+    dedup_embedding_neardup."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        embedding_index,
+        incremental_embedding_dedup,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 3 == 0)
+    corpus = e.filter(F.col("vec_id") % 3 != 0)
+    idx = embedding_index(corpus)
+    return incremental_embedding_dedup(
+        new, corpus, threshold=0.45, corpus_index=idx
+    )
+
+
+SQL_EMB_INCREMENTAL = """
+WITH m AS (
+  SELECT n.vec_id, MIN(o.vec_id) AS dup_of
+  FROM embeddings n JOIN embeddings o
+    ON n.vec_id % 3 = 0
+   AND (o.vec_id % 3 != 0 OR o.vec_id < n.vec_id)
+   AND o.vec_id != n.vec_id
+  WHERE round(list_dot_product(CAST(n.embedding AS DOUBLE[]),
+                               CAST(o.embedding AS DOUBLE[])), 6) >= 0.45
+  GROUP BY n.vec_id
+)
+SELECT e.vec_id, m.dup_of IS NOT NULL AS is_dup, m.dup_of
+FROM embeddings e LEFT JOIN m USING (vec_id)
+WHERE e.vec_id % 3 = 0
+"""
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
+    "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
     "corpus_token_freq_scores": (corpus_token_freq_scores, SQL_TOKEN_FREQ),
     "corpus_shard_stats": (corpus_shard_stats, SQL_SHARD_STATS),
     "corpus_budget_mix": (corpus_budget_mix, SQL_BUDGET_MIX),

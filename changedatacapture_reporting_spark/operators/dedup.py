@@ -602,6 +602,99 @@ def incremental_dedup(
     )
 
 
+def embedding_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tables: int = 48,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Hyperplane-LSH bucket index of an embedding corpus: one
+    (id, table, bucket) row per table per vector — the embedding twin of
+    :func:`minhash_band_index`. Planes are seeded, so indexes built
+    across ingestion rounds are mutually compatible and append-only;
+    persist bucketed by (table, bucket) and later batches join without
+    re-embedding or re-bucketing the corpus."""
+    from changedatacapture_reporting_spark.operators.similarity import (
+        lsh_buckets_vectorized,
+    )
+
+    buckets = lsh_buckets_vectorized(tables, planes, dim)
+    return df.select(
+        F.col(id_col).alias("id"), buckets(F.col(vec_col)).alias("bk")
+    ).select("id", F.posexplode("bk").alias("table", "bucket"))
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    tables: int = 48,
+    planes: int = 4,
+    dim: int = 64,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an incoming embedding batch against an ingested corpus via
+    its persisted bucket index — same steady-state shape as
+    :func:`incremental_dedup`, same duplicate rule (corpus match, or
+    smaller-id batch match, exact cosine ≥ threshold), candidates from
+    (table, bucket) equi-joins, corpus vectors semi-join-fetched for
+    exact verification only. Output: (id, is_dup, dup_of)."""
+    if corpus_index is None:
+        corpus_index = embedding_index(
+            corpus, vec_col, id_col, tables, planes, dim
+        )
+    new_index = embedding_index(new_vecs, vec_col, id_col, tables, planes, dim)
+
+    nb, cb = new_index.alias("nb"), corpus_index.alias("cb")
+    cand_corpus = nb.join(
+        cb,
+        (F.col("nb.table") == F.col("cb.table"))
+        & (F.col("nb.bucket") == F.col("cb.bucket")),
+    ).select(
+        F.col("nb.id").alias("new_id"), F.col("cb.id").alias("other_id")
+    )
+    a, b = new_index.alias("a"), new_index.alias("b")
+    cand_batch = b.join(
+        a,
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("b.id").alias("new_id"), F.col("a.id").alias("other_id"))
+    candidates = cand_corpus.unionByName(cand_batch).distinct()
+
+    vecs_all = new_vecs.select(F.col(id_col), F.col(vec_col)).unionByName(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    )
+    other_ids = candidates.select(F.col("other_id").alias(id_col)).distinct()
+    v_other = vecs_all.join(other_ids, on=id_col, how="left_semi").select(
+        F.col(id_col).alias("other_id"), F.col(vec_col).alias("vo")
+    )
+    v_new = new_vecs.select(
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("vn")
+    )
+    sim = F.round(dot_double(F.col("vn"), F.col("vo")), 6)
+    matches = (
+        candidates.join(v_new, "new_id")
+        .join(v_other, "other_id")
+        .filter(sim >= F.lit(threshold))
+        .groupBy("new_id")
+        .agg(F.min("other_id").alias("dup_of"))
+    )
+    return (
+        new_vecs.select(F.col(id_col).alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
 def benchmark_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

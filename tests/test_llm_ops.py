@@ -583,3 +583,38 @@ def test_token_frequency_scores_semantics(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in alt.items()
     }
+
+
+def test_incremental_embedding_dedup_matches_definition(embeddings):
+    """Same contract as the text twin: verdicts equal the exact cosine
+    rule; a prebuilt index changes the plan, never the answer."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        embedding_index,
+        embedding_neardup_pairs,
+        incremental_embedding_dedup,
+    )
+
+    new = embeddings.filter(F.col("vec_id") % 3 == 0)
+    corpus = embeddings.filter(F.col("vec_id") % 3 != 0)
+    out = incremental_embedding_dedup(new, corpus, threshold=0.45)
+    got = {r.vec_id: (r.is_dup, r.dup_of) for r in out.collect()}
+    assert len(got) == new.count()
+
+    pairs = embedding_neardup_pairs(embeddings, threshold=0.45)
+    ref: dict[int, int] = {}
+    for r in pairs.collect():
+        for nid, oid in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if nid % 3 != 0 or (oid % 3 == 0 and oid >= nid):
+                continue
+            ref[nid] = min(ref.get(nid, oid), oid)
+    assert any(v[0] for v in got.values()), "fixture should contain dups"
+    for vid, (is_dup, dup_of) in got.items():
+        assert is_dup == (vid in ref) and dup_of == ref.get(vid)
+
+    idx = embedding_index(corpus)
+    out_idx = incremental_embedding_dedup(
+        new, corpus, threshold=0.45, corpus_index=idx
+    )
+    assert {tuple(r) for r in out_idx.collect()} == {
+        tuple(r) for r in out.collect()
+    }
