@@ -147,6 +147,7 @@ HEADLINE = [
     "cdc_debezium_dlq",
     "cdc_column_churn",
     "corpus_budget_mix",
+    "dedup_embedding_incremental",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -43,7 +43,9 @@ def apply_changes(
     target snapshot of schema (pk_cols + value_cols).
 
     ``net`` must carry the pk columns, ``net_op`` and the ``after`` struct
-    (full row image for inserts/updates, NULL for deletes). Upserted
+    (full row image for inserts/updates, NULL for deletes), with AT MOST
+    ONE row per key — exactly what net_changes emits; feeding a raw
+    multi-event window here would upsert a key once per event. Upserted
     values are cast to the target's column types, so a type-erased
     (string-typed) changelog snapshot merges cleanly with a typed net
     image.

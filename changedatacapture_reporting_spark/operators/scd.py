@@ -173,6 +173,11 @@ def scd2_merge(
     every batch transaction orders AFTER the existing open versions'
     ``valid_from`` under ``order_cols`` — i.e. batches arrive in order.
 
+    ``existing`` is referenced three times in the plan (anti join, closed
+    semi join, seed). Pass the MATERIALIZED history table (the normal
+    steady-state case) — handing it an unpersisted computation subtree
+    recomputes that subtree three times.
+
     Equality contract (pytest + driver-checked):
     ``scd2_merge(scd2_history(log ≤ W), log > W) == scd2_history(log)``
     for any window split W.
