@@ -618,3 +618,70 @@ def test_incremental_embedding_dedup_matches_definition(embeddings):
     assert {tuple(r) for r in out_idx.collect()} == {
         tuple(r) for r in out.collect()
     }
+
+
+def test_incremental_dedup_multi_batch_pipeline(documents):
+    """Three ingestion batches processed in sequence, appending ONLY
+    survivors (and their band entries) to the corpus/index — the
+    steady-state corpus build. The final survivor set must equal the
+    greedy min-id-first filter over the exact jaccard-0.8 pair graph
+    (keep a doc iff it matches no already-KEPT doc), which is the
+    semantics a one-shot global dedup with deterministic keepers
+    produces."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_band_index,
+    )
+
+    batches = [documents.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    corpus = None
+    index = None
+    kept_ids: set[int] = set()
+    for b in batches:
+        if corpus is None:
+            # bootstrap: first batch dedups against an empty corpus
+            # (self-dedup only)
+            empty = documents.filter(F.lit(False))
+            verdicts = incremental_dedup(b, empty, threshold=0.8)
+        else:
+            verdicts = incremental_dedup(
+                b, corpus, corpus_index=index, threshold=0.8
+            )
+        survivors_ids = {
+            r.doc_id for r in verdicts.filter(~F.col("is_dup")).collect()
+        }
+        survivors = b.filter(F.col("doc_id").isin(list(survivors_ids)))
+        corpus = survivors if corpus is None else corpus.unionByName(survivors)
+        sb = minhash_band_index(survivors)
+        index = sb if index is None else index.unionByName(sb)
+        kept_ids |= survivors_ids
+
+    # reference: replay the rule exactly, batch-major — a doc dies iff it
+    # matches a KEPT doc of an earlier batch (only survivors were
+    # appended to the corpus) or ANY smaller-id doc of its own batch
+    # (rule (b) counts in-batch partners regardless of their fate)
+    pairs = ngram_jaccard_pairs(documents, block_col=None, threshold=0.8)
+    adj: dict[int, set[int]] = {}
+    for r in pairs.collect():
+        adj.setdefault(r.doc_a, set()).add(r.doc_b)
+        adj.setdefault(r.doc_b, set()).add(r.doc_a)
+
+    ref_kept: set[int] = set()
+    order = sorted(
+        (r.doc_id for r in documents.select("doc_id").collect()),
+        key=lambda d: (d % 3, d),
+    )
+    batch_of = {d: d % 3 for d in order}
+    for d in order:
+        nbrs = adj.get(d, set())
+        dies = any(
+            (batch_of[o] < batch_of[d] and o in ref_kept)  # kept earlier batch
+            or (batch_of[o] == batch_of[d] and o < d)      # any earlier in-batch
+            for o in nbrs
+        )
+        if not dies:
+            ref_kept.add(d)
+
+    assert kept_ids == ref_kept
+    assert len(kept_ids) < documents.count()  # something was deduped
