@@ -1065,7 +1065,9 @@ _CHECK_WINDOW: list[str] = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_item_revenue",
-    "q13_order_count_distribution",
+    # q13_order_count_distribution (r5 green, unchanged) yields to the
+    # mergeable-sketch rollup entry
+    "events_distinct_sketch_rollup",
     "corpus_budget_mix",
     "q15_top_supplier",
     "q17_small_quantity_revenue",

@@ -657,6 +657,57 @@ GROUP BY 1, 2
 """
 
 
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct rollup (operators.sketches): one sketch per
+    (event_type, day), UNIONED per event_type — the incremental
+    COUNT(DISTINCT) pattern (sums can't roll distincts up; sketches
+    union). Sketch bytes are engine-specific, so the hash-checked output
+    is the accuracy-contract form (approx_distinct_stats precedent):
+    exact counts plus an in-bounds boolean on the union estimate."""
+    from changedatacapture_reporting_spark.operators.sketches import (
+        distinct_sketch_rollup,
+        merge_sketch_rollups,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = distinct_sketch_rollup(e, "user_id", ["event_type", "day"])
+    merged = merge_sketch_rollups(daily, ["event_type"]).select(
+        "event_type", F.col("estimate").alias("union_est")
+    )
+    per_day = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_daily_sketches")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .join(per_day, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_daily_sketches",
+            (
+                F.abs(F.col("union_est") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.05
+            ).alias("union_est_ok"),
+        )
+    )
+
+
+SQL_SKETCH_ROLLUP = f"""
+WITH {ORACLE_EV}
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
+       TRUE AS union_est_ok
+FROM ev
+GROUP BY 1
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a >30-min silence starts a new session
     (lag + conditional cumsum — the batch equivalent of
@@ -1716,6 +1767,7 @@ REGISTRY_RELATIONAL = {
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "events_funnel": (events_funnel, SQL_FUNNEL),
     "events_cohort_retention": (events_cohort_retention, SQL_COHORT),
+    "events_distinct_sketch_rollup": (events_distinct_sketch_rollup, SQL_SKETCH_ROLLUP),
     "like_filter_parts": (like_filter_parts, SQL_LIKE),
     "scalar_functions_showcase": (scalar_functions_showcase, SQL_SCALARS),
     "above_customer_avg_orders": (above_customer_avg_orders, SQL_CORRELATED),

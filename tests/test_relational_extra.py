@@ -41,3 +41,41 @@ def test_sample_is_deterministic_and_bounded(spark, sf_dir):
     assert rows1 == rows2  # same seed → same sample
     total = load_table(spark, sf_dir, "lineitem").count()
     assert 0.05 * total < len(rows1) < 0.15 * total
+
+
+def test_sketch_rollup_merge_is_split_invariant(spark, sf_dir):
+    """The rollup's reason to exist: sketches built per bucket and
+    unioned must estimate the same as a sketch over everything, and an
+    incremental append (new day's sketch unioned into the stored rollup)
+    must equal rebuilding from scratch."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_reporting_spark.operators.sketches import (
+        distinct_sketch_rollup,
+        merge_sketch_rollups,
+    )
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = distinct_sketch_rollup(e, "user_id", ["day"])
+
+    whole = distinct_sketch_rollup(e.withColumn("one", F.lit(1)), "user_id", ["one"])
+    merged = merge_sketch_rollups(daily, [])
+    est_merged = merged.head().estimate
+    est_whole = whole.head().estimate
+    assert est_merged == est_whole  # same sketch family, same lgK → identical union
+
+    exact = e.select("user_id").distinct().count()
+    assert abs(est_merged - exact) <= 0.05 * exact
+
+    # incremental append: rollup(old days) ∪ sketch(new day) == rollup(all)
+    days = sorted(r.day for r in daily.select("day").collect())
+    cut = days[len(days) // 2]
+    old = distinct_sketch_rollup(
+        e.filter(F.col("day") < F.lit(cut)), "user_id", ["day"]
+    )
+    new = distinct_sketch_rollup(
+        e.filter(F.col("day") >= F.lit(cut)), "user_id", ["day"]
+    )
+    appended = merge_sketch_rollups(old.unionByName(new), [])
+    assert appended.head().estimate == est_merged
