@@ -1074,7 +1074,9 @@ _CHECK_WINDOW: list[str] = [
     # q19_disjunctive_brackets (r5 green, unchanged single-row agg)
     # yields to the embedding incremental-dedup entry
     "dedup_embedding_incremental",
-    "q21_single_supplier_orders",
+    # q21_single_supplier_orders (r5 green, unchanged) yields to the
+    # no-split BFD packing entry
+    "corpus_pack_bfd",
     "q22_idle_rich_customers",
     "q16_supplier_count_by_part",
     "order_gaps",

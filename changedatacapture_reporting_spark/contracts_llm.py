@@ -1185,9 +1185,64 @@ WHERE e.vec_id % 3 = 0
 """
 
 
+def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split best-fit-decreasing packing (operators.corpus.
+    pack_sequences_bfd, cap 64, 4 shards). The assignment is sequential
+    per shard (not SQL-expressible), so this is the accuracy-contract
+    form: exact per-shard totals the oracle recomputes, plus booleans
+    asserting every pack obeys the cap (oversized docs isolated) and the
+    pack count meets the BFD 11/9·OPT+1 bound."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        pack_sequences_bfd,
+    )
+
+    cap = 64
+    d = load_table(spark, sf_dir, "documents")
+    out = pack_sequences_bfd(d, cap, n_shards=4)
+    per_pack = out.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count("*").alias("n"),
+        F.max("n_tokens").alias("mx"),
+    )
+    pack_ok = (F.col("tot") <= cap) | (
+        (F.col("n") == 1) & (F.col("mx") > cap)
+    )
+    return (
+        per_pack.groupBy("shard")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("tot").cast("long").alias("total_tokens"),
+            F.sum((F.col("mx") > cap).cast("long"))
+            .cast("long")
+            .alias("n_oversized"),
+            F.min(pack_ok).alias("packs_ok"),
+            (
+                F.count("*")
+                <= F.ceil(F.sum("tot") / cap) * 11 / 9 + 1
+                + F.sum(((F.col("n") == 1) & (F.col("mx") > cap)).cast("long"))
+            ).alias("bound_ok"),
+        )
+    )
+
+
+SQL_PACK_BFD = r"""
+SELECT CAST(doc_id % 4 AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(CASE WHEN len(string_split_regex(trim(text), '\s+')) > 64
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+       TRUE AS packs_ok,
+       TRUE AS bound_ok
+FROM documents
+GROUP BY 1
+"""
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
+    "corpus_pack_bfd": (corpus_pack_bfd, SQL_PACK_BFD),
     "corpus_token_freq_scores": (corpus_token_freq_scores, SQL_TOKEN_FREQ),
     "corpus_shard_stats": (corpus_shard_stats, SQL_SHARD_STATS),
     "corpus_budget_mix": (corpus_budget_mix, SQL_BUDGET_MIX),

@@ -351,3 +351,77 @@ def token_frequency_scores(
             "mean_token_freq",
         )
     )
+
+
+def pack_sequences_bfd(
+    df: DataFrame,
+    max_pack_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    token_count: Column | None = None,
+) -> DataFrame:
+    """NO-SPLIT sequence packing, best-fit-decreasing: every document
+    lands whole in exactly one pack of capacity ``max_pack_tokens`` —
+    the packing used when a training sequence must not cross document
+    boundaries and padding waste is the cost to minimize. (The
+    chunked-concat scheme above lets documents straddle packs; this one
+    trades a harder assignment for self-contained packs.)
+
+    Per shard (same reproducible ``id mod n_shards`` sharding): sort by
+    (n_tokens DESC, id) and place each document into the open pack with
+    the LEAST remaining capacity that still fits, else open a new pack —
+    classic BFD, ≤ 11/9·OPT + 1 packs. A document longer than the cap
+    gets its own (oversized) pack rather than failing the batch.
+
+    The assignment is inherently sequential per shard, so this is one of
+    the few deliberate Python paths: ``applyInPandas`` over shards,
+    shipping ONLY (id, n_tokens) metadata per Arrow batch — bytes per
+    document, never text. Deterministic: pure function of the (id,
+    n_tokens) multiset.
+
+    Returns one row per document: (id, shard, n_tokens, pack_id).
+    """
+    import bisect
+
+    import pandas as pd
+
+    n_tok = (
+        token_count if token_count is not None else F.size(tokens(text_col))
+    ).cast("long")
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    meta = df.select(
+        F.col(id_col).alias("id"), shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []   # sorted remaining capacities
+        pack_of: list[int] = []     # pack id parallel to `remaining`
+        next_pack = 0
+        assigned = []
+        for n in pdf["n_tokens"].to_list():
+            if n > max_pack_tokens:
+                assigned.append(next_pack)  # oversized: own pack, never reused
+                next_pack += 1
+                continue
+            i = bisect.bisect_left(remaining, n)
+            if i < len(remaining):
+                pid = pack_of.pop(i)
+                rem = remaining.pop(i) - n
+            else:
+                pid = next_pack
+                next_pack += 1
+                rem = max_pack_tokens - n
+            j = bisect.bisect_left(remaining, rem)
+            remaining.insert(j, rem)
+            pack_of.insert(j, pid)
+            assigned.append(pid)
+        pdf["pack_id"] = pd.Series(assigned, dtype="int64")
+        return pdf
+
+    return meta.groupBy("shard").applyInPandas(
+        _pack, "id long, shard int, n_tokens long, pack_id long"
+    ).withColumnRenamed("id", id_col)

@@ -685,3 +685,64 @@ def test_incremental_dedup_multi_batch_pipeline(documents):
 
     assert kept_ids == ref_kept
     assert len(kept_ids) < documents.count()  # something was deduped
+
+
+def test_pack_sequences_bfd_invariants(spark, sf_dir):
+    from changedatacapture_reporting_spark.operators.corpus import (
+        pack_sequences_bfd,
+    )
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 64
+    out = pack_sequences_bfd(docs, cap, n_shards=4).cache()
+
+    assert out.count() == docs.count()  # every doc exactly once
+    packs = out.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count("*").alias("n"),
+        F.max("n_tokens").alias("mx"),
+    )
+    # a pack over cap must be a single oversized doc
+    bad = packs.filter((F.col("tot") > cap) & ~((F.col("n") == 1) & (F.col("mx") > cap)))
+    assert bad.count() == 0
+
+    # BFD bound per shard: n_packs ≤ ceil(total/cap)·11/9 + 1 + oversized
+    import math
+
+    for r in (
+        out.groupBy("shard")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum((F.col("n_tokens") > cap).cast("int")).alias("n_over"),
+        )
+        .collect()
+    ):
+        norm_tot = r.tot  # oversized contribute > cap each; bound stays valid
+        assert r.n_packs <= math.ceil(norm_tot / cap) * 11 / 9 + 1 + r.n_over
+
+    # deterministic under physical layout
+    again = pack_sequences_bfd(docs.repartition(17), cap, n_shards=4)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+    out.unpersist()
+
+
+def test_pack_sequences_bfd_hand_checked(spark):
+    from changedatacapture_reporting_spark.operators.corpus import (
+        pack_sequences_bfd,
+    )
+
+    # one shard; sizes 6,5,4,3,2 with cap 8 → BFD: [6,2],[5,3],[4]; and a
+    # 10-token doc gets an oversized singleton pack
+    rows = [(i * 1, "w " * n) for i, n in enumerate([6, 5, 4, 3, 2, 10])]
+    df = spark.createDataFrame(
+        [(8 * i, t.strip()) for i, (_, t) in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_sequences_bfd(df, 8, n_shards=1).collect()}
+    by_pack: dict[int, list[int]] = {}
+    for r in out.values():
+        by_pack.setdefault(r.pack_id, []).append(r.n_tokens)
+    groups = sorted(sorted(v) for v in by_pack.values())
+    assert groups == [[2, 6], [3, 5], [4], [10]]
