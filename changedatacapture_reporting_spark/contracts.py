@@ -1077,7 +1077,9 @@ _CHECK_WINDOW: list[str] = [
     # q21_single_supplier_orders (r5 green, unchanged) yields to the
     # no-split BFD packing entry
     "corpus_pack_bfd",
-    "q22_idle_rich_customers",
+    # q22_idle_rich_customers (r5 green, unchanged) yields to the
+    # leakage-safe splits entry
+    "corpus_leakage_safe_splits",
     "q16_supplier_count_by_part",
     "order_gaps",
     "part_price_ranks",

@@ -1239,8 +1239,71 @@ GROUP BY 1
 """
 
 
+def corpus_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (operators.sampling.
+    leakage_safe_splits): split by near-dup CLUSTER (exact jaccard-0.5
+    pairs — the oracle tier pair graph SQL_CLUSTERS already replays), so
+    no near-duplicate pair ever straddles a split boundary. The md5
+    thresholds are the shared Python-computed hex strings, so the oracle
+    replays the assignment bit-for-bit."""
+    from changedatacapture_reporting_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", None, n=3, threshold=0.5)
+    return leakage_safe_splits(
+        d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _build_sql_splits() -> str:
+    from changedatacapture_reporting_spark.operators.sampling import (
+        fraction_to_hex_threshold,
+    )
+
+    t_train = fraction_to_hex_threshold(0.8)
+    t_val = fraction_to_hex_threshold(0.8 + 0.1)
+    return rf"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                     i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+         END AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+cl AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CASE WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+                 < '{t_train}' THEN 'train'
+            WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)
+                 < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN cl USING (doc_id)
+"""
+
+
+SQL_SPLITS = _build_sql_splits()
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
+    "corpus_leakage_safe_splits": (corpus_leakage_safe_splits, SQL_SPLITS),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
     "corpus_pack_bfd": (corpus_pack_bfd, SQL_PACK_BFD),
     "corpus_token_freq_scores": (corpus_token_freq_scores, SQL_TOKEN_FREQ),

@@ -154,3 +154,56 @@ def budget_mix(
         .filter(F.substring(F.md5(key), 1, 4) < F.col("_thr"))
         .drop("_st", "_thr")
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment that near-duplicates can
+    never leak across: documents are split by NEAR-DUP CLUSTER, not
+    individually — every member of a connected near-dup group lands in
+    the same split, so a test document's twin cannot sit in train (the
+    standard eval-contamination failure of naive row-wise splitting).
+
+    ``pairs`` is any near-dup pair frame (MinHash-LSH at scale; exact
+    Jaccard as the oracle tier); documents in no pair form singleton
+    clusters. Assignment hashes the CLUSTER id through the same
+    md5-threshold rule as :func:`stratified_sample` with cumulative
+    boundaries, so it is RNG-free, stable under partitioning, and
+    exactly replayable by a SQL oracle. The last split absorbs hash
+    rounding, so fractions need not sum to exactly 1.
+
+    Output: one row per document — (id, split).
+    """
+    from changedatacapture_reporting_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    names = list(splits)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    cum = 0.0
+    bounds = []  # (name, upper-threshold) for all but the last split
+    for n in names[:-1]:
+        cum += splits[n]
+        bounds.append((n, fraction_to_hex_threshold(cum)))
+
+    clusters = neardup_clusters(pairs)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(
+            clusters.withColumnRenamed("member_id", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("_cluster"),
+        )
+    )
+    h = F.substring(F.md5(F.col("_cluster").cast("string")), 1, 4)
+    split = F.lit(names[-1])
+    for name, thr in reversed(bounds):
+        split = F.when(h < F.lit(thr), F.lit(name)).otherwise(split)
+    return labeled.select(id_col, split.alias("split"))

@@ -103,3 +103,37 @@ def test_budget_mix_hits_budget_and_mix(spark, sf_dir):
     assert {r.doc_id for r in re.select("doc_id").collect()} == {
         r.doc_id for r in out.select("doc_id").collect()
     }
+
+
+def test_leakage_safe_splits_no_cross_split_pairs(spark, sf_dir):
+    """Every near-dup pair lands in ONE split; coverage is total and
+    proportions are sane; singletons split independently."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from changedatacapture_reporting_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", None, n=3, threshold=0.5)
+    out = leakage_safe_splits(d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    split_of = {r.doc_id: r.split for r in out.collect()}
+
+    assert len(split_of) == d.count()  # total coverage, one row per doc
+    crossers = [
+        (r.doc_a, r.doc_b)
+        for r in pairs.collect()
+        if split_of[r.doc_a] != split_of[r.doc_b]
+    ]
+    assert crossers == []  # the leakage guarantee
+
+    from collections import Counter
+
+    sizes = Counter(split_of.values())
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] and sizes["train"] > sizes["test"]
+
+    with pytest.raises(ValueError):
+        leakage_safe_splits(d, pairs, {"all": 1.0})
