@@ -148,6 +148,11 @@ HEADLINE = [
     "cdc_column_churn",
     "corpus_budget_mix",
     "dedup_embedding_incremental",
+    "corpus_pack_bfd",
+    "events_distinct_sketch_rollup",
+    # corpus_leakage_safe_splits stays out: its contract runs the exact
+    # all-pairs oracle-tier pair graph (like dedup_ngram_jaccard, also
+    # unbenched); the production path would feed minhash_lsh_pairs in.
 ]
 
 # The headline total sums only these 17 — the list benched every round
