@@ -1045,7 +1045,7 @@ _CHECK_WINDOW: list[str] = [
     "dedup_incremental_batch",
     "corpus_token_freq_scores",
     "corpus_shard_stats",
-    # never driver-checked: CDC family
+    # first driver-green in r5 — in-window for a second green round
     "cdc_changelog_daily_activity",
     "cdc_state_snapshot_refresh",
     "cdc_mssql_shape_roundtrip",
@@ -1053,7 +1053,7 @@ _CHECK_WINDOW: list[str] = [
     "cdc_delta_cdf_roundtrip",  # new this round (third S1 input form)
     "cdc_row_history",
     "cdc_transaction_summary",
-    # never driver-checked: relational / TPC-H shapes
+    # first driver-green in r5 (TPC-H family) — second green round
     "q11_important_parts",
     "q12_shipping_latency",
     # q6_revenue_forecast and q14_promo_revenue (single-row aggregate
@@ -1089,7 +1089,7 @@ _CHECK_WINDOW: list[str] = [
     "events_tumbling_5min",
     "corpus_ngram_vocab",  # new in r6 — slot of like_filter_parts (r3+r5 green)
     "percentile_spend",
-    # never driver-checked: LLM / streaming
+    # first driver-green in r5 (LLM / streaming) — second green round
     "text_sentiment_scores",
     "streaming_dedup_keys",
     # Debezium dead-letter classification (new late-r6) takes the slot of
