@@ -20,6 +20,13 @@ shuffled joins, each rescanning the events). One pass:
 
 The join-chain formulation is what the DuckDB oracle replays — the two
 must agree exactly, which the contract hash-checks.
+
+Skew note: per-user state is that user's own step-typed events. A
+pathological key (a bot with millions of clicks) concentrates in one
+task; if such keys exist, pre-filter them out (they are not funnel
+subjects) or cap events per (user, step) to the earliest N before
+calling — capping is an approximation only for users whose funnel
+completes beyond their N-th event of a step.
 """
 
 from __future__ import annotations
