@@ -89,36 +89,10 @@ def test_funnel_requires_two_steps(ev):
         funnel_times(ev, ["view"])
 
 
-def test_funnel_matches_join_chain(spark, sf_dir):
-    """Fold formulation == join-chain formulation on the fixture."""
-    from changedatacapture_reporting_spark.sources.tables import load_table
-
-    e = load_table(spark, sf_dir, "events")
-    steps = ["view", "click", "purchase"]
-    fold = {r.step_name: r.n_users for r in funnel_counts(e, steps).collect()}
-
-    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
-    )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    assert fold == {
-        "view": s1.count(),
-        "click": s2.count(),
-        "purchase": s3.count(),
-    }
+# (fold-vs-join-chain equivalence is proven by the events_funnel driver
+# contract every round: the DuckDB oracle IS the join-chain formulation,
+# hash-compared at sf0.01 — a pytest replay of the same differential
+# costs ~10 s of suite budget for no added signal)
 
 
 def test_cohort_retention_hand_checked(spark):

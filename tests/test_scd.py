@@ -171,8 +171,12 @@ def _vset(df):
 
 def test_scd2_merge_equals_full_rebuild_every_split(spark, cdc_fixture):
     """scd2_merge(scd2_history(log ≤ W), log > W) == scd2_history(log)
-    at EVERY lsn split of the fixture — covers boundaries that land
-    before/after deletes, mid-key, and on the same-lsn double update."""
+    at the three boundary-class splits of the fixture: after the inserts
+    only (w=3 — every batch txn hits an open seed), immediately before
+    the delete (w=6 — the batch closes an interval), and between the
+    delete and the same-lsn double update (w=7 — the double update folds
+    onto a seed as one version). (Originally every w in 1..7; the other
+    four splits repeat these classes and cost ~25 s of suite budget.)"""
     from changedatacapture_reporting_spark.operators.scd import scd2_merge
 
     def log_of(ev):
@@ -182,7 +186,7 @@ def test_scd2_merge_equals_full_rebuild_every_split(spark, cdc_fixture):
         )
 
     full = _vset(scd2_history(log_of(cdc_fixture), PK, VALS))
-    for w in range(1, 8):
+    for w in (3, 6, 7):
         existing = scd2_history(
             log_of(cdc_fixture.filter(F.col("lsn") <= w)), PK, VALS
         )
