@@ -338,11 +338,20 @@ def test_current_state_ttl_and_metrics(spark, workdir):
         .start()
     )
     # a ProcessingTimeTimeout keeps the query alive waiting for the 60-min
-    # TTL to fire, so awaitTermination would burn its full budget (this
-    # was 120s of the suite); wait for the DATA instead, then stop
-    q.processAllAvailable()
+    # TTL to fire, so awaitTermination(120) burned its full budget — and
+    # processAllAvailable() is WORSE: the timer keeps scheduling batches,
+    # so it never sees an idle stream and blocks forever (hung the whole
+    # suite at the 590 s kill). Poll the memory sink for the expected
+    # rows with a hard deadline, then stop the query.
+    import time as _time
 
-    rows = {r.id: r for r in spark.sql("SELECT * FROM ttl_out").collect()}
+    deadline = _time.time() + 120
+    rows: dict = {}
+    while _time.time() < deadline:
+        rows = {r.id: r for r in spark.sql("SELECT * FROM ttl_out").collect()}
+        if {"1", "2"} <= set(rows) and rows["1"].name == "a2":
+            break
+        _time.sleep(0.5)
     assert rows["1"].name == "a2" and rows["2"].name == "b"
 
     metrics = state_metrics(q)
