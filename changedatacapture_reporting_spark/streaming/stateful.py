@@ -25,6 +25,12 @@ Scale design (100 TB):
   O(keys active within the TTL window) — an eviction is indistinguishable
   from "never seen", so a late event for an evicted key re-opens it as a
   fresh row (document this trade with your consumers).
+  TERMINATION caveat: a TTL query never reads as idle (the processing-
+  time timer keeps scheduling batches), so ``trigger(availableNow=True)``
+  does NOT self-terminate and ``processAllAvailable()`` blocks forever.
+  The TTL form is for CONTINUOUS queries; for a bounded drain use the
+  no-TTL form, or poll your sink for the expected data and ``stop()``
+  the query explicitly (see tests/test_streaming.py's TTL test).
 - Arrival order is irrelevant: a monotonic (lsn, seq) guard makes the
   operator last-writer-wins by commit position, so replays, cross-batch
   reordering, and at-least-once sources converge to the same state.
