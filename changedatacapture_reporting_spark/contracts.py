@@ -1070,7 +1070,9 @@ _CHECK_WINDOW: list[str] = [
     "events_distinct_sketch_rollup",
     "corpus_budget_mix",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    # q17_small_quantity_revenue (r5 green, unchanged) yields to the
+    # streaming materialized-state entry
+    "streaming_apply_state",
     # q19_disjunctive_brackets (r5 green, unchanged single-row agg)
     # yields to the embedding incremental-dedup entry
     "dedup_embedding_incremental",

@@ -275,7 +275,71 @@ def _dedup_keys_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --streaming explains these (no execution, no availableNow drain) and
 # flags unbounded-state shapes — a stateful operator with no
 # EventTimeWatermark ancestor in the plan.
+def streaming_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized current-state table
+    (streaming.apply_stream.stream_apply): the multi-event stream drains
+    through per-batch net-changes + MERGE into a versioned snapshot with
+    marker-file commits. The oracle computes the end state from the
+    event arithmetic (net delete keys vanish — including insert→delete
+    inside the window; second-update keys carry status 'Y' / total+7).
+    Multi-batch sequencing, replay idempotence, and crash semantics are
+    pytest-covered (test_streaming.py::test_stream_apply_maintains_
+    current_state)."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        SIM_PK,
+        simulate_cdc_events_multi,
+    )
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        read_current_state,
+        stream_apply,
+    )
+
+    d = tempfile.mkdtemp(prefix="cdc_apply_stream_")
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    ev.write.parquet(f"{d}/ev")
+    schema = spark.read.parquet(f"{d}/ev").schema
+    value_cols = ["status", "priority", "total", "note"]
+    q = stream_apply(
+        spark, f"{d}/ev", schema, f"{d}/target", f"{d}/ckpt", SIM_PK, value_cols
+    )
+    q.awaitTermination(120)
+    src = schema["after"].dataType
+    return read_current_state(spark, f"{d}/target", SIM_PK, value_cols, src)
+
+
+SQL_STREAM_APPLY = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 4 = 1 THEN 'Y' ELSE a_status END AS status,
+       a_priority AS priority,
+       a_total + CASE WHEN o_orderkey % 4 = 1 THEN 7 ELSE 0 END AS total,
+       a_note AS note
+FROM ev
+WHERE op != 'delete' AND o_orderkey % 20 NOT IN (5, 11)
+"""
+
+
+def _apply_state_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink plan: the stream itself is a pass-through into
+    foreachBatch (net_changes + apply run per batch inside it), so the
+    audit covers the batch-side plan via cdc_apply_net_changes; here we
+    expose the source projection."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events_multi,
+    )
+
+    d = tempfile.mkdtemp(prefix="cdc_apply_plan_")
+    simulate_cdc_events_multi(spark, sf_dir).write.parquet(f"{d}/ev")
+    schema = spark.read.parquet(f"{d}/ev").schema
+    return spark.readStream.schema(schema).parquet(f"{d}/ev")
+
+
 STREAM_PLANS = {
+    "streaming_apply_state": _apply_state_pre_sink,
     "streaming_tumbling_5min": lambda spark, sf: tumbling_counts(
         _events_stream(spark, sf)
     ),
@@ -293,6 +357,7 @@ STREAM_PLANS = {
 
 
 REGISTRY_STREAMING = {
+    "streaming_apply_state": (streaming_apply_state, SQL_STREAM_APPLY),
     "streaming_enriched_segments": (
         streaming_enriched_segments,
         SQL_STREAM_ENRICHED,

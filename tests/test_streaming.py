@@ -567,3 +567,81 @@ def test_streaming_debezium_dlq_routing(spark, workdir):
     reasons = {r.raw_value: r.reject_reason for r in dlq.collect()}
     assert reasons["garbage{"] == "unparseable"
     assert len(reasons) == 2 and "missing-lsn" in reasons.values()
+
+
+def test_stream_apply_maintains_current_state(spark, workdir):
+    """Streaming materialized current-state: two event file batches
+    drained sequentially through net-changes + MERGE must equal a single
+    apply of the whole window to an empty target; a restarted drain with
+    no new data leaves the state untouched (epoch markers)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.operators.apply import apply_changes
+    from changedatacapture_reporting_spark.operators.net_changes import (
+        net_changes,
+    )
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        read_current_state,
+        stream_apply,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    schema = cdc_event_schema(src)
+    ts = dt.datetime(2024, 2, 1, 9, 0, 0)
+    batch1 = [
+        (1, 0, ts, "insert", "t", None, (1, "a", 10)),
+        (2, 0, ts, "insert", "t", None, (2, "b", 20)),
+        (3, 0, ts, "update", "t", (2, "b", 20), (2, "b", 21)),
+    ]
+    batch2 = [
+        (4, 0, ts, "update", "t", (1, "a", 10), (1, "a2", 11)),
+        (5, 0, ts, "delete", "t", (2, "b", 21), None),
+        (6, 0, ts, "insert", "t", None, (3, "c", 30)),
+    ]
+    ev_path = f"{workdir}/apply_events"
+    target = f"{workdir}/apply_target"
+    ckpt = f"{workdir}/apply_ckpt"
+    pk, vals = ["id"], ["name", "qty"]
+
+    def drain():
+        q = stream_apply(spark, ev_path, schema, target, ckpt, pk, vals)
+        _drain(q)
+
+    spark.createDataFrame(batch1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ev_path)
+    drain()
+    mid = {r.id: (r.name, r.qty) for r in
+           read_current_state(spark, target, pk, vals, src).collect()}
+    assert mid == {1: ("a", 10), 2: ("b", 21)}
+
+    spark.createDataFrame(batch2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ev_path)
+    drain()
+    got = {r.id: (r.name, r.qty) for r in
+           read_current_state(spark, target, pk, vals, src).collect()}
+
+    # reference: one-shot net-changes of the whole window onto empty
+    all_ev = spark.createDataFrame(batch1 + batch2, schema)
+    empty = spark.createDataFrame([], T.StructType(
+        [f for f in src.fields if f.name in ("id", "name", "qty")]
+    ))
+    ref = {r.id: (r.name, r.qty) for r in
+           apply_changes(empty, net_changes(all_ev, pk), pk, vals).collect()}
+    assert got == ref == {1: ("a2", 11), 3: ("c", 30)}
+
+    # replay drain with no new data: state version unchanged
+    drain()
+    again = {r.id: (r.name, r.qty) for r in
+             read_current_state(spark, target, pk, vals, src).collect()}
+    assert again == got
