@@ -119,3 +119,64 @@ def test_cohort_retention_hand_checked(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# property: funnel fold == a Python reference, for ANY event multiset
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_STEPS = ["view", "click", "purchase"]
+
+
+def _reference_funnel(rows):
+    """Strict-ordering reference: process each user's events in (ts,
+    step-index) order — the same tiebreak as the operator's array_sort
+    on struct(ts, step) — advancing at most one step per event."""
+    by_user: dict[int, list] = {}
+    for u, t, s in rows:
+        by_user.setdefault(u, []).append((t, _STEPS.index(s)))
+    out = {}
+    for u, evs in by_user.items():
+        times = [None, None, None]
+        for t, si in sorted(evs):
+            for i in (0, 1, 2):
+                if times[i] is None and si == i and (
+                    i == 0 or (times[i - 1] is not None and t > times[i - 1])
+                ):
+                    times[i] = t
+                    break
+        out[u] = tuple(times)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 4),                       # user
+            st.integers(0, 9),                       # minute offset (ties likely)
+            st.sampled_from(_STEPS),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_funnel_times_matches_reference(spark, rows):
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (u, base + dt.timedelta(minutes=m), s) for u, m, s in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3)
+        for r in funnel_times(df, _STEPS).collect()
+    }
+    ref = _reference_funnel(
+        [(u, base + dt.timedelta(minutes=m), s) for u, m, s in rows]
+    )
+    assert got == ref

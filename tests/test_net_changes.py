@@ -218,3 +218,53 @@ def test_column_churn_counts(spark):
     # approx mode returns the same shape (values approximate)
     approx = column_churn(log, ["id"], exact_keys=False)
     assert {r.column_name for r in approx.collect()} == {"v", "w"}
+
+
+def _reference_final_state(events):
+    """Row-level end state: last image per surviving key."""
+    alive: dict[int, tuple] = {}
+    for e in events:  # lsn-ordered by construction
+        rid = (e[6] or e[5])[0]
+        if e[3] == "delete":
+            alive.pop(rid, None)
+        else:
+            alive[rid] = e[6]
+    return {rid: row[1] for rid, row in alive.items()}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    draws=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=3,
+        max_size=18,
+    ),
+    split=st.floats(0.0, 1.0),
+)
+def test_apply_composition_matches_reference(spark, draws, split):
+    """For ANY valid history and ANY split point:
+    apply(apply(∅, net(≤S)), net(>S)) == the row-level end state —
+    the consumer pipeline composes across arbitrary window boundaries
+    (delete→re-insert and insert→delete may straddle S)."""
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.operators.apply import apply_changes
+
+    events = _interpret(draws)
+    n = len(events)
+    s = max(0, min(n, int(split * n)))
+    df = spark.createDataFrame(events, SCHEMA)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+        ),
+    )
+    target = apply_changes(
+        empty, net_changes(df, ["id"], to_lsn=s), ["id"], ["v"]
+    )
+    final = apply_changes(
+        target, net_changes(df, ["id"], from_lsn=s + 1), ["id"], ["v"]
+    )
+    got = {r.id: r.v for r in final.collect()}
+    assert got == _reference_final_state(events)
