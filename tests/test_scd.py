@@ -255,3 +255,88 @@ def test_scd2_merge_reinsert_crossing_the_batch_boundary(spark):
     assert (v_new.name, v_new.qty, v_new.note) == ("new", "6", None)
     assert v_new.is_current
     assert len(rows) == 2
+
+
+# ---------------------------------------------------------------------------
+# property: merge == full rebuild for ANY valid history and ANY split
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+_SRC = T.StructType(
+    [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+)
+_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("before", _SRC, True),
+        T.StructField("after", _SRC, True),
+    ]
+)
+_TS0 = ts("2024-01-01 00:00:00")
+
+
+def _hist(draws):
+    """Raw draws → valid history over ids 1-3 (insert when absent,
+    update/delete when present; lsn doubles as the commit minute so
+    order_cols stay strictly increasing)."""
+    import datetime as dt
+
+    alive: dict[int, tuple] = {}
+    events = []
+    lsn = 0
+    for action, rid, v in draws:
+        rid = rid % 3 + 1
+        lsn += 1
+        t = _TS0 + dt.timedelta(minutes=lsn)
+        if rid not in alive:
+            row = (rid, f"v{v}")
+            events.append((lsn, 0, t, "insert", "t", None, row))
+            alive[rid] = row
+        elif action == 0:
+            events.append((lsn, 0, t, "delete", "t", alive.pop(rid), None))
+        else:
+            old = alive[rid]
+            new = (rid, f"v{v}")
+            events.append((lsn, 0, t, "update", "t", old, new))
+            alive[rid] = new
+    return events
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    draws=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=2,
+        max_size=14,
+    ),
+    split=st.floats(0.0, 1.0),
+)
+def test_scd2_merge_matches_full_rebuild_any_history(spark, draws, split):
+    from changedatacapture_reporting_spark.operators.scd import scd2_merge
+
+    events = _hist(draws)
+    n = len(events)
+    s = max(1, min(n, int(split * n)))
+    df = spark.createDataFrame(events, _SCHEMA)
+
+    def log_of(e):
+        return build_changelog(
+            e, ["id"], with_audit_cols=False, record_insert_images=True,
+            carry_cols=["lsn", "seq"],
+        )
+
+    full = _vset(scd2_history(log_of(df), ["id"], ["v"]))
+    existing = scd2_history(
+        log_of(df.filter(F.col("lsn") <= s)), ["id"], ["v"]
+    )
+    merged = scd2_merge(
+        existing, log_of(df.filter(F.col("lsn") > s)), ["id"], ["v"]
+    )
+    assert _vset(merged) == full
