@@ -33,7 +33,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -107,3 +106,25 @@ def stream_apply(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vacuum_versions(
+    spark: SparkSession, target_path: str, keep: int = 2
+) -> int:
+    """Drop all but the newest ``keep`` committed versions (markers stay
+    — they are the replay ledger and cost one empty file each). Readers
+    resolve the max marker, so removing older version DIRECTORIES is
+    safe at any time; ``keep >= 2`` leaves the previous version for
+    readers that resolved it just before a commit. Returns the number of
+    versions removed."""
+    from changedatacapture_reporting_spark.fs import delete
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    epochs = sorted(_committed_epochs(spark, target_path))
+    doomed = epochs[:-keep] if keep < len(epochs) else []
+    removed = 0
+    for e in doomed:
+        if delete(spark, os.path.join(target_path, f"v={e}")):
+            removed += 1
+    return removed

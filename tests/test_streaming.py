@@ -645,3 +645,59 @@ def test_stream_apply_maintains_current_state(spark, workdir):
     again = {r.id: (r.name, r.qty) for r in
              read_current_state(spark, target, pk, vals, src).collect()}
     assert again == got
+
+
+def test_stream_apply_vacuum_keeps_current_readable(spark, workdir):
+    """vacuum_versions removes old snapshot dirs, never the current one;
+    markers survive so replayed epochs still skip."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        read_current_state,
+        stream_apply,
+        vacuum_versions,
+    )
+
+    src = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    schema = cdc_event_schema(src)
+    ts0 = dt.datetime(2024, 3, 1)
+    ev_path, target, ckpt = (
+        f"{workdir}/vev", f"{workdir}/vtarget", f"{workdir}/vckpt"
+    )
+    pk, vals = ["id"], ["v"]
+
+    for i, batch in enumerate(
+        [
+            [(1, 0, ts0, "insert", "t", None, (1, "a"))],
+            [(2, 0, ts0, "update", "t", (1, "a"), (1, "b"))],
+            [(3, 0, ts0, "insert", "t", None, (2, "c"))],
+        ]
+    ):
+        spark.createDataFrame(batch, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(ev_path)
+        _drain(stream_apply(spark, ev_path, schema, target, ckpt, pk, vals))
+
+    import os
+
+    versions = [d for d in os.listdir(target) if d.startswith("v=")]
+    assert len(versions) == 3
+    removed = vacuum_versions(spark, target, keep=1)
+    assert removed == 2
+    left = [d for d in os.listdir(target) if d.startswith("v=")]
+    assert len(left) == 1
+
+    got = {r.id: r.v for r in
+           read_current_state(spark, target, pk, vals, src).collect()}
+    assert got == {1: "b", 2: "c"}
+
+    # replayed drain after vacuum: markers intact, nothing re-applies
+    _drain(stream_apply(spark, ev_path, schema, target, ckpt, pk, vals))
+    again = {r.id: r.v for r in
+             read_current_state(spark, target, pk, vals, src).collect()}
+    assert again == got
