@@ -1069,7 +1069,9 @@ _CHECK_WINDOW: list[str] = [
     # mergeable-sketch rollup entry
     "events_distinct_sketch_rollup",
     "corpus_budget_mix",
-    "q15_top_supplier",
+    # q15_top_supplier (r5 green, unchanged) yields to the int8
+    # quantization entry
+    "embedding_quantization",
     # q17_small_quantity_revenue (r5 green, unchanged) yields to the
     # streaming materialized-state entry
     "streaming_apply_state",

@@ -1301,8 +1301,40 @@ FROM documents d LEFT JOIN cl USING (doc_id)
 SQL_SPLITS = _build_sql_splits()
 
 
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (functions.vectors.quantize_int8):
+    per-vector symmetric scale, floor-arithmetic rounding so BOTH
+    engines produce bit-identical q arrays and scales — the contract
+    hash-checks the quantized representation itself, not a property of
+    it. Top-k recall on the dequantized vectors is pytest-verified."""
+    from changedatacapture_reporting_spark.functions.vectors import (
+        quantize_int8,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_int8(F.col("embedding"))
+    return e.select(
+        "vec_id", qz["q"].alias("q"), qz["scale"].alias("scale")
+    )
+
+
+SQL_QUANTIZE = """
+SELECT vec_id,
+       list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CASE WHEN mx = 0 THEN 0
+                   ELSE CAST(FLOOR(x * 127.0 / mx + 0.5) AS INTEGER) END) AS q,
+       mx / 127.0 AS scale
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+  FROM embeddings
+)
+"""
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
+    "embedding_quantization": (embedding_quantization, SQL_QUANTIZE),
     "corpus_leakage_safe_splits": (corpus_leakage_safe_splits, SQL_SPLITS),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
     "corpus_pack_bfd": (corpus_pack_bfd, SQL_PACK_BFD),

@@ -52,3 +52,41 @@ def l2_norm_sq(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity in double."""
     return dot_double(a, b) / F.sqrt(l2_norm_sq(a) * l2_norm_sq(b))
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i · 127 /
+    max|x| + 0.5) ∈ [-127, 127] — the 4× storage/bandwidth reduction
+    every embedding store at scale applies before ANN serving. The
+    formula is spelled in floor-arithmetic (not ``round``) because
+    floor is defined identically in every engine, while round's
+    tie-breaking (half-up vs half-even) is not; exact replayability is
+    what lets the contract hash-check quantized values.
+
+    Returns struct(q: array<int>, scale: double) where
+    dequantized_i = q_i · scale and scale = max|x| / 127. An all-zero
+    vector quantizes to zeros with scale 0.
+    """
+    mx = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    q = F.transform(
+        vec,
+        lambda x: F.when(mx == 0.0, F.lit(0))
+        .otherwise(
+            F.floor(x.cast("double") * 127.0 / mx + 0.5).cast("int")
+        )
+        .cast("int"),
+    )
+    return F.struct(
+        q.alias("q"), (mx / 127.0).alias("scale")
+    )
+
+
+def dequantize_int8(qstruct: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: array<double> approximation."""
+    return F.transform(
+        qstruct["q"], lambda qi: qi.cast("double") * qstruct["scale"]
+    )

@@ -737,3 +737,51 @@ def test_pack_sequences_bfd_hand_checked(spark):
         by_pack.setdefault(r.pack_id, []).append(r.n_tokens)
     groups = sorted(sorted(v) for v in by_pack.values())
     assert groups == [[2, 6], [3, 5], [4], [10]]
+
+
+def test_quantize_int8_error_bound_and_recall(embeddings):
+    """Quantization invariants: |dequant − x| ≤ scale/2 per component
+    (half-step bound), q ∈ [−127, 127], and brute-force top-10 on
+    dequantized vectors recovers most exact neighbors."""
+    from changedatacapture_reporting_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    qz = quantize_int8(F.col("embedding"))
+    dq = embeddings.select(
+        "vec_id",
+        "embedding",
+        qz["q"].alias("q"),
+        qz["scale"].alias("scale"),
+        dequantize_int8(qz).alias("deq"),
+    )
+    bad = dq.select(
+        F.exists(
+            F.zip_with(
+                "embedding",
+                "deq",
+                lambda x, y: F.abs(x.cast("double") - y)
+                > F.col("scale") / 2 + 1e-12,
+            ),
+            lambda b: b,
+        ).alias("viol"),
+        F.exists("q", lambda v: F.abs(v) > 127).alias("oob"),
+    )
+    assert bad.filter(F.col("viol") | F.col("oob")).count() == 0
+
+    # recall of exact top-10 under quantized geometry
+    deq_tbl = dq.select("vec_id", F.col("deq").alias("embedding"))
+    q10 = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embeddings, q10, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            deq_tbl, q10.select("vec_id", "embedding"), k=10
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall:.2f} too low"
