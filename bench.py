@@ -150,6 +150,7 @@ HEADLINE = [
     "dedup_embedding_incremental",
     "corpus_pack_bfd",
     "events_distinct_sketch_rollup",
+    "embedding_quantization",
     # corpus_leakage_safe_splits stays out: its contract runs the exact
     # all-pairs oracle-tier pair graph (like dedup_ngram_jaccard, also
     # unbenched); the production path would feed minhash_lsh_pairs in.
