@@ -962,6 +962,96 @@ FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
 """
 
 
+def _q_multi_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table transactionally consistent snapshot
+    (operators.reconstruct.snapshot_tables_at_lsn): two tables share one
+    LSN sequence (each orders transaction also writes orders_tax at the
+    same lsn, seqval 1 — the SQL Server multi-table-transaction shape);
+    both reconstruct from the SHARED changelog at the same lsn ≤ 3000
+    cut, emitted as one cross-table EAV frame. The oracle replays both
+    tables' state arithmetic at the identical boundary."""
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        snapshot_tables_at_lsn,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events_cross_table,
+    )
+
+    base, tax = simulate_cdc_events_cross_table(spark, sf_dir)
+
+    def log_of(e: DataFrame) -> DataFrame:
+        return build_changelog(
+            e,
+            SIM_PK,
+            with_audit_cols=False,
+            carry_cols=["lsn", "seq"],
+            record_insert_images=True,
+        )
+
+    log = log_of(base).unionByName(log_of(tax))
+    return snapshot_tables_at_lsn(
+        log,
+        {
+            "orders": (SIM_PK, ["status", "priority", "total", "note"]),
+            "orders_tax": (SIM_PK, ["rate", "fee"]),
+        },
+        as_of_lsn=3000,
+    )
+
+
+_SQL_MULTI_SNAPSHOT = f"""
+WITH {ORACLE_EVENTS_CTE},
+w AS (SELECT * FROM ev WHERE o_orderkey <= 3000),
+o_live AS (
+  SELECT * FROM w WHERE op != 'delete'
+    AND NOT (op = 'update'
+             AND b_status IS NOT DISTINCT FROM a_status
+             AND b_priority IS NOT DISTINCT FROM a_priority
+             AND b_total IS NOT DISTINCT FROM a_total
+             AND b_note IS NOT DISTINCT FROM a_note)
+),
+t_live AS (
+  SELECT * FROM w WHERE op != 'delete'
+    AND NOT (op = 'update' AND o_orderkey % 3 != 0 AND o_orderkey % 2 != 0)
+)
+SELECT 'orders' AS table_name, CAST(o_orderkey AS VARCHAR) AS row_key,
+       'status' AS column_name,
+       CASE WHEN op = 'insert' THEN a_status
+            WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS value
+FROM o_live
+UNION ALL
+SELECT 'orders', CAST(o_orderkey AS VARCHAR), 'priority',
+       CASE WHEN op = 'insert' THEN a_priority
+            WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END
+FROM o_live
+UNION ALL
+SELECT 'orders', CAST(o_orderkey AS VARCHAR), 'total',
+       CASE WHEN op = 'insert' THEN CAST(a_total AS VARCHAR)
+            WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR)
+       END
+FROM o_live
+UNION ALL
+SELECT 'orders', CAST(o_orderkey AS VARCHAR), 'note',
+       CASE WHEN op = 'insert' THEN a_note
+            WHEN b_note IS DISTINCT FROM a_note THEN a_note END
+FROM o_live
+UNION ALL
+SELECT 'orders_tax', CAST(o_orderkey AS VARCHAR), 'rate',
+       CASE WHEN op = 'insert' OR o_orderkey % 3 = 0
+            THEN CAST(o_orderkey % 9
+                 + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+       END
+FROM t_live
+UNION ALL
+SELECT 'orders_tax', CAST(o_orderkey AS VARCHAR), 'fee',
+       CASE WHEN op = 'insert' OR o_orderkey % 2 = 0
+            THEN CAST(o_orderkey % 11
+                 + CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 0 END AS VARCHAR)
+       END
+FROM t_live
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -996,6 +1086,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_scd2_incremental": (_q_scd2_incremental, _SQL_SCD2_INCREMENTAL),
     "cdc_reconstruct_at_lsn": (_q_reconstruct_at_lsn, _SQL_RECONSTRUCT_AT_LSN),
+    "cdc_multi_table_snapshot": (_q_multi_table_snapshot, _SQL_MULTI_SNAPSHOT),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
@@ -1064,7 +1155,9 @@ _CHECK_WINDOW: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_item_revenue",
+    # q10_returned_item_revenue (r5 green, unchanged) yields to the
+    # cross-table consistent snapshot entry
+    "cdc_multi_table_snapshot",
     # q13_order_count_distribution (r5 green, unchanged) yields to the
     # mergeable-sketch rollup entry
     "events_distinct_sketch_rollup",

@@ -123,3 +123,52 @@ def reconstruct_state(
             for c in value_cols
         ],
     )
+
+
+def snapshot_tables_at_lsn(
+    changelog: DataFrame,
+    specs: dict[str, tuple[list[str], list[str]]],
+    as_of_lsn: int,
+) -> DataFrame:
+    """Transactionally CONSISTENT multi-table snapshot: every table in
+    ``specs`` (table → (pk_cols, value_cols)) reconstructed from the
+    shared changelog at the SAME LSN boundary — the guarantee a
+    multi-table source transaction needs downstream (an order and its
+    tax row committed under one LSN either both show or both don't;
+    a per-table timestamp cut cannot promise that).
+
+    Output is one EAV frame across tables — (table_name, row_key,
+    column_name, value) — so heterogeneous table schemas coexist;
+    ``row_key`` is the '|'-joined pk. Per table it is exactly
+    :func:`reconstruct_state` (two aggregations, zero joins); the
+    table filter prunes the sink's table_name partitions.
+    """
+    frames = []
+    for table, (pk_cols, value_cols) in specs.items():
+        st = reconstruct_state(
+            changelog.filter(F.col("table_name") == table),
+            pk_cols,
+            value_cols,
+            as_of_lsn=as_of_lsn,
+        )
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in pk_cols])
+        melted = st.select(
+            F.lit(table).alias("table_name"),
+            key.alias("row_key"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col(c).cast("string").alias("value"),
+                        )
+                        for c in value_cols
+                    ]
+                )
+            ).alias("e"),
+        ).select("table_name", "row_key", "e.column_name", "e.value")
+        frames.append(melted)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

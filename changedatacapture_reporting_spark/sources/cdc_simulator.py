@@ -197,3 +197,53 @@ evm AS (
 )
 """
 )
+
+
+def simulate_cdc_events_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-table event stream sharing one LSN sequence — the shape a
+    multi-table transaction produces in SQL Server CDC (one commit LSN,
+    per-table capture rows distinguished by seqval). Each base 'orders'
+    event (seq 0) is joined by an 'orders_tax' event at the SAME lsn
+    (seq 1): op class mirrors the base derivation; images are integer
+    arithmetic so the DuckDB oracle replays them:
+
+        rate: k % 9  → k % 9 + 1 when k % 3 == 0
+        fee:  k % 11 → k % 11 + 2 when k % 2 == 0
+
+    A consistent snapshot AT lsn X must cut BOTH tables at the same
+    boundary — the property cdc_multi_table_snapshot checks.
+    """
+    base = simulate_cdc_events(spark, sf_dir)
+    k = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+
+    def tax_image(rate, fee):
+        return F.struct(
+            k.alias("o_orderkey"), rate.alias("rate"), fee.alias("fee")
+        )
+
+    b_img = tax_image((k % 9).cast("long"), (k % 11).cast("long"))
+    a_img = tax_image(
+        F.when(k % 3 == 0, (k % 9).cast("long") + 1).otherwise(
+            (k % 9).cast("long")
+        ),
+        F.when(k % 2 == 0, (k % 11).cast("long") + 2).otherwise(
+            (k % 11).cast("long")
+        ),
+    )
+    null_img = F.lit(None).cast(
+        "struct<o_orderkey:bigint,rate:bigint,fee:bigint>"
+    )
+    tax = base.select(
+        F.col("lsn"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("commit_ts"),
+        F.col("op"),
+        F.lit("orders_tax").alias("table_name"),
+        F.when(F.col("op") != "insert", b_img).otherwise(null_img).alias(
+            "before"
+        ),
+        F.when(F.col("op") != "delete", a_img).otherwise(null_img).alias(
+            "after"
+        ),
+    )
+    return base, tax

@@ -231,3 +231,46 @@ def test_reconstruct_as_of_lsn_slices_mid_history(spark, sf_dir):
     for k in list(at_mid)[:50]:
         if k % 4 != 1 and k % 20 not in (5, 11):
             assert tuple(at_mid[k]) == tuple(full[k])
+
+
+def test_multi_table_snapshot_is_transactionally_consistent(spark, sf_dir):
+    """One LSN cut binds both tables: no key beyond the cut leaks into
+    either table, and keys inserted by a shared transaction are visible
+    in BOTH tables or NEITHER (atomic multi-table visibility)."""
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        snapshot_tables_at_lsn,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        SIM_PK,
+        simulate_cdc_events_cross_table,
+    )
+
+    base, tax = simulate_cdc_events_cross_table(spark, sf_dir)
+
+    def log_of(e):
+        return build_changelog(
+            e, SIM_PK, with_audit_cols=False, carry_cols=["lsn", "seq"],
+            record_insert_images=True,
+        )
+
+    log = log_of(base).unionByName(log_of(tax))
+    cut = 700
+    snap = snapshot_tables_at_lsn(
+        log,
+        {"orders": (SIM_PK, ["status", "total"]),
+         "orders_tax": (SIM_PK, ["rate", "fee"])},
+        as_of_lsn=cut,
+    )
+    keys = {
+        (r.table_name, int(r.row_key))
+        for r in snap.select("table_name", "row_key").distinct().collect()
+    }
+    assert keys, "cut must keep some rows"
+    assert all(k <= cut for _, k in keys)  # nothing beyond the cut, anywhere
+
+    o_keys = {k for t, k in keys if t == "orders"}
+    t_keys = {k for t, k in keys if t == "orders_tax"}
+    # insert transactions (k%10 in {0,1}) are atomic across both tables
+    o_ins = {k for k in o_keys if k % 10 in (0, 1)}
+    t_ins = {k for k in t_keys if k % 10 in (0, 1)}
+    assert o_ins == t_ins and o_ins
