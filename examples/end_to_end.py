@@ -214,6 +214,34 @@ def main() -> None:
         f"rare-heavy docs: {rare.count()}; budget mix → shards: {shard_sizes}"
     )
 
+    # 10. cross-table consistent snapshot + int8 embedding quantization
+    from changedatacapture_reporting_spark.functions.vectors import (
+        quantize_int8,
+    )
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        snapshot_tables_at_lsn,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events_cross_table,
+    )
+
+    base_t, tax_t = simulate_cdc_events_cross_table(spark, sf_dir)
+    cross_log = log_of(base_t).unionByName(log_of(tax_t))
+    snap = snapshot_tables_at_lsn(
+        cross_log,
+        {"orders": (SIM_PK, vcols), "orders_tax": (SIM_PK, ["rate", "fee"])},
+        as_of_lsn=700,
+    )
+    per_table = {r.table_name: r.n for r in snap.groupBy("table_name")
+                 .count().withColumnRenamed("count", "n").collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_int8(F.col("embedding"))
+    n_q = emb.select(qz["q"].alias("q")).count()
+    print(
+        f"consistent snapshot @lsn700 (EAV rows per table): {per_table}; "
+        f"quantized {n_q} embeddings to int8"
+    )
+
 
 if __name__ == "__main__":
     main()
