@@ -1153,7 +1153,9 @@ _CHECK_WINDOW: list[str] = [
     # oracle run covers the rotated pair every round
     "cdc_column_churn",
     "q7_nation_volume",
-    "q8_market_share",
+    # q8_market_share (r5 green, unchanged) yields to the text
+    # normalization entry
+    "text_normalization",
     "q9_product_profit",
     # q10_returned_item_revenue (r5 green, unchanged) yields to the
     # cross-table consistent snapshot entry

@@ -1332,8 +1332,53 @@ FROM (
 """
 
 
+def text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus canonicalization (functions.text.normalize_text): every
+    document is decorated with smart quotes, an en-dash, NBSP, a tab, an
+    ellipsis, and a control char, then normalized — both engines must
+    produce byte-identical canonical text and md5 fingerprints."""
+    from changedatacapture_reporting_spark.functions.text import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit("“"),
+        F.col("text"),
+        F.lit("” –\tEnd…\x07"),
+    )
+    return d.select(
+        "doc_id",
+        normalize_text(decorated).alias("norm"),
+    ).select("doc_id", "norm", F.md5("norm").alias("fp"))
+
+
+def _build_sql_normalize() -> str:
+    from_ch = "‘’“”–— "
+    to_ch = "''\"\"-- ".replace("'", "''")
+    deco_pre = "“"
+    deco_post = "” –"
+    return rf"""
+SELECT doc_id, norm, md5(norm) AS fp FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           translate(
+             lower('{deco_pre}' || text || '{deco_post}' || chr(9)
+                   || 'End' || '…' || chr(7)),
+             '{from_ch}', '{to_ch}'),
+           '…', '...', 'g'),
+           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g')) AS norm
+  FROM documents)
+"""
+
+
+SQL_NORMALIZE = _build_sql_normalize()
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
+    "text_normalization": (text_normalization, SQL_NORMALIZE),
     "embedding_quantization": (embedding_quantization, SQL_QUANTIZE),
     "corpus_leakage_safe_splits": (corpus_leakage_safe_splits, SQL_SPLITS),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),

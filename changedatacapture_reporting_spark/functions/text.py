@@ -268,3 +268,28 @@ def repetition_scores(text: Column | str) -> dict[str, Column]:
             F.lit(1.0) - distinct.cast("double") / total.cast("double")
         ).otherwise(F.lit(0.0)),
     }
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Corpus canonicalization — the step that runs BEFORE fingerprinting
+    and dedup so cosmetic variants (smart quotes, unicode dashes, NBSP,
+    stray control chars, ragged whitespace, case) hash identically:
+
+    1. lowercase;
+    2. unicode punctuation → ASCII (' ' " " – — → ASCII quotes/dashes,
+       NBSP → space, … → ...);
+    3. control characters stripped;
+    4. whitespace collapsed to single spaces, trimmed.
+
+    Pure ``translate``/``regexp_replace`` expressions — codegen-resident,
+    RE2-portable, and exactly replayable in any SQL engine (the contract
+    hash-checks normalized text + fingerprints through injected-unicode
+    inputs).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.translate(c, "‘’“”–— ", "''\"\"-- ")
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

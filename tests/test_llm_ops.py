@@ -785,3 +785,27 @@ def test_quantize_int8_error_bound_and_recall(embeddings):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"quantized recall {recall:.2f} too low"
+
+
+def test_normalize_text_canonicalizes_unicode(spark):
+    from changedatacapture_reporting_spark.functions.text import normalize_text
+
+    cases = [
+        ("“Hi” — World…", '"hi" - world...'),
+        ("A B   C\t\nD", "a b c d"),
+        ("ctrl\x07char\x1fhere", "ctrlcharhere"),
+        ("‘quoted’ – dash", "'quoted' - dash"),
+        ("  already clean  ", "already clean"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               "i long, text string")
+    got = {r.i: r.n for r in
+           df.select("i", normalize_text("text").alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    # idempotence: normalizing normalized text is a no-op
+    again = {r.i: r.n for r in
+             df.select("i", normalize_text(normalize_text("text")).alias("n"))
+             .collect()}
+    assert again == got
