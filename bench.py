@@ -151,6 +151,8 @@ HEADLINE = [
     "corpus_pack_bfd",
     "events_distinct_sketch_rollup",
     "embedding_quantization",
+    "text_normalization",
+    "cdc_multi_table_snapshot",
     # corpus_leakage_safe_splits stays out: its contract runs the exact
     # all-pairs oracle-tier pair graph (like dedup_ngram_jaccard, also
     # unbenched); the production path would feed minhash_lsh_pairs in.
