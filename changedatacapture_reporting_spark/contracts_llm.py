@@ -1191,7 +1191,11 @@ def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shard (not SQL-expressible), so this is the accuracy-contract
     form: exact per-shard totals the oracle recomputes, plus booleans
     asserting every pack obeys the cap (oversized docs isolated) and the
-    pack count meets the BFD 11/9·OPT+1 bound."""
+    pack count meets the any-fit guarantee count <= ceil(2*total/cap):
+    any-fit algorithms (BFD included) leave at most one bin half-empty,
+    so count-1 bins exceed cap/2. Unlike 11/9*ceil(total/cap)+1 (which
+    substitutes a lower bound for OPT and can be tighter than BFD's
+    actual 11/9*OPT+1 guarantee), this holds for every distribution."""
     from changedatacapture_reporting_spark.operators.corpus import (
         pack_sequences_bfd,
     )
@@ -1216,10 +1220,10 @@ def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_oversized"),
             F.min(pack_ok).alias("packs_ok"),
+            # oversized single-doc packs carry load > cap > cap/2, so
+            # they participate in the any-fit count bound unmodified
             (
-                F.count("*")
-                <= F.ceil(F.sum("tot") / cap) * 11 / 9 + 1
-                + F.sum(((F.col("n") == 1) & (F.col("mx") > cap)).cast("long"))
+                F.count("*") <= F.ceil(F.sum("tot") * 2 / cap)
             ).alias("bound_ok"),
         )
     )
@@ -1306,7 +1310,13 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector symmetric scale, floor-arithmetic rounding so BOTH
     engines produce bit-identical q arrays and scales — the contract
     hash-checks the quantized representation itself, not a property of
-    it. Top-k recall on the dequantized vectors is pytest-verified."""
+    it. Top-k recall on the dequantized vectors is pytest-verified.
+
+    The q array is serialized to a comma-joined string for the driver
+    harness: its pandas canonicalizer sorts result columns, and
+    list-valued cells are unhashable there. The serialization is
+    lossless (int8 values, no commas inside elements), so this is
+    still a bit-exact check of the quantized representation."""
     from changedatacapture_reporting_spark.functions.vectors import (
         quantize_int8,
     )
@@ -1314,15 +1324,21 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qz = quantize_int8(F.col("embedding"))
     return e.select(
-        "vec_id", qz["q"].alias("q"), qz["scale"].alias("scale")
+        "vec_id",
+        F.array_join(
+            F.transform(qz["q"], lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+        qz["scale"].alias("scale"),
     )
 
 
 SQL_QUANTIZE = """
 SELECT vec_id,
-       list_transform(CAST(embedding AS DOUBLE[]),
-         x -> CASE WHEN mx = 0 THEN 0
-                   ELSE CAST(FLOOR(x * 127.0 / mx + 0.5) AS INTEGER) END) AS q,
+       array_to_string(
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CASE WHEN mx = 0 THEN 0
+                     ELSE CAST(FLOOR(x * 127.0 / mx + 0.5) AS INTEGER) END),
+         ',') AS q_csv,
        mx / 127.0 AS scale
 FROM (
   SELECT vec_id, embedding,

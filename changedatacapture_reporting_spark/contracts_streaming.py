@@ -60,7 +60,9 @@ def _drain_to_table(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"stream contract {name} did not drain within 300s")
     return spark.table(name)
 
 
@@ -304,7 +306,12 @@ def streaming_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_apply(
         spark, f"{d}/ev", schema, f"{d}/target", f"{d}/ckpt", SIM_PK, value_cols
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_apply did not drain within 300s; refusing to read a "
+            "partially-applied target (would surface as a hash mismatch)"
+        )
     src = schema["after"].dataType
     return read_current_state(spark, f"{d}/target", SIM_PK, value_cols, src)
 

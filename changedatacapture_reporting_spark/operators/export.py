@@ -28,10 +28,10 @@ single map-side-combined groupBy on the shard id.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark import fs
 
 
 def shard_assignment(key: Column, n_shards: int) -> Column:
@@ -86,15 +86,17 @@ def export_shards(
     data.write.mode("overwrite").partitionBy("shard").parquet(path)
 
     # count files per shard from what actually landed (crash evidence
-    # would show up here as a missing manifest, not a wrong one)
+    # would show up here as a missing manifest, not a wrong one) — via
+    # fs.* so scheme-qualified sinks (s3a://, hdfs://) work, not just
+    # the local filesystem
     files = []
-    for entry in os.listdir(path):
+    for entry in fs.listdir(spark, path):
         if not entry.startswith("shard="):
             continue
         k = int(entry.split("=", 1)[1])
         n = sum(
             1
-            for f in os.listdir(os.path.join(path, entry))
+            for f in fs.listdir(spark, fs.join(path, entry))
             if f.endswith(".parquet")
         )
         files.append((k, n))
@@ -103,7 +105,6 @@ def export_shards(
     manifest = shard_stats(df, n_shards, id_col, text_col).join(
         file_counts, "shard", "left"
     )
-    manifest.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(path, "_manifest")
-    )
-    return spark.read.parquet(os.path.join(path, "_manifest"))
+    manifest_path = fs.join(path, "_manifest")
+    manifest.repartition(1).write.mode("overwrite").parquet(manifest_path)
+    return spark.read.parquet(manifest_path)

@@ -28,6 +28,8 @@ SURVEY.md §2.13).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -146,6 +148,18 @@ def _fold_versions(
     )
 
 
+def _plan_is_simple_scan(df: DataFrame) -> bool:
+    """True when the optimized plan is (close to) a bare relation scan —
+    a materialized table, possibly under a trivial project/filter.
+    Re-scanning such a plan several times is cheap; recomputing a deep
+    subtree (joins/windows) several times is not."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - defensive: plan introspection
+        return True
+    return len([ln for ln in plan.splitlines() if ln.strip()]) <= 3
+
+
 def scd2_merge(
     existing: DataFrame,
     new_log: DataFrame,
@@ -153,6 +167,7 @@ def scd2_merge(
     value_cols: list[str],
     order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
     allow_coarse_order: bool = False,
+    materialize: bool | str = "auto",
 ) -> DataFrame:
     """Incrementally maintain an SCD2 history: merge a NEW changelog
     batch into an ``existing`` :func:`scd2_history` output without
@@ -176,7 +191,16 @@ def scd2_merge(
     ``existing`` is referenced three times in the plan (anti join, closed
     semi join, seed). Pass the MATERIALIZED history table (the normal
     steady-state case) — handing it an unpersisted computation subtree
-    recomputes that subtree three times.
+    recomputes that subtree three times. ``materialize`` guards this:
+
+    - ``"auto"`` (default): warn when ``existing`` is uncached AND its
+      optimized plan is a non-trivial computation (a bare table scan is
+      fine to re-read; it is NOT auto-checkpointed because at large
+      scale localCheckpointing a years-deep history would be far worse
+      than three parquet scans);
+    - ``True``: ``localCheckpoint`` ``existing`` eagerly so the subtree
+      is computed exactly once (ad-hoc/test callers);
+    - ``False``: use as-is, no warning.
 
     Equality contract (pytest + driver-checked):
     ``scd2_merge(scd2_history(log ≤ W), log > W) == scd2_history(log)``
@@ -190,6 +214,24 @@ def scd2_merge(
             "build it with carry_cols=['lsn', 'seq'], or pass "
             "allow_coarse_order=True"
         )
+
+    if materialize is True:
+        existing = existing.localCheckpoint(eager=True)
+    elif materialize == "auto":
+        try:
+            uncached = existing.storageLevel.useMemory is False and (
+                existing.storageLevel.useDisk is False
+            )
+        except Exception:  # pragma: no cover - Connect-style sessions
+            uncached = True
+        if uncached and not _plan_is_simple_scan(existing):
+            warnings.warn(
+                "scd2_merge references `existing` three times; its plan "
+                "is an unpersisted computation and will be recomputed "
+                "3x. Pass the materialized history table, cache it, or "
+                "call with materialize=True to localCheckpoint it.",
+                stacklevel=2,
+            )
 
     touched = new_log.select(*pk_cols).distinct()
     untouched = existing.join(touched, pk_cols, "left_anti")

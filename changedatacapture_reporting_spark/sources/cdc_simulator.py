@@ -199,7 +199,9 @@ evm AS (
 )
 
 
-def simulate_cdc_events_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simulate_cdc_events_cross_table(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """TWO-table event stream sharing one LSN sequence — the shape a
     multi-table transaction produces in SQL Server CDC (one commit LSN,
     per-table capture rows distinguished by seqval). Each base 'orders'

@@ -268,3 +268,71 @@ def test_apply_composition_matches_reference(spark, draws, split):
     )
     got = {r.id: r.v for r in final.collect()}
     assert got == _reference_final_state(events)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    draws=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=3,
+        max_size=18,
+    ),
+    cuts=st.lists(st.floats(0.0, 1.0), min_size=0, max_size=4),
+)
+def test_apply_any_window_partition_matches_replay(spark, draws, cuts):
+    """apply(net(window)) folded over ANY partition of the history into
+    consecutive LSN windows (not just one split point — 1 to 5 windows,
+    boundaries anywhere, empty windows allowed) equals BOTH the
+    row-level reference fold and the engine's own one-shot replay
+    (reconstruct_state over the full changelog) — the consumer MERGE
+    pipeline and the reconstruction operator agree on every random
+    op-sequence, including delete→re-insert chains straddling any
+    boundary."""
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.operators.apply import apply_changes
+    from changedatacapture_reporting_spark.operators.changelog import (
+        build_changelog,
+    )
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_state,
+    )
+
+    events = _interpret(draws)
+    n = len(events)
+    bounds = sorted({max(0, min(n, int(c * n))) for c in cuts})
+    windows = []
+    lo = 0
+    for b in [*bounds, n]:
+        windows.append((lo + 1, b))  # inclusive lsn window, may be empty
+        lo = b
+
+    df = spark.createDataFrame(events, SCHEMA)
+    state = spark.createDataFrame(
+        [],
+        T.StructType(
+            [T.StructField("id", T.IntegerType()),
+             T.StructField("v", T.StringType())]
+        ),
+    )
+    for lo_w, hi_w in windows:
+        state = apply_changes(
+            state,
+            net_changes(df, ["id"], from_lsn=lo_w, to_lsn=hi_w),
+            ["id"],
+            ["v"],
+        )
+    got = {r.id: r.v for r in state.collect()}
+
+    ref = _reference_final_state(events)
+    assert got == ref
+
+    log = build_changelog(
+        df, ["id"], with_audit_cols=False, carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    replayed = {
+        int(r.id): r.v
+        for r in reconstruct_state(log, ["id"], ["v"]).collect()
+    }
+    assert replayed == ref

@@ -340,3 +340,46 @@ def test_scd2_merge_matches_full_rebuild_any_history(spark, draws, split):
         existing, log_of(df.filter(F.col("lsn") > s)), ["id"], ["v"]
     )
     assert _vset(merged) == full
+
+
+def test_scd2_merge_materialize_guard(spark, cdc_fixture):
+    """The `materialize` guard: auto mode warns when `existing` is an
+    unpersisted computation (it is referenced 3x in the merge plan),
+    stays silent for a materialized (parquet-backed) history or with
+    materialize=True/False, and materialize=True collapses the existing
+    subtree to a localCheckpoint scan while preserving the result."""
+    import tempfile
+    import warnings as _w
+
+    from changedatacapture_reporting_spark.operators.scd import scd2_merge
+
+    def log_of(ev):
+        return build_changelog(
+            ev, PK, with_audit_cols=False, record_insert_images=True,
+            carry_cols=["lsn", "seq"],
+        )
+
+    existing = scd2_history(log_of(cdc_fixture.filter(F.col("lsn") <= 3)), PK, VALS)
+    batch = log_of(cdc_fixture.filter(F.col("lsn") > 3))
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        scd2_merge(existing, batch, PK, VALS)  # auto, computed subtree
+    assert any("recomputed" in str(c.message) for c in caught)
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        scd2_merge(existing, batch, PK, VALS, materialize=False)
+        merged_true = scd2_merge(existing, batch, PK, VALS, materialize=True)
+    assert not any("recomputed" in str(c.message) for c in caught)
+
+    with tempfile.TemporaryDirectory(prefix="scd2_guard_") as d:
+        existing.write.parquet(f"{d}/hist")
+        hist = spark.read.parquet(f"{d}/hist")
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            merged_tbl = scd2_merge(hist, batch, PK, VALS)  # auto, table scan
+        assert not any("recomputed" in str(c.message) for c in caught)
+        # the existing subtree appears exactly once per reference as a
+        # checkpoint/table scan — and results agree across all modes
+        assert _vset(merged_tbl) == _vset(merged_true)

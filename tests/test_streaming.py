@@ -701,3 +701,87 @@ def test_stream_apply_vacuum_keeps_current_readable(spark, workdir):
     again = {r.id: r.v for r in
              read_current_state(spark, target, pk, vals, src).collect()}
     assert again == got
+
+
+def test_stream_apply_bucketed_equals_full_rewrite(spark, workdir):
+    """stream_apply_bucketed (serving-snapshot bucket refresh per batch)
+    must serve the SAME state as stream_apply's full-version rewrite at
+    every drained prefix of the stream — delete, update-carry, and
+    post-bootstrap insert included — and a replayed drain with no new
+    data must be a no-op (the snapshot's LSN watermark filters it)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        read_current_state,
+        read_state_bucketed,
+        stream_apply,
+        stream_apply_bucketed,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    schema = cdc_event_schema(src)
+    ts = dt.datetime(2024, 2, 1, 9, 0, 0)
+    batch1 = [
+        (1, 0, ts, "insert", "t", None, (1, "a", 10)),
+        (2, 0, ts, "insert", "t", None, (2, "b", 20)),
+        (3, 0, ts, "update", "t", (2, "b", 20), (2, "b", 21)),
+    ]
+    batch2 = [
+        (4, 0, ts, "update", "t", (1, "a", 10), (1, "a2", 11)),
+        (5, 0, ts, "delete", "t", (2, "b", 21), None),
+        (6, 0, ts, "insert", "t", None, (3, "c", 30)),
+    ]
+    ev_path = f"{workdir}/bapply_events"
+    pk, vals = ["id"], ["name", "qty"]
+    snap = f"{workdir}/bapply_snap"
+    full = f"{workdir}/bapply_full"
+
+    def drain_both():
+        _drain(stream_apply_bucketed(
+            spark, ev_path, schema, snap, f"{workdir}/bapply_ckpt_b",
+            pk, vals, n_buckets=8,
+        ))
+        _drain(stream_apply(
+            spark, ev_path, schema, full, f"{workdir}/bapply_ckpt_f",
+            pk, vals,
+        ))
+
+    def states():
+        b = {r.id: (r.name, r.qty) for r in read_state_bucketed(
+            spark, snap, pk, vals,
+        ).select(
+            F.col("id").cast("int"), F.col("name"),
+            F.col("qty").cast("int"),
+        ).collect()}
+        f = {r.id: (r.name, r.qty) for r in read_current_state(
+            spark, full, pk, vals, src,
+        ).collect()}
+        return b, f
+
+    spark.createDataFrame(batch1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ev_path)
+    drain_both()
+    b, f = states()
+    assert b == f == {1: ("a", 10), 2: ("b", 21)}
+
+    spark.createDataFrame(batch2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ev_path)
+    drain_both()
+    b, f = states()
+    assert b == f == {1: ("a2", 11), 3: ("c", 30)}
+
+    # replay with no new data: watermark makes it a no-op
+    drain_both()
+    b2, f2 = states()
+    assert b2 == b and f2 == f
