@@ -156,6 +156,15 @@ HEADLINE = [
     # corpus_leakage_safe_splits stays out: its contract runs the exact
     # all-pairs oracle-tier pair graph (like dedup_ngram_jaccard, also
     # unbenched); the production path would feed minhash_lsh_pairs in.
+    # r7 additions (first trend points)
+    "cdc_kafka_roundtrip",
+    "cdc_changelog_compacted",
+    "cdc_schema_evolution",
+    "corpus_tfidf_terms",
+    # cdc_forget_keys stays out: its contract populates + rewrites a
+    # tempdir sink per run — it times filesystem commit churn, not an
+    # operator; the purge's logical path (broadcast anti-join) is the
+    # apply/net shape already benched.
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -438,6 +438,107 @@ GROUP BY 1
 """
 
 
+def _q_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (operators.forget.purge_keys_from_sink):
+    populate a real changelog sink, then erase keys ``k % 50 == 3`` in
+    place — only the data files containing those keys are rewritten,
+    committed through the replace-marker protocol. Reading the sink back
+    must equal the full-changelog oracle minus every trace of the purged
+    keys (values, markers, everything)."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.operators.forget import (
+        purge_keys_from_sink,
+    )
+    from changedatacapture_reporting_spark.operators.populate import (
+        populate_changelog,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    sink = tempfile.mkdtemp(prefix="forget_") + "/sink"
+    populate_changelog(spark, ev, sink, SIM_PK)
+    k = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+    keys = ev.select(k.alias("o_orderkey")).filter(k % 50 == 3).distinct()
+    purge_keys_from_sink(spark, sink, keys, SIM_PK)
+    return spark.read.parquet(sink).select(*CHANGELOG_OUT)
+
+
+_SQL_FORGET = (
+    _ORACLE_CHANGES
+    + "SELECT commit_time, table_name, o_orderkey, column_name, old_value,"
+    " new_value FROM changes WHERE o_orderkey % 50 != 3"
+)
+
+
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-instance schema evolution
+    (operators.schema_evolution.align_cdc_schemas): the simulated stream
+    is split into a v1 frame (even keys, images WITHOUT the ``note``
+    column — events captured before the column existed) and a v2 frame
+    (odd keys, full images); aligning and building one changelog must
+    yield exactly the full changelog minus note-change rows for v1
+    events — absent columns are NULL in BOTH images, so null-safe change
+    detection stays silent instead of fabricating old→NULL rows."""
+    from changedatacapture_reporting_spark.operators.schema_evolution import (
+        align_cdc_schemas,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    k = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+    v1 = ev.filter(k % 2 == 0).select(
+        "lsn",
+        "seq",
+        "commit_ts",
+        "op",
+        "table_name",
+        F.col("before").dropFields("note").alias("before"),
+        F.col("after").dropFields("note").alias("after"),
+    )
+    v2 = ev.filter(k % 2 != 0)
+    aligned = align_cdc_schemas([v1, v2])
+    return build_changelog(aligned, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
+# the full-changelog oracle with note changes restricted to v2 (odd) keys
+_SQL_SCHEMA_EVOLUTION = _SQL_CHANGELOG_FULL.replace(
+    "FROM upd WHERE b_note IS DISTINCT FROM a_note",
+    "FROM upd WHERE b_note IS DISTINCT FROM a_note AND o_orderkey % 2 != 0",
+)
+
+
+def _q_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-transport parity (sources.kafka): the simulated events are
+    serialized to Debezium envelopes, wrapped as Kafka-shaped records
+    (key/value binary + topic/partition/offset — the exact schema
+    spark-sql-kafka emits), parsed back through the one-pass tagged
+    parser with replay addresses, and rebuilt into the changelog. Oracle
+    = the same SQL as cdc_changelog_full, so the whole transport wrap /
+    unwrap must be lossless. The real-connector path differs only in the
+    record producer (kafka_stream vs make_kafka_records) — everything
+    exercised here is the shared code."""
+    from changedatacapture_reporting_spark.sources.debezium import (
+        events_to_debezium,
+    )
+    from changedatacapture_reporting_spark.sources.kafka import (
+        kafka_debezium_events,
+        make_kafka_records,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    records = make_kafka_records(
+        events_to_debezium(ev), "value", topic="cdc.orders", key_col="value"
+    )
+    tagged = kafka_debezium_events(records, ev.schema["after"].dataType)
+    events = tagged.filter(F.col("reject_reason").isNull()).select(
+        "lsn", "seq", "commit_ts", "op", "table_name", "before", "after"
+    )
+    return build_changelog(events, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
 def _q_delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC parsing parity for the third SURVEY §1.3 input form: serialize
     the simulated events into Delta-CDF-convention rows (update pre/post
@@ -712,6 +813,42 @@ WHERE o_orderkey % 4 = 1 AND o_orderkey % 20 != 5
 """
 
 
+def _q_changelog_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog retention (operators.compaction.compact_changelog): the
+    multi-event stream's changelog is compacted at the boundary between
+    the second-update wave and the trailing-delete wave — the prefix
+    (base + update waves, every key's multi-version history) folds into
+    per-row base images; the delete wave stays verbatim in the tail and
+    must still kill its keys. Reconstructing current state from the
+    COMPACTED log must equal reconstructing from the full log (oracle =
+    the full-log reconstruction SQL minus the deleted keys)."""
+    from changedatacapture_reporting_spark.operators.compaction import (
+        compact_changelog,
+    )
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_state,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_DELETE,
+        MULTI_OFF_UPDATE,
+        simulate_cdc_events_multi,
+    )
+
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    log = build_changelog(
+        ev,
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    mid = (MULTI_OFF_UPDATE + MULTI_OFF_DELETE) // 2
+    compacted = compact_changelog(log, SIM_PK, upto_lsn=mid)
+    return reconstruct_state(
+        compacted, SIM_PK, ["status", "priority", "total", "note"]
+    )
+
+
 def _q_column_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(table, column) change-frequency profile
     (operators.profile.column_churn) over the multi-event stream's
@@ -872,6 +1009,17 @@ SELECT o_orderkey, 'Y' AS status,
 FROM ev
 WHERE o_orderkey % 4 = 1
 """
+
+
+# final reconstruct state == the at-lsn oracle minus the delete wave's
+# keys (k % 20 ∈ {5, 11})
+_SQL_CHANGELOG_COMPACTED = _SQL_RECONSTRUCT_AT_LSN.replace(
+    "AND o_orderkey % 4 != 1",
+    "AND o_orderkey % 4 != 1 AND o_orderkey % 20 NOT IN (5, 11)",
+).replace(
+    "WHERE o_orderkey % 4 = 1",
+    "WHERE o_orderkey % 4 = 1 AND o_orderkey % 20 NOT IN (5, 11)",
+)
 
 
 def _q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,12 +1231,16 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_dlq": (_q_debezium_dlq, _SQL_DEBEZIUM_DLQ),
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
+    "cdc_kafka_roundtrip": (_q_kafka_roundtrip, _SQL_CHANGELOG_FULL),
+    "cdc_schema_evolution": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
+    "cdc_forget_keys": (_q_forget_keys, _SQL_FORGET),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
     "cdc_net_changes": (_q_net_changes, _SQL_NET_CHANGES),
     "cdc_apply_net_changes": (_q_apply_net_changes, _SQL_APPLY_NET),
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_scd2_incremental": (_q_scd2_incremental, _SQL_SCD2_INCREMENTAL),
     "cdc_reconstruct_at_lsn": (_q_reconstruct_at_lsn, _SQL_RECONSTRUCT_AT_LSN),
+    "cdc_changelog_compacted": (_q_changelog_compacted, _SQL_CHANGELOG_COMPACTED),
     "cdc_multi_table_snapshot": (_q_multi_table_snapshot, _SQL_MULTI_SNAPSHOT),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
@@ -1166,13 +1318,14 @@ _CHECK_WINDOW: list[str] = [
     "text_quality_scores",
     "text_token_stats",
     "text_top_terms_per_lang",
+    # new in r7 — first driver round each (no entry ships without a slot)
+    "cdc_kafka_roundtrip",
+    "cdc_changelog_compacted",
+    "corpus_tfidf_terms",
+    "cdc_schema_evolution",
+    "cdc_forget_keys",
     # last driver-green r5 — deepest history / highest churn risk
     "cdc_changelog_full",
-    "cdc_incremental_resume",
-    "range_join_order_windows",
-    "asof_signup_attribution",
-    "events_sessionization",
-    "dedup_embedding_neardup",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -1392,6 +1392,50 @@ SELECT doc_id, norm, md5(norm) AS fp FROM (
 SQL_NORMALIZE = _build_sql_normalize()
 
 
+def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 characteristic terms
+    (operators.corpus.tfidf_top_terms): BM25-style rational tf-idf —
+    exact int64 numerator/denominator, ranked on the single IEEE-exact
+    division with term tie-break, so the contract hash-checks scores and
+    ranks bit-exactly."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        tfidf_top_terms,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5)
+
+
+SQL_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE tok != ''
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok AS term, t.tf, d.df,
+         CAST(t.tf * (2 * (n.n_docs - d.df) + 1) AS BIGINT) AS score_num,
+         CAST(2 * d.df + 1 AS BIGINT) AS score_den
+  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY CAST(score_num AS DOUBLE) / score_den DESC, term ASC
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_num, score_den, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
     "text_normalization": (text_normalization, SQL_NORMALIZE),
@@ -1427,6 +1471,7 @@ REGISTRY_LLM = {
     "corpus_chunks": (corpus_chunks, SQL_CHUNKS),
     "corpus_sampled_mix": (corpus_sampled_mix, SQL_SAMPLED_MIX),
     "corpus_ngram_vocab": (corpus_ngram_vocab, SQL_NGRAM_VOCAB),
+    "corpus_tfidf_terms": (corpus_tfidf_terms, SQL_TFIDF),
     "text_pii_redaction": (text_pii_redaction, SQL_PII),
     "text_repetition_scores": (text_repetition_scores, SQL_REPETITION),
 }

@@ -425,3 +425,70 @@ def pack_sequences_bfd(
     return meta.groupBy("shard").applyInPandas(
         _pack, "id long, shard int, n_tokens long, pack_id long"
     ).withColumnRenamed("id", id_col)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by BM25-style tf-idf —
+    the keyword/topic signal a corpus pipeline derives for clustering,
+    domain tagging, and mixture labeling.
+
+    The score is kept RATIONAL (the token_frequency_scores policy): the
+    BM25 idf (N - df + ½)/(df + ½) is doubled into integers, so
+    ``score = tf · (2(N−df)+1) / (2·df+1)`` is carried as an exact
+    int64 numerator/denominator pair. Ranking happens on the single
+    IEEE-exact division (one rounding, bit-identical across engines,
+    ties broken by term) — the whole output stays oracle-hashable where
+    a log-idf would differ in last-ulp between libm implementations.
+
+    Scale posture: tokenization explodes into ONE (doc, token)
+    aggregation (map-side combine absorbs within-doc repeats before the
+    shuffle); document frequency comes from a window count over that
+    same aggregate — NOT a self-join, which would re-run the tokenize
+    subtree a second time over the whole corpus; the corpus document
+    count rides in as a broadcast 1-row frame (no driver collect, and
+    its scan prunes to the id column); the final top-k is one per-doc
+    window. Net: the heavy explode is evaluated once, then two
+    re-shuffles (term, doc) of the much smaller (doc, term, tf) frame.
+
+    Output: (id, term, tf, df, score_num, score_den, rank), rank 1..k
+    per document by score desc, term asc.
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = df.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(c)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = F.count("*").over(Window.partitionBy("term"))
+    # one-row corpus count broadcast-crossJoined (the q11 scalar shape:
+    # no equi key exists for a global scalar; O(n x 1) at any scale)
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+    scored = (
+        tf.withColumn("df", dfreq.cast("long"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_doc").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (2 * (F.col("_n_docs") - F.col("df")) + 1)
+            ).cast("long").alias("score_num"),
+            (2 * F.col("df") + 1).cast("long").alias("score_den"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("score_num").cast("double") / F.col("score_den")).desc(),
+        F.col("term").asc(),
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

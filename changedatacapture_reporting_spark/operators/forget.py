@@ -1,0 +1,124 @@
+"""Right-to-be-forgotten: purge every trace of a key set from CDC
+artifacts — the erasure obligation (GDPR Art. 17 / CCPA) that a
+changelog-keeping pipeline cannot satisfy with a plain DELETE, because
+the history tables remember what the state table forgot.
+
+Two forms:
+
+- :func:`purge_keys` — the logical operator: anti-join a frame
+  (changelog, SCD2 history, serving snapshot, corpus) against the key
+  set. Broadcast the keys (an erasure batch is small); the big side
+  never shuffles.
+- :func:`purge_keys_from_sink` — the physical operator for a persisted
+  changelog sink: locate the data FILES containing the keys (one scan,
+  pushed-down key filter over the pk bloom filters / row-group stats
+  the sink writer maintains), rewrite ONLY those files without the
+  keys, and swap them through the same ``_COMMIT_REPLACE``
+  marker-manifest protocol file compaction uses — crash on either side
+  heals via ``populate.recover_sink``. I/O ∝ files touched by the keys,
+  not sink size; untouched files (the overwhelming majority — a key
+  lives in one table partition and a few months) are never read twice
+  or rewritten.
+
+Deliberately NOT tombstone-based: erasure must remove the values
+themselves. The purge also removes the keys' marker rows; downstream
+reconstructions simply never see the keys — same as if they had never
+been captured (verified against the oracle in the contract).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark import fs
+
+
+def purge_keys(
+    frame: DataFrame, keys: DataFrame, pk_cols: list[str]
+) -> DataFrame:
+    """Frame minus all rows whose pk appears in ``keys`` (null-safe,
+    broadcast anti-join — the frame side never shuffles)."""
+    cond = [frame[c].eqNullSafe(keys[c]) for c in pk_cols]
+    return frame.join(F.broadcast(keys.select(*pk_cols)), cond, "left_anti")
+
+
+def purge_keys_from_sink(
+    spark: SparkSession,
+    sink_path: str,
+    keys: DataFrame,
+    pk_cols: list[str],
+) -> dict[str, int]:
+    """Erase ``keys`` from a populated changelog sink in place.
+
+    Returns ``{"files_rewritten": …, "rows_purged": …,
+    "partitions_touched": …}``. Idempotent: a second run finds no
+    affected files. Crash-safe: the staged rewrite commits through the
+    ``_COMMIT_REPLACE`` manifest (old generation = exactly the affected
+    files), healed from either side by ``recover_sink`` — which runs
+    first, so a crashed previous purge/compaction completes before this
+    one measures anything.
+    """
+    from changedatacapture_reporting_spark.operators.populate import (
+        REPLACE_MARKER,
+        STAGING_ROOT,
+        _publish_replace,
+        recover_sink,
+        sink_write_options,
+    )
+
+    recover_sink(spark, sink_path)
+    key_rows = keys.select(*pk_cols)
+
+    # one discovery scan: which data files contain any of the keys?
+    # (pk bloom filters + row-group stats prune; the key filter is a
+    # broadcast semi join)
+    tagged = (
+        spark.read.parquet(sink_path)
+        .withColumn("_file", F.input_file_name())
+        .join(F.broadcast(key_rows), pk_cols, "left_semi")
+    )
+    affected = [r._file for r in tagged.select("_file").distinct().collect()]
+    if not affected:
+        return {
+            "files_rewritten": 0,
+            "rows_purged": 0,
+            "partitions_touched": 0,
+        }
+
+    base = sink_path.rstrip("/")
+    rels = []
+    for f in affected:
+        i = f.find(base)
+        rels.append(f[i + len(base) + 1 :] if i >= 0 else f)
+    by_part: dict[str, list[str]] = {}
+    for rel in rels:
+        part, _, name = rel.rpartition("/")
+        by_part.setdefault(part, []).append(name)
+
+    run_id = "purge-" + uuid.uuid4().hex
+    staging = fs.join(sink_path, STAGING_ROOT, run_id)
+    rows_purged = 0
+    for part, names in sorted(by_part.items()):
+        paths = [fs.join(sink_path, part, n) for n in names]
+        df = spark.read.parquet(*paths)
+        kept = purge_keys(df, key_rows, pk_cols)
+        rows_purged += df.count() - kept.count()
+        (
+            kept.repartition(1)
+            .write.mode("overwrite")
+            .options(**sink_write_options())
+            .parquet(fs.join(staging, "data", part))
+        )
+    # COMMIT POINT — marker written after all staged parts landed
+    fs.write_text(
+        spark, fs.join(staging, REPLACE_MARKER), "\n".join(sorted(rels))
+    )
+    _publish_replace(spark, staging, sink_path)
+    return {
+        "files_rewritten": len(rels),
+        "rows_purged": rows_purged,
+        "partitions_touched": len(by_part),
+    }

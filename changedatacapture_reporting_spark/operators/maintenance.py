@@ -70,22 +70,28 @@ def compact_changelog(
     pk_cols: list[str],
     order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
 ) -> DataFrame:
-    """Latest change per (table, row, column) + latest marker per row.
+    """Minimal changelog that still reconstructs current state: the
+    whole log folded through the epoch-correct fold
+    (operators.compaction.compact_changelog with no boundary), dead rows
+    kept as single tombstones so downstream state MERGES still see the
+    deletion.
 
-    One hash-aggregate per branch (max_by — no full-history window sort);
-    output is the minimal changelog that still reconstructs current state.
+    Earlier rounds kept the naive "latest change per (row, column) +
+    latest marker per row" shape; that resurrects dead-epoch values
+    when a delete → re-insert leaves a column unwritten in the new
+    epoch (the re-insert marker displaces the delete marker, so the
+    stale column row — written before the delete — survives compaction
+    and reconstructs as live; regression-tested in
+    tests/test_compaction.py). The shared fold filters per-column
+    entries against the row's last delete position instead.
     """
-    keys = ["table_name", *pk_cols]
-    changes = _latest_per(
-        log.filter(F.col("column_name").isNotNull()),
-        [*keys, "column_name"],
-        order_cols,
+    from changedatacapture_reporting_spark.operators.compaction import (
+        compact_changelog as _fold,
     )
-    markers = _latest_per(
-        log.filter(F.col("column_name").isNull()), keys, order_cols
-    )
-    return changes.unionByName(
-        markers.select(*changes.columns), allowMissingColumns=False
+
+    return _fold(
+        log, ["table_name", *pk_cols],
+        order_cols=order_cols, keep_tombstones=True,
     )
 
 
@@ -100,12 +106,14 @@ def retain_changelog(
     Invariant (tested): ``reconstruct_state(retained, as_of=t)`` equals
     ``reconstruct_state(full, as_of=t)`` for every t ≥ cutoff.
     """
-    cut = F.lit(cutoff).cast("timestamp")
-    tail = log.filter(F.col("commit_time") > cut)
-    floor = compact_changelog(
-        log.filter(F.col("commit_time") <= cut), pk_cols, order_cols
+    from changedatacapture_reporting_spark.operators.compaction import (
+        compact_changelog as _fold,
     )
-    return floor.select(*log.columns).unionByName(tail)
+
+    return _fold(
+        log, ["table_name", *pk_cols],
+        upto_time=cutoff, order_cols=order_cols, keep_tombstones=True,
+    )
 
 
 def _sink_partitions(

@@ -809,3 +809,33 @@ def test_normalize_text_canonicalizes_unicode(spark):
              df.select("i", normalize_text(normalize_text("text")).alias("n"))
              .collect()}
     assert again == got
+
+
+def test_tfidf_top_terms_hand_checked(spark):
+    """Three tiny docs with known tf/df: scores are exact rationals and
+    ranks deterministic (score desc, term asc)."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df, r.score_num, r.score_den, r.rank)
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # N=3; df: apple 2, banana 3, cherry 2
+    # idf2x+1: apple/cherry -> num mult 2*(3-2)+1=3, den 5; banana -> 1/7
+    assert got[(1, "apple")] == (2, 2, 6, 5, 1)      # 2*3/5 = 1.2
+    assert got[(1, "banana")] == (1, 3, 1, 7, 2)     # 1/7
+    assert got[(2, "cherry")] == (1, 2, 3, 5, 1)     # 0.6
+    assert got[(2, "banana")] == (1, 3, 1, 7, 2)
+    assert got[(3, "cherry")] == (2, 2, 6, 5, 1)     # 1.2
+    assert got[(3, "apple")] == (1, 2, 3, 5, 2)      # 0.6 beats banana 1/7
+    assert len(got) == 6  # k=2 per doc

@@ -45,6 +45,9 @@ ALLOW = {
     # broadcast and crossJoined (no equi key exists for a scalar
     # threshold) — O(n x 1), the correct plan at any scale
     "q11_important_parts": {"BroadcastNestedLoopJoin"},
+    # same scalar shape: the ONE-ROW corpus document count broadcast
+    # into the tf-idf score expression
+    "corpus_tfidf_terms": {"BroadcastNestedLoopJoin"},
     # accuracy contracts that compare the scale path against an embedded
     # exact reference (all-pairs jaccard / brute-force top-k) — the
     # quadratic node is the reference side, not the production path
