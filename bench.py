@@ -161,6 +161,7 @@ HEADLINE = [
     "cdc_changelog_compacted",
     "cdc_schema_evolution",
     "corpus_tfidf_terms",
+    "ann_topk_pq",
     # cdc_forget_keys stays out: its contract populates + rewrites a
     # tempdir sink per run — it times filesystem commit churn, not an
     # operator; the purge's logical path (broadcast anti-join) is the

@@ -438,6 +438,29 @@ GROUP BY 1
 """
 
 
+def _q_backfill_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-event backfill (operators.populate.backfill_changelog): the
+    sink is populated with a gapped stream (keys lsn % 5 ∈ {2, 3}
+    missed — interspersed BELOW the watermark, so a normal populate run
+    correctly refuses them), then backfilled from the full stream — the
+    dedup anti-join drops every already-present row and appends only
+    the gap. Reading the sink back must equal the full-changelog
+    oracle, bit for bit."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.operators.populate import (
+        backfill_changelog,
+        populate_changelog,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    sink = tempfile.mkdtemp(prefix="backfill_") + "/sink"
+    gapped = ev.filter(~(F.col("lsn") % 5).isin(2, 3))
+    populate_changelog(spark, gapped, sink, SIM_PK)
+    backfill_changelog(spark, ev, sink, SIM_PK)
+    return spark.read.parquet(sink).select(*CHANGELOG_OUT)
+
+
 def _q_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten (operators.forget.purge_keys_from_sink):
     populate a real changelog sink, then erase keys ``k % 50 == 3`` in
@@ -1234,6 +1257,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_kafka_roundtrip": (_q_kafka_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_schema_evolution": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "cdc_forget_keys": (_q_forget_keys, _SQL_FORGET),
+    "cdc_backfill_gap": (_q_backfill_gap, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
     "cdc_net_changes": (_q_net_changes, _SQL_NET_CHANGES),
     "cdc_apply_net_changes": (_q_apply_net_changes, _SQL_APPLY_NET),
@@ -1280,7 +1304,10 @@ _CHECK_WINDOW: list[str] = [
     "streaming_apply_state",
     # last driver-green r4 — all 39, stalest first-class rotation
     "above_customer_avg_orders",
-    "ann_topk_bruteforce",
+    # ann_topk_bruteforce yields its slot to the new PQ entry: the
+    # brute-force path executes INSIDE every recall contract (it is the
+    # exact side of _ann_recall_contract), so it stays driver-exercised
+    "ann_topk_pq",
     "ann_topk_ivf",
     "ann_topk_lsh",
     "approx_distinct_stats",
@@ -1324,8 +1351,7 @@ _CHECK_WINDOW: list[str] = [
     "corpus_tfidf_terms",
     "cdc_schema_evolution",
     "cdc_forget_keys",
-    # last driver-green r5 — deepest history / highest churn risk
-    "cdc_changelog_full",
+    "cdc_backfill_gap",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

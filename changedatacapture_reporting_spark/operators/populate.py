@@ -438,3 +438,84 @@ def _populate(
     return PopulateResult(
         rows_changed=rows_changed, from_lsn=max_wm, to_lsn=to_lsn
     )
+
+
+def backfill_changelog(
+    spark: SparkSession,
+    events: DataFrame,
+    sink_path: str,
+    pk_cols: list[str],
+    flags: CompatFlags | None = None,
+    maintain_rollup: bool = True,
+) -> PopulateResult:
+    """Merge a LATE batch — events at or below the sink watermark that
+    were missed (upstream outage, a repaired source extract, delivery
+    re-ordered past the resume window). :func:`populate_changelog`'s
+    watermark filter drops such events BY DESIGN (that filter is what
+    makes normal runs idempotent); backfill instead deduplicates against
+    the sink itself and appends only the genuinely missing rows, through
+    the same single-commit-point protocol. The reference has no answer
+    to this at all — its ``@from_date = MAX(commit_time)+1min`` resume
+    (usp_cdc_populate_changelog.sql:203) silently loses anything that
+    arrives late.
+
+    Scale shape: the sink side of the dedup anti-join is pruned to the
+    (table_name, commit_month) partitions the batch actually touches
+    (partition filters from a driver-small distinct of the batch), so a
+    one-month backfill reads one month of history, not all of it. Rows
+    are identified by (table_name, lsn, seq, pk…, column_name) — the
+    changelog's natural identity. Idempotent: re-running the same
+    backfill appends nothing. Watermarks never move backward (the
+    sidecar is max-aggregated), so normal populate runs are unaffected.
+    """
+    flags = flags or CompatFlags()
+    recover_sink(spark, sink_path)
+
+    batch = build_changelog(
+        events, pk_cols, flags=flags, carry_cols=["lsn", "seq"]
+    ).withColumn("commit_month", F.trunc("commit_time", "month"))
+    batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        touched = [
+            (r.table_name, r.commit_month)
+            for r in batch.select("table_name", "commit_month")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return PopulateResult(rows_changed=0, from_lsn=None, to_lsn=None)
+
+        identity = ["table_name", "lsn", "seq", *pk_cols, "column_name"]
+        missing = batch
+        if fs.exists(spark, sink_path) and fs.listdir(spark, sink_path):
+            part_pred = None
+            for t, m in touched:
+                p = (F.col("table_name") == t) & (
+                    F.col("commit_month") == F.lit(m)
+                )
+                part_pred = p if part_pred is None else (part_pred | p)
+            existing = (
+                spark.read.parquet(sink_path)
+                .filter(part_pred)
+                .select(*identity)
+            )
+            cond = [
+                batch[c].eqNullSafe(existing[c]) for c in identity
+            ]
+            missing = batch.join(existing, cond, "left_anti")
+
+        missing.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            rows = commit_batch(
+                spark,
+                missing,
+                sink_path,
+                pk_cols,
+                run_id="backfill-" + uuid.uuid4().hex,
+                maintain_rollup=maintain_rollup,
+            )
+        finally:
+            missing.unpersist()
+        return PopulateResult(rows_changed=rows, from_lsn=None, to_lsn=None)
+    finally:
+        batch.unpersist()

@@ -839,3 +839,44 @@ def test_tfidf_top_terms_hand_checked(spark):
     assert got[(3, "cherry")] == (2, 2, 6, 5, 1)     # 1.2
     assert got[(3, "apple")] == (1, 2, 3, 5, 2)      # 0.6 beats banana 1/7
     assert len(got) == 6  # k=2 per doc
+
+
+def test_pq_topk_recall_and_compression(spark, sf_dir):
+    """PQ + exact rerank hits recall@10 ≥ 0.7 per query (measured
+    0.8–1.0); codes are m small ints (the 16-bytes-per-vector storage
+    claim); pq_index is deterministic across invocations."""
+    from changedatacapture_reporting_spark.operators.similarity import (
+        brute_force_topk,
+        pq_index,
+        pq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, k=10, exact_decimal=True).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(
+        e, q, k=10, m=16, k_codes=32, rerank_factor=5
+    ).select("query_id", F.col("neighbor_id").alias("a"))
+    recalls = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == approx.a),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg((F.count(approx.a) / F.count(F.lit(1))).alias("r"))
+        .collect()
+    )
+    assert min(r.r for r in recalls) >= 0.7
+
+    codes_df, books = pq_index(e, m=16, k_codes=32)
+    row = codes_df.select("codes").head()
+    assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
+    assert books.shape == (16, 32, 4)
+    codes_df2, books2 = pq_index(e, m=16, k_codes=32)
+    import numpy as np
+
+    assert np.array_equal(books, books2)

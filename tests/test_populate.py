@@ -147,3 +147,43 @@ def test_salted_populate_differential(spark, tmp_path):
         spark, events, str(tmp_path / "salted"), ["id"], salt_buckets=8
     )
     assert again.rows_changed == 0
+
+
+def test_backfill_fills_gap_without_duplicates(spark, tmp_path):
+    """backfill_changelog appends only the missing rows (dedup against
+    the sink), is idempotent, leaves the watermark untouched, and the
+    next normal populate run still resumes from the true watermark."""
+    from changedatacapture_reporting_spark.operators.populate import (
+        backfill_changelog,
+    )
+
+    sink = str(tmp_path / "sink")
+    full = [
+        _ev(1, "a", 0), _ev(2, "a", 1), _ev(3, "a", 2),
+        _ev(4, "a", 3), _ev(5, "a", 4),
+    ]
+    gapped = [e for e in full if e[0] not in (2, 3)]
+    populate_changelog(spark, spark.createDataFrame(gapped, SCHEMA), sink, ["id"])
+    assert spark.read.parquet(sink).count() == 3
+
+    r = backfill_changelog(
+        spark, spark.createDataFrame(full, SCHEMA), sink, ["id"]
+    )
+    assert r.rows_changed == 2
+    log = spark.read.parquet(sink)
+    assert sorted(x.lsn for x in log.collect()) == [1, 2, 3, 4, 5]
+
+    # idempotent
+    r2 = backfill_changelog(
+        spark, spark.createDataFrame(full, SCHEMA), sink, ["id"]
+    )
+    assert r2.rows_changed == 0
+    assert spark.read.parquet(sink).count() == 5
+
+    # the watermark did not regress: a normal run loads only lsn > 5
+    more = full + [_ev(6, "a", 5)]
+    r3 = populate_changelog(
+        spark, spark.createDataFrame(more, SCHEMA), sink, ["id"]
+    )
+    assert r3.rows_changed == 1 and r3.from_lsn == 5
+    assert spark.read.parquet(sink).count() == 6
