@@ -1034,6 +1034,86 @@ WHERE o_orderkey % 4 = 1
 """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two LSN cuts (operators.diff.snapshot_diff)
+    — ONE aggregation, no reconstruct-join: A = end of the base wave,
+    B = end of the stream, so the diff must be exactly the second-update
+    wave as ``update`` rows (status→'Y', total+7, old side = the A-state
+    carry), the delete wave as ``delete`` rows, and ``insert`` rows for
+    keys invisible at A (no-op base update) that the update wave then
+    touched. The oracle replays all three classes from the event
+    arithmetic."""
+    from changedatacapture_reporting_spark.operators.diff import (
+        snapshot_diff,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_DELETE,
+        MULTI_OFF_UPDATE,
+        simulate_cdc_events_multi,
+    )
+
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    log = build_changelog(
+        ev,
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    return snapshot_diff(
+        log,
+        SIM_PK,
+        ["status", "priority", "total", "note"],
+        lsn_a=MULTI_OFF_UPDATE - 1,
+        lsn_b=2 * MULTI_OFF_DELETE,
+    )
+
+
+_SQL_SNAPSHOT_DIFF = f"""
+WITH {ORACLE_EVENTS_CTE},
+noop AS (
+  SELECT o_orderkey FROM ev
+  WHERE op = 'update'
+    AND b_status IS NOT DISTINCT FROM a_status
+    AND b_priority IS NOT DISTINCT FROM a_priority
+    AND b_total IS NOT DISTINCT FROM a_total
+    AND b_note IS NOT DISTINCT FROM a_note
+),
+seen AS (
+  -- A-state under reconstruct semantics: inserts carry every column,
+  -- updates only changed columns; no-op updates are invisible
+  SELECT o_orderkey,
+         CASE WHEN op='insert' THEN a_status
+              WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS s,
+         CASE WHEN op='insert' THEN a_priority
+              WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS p,
+         CASE WHEN op='insert' THEN CAST(a_total AS VARCHAR)
+              WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR) END AS t,
+         CASE WHEN op='insert' THEN a_note
+              WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS n,
+         a_total
+  FROM ev
+  WHERE op != 'delete' AND o_orderkey NOT IN (SELECT o_orderkey FROM noop)
+)
+SELECT o_orderkey, 'delete' AS change_kind,
+       s AS old_status, p AS old_priority, t AS old_total, n AS old_note,
+       NULL AS new_status, NULL AS new_priority,
+       NULL AS new_total, NULL AS new_note
+FROM seen WHERE o_orderkey % 20 IN (5, 11)
+UNION ALL
+SELECT o_orderkey, 'update',
+       s, p, t, n,
+       'Y', p, CAST(a_total + 7 AS VARCHAR), n
+FROM seen WHERE o_orderkey % 4 = 1 AND o_orderkey % 20 != 5
+UNION ALL
+SELECT e.o_orderkey, 'insert',
+       NULL, NULL, NULL, NULL,
+       'Y', NULL, CAST(e.a_total + 7 AS VARCHAR), NULL
+FROM ev e JOIN noop USING (o_orderkey)
+WHERE e.o_orderkey % 4 = 1 AND e.o_orderkey % 20 != 5
+"""
+
+
 # final reconstruct state == the at-lsn oracle minus the delete wave's
 # keys (k % 20 ∈ {5, 11})
 _SQL_CHANGELOG_COMPACTED = _SQL_RECONSTRUCT_AT_LSN.replace(
@@ -1265,6 +1345,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_scd2_incremental": (_q_scd2_incremental, _SQL_SCD2_INCREMENTAL),
     "cdc_reconstruct_at_lsn": (_q_reconstruct_at_lsn, _SQL_RECONSTRUCT_AT_LSN),
     "cdc_changelog_compacted": (_q_changelog_compacted, _SQL_CHANGELOG_COMPACTED),
+    "cdc_snapshot_diff": (_q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     "cdc_multi_table_snapshot": (_q_multi_table_snapshot, _SQL_MULTI_SNAPSHOT),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
