@@ -1356,83 +1356,79 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
-# entries. r07 rotation (per VERDICT_r06 "Next round" items 1-2): r6's
-# window went 49/50 green, so its unchanged survivors rotate OUT and the
-# STALEST registry entries rotate IN — after r6, 39 entries' most recent
-# driver-green row is r4 (they have been covered only by the local
-# tools/check_contract.py full run since); ALL 39 take slots this round
-# so no entry's latest green is more than ~3 rounds stale. The remaining
-# 11 slots: embedding_quantization (the one never-green entry — r7
-# serializes its q array to a driver-hashable string, keep it in-window
-# until green); four entries whose code was touched this round and must
-# re-prove on the new code (corpus_pack_bfd — any-fit bound replaces the
-# invalid 11/9*ceil pseudo-OPT bound; corpus_shard_stats — export_shards
-# now walks the sink through fs.* so scheme-qualified paths work;
-# cdc_scd2_incremental — contract now passes materialize=True;
-# streaming_apply_state — awaitTermination result now checked); and six
-# r5-last-green entries with the deepest history or highest churn risk
-# (cdc_changelog_full, cdc_incremental_resume, range_join_order_windows,
-# asof_signup_attribution, events_sessionization,
-# dedup_embedding_neardup). Everything rotated out (r6-green, unchanged)
-# stays covered every round by the local tools/check_contract.py run.
+# entries. r08 rotation: r7's window went 50/50 green, so its unchanged
+# survivors rotate OUT and the STALEST entries rotate IN. Slots:
+# 1 never-driver-checked entry (cdc_snapshot_diff, new in r7 but left
+# out of the r7 window — ADVICE r07 item 1; its property test is
+# tests/test_diff.py); 1 last-green-r4 entry (ann_topk_bruteforce, which
+# yielded its r7 slot because it executes inside every ANN recall
+# contract — refreshed here anyway so no entry's green row ages past ~3
+# rounds); 3 entries whose code was touched this round and must re-prove
+# (corpus_pack_bfd — any-fit bound now max(1, …)-guarded for zero-token
+# shards; cdc_kafka_roundtrip — make_kafka_records offsets now follow an
+# explicit order column / monotonic id instead of value order, and the
+# record timestamp is an explicit parameter; cdc_forget_keys —
+# purge_keys_from_sink now appends negative rollup partials in the same
+# replace commit); all 26 last-green-r5 entries; and 19 of the 45
+# last-green-r6 entries, CDC/streaming/incremental-dedup first (deepest
+# shared-code churn risk). The 26 r6-green entries left out stay covered
+# by the local tools/check_contract.py full run every round.
 _CHECK_WINDOW: list[str] = [
-    # never driver-green — r7 fix, highest priority slot
-    "embedding_quantization",
+    # never driver-checked — highest priority slot (ADVICE r07 item 1)
+    "cdc_snapshot_diff",
+    # last driver-green r4 — stalest entry in the registry
+    "ann_topk_bruteforce",
     # code touched this round — re-prove on the new code
     "corpus_pack_bfd",
-    "corpus_shard_stats",
-    "cdc_scd2_incremental",
-    "streaming_apply_state",
-    # last driver-green r4 — all 39, stalest first-class rotation
-    "above_customer_avg_orders",
-    # ann_topk_bruteforce yields its slot to the new PQ entry: the
-    # brute-force path executes INSIDE every recall contract (it is the
-    # exact side of _ann_recall_contract), so it stays driver-exercised
-    "ann_topk_pq",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "approx_distinct_stats",
-    "cdc_changelog_join_path",
-    "cdc_freshness",
-    "cdc_query_window",
-    "cdc_scd2_history",
-    "cdc_watermark_bounds",
-    "corpus_pack_sequences",
-    "corpus_prepare",
-    "customers_with_urgent_orders",
-    "dedup_clusters",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "deterministic_sample",
-    "embedding_centroids_by_label",
-    "grouping_sets_revenue",
-    "multimodal_blob_metadata",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "nation_presence_setops",
-    "pivot_status_by_priority",
-    "profile_orders",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "rollup_order_revenue",
-    "running_total_per_customer",
-    "scalar_functions_showcase",
-    "streaming_current_state",
-    "text_fingerprints",
-    "text_langid",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_top_terms_per_lang",
-    # new in r7 — first driver round each (no entry ships without a slot)
     "cdc_kafka_roundtrip",
-    "cdc_changelog_compacted",
-    "corpus_tfidf_terms",
-    "cdc_schema_evolution",
     "cdc_forget_keys",
-    "cdc_backfill_gap",
+    # last driver-green r5 — all 26
+    "asof_signup_attribution",
+    "cdc_changelog_full",
+    "cdc_incremental_resume",
+    "cdc_reconstruct_state",
+    "cube_lineitem_counts",
+    "dedup_embedding_neardup",
+    "events_sessionization",
+    "json_props_stats",
+    "like_filter_parts",
+    "q10_returned_item_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_brackets",
+    "q21_single_supplier_orders",
+    "q22_idle_rich_customers",
+    "q4_late_orders",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "range_join_order_windows",
+    "streaming_session_windows",
+    "streaming_sliding_10min",
+    "streaming_tumbling_5min",
+    "topk_orders_per_customer",
+    # last driver-green r6 — 19 of 45, highest-churn families first
+    "cdc_apply_net_changes",
+    "cdc_changelog_daily_activity",
+    "cdc_column_churn",
+    "cdc_debezium_dlq",
+    "cdc_debezium_roundtrip",
+    "cdc_delta_cdf_roundtrip",
+    "cdc_mssql_shape_roundtrip",
+    "cdc_multi_table_snapshot",
+    "cdc_net_changes",
+    "cdc_reconstruct_at_lsn",
+    "cdc_row_history",
+    "cdc_state_snapshot_refresh",
+    "cdc_transaction_summary",
+    "streaming_dedup_keys",
+    "streaming_enriched_segments",
+    "streaming_interval_join",
+    "events_tumbling_5min",
+    "dedup_embedding_incremental",
+    "dedup_incremental_batch",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

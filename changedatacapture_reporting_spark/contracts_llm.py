@@ -1212,7 +1212,9 @@ def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shard (not SQL-expressible), so this is the accuracy-contract
     form: exact per-shard totals the oracle recomputes, plus booleans
     asserting every pack obeys the cap (oversized docs isolated) and the
-    pack count meets the any-fit guarantee count <= ceil(2*total/cap):
+    pack count meets the any-fit guarantee
+    count <= max(1, ceil(2*total/cap)) (the max(1, …) covers the
+    all-empty-documents shard, which still occupies one pack):
     any-fit algorithms (BFD included) leave at most one bin half-empty,
     so count-1 bins exceed cap/2. Unlike 11/9*ceil(total/cap)+1 (which
     substitutes a lower bound for OPT and can be tighter than BFD's
@@ -1242,9 +1244,12 @@ def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oversized"),
             F.min(pack_ok).alias("packs_ok"),
             # oversized single-doc packs carry load > cap > cap/2, so
-            # they participate in the any-fit count bound unmodified
+            # they participate in the any-fit count bound unmodified;
+            # greatest(1, …) keeps the bound valid when a shard's total
+            # token count is 0 (all-empty docs still occupy one pack)
             (
-                F.count("*") <= F.ceil(F.sum("tot") * 2 / cap)
+                F.count("*")
+                <= F.greatest(F.lit(1), F.ceil(F.sum("tot") * 2 / cap))
             ).alias("bound_ok"),
         )
     )

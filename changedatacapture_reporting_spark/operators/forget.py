@@ -112,6 +112,22 @@ def purge_keys_from_sink(
             .options(**sink_write_options())
             .parquet(fs.join(staging, "data", part))
         )
+    # the maintained _rollup_daily aggregate must shrink with the sink:
+    # stage NEGATIVE partials for the purged rows (counts are algebraic)
+    # so read_rollup stays exact after the swap — promoted by
+    # _publish_replace inside the same commit, so data and rollup can
+    # never disagree across a crash
+    from changedatacapture_reporting_spark.operators.rollup import (
+        ROLLUP_DIR,
+        write_negative_partials,
+    )
+
+    if fs.exists(spark, fs.join(sink_path, ROLLUP_DIR)):
+        write_negative_partials(
+            tagged.drop("_file"),
+            fs.join(staging, ROLLUP_DIR),
+            mode="overwrite",
+        )
     # COMMIT POINT — marker written after all staged parts landed
     fs.write_text(
         spark, fs.join(staging, REPLACE_MARKER), "\n".join(sorted(rels))

@@ -180,9 +180,16 @@ def _publish_replace(spark: SparkSession, staging: str, sink_path: str) -> None:
         # (staging stays put; the old generation is still complete)
         if "/" not in rel or rel.startswith(("_", ".", "/")) or ".." in rel:
             raise RuntimeError(f"malformed replace manifest entry: {rel!r}")
+    from changedatacapture_reporting_spark.operators.rollup import ROLLUP_DIR
+
     for rel in manifest:
         fs.delete(spark, fs.join(sink_path, rel))  # no-op if already gone
     fs.promote(spark, fs.join(staging, "data"), sink_path)
+    # staged rollup deltas (a purge's negative partials) land in the same
+    # commit — compaction stages none (it rewrites identical rows)
+    rollup_dir = fs.join(staging, ROLLUP_DIR)
+    if fs.exists(spark, rollup_dir):
+        fs.promote(spark, rollup_dir, fs.join(sink_path, ROLLUP_DIR))
     fs.delete(spark, staging)
 
 

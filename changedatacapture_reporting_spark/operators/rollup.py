@@ -56,6 +56,31 @@ def write_partials(
     _partials(batch_changelog).repartition(1).write.mode(mode).parquet(out_dir)
 
 
+def write_negative_partials(
+    purged_changelog: DataFrame, out_dir: str, mode: str = "append"
+) -> None:
+    """Retraction partials for rows REMOVED from the sink (GDPR purge,
+    ``operators.forget.purge_keys_from_sink``): the same per-(table, day)
+    aggregates with every count negated. Counts are algebraic, so
+    appending the negation keeps ``read_rollup`` exact without touching
+    any historical partial file — the purge commit stays append-only on
+    the rollup side even though it rewrites data files."""
+    neg = _partials(purged_changelog).select(
+        "table_name",
+        "activity_date",
+        *[
+            (-F.col(c)).alias(c)
+            for c in (
+                "n_changes",
+                "n_column_changes",
+                "n_inserts",
+                "n_deletes",
+            )
+        ],
+    )
+    neg.repartition(1).write.mode(mode).parquet(out_dir)
+
+
 def update_rollup(batch_changelog: DataFrame, sink_path: str) -> None:
     """Direct (non-staged) partial append for standalone use.
 

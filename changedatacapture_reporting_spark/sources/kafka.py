@@ -22,7 +22,7 @@ engine's (lsn, seq) ordering contract downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -100,14 +100,37 @@ def make_kafka_records(
     topic: str,
     key_col: str | None = None,
     n_partitions: int = 4,
+    order_col: str | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Wrap a value column as Kafka-shaped records (for fixtures and for
     publishing through connector-less sinks): partition = hash(key) mod
     n (Kafka's default partitioner shape, deterministic here), offset =
-    per-partition arrival order."""
+    per-partition order of ``order_col``.
+
+    Offsets follow ``order_col`` when given — pass the upstream sequence
+    (an lsn, an event id) to make the offset↔record mapping fully
+    deterministic, duplicates included. Without it the fallback orders
+    by ``monotonically_increasing_id`` (arrival order within the current
+    plan: stable for a deterministic input, but ties are broken by
+    physical row position, so prefer an explicit column). ``timestamp``
+    is an explicit record timestamp (datetime or Column); it defaults to
+    the epoch so fixture records are byte-stable across runs — pass
+    ``F.current_timestamp()`` if you want wall-clock publishing time.
+    """
+    from datetime import datetime, timezone
+
     from pyspark.sql.window import Window as W
 
     key = F.col(key_col) if key_col else F.lit(None).cast("string")
+    if timestamp is None:
+        timestamp = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    ts = timestamp if isinstance(timestamp, Column) else F.lit(timestamp)
+    order = (
+        F.col(order_col)
+        if order_col
+        else F.monotonically_increasing_id()
+    )
     base = df.select(
         key.cast("string").cast("binary").alias("key"),
         F.col(value_col).cast("string").cast("binary").alias("value"),
@@ -117,13 +140,14 @@ def make_kafka_records(
         ).otherwise(
             F.pmod(F.xxhash64(key.cast("string")), F.lit(n_partitions))
         ).cast("int").alias("partition"),
-        F.current_timestamp().alias("timestamp"),
+        ts.cast("timestamp").alias("timestamp"),
         F.lit(0).alias("timestampType"),
+        order.alias("_order"),
     )
     return base.withColumn(
         "offset",
         F.row_number().over(
-            W.partitionBy("partition").orderBy(F.col("value"))
+            W.partitionBy("partition").orderBy(F.col("_order"))
         ).cast("long")
         - 1,
     ).select(*[f.name for f in KAFKA_RECORD_SCHEMA.fields])

@@ -80,6 +80,44 @@ def test_purge_keys_from_sink_targets_only_affected_files(spark, tmp_path):
     }
 
 
+def test_purge_adjusts_rollup_partials(spark, tmp_path):
+    """ADVICE r07 item 3: the maintained _rollup_daily aggregate must
+    shrink with the sink. After a purge, read_rollup == partials
+    recomputed from the surviving rows (negative partials appended in
+    the same replace commit), and a second purge changes nothing."""
+    from changedatacapture_reporting_spark.operators.rollup import (
+        _partials,
+        read_rollup,
+    )
+
+    sink = str(tmp_path / "sink")
+    ev = [
+        _ev(1, "a", 7, 1),
+        _ev(2, "a", 8, 1),
+        _ev(3, "a", 9, 2),
+        _ev(4, "b", 7, 1),
+        _ev(5, "b", 10, 2),
+    ]
+    populate_changelog(spark, spark.createDataFrame(ev, SCHEMA), sink, ["id"])
+    keys = spark.createDataFrame([(7,)], "id int")
+    purge_keys_from_sink(spark, sink, keys, ["id"])
+
+    def snap(df):
+        return {
+            (r.table_name, str(r.activity_date)): (
+                r.n_changes, r.n_column_changes, r.n_inserts, r.n_deletes
+            )
+            for r in df.collect()
+            if r.n_changes  # zeroed-out groups are equivalent to absent
+        }
+
+    survivors = spark.read.parquet(sink)
+    assert snap(read_rollup(spark, sink)) == snap(_partials(survivors))
+
+    purge_keys_from_sink(spark, sink, keys, ["id"])  # idempotent no-op
+    assert snap(read_rollup(spark, sink)) == snap(_partials(survivors))
+
+
 def test_purge_keys_logical_null_safe(spark):
     frame = spark.createDataFrame(
         [(1, "x"), (2, "y"), (None, "z")], "id int, v string"
