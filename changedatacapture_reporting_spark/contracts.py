@@ -1306,6 +1306,40 @@ FROM t_live
 """
 
 
+def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators.incremental_agg): the
+    per-status (row count, total sum) aggregate of the simulated orders
+    state, maintained from the PRE-change aggregate by folding one CDC
+    batch into signed per-group deltas and merging — state is never
+    rescanned. Oracle = the from-scratch GROUP BY of the post-batch
+    state (after images of every surviving key), which the maintained
+    view must equal exactly, including groups the batch emptied."""
+    from changedatacapture_reporting_spark.operators.incremental_agg import (
+        aggregate_deltas,
+        merge_aggregate,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    pre_state = ev.filter(F.col("op") != "insert").select("before.*")
+    agg0 = pre_state.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("total").cast("long").alias("sum_total"),
+    )
+    deltas = aggregate_deltas(ev, ["status"], {"sum_total": "total"})
+    return merge_aggregate(agg0, deltas, ["status"])
+
+
+_SQL_INCREMENTAL_AGG = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT a_status AS status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(a_total) AS BIGINT) AS sum_total
+FROM ev
+WHERE op != 'delete'
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1348,6 +1382,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_snapshot_diff": (_q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     "cdc_multi_table_snapshot": (_q_multi_table_snapshot, _SQL_MULTI_SNAPSHOT),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
+    "cdc_incremental_agg": (_q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
     **REGISTRY_RELATIONAL,
@@ -1428,7 +1463,9 @@ _CHECK_WINDOW: list[str] = [
     "streaming_interval_join",
     "events_tumbling_5min",
     "dedup_embedding_incremental",
-    "dedup_incremental_batch",
+    # new in r8 — first driver round each (no entry ships without a
+    # slot); each displaces one r6-green slot from the list above
+    "cdc_incremental_agg",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

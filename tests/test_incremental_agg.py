@@ -1,0 +1,156 @@
+"""Incremental aggregate maintenance invariants: for RANDOM op
+histories split at a RANDOM point, maintaining the pre-split aggregate
+with the post-split deltas equals the from-scratch GROUP BY of the
+final state — including group-key moves, groups born and dying
+mid-stream, and NULL group keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark.operators.incremental_agg import (
+    aggregate_deltas,
+    merge_aggregate,
+)
+
+SRC = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("qty", T.LongType()),
+    ]
+)
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("commit_ts", T.TimestampType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("before", SRC, True),
+        T.StructField("after", SRC, True),
+    ]
+)
+
+step = st.tuples(
+    st.sampled_from(["insert", "set_grp", "set_qty", "delete"]),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"]), st.integers(0, 9)),
+)
+corpus = st.dictionaries(st.integers(1, 6), st.lists(step, max_size=5), max_size=5)
+
+
+def _events_and_states(corpus, split_frac):
+    """Build a sanitized event list; return (rows, split_lsn, state@split,
+    final state) where states map id -> (grp, qty)."""
+    rows, lsn = [], 0
+    base = dt.datetime(2024, 1, 1)
+    alive: dict[int, dict] = {}
+    queues = {k: list(steps) for k, steps in sorted(corpus.items())}
+    while any(queues.values()):
+        for key in sorted(queues):
+            if not queues[key]:
+                continue
+            kind, val = queues[key].pop(0)
+            lsn += 1
+            ts = base + dt.timedelta(minutes=lsn)
+            if key not in alive:
+                grp = val if isinstance(val, str) else None
+                alive[key] = {"grp": grp, "qty": lsn % 5}
+                rows.append(
+                    (lsn, 0, ts, "insert", "t", None, (key, grp, lsn % 5))
+                )
+                continue
+            st_ = alive[key]
+            before = (key, st_["grp"], st_["qty"])
+            if kind == "delete":
+                del alive[key]
+                rows.append((lsn, 0, ts, "delete", "t", before, None))
+            else:
+                if kind == "set_grp":
+                    st_["grp"] = val if isinstance(val, str) else None
+                elif kind == "set_qty" and isinstance(val, int):
+                    st_["qty"] = val
+                rows.append(
+                    (lsn, 0, ts, "update", "t", before,
+                     (key, st_["grp"], st_["qty"]))
+                )
+    if not rows:
+        return rows, 0, {}, {}
+    split_lsn = int(len(rows) * split_frac)
+    return rows, split_lsn, _replay(rows, split_lsn), _replay(rows, lsn)
+
+
+def _replay(rows, upto):
+    state = {}
+    for lsn, _seq, _ts, op, _t, before, after in rows:
+        if lsn > upto:
+            break
+        key = (after or before)[0]
+        if op == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = (after[1], after[2])
+    return state
+
+
+def _direct_agg(state):
+    out = {}
+    for _id, (grp, qty) in state.items():
+        n, s = out.get(grp, (0, 0))
+        out[grp] = (n + 1, s + qty)
+    return out
+
+
+@given(corpus=corpus, frac=st.floats(0.0, 1.0))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_maintained_equals_direct(spark, corpus, frac):
+    rows, split_lsn, at_split, final = _events_and_states(corpus, frac)
+    if not rows:
+        return
+    events = spark.createDataFrame(rows, EVENT_SCHEMA).localCheckpoint()
+
+    base_rows = [
+        (grp, n, s) for grp, (n, s) in _direct_agg(at_split).items()
+    ]
+    agg0 = spark.createDataFrame(
+        base_rows, "grp string, n_rows long, sum_qty long"
+    )
+    deltas = aggregate_deltas(
+        events.filter(F.col("lsn") > split_lsn), ["grp"], {"sum_qty": "qty"}
+    )
+    got = {
+        r.grp: (r.n_rows, r.sum_qty)
+        for r in merge_aggregate(agg0, deltas, ["grp"]).collect()
+    }
+    assert got == _direct_agg(final), (split_lsn, rows)
+
+
+def test_group_key_move_and_death(spark):
+    """An update that moves a row between groups retracts from the old
+    group and asserts into the new one; a group emptied by the batch
+    disappears from the maintained view."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, base, "update", "t", (1, "a", 5), (1, "b", 5)),
+        (2, 0, base, "delete", "t", (2, "c", 9), None),
+    ]
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    agg0 = spark.createDataFrame(
+        [("a", 1, 5), ("c", 1, 9), ("z", 2, 4)],
+        "grp string, n_rows long, sum_qty long",
+    )
+    deltas = aggregate_deltas(events, ["grp"], {"sum_qty": "qty"})
+    got = {
+        r.grp: (r.n_rows, r.sum_qty)
+        for r in merge_aggregate(agg0, deltas, ["grp"]).collect()
+    }
+    assert got == {"b": (1, 5), "z": (2, 4)}
