@@ -708,6 +708,30 @@ GROUP BY 1
 """
 
 
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators.frequent.heavy_hitters): users in
+    ≥ 0.75% of events, found by the two-pass MG-summary + exact-verify
+    plan — no full-cardinality shuffle ever happens, but the RESULT is
+    byte-identical to the naive GROUP BY … HAVING the oracle runs."""
+    from changedatacapture_reporting_spark.operators.frequent import (
+        heavy_hitters,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", 0.0075)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH {ORACLE_EV}
+SELECT user_id AS item, COUNT(*) AS n
+FROM ev
+WHERE user_id IS NOT NULL
+GROUP BY 1
+HAVING COUNT(*) >= CEIL(0.0075 * (
+  SELECT COUNT(user_id) FROM ev))
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a >30-min silence starts a new session
     (lag + conditional cumsum — the batch equivalent of
@@ -1768,6 +1792,7 @@ REGISTRY_RELATIONAL = {
     "events_funnel": (events_funnel, SQL_FUNNEL),
     "events_cohort_retention": (events_cohort_retention, SQL_COHORT),
     "events_distinct_sketch_rollup": (events_distinct_sketch_rollup, SQL_SKETCH_ROLLUP),
+    "events_heavy_hitters": (events_heavy_hitters, SQL_HEAVY_HITTERS),
     "like_filter_parts": (like_filter_parts, SQL_LIKE),
     "scalar_functions_showcase": (scalar_functions_showcase, SQL_SCALARS),
     "above_customer_avg_orders": (above_customer_avg_orders, SQL_CORRELATED),
