@@ -1461,11 +1461,11 @@ _CHECK_WINDOW: list[str] = [
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_interval_join",
-    "dedup_embedding_incremental",
     # new in r8 — first driver round each (no entry ships without a
     # slot); each displaces one r6-green slot from the list above
     "cdc_incremental_agg",
     "events_heavy_hitters",
+    "corpus_pps_sample",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -908,6 +908,38 @@ FROM (
 """
 
 
+def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PPS sampling (operators.sampling.pps_sample): documents
+    kept with probability ∝ n_chars (expected ≈100 rows), via the
+    all-integer hash-threshold rule — W comes from a broadcast one-row
+    aggregate, the keep test runs in the scan stage, and the oracle
+    replays the identical (min(k·w, W)·65536) div W arithmetic."""
+    from changedatacapture_reporting_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return pps_sample(d, "n_chars", 100, ["doc_id"]).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+SQL_PPS_SAMPLE = """
+WITH tot AS (
+  SELECT CAST(SUM(CASE WHEN n_chars > 0 THEN n_chars END) AS BIGINT) AS w
+  FROM documents
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d, tot
+WHERE d.n_chars > 0
+  AND CASE WHEN CAST(100 AS BIGINT) * d.n_chars >= tot.w THEN TRUE
+      ELSE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+           < printf('%04x',
+                    (CAST(100 AS BIGINT) * d.n_chars * 65536) // tot.w)
+      END
+"""
+
+
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signal
     (functions.text.repetition_scores): duplicate-3-gram fraction per
@@ -1497,6 +1529,7 @@ REGISTRY_LLM = {
     "corpus_decontaminate": (corpus_decontaminate, SQL_DECONTAM),
     "corpus_chunks": (corpus_chunks, SQL_CHUNKS),
     "corpus_sampled_mix": (corpus_sampled_mix, SQL_SAMPLED_MIX),
+    "corpus_pps_sample": (corpus_pps_sample, SQL_PPS_SAMPLE),
     "corpus_ngram_vocab": (corpus_ngram_vocab, SQL_NGRAM_VOCAB),
     "corpus_tfidf_terms": (corpus_tfidf_terms, SQL_TFIDF),
     "text_pii_redaction": (text_pii_redaction, SQL_PII),

@@ -156,6 +156,51 @@ def budget_mix(
     )
 
 
+def pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    expected_k: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli sample: row kept with
+    probability min(1, k·w/W), so the expected sample size is ≤ k and
+    heavy rows (long documents, big transactions) are proportionally
+    favored — the standard first stage of weighted corpus subsampling
+    ("sample 100k documents by token mass").
+
+    Deterministic and integer-exact like the rest of this module: the
+    keep rule is ``hex4(md5(key)) < hex4((min(k·w, W)·65536) div W)``
+    with W the total weight — all-integer arithmetic both engines
+    replay bit-for-bit (no float probability anywhere), resolution
+    1/65536. W comes from a one-row aggregate broadcast back onto the
+    scan (no driver collect); rows with NULL or ≤ 0 weight are never
+    sampled and contribute nothing to W. Weights must be integers
+    (token/char counts — the natural corpus weights); k·w·65536 must
+    fit a BIGINT, which holds through ~2^31 weights at k ≤ 2^16.
+    """
+    if expected_k < 1:
+        raise ValueError(f"expected_k must be >= 1, got {expected_k}")
+    w = F.when(F.col(weight_col) > 0, F.col(weight_col).cast("long"))
+    total = df.select(w.alias("_w")).agg(F.sum("_w").alias("_W"))
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    # guard the null before least(): Spark's least SKIPS nulls (same
+    # trap budget_mix documents), so an unweighted row would silently
+    # get certain inclusion instead of exclusion
+    with_tot = df.join(F.broadcast(total)).withColumn(
+        "_num",
+        F.when(
+            w.isNotNull(),
+            F.least(F.lit(expected_k) * w, F.col("_W")) * (1 << 16),
+        ),
+    )
+    v = F.expr("_num div _W")
+    keep = F.when(v >= (1 << 16), F.lit(True)).otherwise(
+        F.substring(F.md5(key), 1, 4)
+        < F.lower(F.lpad(F.hex(v), 4, "0"))
+    )
+    return with_tot.filter(keep).drop("_W", "_num")
+
+
 def leakage_safe_splits(
     df: DataFrame,
     pairs: DataFrame,

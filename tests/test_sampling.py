@@ -135,3 +135,30 @@ def test_leakage_safe_splits_no_cross_split_pairs(spark, sf_dir):
 
     with pytest.raises(ValueError):
         leakage_safe_splits(d, pairs, {"all": 1.0})
+
+
+def test_pps_sample_weighted_inclusion(spark):
+    """Heavy rows are favored ∝ weight, certain-inclusion rows (k·w ≥ W)
+    always survive, NULL/zero/negative weights never do, and the sample
+    is stable under repartition (hash rule, no RNG)."""
+    from changedatacapture_reporting_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    rows = [(i, 10) for i in range(500)] + [(1000, 100_000)] + [
+        (2000, None), (2001, 0), (2002, -5),
+    ]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = pps_sample(df, "w", 50, ["id"])
+    got = {r.id for r in out.collect()}
+    # W = 105000; k·w for the heavy row = 50·100000 ≥ W → certain
+    assert 1000 in got
+    assert got.isdisjoint({2000, 2001, 2002})
+    # light rows keep with p = 50·10/105000 ≈ 0.48% → expect ~2-3 of 500
+    n_light = len(got) - 1
+    assert 0 <= n_light <= 20
+    got2 = {r.id for r in pps_sample(df.repartition(7), "w", 50, ["id"]).collect()}
+    assert got == got2
+
+    with pytest.raises(ValueError):
+        pps_sample(df, "w", 0, ["id"])
