@@ -1455,7 +1455,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_multi_table_snapshot",
     "cdc_net_changes",
     "cdc_reconstruct_at_lsn",
-    "cdc_row_history",
     "cdc_state_snapshot_refresh",
     "cdc_transaction_summary",
     "streaming_dedup_keys",
@@ -1466,6 +1465,7 @@ _CHECK_WINDOW: list[str] = [
     "cdc_incremental_agg",
     "events_heavy_hitters",
     "corpus_pps_sample",
+    "scd2_pointintime_enrich",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

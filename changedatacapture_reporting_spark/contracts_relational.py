@@ -558,6 +558,75 @@ ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
 """
 
 
+def scd2_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time enrichment (operators.temporal.
+    temporal_enrich): orders enriched with the customer-dimension
+    version valid at o_orderdate. The dimension is two synthesized SCD2
+    versions per customer (segment renamed and balance bumped at
+    1995-07-01), with customers divisible by 7 having a one-year GAP
+    before their second version — orders falling in the gap must enrich
+    to NULL, which forward-fill as-of joins get wrong. Engine plan is
+    the union+window carry (no range join); the oracle is the naive
+    interval LEFT JOIN."""
+    from changedatacapture_reporting_spark.operators.temporal import (
+        temporal_enrich,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1995-07-01").cast("timestamp")
+    late = F.lit("1996-07-01").cast("timestamp")
+    v0 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor("c_acctbal").cast("long").alias("bal"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        cut.alias("valid_to"),
+    )
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.col("c_mktsegment"), F.lit("+")).alias("segment"),
+        (F.floor("c_acctbal").cast("long") + 100).alias("bal"),
+        F.when(F.col("c_custkey") % 7 == 0, late)
+        .otherwise(cut)
+        .alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    facts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return temporal_enrich(
+        facts, v0.unionByName(v1), ["k"], "ts", ["segment", "bal"]
+    )
+
+
+SQL_SCD2_ENRICH = """
+WITH dim AS (
+  SELECT c_custkey AS k, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal) AS BIGINT) AS bal,
+         TIMESTAMP '1992-01-01' AS valid_from,
+         TIMESTAMP '1995-07-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '+',
+         CAST(FLOOR(c_acctbal) AS BIGINT) + 100,
+         CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1996-07-01'
+              ELSE TIMESTAMP '1995-07-01' END,
+         NULL
+  FROM customer
+)
+SELECT o.o_orderkey, o.o_custkey AS k, o.o_orderdate AS ts,
+       d.segment, d.bal
+FROM orders o
+LEFT JOIN dim d
+  ON o.o_custkey = d.k
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+"""
+
+
 def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute windows (batch analog of the streaming window op;
     exact decimal sum so the oracle hash is stable)."""
@@ -1787,6 +1856,7 @@ REGISTRY_RELATIONAL = {
     "pivot_status_by_priority": (pivot_status_by_priority, SQL_PIVOT),
     "json_props_stats": (json_props_stats, SQL_JSON),
     "asof_signup_attribution": (asof_signup_attribution, SQL_ASOF),
+    "scd2_pointintime_enrich": (scd2_pointintime_enrich, SQL_SCD2_ENRICH),
     "events_tumbling_5min": (events_tumbling_5min, SQL_TUMBLING),
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "events_funnel": (events_funnel, SQL_FUNNEL),
