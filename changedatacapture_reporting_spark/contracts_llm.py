@@ -1406,6 +1406,56 @@ FROM (
 """
 
 
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign random projection 64→8 (functions.vectors.random_projection):
+    all-BIGINT fixed-point arithmetic on a 1e-6 lattice, so the projected
+    vectors are bit-identical in any engine — the contract hash-checks
+    the projection itself (serialized to CSV for the driver harness, the
+    embedding_quantization precedent). The ±1 matrix comes from the
+    shared md5 derivation (projection_signs), embedded as literals in
+    BOTH plans by the same Python. Distance-preservation / ANN-recall
+    behavior is pytest-verified (test_llm_ops)."""
+    from changedatacapture_reporting_spark.functions.vectors import (
+        projection_signs,
+        random_projection,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(
+        F.col("embedding"), projection_signs(64, 8, seed=8)
+    )
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.transform(proj, lambda x: x.cast("string")), ","
+        ).alias("proj_csv"),
+    )
+
+
+def _build_sql_projection() -> str:
+    from changedatacapture_reporting_spark.functions.vectors import (
+        projection_signs,
+    )
+
+    terms = []
+    for row in projection_signs(64, 8, seed=8):
+        lst = "[" + ",".join(str(s) for s in row) + "]"
+        terms.append(
+            "list_sum(list_transform(range(1, 65), i -> "
+            "CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) "
+            f"AS BIGINT) * ({lst}[i])))"
+        )
+    cols = ",\n         ".join(terms)
+    return f"""
+SELECT vec_id,
+       array_to_string([{cols}], ',') AS proj_csv
+FROM embeddings
+"""
+
+
+SQL_PROJECTION = _build_sql_projection()
+
+
 def text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus canonicalization (functions.text.normalize_text): every
     document is decorated with smart quotes, an en-dash, NBSP, a tab, an
@@ -1498,6 +1548,7 @@ REGISTRY_LLM = {
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
     "text_normalization": (text_normalization, SQL_NORMALIZE),
     "embedding_quantization": (embedding_quantization, SQL_QUANTIZE),
+    "embedding_random_projection": (embedding_random_projection, SQL_PROJECTION),
     "corpus_leakage_safe_splits": (corpus_leakage_safe_splits, SQL_SPLITS),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
     "corpus_pack_bfd": (corpus_pack_bfd, SQL_PACK_BFD),

@@ -880,3 +880,66 @@ def test_pq_topk_recall_and_compression(spark, sf_dir):
     import numpy as np
 
     assert np.array_equal(books, books2)
+
+
+def test_random_projection_exact_and_recall(embeddings):
+    """Fixed-point sign projection: output is integer-exact and stable
+    under repartition (pure expression, md5-derived literal matrix);
+    projected-space top-10 at out_dim=32 recovers a meaningful share of
+    exact neighbors (JL distance preservation), far above chance."""
+    from changedatacapture_reporting_spark.functions.vectors import (
+        projection_signs,
+        random_projection,
+    )
+
+    signs = projection_signs(64, 32, seed=8)
+    assert {v for row in signs for v in row} == {-1, 1}
+    assert signs == projection_signs(64, 32, seed=8)  # deterministic
+    assert signs != projection_signs(64, 32, seed=9)  # seed matters
+
+    proj = random_projection(F.col("embedding"), signs)
+    a = {r.vec_id: r.p for r in embeddings.select("vec_id", proj.alias("p")).collect()}
+    b = {
+        r.vec_id: r.p
+        for r in embeddings.repartition(7)
+        .select("vec_id", proj.alias("p"))
+        .collect()
+    }
+    assert a == b  # bit-exact under any physical layout
+    assert all(len(v) == 32 and all(isinstance(x, int) for x in v) for v in a.values())
+
+    # recall: projected ints as float vectors through the same brute-force
+    proj_tbl = embeddings.select(
+        "vec_id",
+        F.transform(proj, lambda x: x.cast("float")).alias("embedding"),
+    )
+    q10 = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embeddings, q10, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            proj_tbl,
+            q10.select(
+                "vec_id",
+                F.transform(
+                    random_projection(F.col("embedding"), signs),
+                    lambda x: x.cast("float"),
+                ).alias("embedding"),
+            ),
+            k=10,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # chance recall is 10/500 = 2%. The synthetic fixture is nearly
+    # isotropic (neighbors barely separated), so absolute recall is
+    # modest for ANY 2× projection — the bound checks the wiring is a
+    # real distance-preserving map (10× above chance), not SOTA recall
+    assert recall >= 0.15, f"projection recall {recall:.2f} too low"
+
+    with pytest.raises(ValueError):
+        random_projection(F.col("embedding"), [])
+    with pytest.raises(ValueError):
+        random_projection(F.col("embedding"), [[1, -1], [1]])
