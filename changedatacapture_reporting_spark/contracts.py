@@ -1455,7 +1455,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_multi_table_snapshot",
     "cdc_net_changes",
     "cdc_reconstruct_at_lsn",
-    "cdc_state_snapshot_refresh",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_interval_join",
@@ -1466,6 +1465,7 @@ _CHECK_WINDOW: list[str] = [
     "corpus_pps_sample",
     "scd2_pointintime_enrich",
     "embedding_random_projection",
+    "dq_orders_expectations",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -558,6 +558,66 @@ ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
 """
 
 
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators.quality.
+    check_expectations): five rules over orders — nullability, accepted
+    status values (deliberately excluding 'P' so violations are
+    non-zero), a price range that real rows exceed, pk uniqueness, and
+    the customer FK (broadcast anti join). All row-level rules fold
+    into ONE scan; the oracle recomputes each count naively."""
+    from changedatacapture_reporting_spark.operators.quality import (
+        accepted_values,
+        check_expectations,
+        fk_exists,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return check_expectations(
+        o,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["F", "O"]),
+            in_range("o_totalprice", 0.0, 300000.0),
+            unique(["o_orderkey"]),
+            fk_exists("o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
+SQL_DQ_ORDERS = """
+WITH v AS (
+  SELECT 'not_null:o_custkey' AS rule,
+         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values:o_orderstatus',
+         COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O') THEN 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'in_range:o_totalprice',
+         COUNT(CASE WHEN o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0 OR o_totalprice > 300000)
+               THEN 1 END)
+  FROM orders
+  UNION ALL
+  SELECT 'unique:o_orderkey', COUNT(*) - COUNT(DISTINCT o_orderkey)
+  FROM orders
+  UNION ALL
+  SELECT 'fk_exists:o_custkey',
+         (SELECT COUNT(*)
+          FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+)
+SELECT rule, CAST(n AS BIGINT) AS n_violations, n = 0 AS passed FROM v
+"""
+
+
 def scd2_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal point-in-time enrichment (operators.temporal.
     temporal_enrich): orders enriched with the customer-dimension
@@ -1857,6 +1917,7 @@ REGISTRY_RELATIONAL = {
     "json_props_stats": (json_props_stats, SQL_JSON),
     "asof_signup_attribution": (asof_signup_attribution, SQL_ASOF),
     "scd2_pointintime_enrich": (scd2_pointintime_enrich, SQL_SCD2_ENRICH),
+    "dq_orders_expectations": (dq_orders_expectations, SQL_DQ_ORDERS),
     "events_tumbling_5min": (events_tumbling_5min, SQL_TUMBLING),
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "events_funnel": (events_funnel, SQL_FUNNEL),
