@@ -1340,6 +1340,55 @@ GROUP BY 1
 """
 
 
+def _q_activity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-rate anomaly monitor (operators.profile.
+    activity_anomaly): per-day changelog volume z-scored against the
+    trailing 7 days (current day excluded, ≥3-day history required) —
+    the standing alert a CDC operator keeps on the maintained daily
+    rollup. The oracle replays the identical window arithmetic."""
+    from changedatacapture_reporting_spark.operators.profile import (
+        activity_anomaly,
+    )
+
+    log = _changelog(spark, sf_dir)
+    daily = (
+        log.withColumn("change_date", F.to_date("commit_time"))
+        .groupBy("table_name", "change_date")
+        .agg(F.count("*").cast("long").alias("n_changes"))
+    )
+    return activity_anomaly(
+        daily, ["table_name"], "change_date", "n_changes",
+        trailing=7, z_threshold=2.0,
+    )
+
+
+_SQL_ACTIVITY_ANOMALY = (
+    _ORACLE_CHANGES
+    + """
+, daily AS (
+  SELECT table_name, CAST(commit_time AS DATE) AS change_date,
+         COUNT(*) AS n_changes
+  FROM changes GROUP BY 1, 2
+), stats AS (
+  SELECT table_name, change_date, n_changes,
+         COUNT(n_changes) OVER w AS n_prev,
+         AVG(n_changes) OVER w AS m,
+         STDDEV_SAMP(n_changes) OVER w AS sd
+  FROM daily
+  WINDOW w AS (PARTITION BY table_name ORDER BY change_date
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT table_name, change_date, n_changes,
+       ROUND(CASE WHEN n_prev >= 3 AND sd IS NOT NULL AND sd > 0
+                  THEN (n_changes - m) / sd END, 6) AS z_score,
+       COALESCE(ABS(CASE WHEN n_prev >= 3 AND sd IS NOT NULL AND sd > 0
+                         THEN (n_changes - m) / sd END) > 2.0,
+                FALSE) AS is_anomaly
+FROM stats
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1383,6 +1432,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_multi_table_snapshot": (_q_multi_table_snapshot, _SQL_MULTI_SNAPSHOT),
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "cdc_incremental_agg": (_q_incremental_agg, _SQL_INCREMENTAL_AGG),
+    "cdc_activity_anomaly": (_q_activity_anomaly, _SQL_ACTIVITY_ANOMALY),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
     **REGISTRY_RELATIONAL,
@@ -1453,7 +1503,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_delta_cdf_roundtrip",
     "cdc_mssql_shape_roundtrip",
     "cdc_multi_table_snapshot",
-    "cdc_net_changes",
     "cdc_reconstruct_at_lsn",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
@@ -1466,6 +1515,7 @@ _CHECK_WINDOW: list[str] = [
     "scd2_pointintime_enrich",
     "embedding_random_projection",
     "dq_orders_expectations",
+    "cdc_activity_anomaly",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

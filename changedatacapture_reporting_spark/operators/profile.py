@@ -82,3 +82,52 @@ def column_churn(
             F.max("commit_time").alias("last_change"),
         )
     )
+
+
+def activity_anomaly(
+    daily: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+    trailing: int = 7,
+    z_threshold: float = 2.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Flag days whose activity departs from the trailing window — the
+    standing "did ingestion spike/stall?" monitor over the maintained
+    daily rollup (operators.rollup.read_rollup / the daily-activity
+    aggregate), NOT over the raw changelog.
+
+    Per key, each day's ``value_col`` is z-scored against the mean and
+    sample stddev of the PRECEDING ``trailing`` days (current day
+    excluded — an anomalous day must not dilute its own baseline). Days
+    with fewer than ``min_history`` preceding observations, or a
+    zero/undefined baseline stddev, get NULL ``z_score`` and are never
+    anomalies (cold start is unknown, not anomalous).
+
+    Scale: the input is already the per-(key, day) rollup — thousands of
+    rows per table-year, not the event volume — so the window sort is
+    negligible; one shuffle on the key.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(-trailing, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n_prev = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    z = F.when(
+        (n_prev >= min_history) & sd.isNotNull() & (sd > 0.0),
+        (v - mean) / sd,
+    )
+    return daily.select(
+        *daily.columns,
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -45,3 +45,41 @@ def test_rollup_matches_full_recompute_across_batches(spark, sf_dir, tmp_path):
     # days split across the two runs must have merged partials (2 rows in)
     raw = spark.read.parquet(f"{sink}/_rollup_daily")
     assert raw.count() > merged.count()
+
+
+def test_activity_anomaly_spike_and_cold_start(spark):
+    """A 10x spike after a flat baseline flags; the first 3 days (cold
+    start) and a zero-variance baseline never do; the spike day's own
+    value is excluded from its baseline."""
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.operators.profile import (
+        activity_anomaly,
+    )
+
+    base = dt.date(2024, 1, 1)
+    # flat-ish baseline 100±1 for 7 days, spike 1000 on day 8, back to 100
+    vals = [100, 101, 99, 100, 101, 99, 100, 1000, 100]
+    rows = [
+        ("t", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+    ] + [("flat", base + dt.timedelta(days=i), 50) for i in range(6)]
+    daily = spark.createDataFrame(
+        rows, "table_name string, change_date date, n_changes long"
+    )
+    out = activity_anomaly(
+        daily, ["table_name"], "change_date", "n_changes"
+    )
+    got = {
+        (r.table_name, str(r.change_date)): (r.z_score, r.is_anomaly)
+        for r in out.collect()
+    }
+    # cold start: first 3 days have <3 preceding observations
+    for i in range(3):
+        assert got[("t", str(base + dt.timedelta(days=i)))] == (None, False)
+    assert got[("t", str(base + dt.timedelta(days=7)))][1] is True  # spike
+    # day after the spike: baseline now contains the spike → high stddev
+    # → the return to 100 is NOT anomalous
+    assert got[("t", str(base + dt.timedelta(days=8)))][1] is False
+    # zero-variance baseline → NULL z, never anomalous
+    for i in range(3, 6):
+        assert got[("flat", str(base + dt.timedelta(days=i)))] == (None, False)
