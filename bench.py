@@ -166,6 +166,15 @@ HEADLINE = [
     # tempdir sink per run — it times filesystem commit churn, not an
     # operator; the purge's logical path (broadcast anti-join) is the
     # apply/net shape already benched.
+    # r8 additions (first trend points)
+    "cdc_incremental_agg",
+    "events_heavy_hitters",
+    "corpus_pps_sample",
+    "scd2_pointintime_enrich",
+    "embedding_random_projection",
+    "dq_orders_expectations",
+    "cdc_activity_anomaly",
+    "cdc_snapshot_diff",
 ]
 
 # The headline total sums only these 17 — the list benched every round
