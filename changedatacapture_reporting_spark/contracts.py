@@ -1502,7 +1502,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_debezium_roundtrip",
     "cdc_delta_cdf_roundtrip",
     "cdc_mssql_shape_roundtrip",
-    "cdc_multi_table_snapshot",
     "cdc_reconstruct_at_lsn",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
@@ -1516,6 +1515,7 @@ _CHECK_WINDOW: list[str] = [
     "embedding_random_projection",
     "dq_orders_expectations",
     "cdc_activity_anomaly",
+    "events_value_histogram",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

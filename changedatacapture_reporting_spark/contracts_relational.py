@@ -861,6 +861,62 @@ HAVING COUNT(*) >= CEIL(0.0075 * (
 """
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid histogram rollup (operators.sketches): one
+    tiny histogram per (event_type, day), ADDED (exact merge — the
+    quantile analog of the HLL union) into per-event_type histograms,
+    then P50/P95 brackets from the cumulative bins. Because histogram
+    addition is lossless, the oracle can bin DIRECTLY (ignoring the
+    daily stage) and must land on identical brackets — the contract
+    therefore proves the merge is exact, not approximately close."""
+    from changedatacapture_reporting_spark.operators.sketches import (
+        fixed_width_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = fixed_width_histogram(
+        e, "value", ["event_type", "day"], 0.0, 500.0, 40
+    )
+    merged = merge_histograms(daily, ["event_type"])
+    return histogram_quantiles(merged, ["event_type"], [0.5, 0.95])
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH {ORACLE_EV},
+h AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR(CAST(value AS DOUBLE) / 12.5), 0), 39)
+              AS INTEGER) AS bin,
+         COUNT(*) AS n
+  FROM ev WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+)
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) * 12.5
+            AS DOUBLE) AS q_lo,
+       CAST((MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) + 1) * 12.5
+            AS DOUBLE) AS q_hi
+FROM c GROUP BY 1
+UNION ALL
+SELECT event_type, CAST(0.95 AS DOUBLE),
+       CAST(MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) * 12.5
+            AS DOUBLE),
+       CAST((MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) + 1) * 12.5
+            AS DOUBLE)
+FROM c GROUP BY 1
+"""
+
+
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a >30-min silence starts a new session
     (lag + conditional cumsum — the batch equivalent of
@@ -1924,6 +1980,7 @@ REGISTRY_RELATIONAL = {
     "events_cohort_retention": (events_cohort_retention, SQL_COHORT),
     "events_distinct_sketch_rollup": (events_distinct_sketch_rollup, SQL_SKETCH_ROLLUP),
     "events_heavy_hitters": (events_heavy_hitters, SQL_HEAVY_HITTERS),
+    "events_value_histogram": (events_value_histogram, SQL_VALUE_HISTOGRAM),
     "like_filter_parts": (like_filter_parts, SQL_LIKE),
     "scalar_functions_showcase": (scalar_functions_showcase, SQL_SCALARS),
     "above_customer_avg_orders": (above_customer_avg_orders, SQL_CORRELATED),

@@ -181,6 +181,10 @@ def pps_sample(
     if expected_k < 1:
         raise ValueError(f"expected_k must be >= 1, got {expected_k}")
     w = F.when(F.col(weight_col) > 0, F.col(weight_col).cast("long"))
+    # ONE-ROW total broadcast into the keep rule — the q11 scalar shape
+    # (no equi key exists for a global threshold; a literal join key
+    # constant-folds straight back to the nested-loop form anyway).
+    # O(n × 1), allowlisted in tools/audit_plans.py with the others.
     total = df.select(w.alias("_w")).agg(F.sum("_w").alias("_W"))
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
     # guard the null before least(): Spark's least SKIPS nulls (same

@@ -79,3 +79,54 @@ def test_sketch_rollup_merge_is_split_invariant(spark, sf_dir):
     )
     appended = merge_sketch_rollups(old.unionByName(new), [])
     assert appended.head().estimate == est_merged
+
+
+def test_histogram_rollup_merge_is_split_invariant(spark):
+    """Adding per-day histograms equals binning the whole table directly
+    (exact merge), and the quantile bracket provably contains the true
+    percentile."""
+    import random
+
+    from changedatacapture_reporting_spark.operators.sketches import (
+        fixed_width_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    rng = random.Random(8)
+    rows = [
+        (f"t{i % 3}", i % 5, rng.uniform(-10, 110)) for i in range(2000)
+    ] + [("t0", 0, None), ("t0", 1, 999.0), ("t1", 2, -999.0)]  # clamp+null
+    df = spark.createDataFrame(rows, "grp string, day int, v double")
+
+    daily = fixed_width_histogram(df, "v", ["grp", "day"], 0.0, 100.0, 20)
+    merged = merge_histograms(daily, ["grp"])
+    direct = fixed_width_histogram(df, "v", ["grp"], 0.0, 100.0, 20)
+    m = {(r.grp, r.bin): (r.bin_lo, r.bin_hi, r.n) for r in merged.collect()}
+    d = {(r.grp, r.bin): (r.bin_lo, r.bin_hi, r.n) for r in direct.collect()}
+    assert m == d  # merge is EXACT, not approximately close
+
+    qs = histogram_quantiles(merged, ["grp"], [0.5, 0.95])
+    brackets = {(r.grp, r.q): (r.q_lo, r.q_hi) for r in qs.collect()}
+    import math
+
+    for grp in ("t0", "t1", "t2"):
+        vals = sorted(
+            v for g, _, v in rows if g == grp and v is not None
+        )
+        for q in (0.5, 0.95):
+            true_q = vals[math.ceil(q * len(vals)) - 1]
+            lo, hi = brackets[(grp, q)]
+            # edge bins absorb clamped out-of-range values, so the
+            # bottom bracket's true lower bound is -inf and the top
+            # bracket's true upper bound is +inf
+            lo_eff = float("-inf") if lo <= 0.0 else lo
+            hi_eff = float("inf") if hi >= 100.0 else hi
+            assert lo_eff <= true_q < hi_eff, (grp, q)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fixed_width_histogram(df, "v", [], 5.0, 5.0, 10)
+    with _pytest.raises(ValueError):
+        histogram_quantiles(merged, ["grp"], [0.0])

@@ -48,6 +48,9 @@ ALLOW = {
     # same scalar shape: the ONE-ROW corpus document count broadcast
     # into the tf-idf score expression
     "corpus_tfidf_terms": {"BroadcastNestedLoopJoin"},
+    # same scalar shape: the ONE-ROW total weight broadcast into the
+    # PPS keep rule (operators/sampling.pps_sample)
+    "corpus_pps_sample": {"BroadcastNestedLoopJoin"},
     # accuracy contracts that compare the scale path against an embedded
     # exact reference (all-pairs jaccard / brute-force top-k) — the
     # quadratic node is the reference side, not the production path
