@@ -1504,7 +1504,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_mssql_shape_roundtrip",
     "cdc_reconstruct_at_lsn",
     "streaming_dedup_keys",
-    "streaming_enriched_segments",
     "streaming_interval_join",
     # new in r8 — first driver round each (no entry ships without a
     # slot); each displaces one r6-green slot from the list above
@@ -1516,6 +1515,7 @@ _CHECK_WINDOW: list[str] = [
     "dq_orders_expectations",
     "cdc_activity_anomaly",
     "events_value_histogram",
+    "streaming_incremental_agg",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

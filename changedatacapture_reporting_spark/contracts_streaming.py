@@ -328,6 +328,84 @@ WHERE op != 'delete' AND o_orderkey % 20 NOT IN (5, 11)
 """
 
 
+def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM (streaming.apply_stream.stream_maintain_aggregate):
+    bootstrap the per-status (count, total-sum) aggregate from the
+    pre-change state, then drain the CDC stream — each micro-batch folds
+    into signed deltas and merges; state is never rescanned. The oracle
+    is the from-scratch GROUP BY of the post-stream state (the batch
+    cdc_incremental_agg contract's oracle, reached here through the live
+    streaming engine + epoch-ledger commits). Multi-batch sequencing,
+    group death, and replay idempotence are pytest-covered
+    (test_streaming.py::test_stream_maintain_aggregate_equals_direct)."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events,
+    )
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        bootstrap_aggregate,
+        read_aggregate,
+        stream_maintain_aggregate,
+    )
+
+    d = tempfile.mkdtemp(prefix="cdc_ivm_stream_")
+    ev = simulate_cdc_events(spark, sf_dir)
+    ev.write.parquet(f"{d}/ev")
+    schema = spark.read.parquet(f"{d}/ev").schema
+    base = (
+        ev.filter(F.col("op") != "insert")
+        .select("before.*")
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("total").cast("long").alias("sum_total"),
+        )
+    )
+    bootstrap_aggregate(spark, f"{d}/target", base)
+    q = stream_maintain_aggregate(
+        spark, f"{d}/ev", schema, f"{d}/target", f"{d}/ckpt",
+        ["status"], {"sum_total": "total"},
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_maintain_aggregate did not drain within 300s; "
+            "refusing to read a partially-maintained aggregate"
+        )
+    return read_aggregate(
+        spark, f"{d}/target", ["status"], {"sum_total": "total"},
+        schema["after"].dataType,
+    )
+
+
+SQL_STREAM_IVM = f"""
+WITH {ORACLE_EVENTS_CTE}
+SELECT a_status AS status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(a_total) AS BIGINT) AS sum_total
+FROM ev
+WHERE op != 'delete'
+GROUP BY 1
+"""
+
+
+def _ivm_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink plan: pass-through into foreachBatch (deltas + merge run
+    per batch inside it — the batch-side plan is audited via
+    cdc_incremental_agg); expose the source projection."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        simulate_cdc_events,
+    )
+
+    d = tempfile.mkdtemp(prefix="cdc_ivm_plan_")
+    simulate_cdc_events(spark, sf_dir).write.parquet(f"{d}/ev")
+    schema = spark.read.parquet(f"{d}/ev").schema
+    return spark.readStream.schema(schema).parquet(f"{d}/ev")
+
+
 def _apply_state_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-sink plan: the stream itself is a pass-through into
     foreachBatch (net_changes + apply run per batch inside it), so the
@@ -347,6 +425,7 @@ def _apply_state_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_PLANS = {
     "streaming_apply_state": _apply_state_pre_sink,
+    "streaming_incremental_agg": _ivm_pre_sink,
     "streaming_tumbling_5min": lambda spark, sf: tumbling_counts(
         _events_stream(spark, sf)
     ),
@@ -365,6 +444,7 @@ STREAM_PLANS = {
 
 REGISTRY_STREAMING = {
     "streaming_apply_state": (streaming_apply_state, SQL_STREAM_APPLY),
+    "streaming_incremental_agg": (streaming_incremental_agg, SQL_STREAM_IVM),
     "streaming_enriched_segments": (
         streaming_enriched_segments,
         SQL_STREAM_ENRICHED,

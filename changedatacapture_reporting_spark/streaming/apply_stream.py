@@ -220,3 +220,101 @@ def read_state_bucketed(
         fields += [T.StructField(c, T.StringType()) for c in value_cols]
         return spark.createDataFrame([], T.StructType(fields))
     return spark.read.parquet(snapshot_path).select(*pk_cols, *value_cols)
+
+
+def read_aggregate(
+    spark: SparkSession,
+    target_path: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    source_struct: T.StructType,
+) -> DataFrame:
+    """The maintained aggregate table of a
+    :func:`stream_maintain_aggregate` target: the max committed version,
+    or an empty typed frame before bootstrap (group cols typed from the
+    source image struct; measures are long)."""
+    epochs = _committed_epochs(spark, target_path)
+    if not epochs:
+        fields = [
+            T.StructField(f.name, f.dataType)
+            for f in source_struct.fields
+            if f.name in group_cols
+        ]
+        fields.append(T.StructField("n_rows", T.LongType()))
+        fields += [T.StructField(a, T.LongType()) for a in sum_cols]
+        return spark.createDataFrame([], T.StructType(fields))
+    current = sorted(epochs)[-1]
+    return spark.read.parquet(os.path.join(target_path, f"v={current}"))
+
+
+def bootstrap_aggregate(
+    spark: SparkSession, target_path: str, initial: DataFrame
+) -> None:
+    """Seed the maintained aggregate from a base snapshot's GROUP BY
+    (the deployment bootstrap: aggregate the initial state once, then
+    never rescan it). Committed through the same version+marker
+    protocol, as epoch ``bootstrap`` — idempotent: a second call with a
+    bootstrap already committed is a no-op."""
+    run_id = "epoch-0-bootstrap"
+    if run_id in _committed_epochs(spark, target_path):
+        return
+    initial.write.mode("overwrite").parquet(
+        os.path.join(target_path, f"v={run_id}")
+    )
+    write_text(spark, os.path.join(target_path, "_epochs", run_id))
+
+
+def stream_maintain_aggregate(
+    spark: SparkSession,
+    events_path: str,
+    event_schema: T.StructType,
+    target_path: str,
+    checkpoint_path: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental view maintenance: keep a grouped aggregate
+    exact under a CDC event stream — per micro-batch, fold the batch's
+    before/after images into signed per-group deltas
+    (operators.incremental_agg.aggregate_deltas) and merge them into the
+    maintained table (merge_aggregate: untouched groups anti-join
+    through, zero-count groups vanish), committed through the same
+    versioned-snapshot marker protocol as :func:`stream_apply` — a
+    replayed epoch is detected in the target's own ledger and skipped,
+    so the maintenance is exactly-once without trusting the checkpoint.
+
+    Per-batch work is O(batch + touched groups); the maintained table is
+    GROUPS-sized, so even the full-version rewrite is tiny — this is the
+    rare streaming state that never needs the bucket-refresh escape
+    hatch. State at no point rescans the underlying rows.
+    """
+    from changedatacapture_reporting_spark.operators.incremental_agg import (
+        aggregate_deltas,
+        merge_aggregate,
+    )
+
+    source_struct = event_schema["after"].dataType
+    stream = spark.readStream.schema(event_schema).parquet(events_path)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        session = batch_df.sparkSession
+        run_id = epoch_run_id(epoch_id)
+        if run_id in _committed_epochs(session, target_path):
+            return  # replayed epoch — already visible
+        current = read_aggregate(
+            session, target_path, group_cols, sum_cols, source_struct
+        )
+        deltas = aggregate_deltas(batch_df, group_cols, sum_cols)
+        merged = merge_aggregate(current, deltas, group_cols)
+        version_dir = os.path.join(target_path, f"v={run_id}")
+        merged.write.mode("overwrite").parquet(version_dir)
+        # COMMIT POINT — single marker file after the version lands
+        write_text(session, os.path.join(target_path, "_epochs", run_id))
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -785,3 +785,82 @@ def test_stream_apply_bucketed_equals_full_rewrite(spark, workdir):
     drain_both()
     b2, f2 = states()
     assert b2 == b and f2 == f
+
+
+def test_stream_maintain_aggregate_equals_direct(spark, workdir):
+    """Streaming IVM: bootstrap from a base aggregate, drain two event
+    file batches — the maintained table must equal the from-scratch
+    GROUP BY of the final state after each drain, a group emptied
+    mid-stream vanishes, and a restarted drain with no new data changes
+    nothing (epoch ledger)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        bootstrap_aggregate,
+        read_aggregate,
+        stream_maintain_aggregate,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    schema = cdc_event_schema(src)
+    ts = dt.datetime(2024, 2, 1, 9, 0, 0)
+    # base state: {1: (a, 5), 2: (c, 9)}
+    base_rows = [("a", 1, 5), ("c", 1, 9)]
+    batch1 = [
+        (1, 0, ts, "insert", "t", None, (3, "a", 2)),     # a: n=2 s=7
+        (2, 0, ts, "update", "t", (1, "a", 5), (1, "b", 5)),  # a→b move
+    ]
+    batch2 = [
+        (3, 0, ts, "delete", "t", (2, "c", 9), None),     # group c dies
+        (4, 0, ts, "update", "t", (3, "a", 2), (3, "a", 8)),
+    ]
+    ev_path = f"{workdir}/ivm_events"
+    target = f"{workdir}/ivm_target"
+    ckpt = f"{workdir}/ivm_ckpt"
+    gcols, scols = ["grp"], {"sum_qty": "qty"}
+
+    bootstrap_aggregate(
+        spark,
+        target,
+        spark.createDataFrame(base_rows, "grp string, n_rows long, sum_qty long"),
+    )
+    bootstrap_aggregate(spark, target, spark.createDataFrame(
+        [], "grp string, n_rows long, sum_qty long"))  # idempotent no-op
+
+    def drain():
+        _drain(
+            stream_maintain_aggregate(
+                spark, ev_path, schema, target, ckpt, gcols, scols
+            )
+        )
+
+    def state():
+        return {
+            r.grp: (r.n_rows, r.sum_qty)
+            for r in read_aggregate(spark, target, gcols, scols, src).collect()
+        }
+
+    spark.createDataFrame(batch1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ev_path)
+    drain()
+    assert state() == {"a": (1, 2), "b": (1, 5), "c": (1, 9)}
+
+    spark.createDataFrame(batch2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ev_path)
+    drain()
+    final = {"a": (1, 8), "b": (1, 5)}
+    assert state() == final  # group c vanished with its last row
+
+    drain()  # replay with nothing new — the ledger makes it a no-op
+    assert state() == final
