@@ -1340,6 +1340,55 @@ GROUP BY 1
 """
 
 
+def _q_reconstruct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-cut state series (operators.reconstruct.reconstruct_series):
+    the multi-event stream reconstructed at THREE boundaries — end of
+    the base wave, between the second-update and delete waves, and after
+    everything — in one pass (two aggregations, zero joins), not three
+    reconstruct_state runs. The oracle unions the three independently
+    derived state arithmetics, each tagged with its cut."""
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_series,
+    )
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        MULTI_OFF_DELETE,
+        MULTI_OFF_UPDATE,
+        simulate_cdc_events_multi,
+    )
+
+    ev = simulate_cdc_events_multi(spark, sf_dir)
+    log = build_changelog(
+        ev,
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    mid = (MULTI_OFF_UPDATE + MULTI_OFF_DELETE) // 2
+    return reconstruct_series(
+        log,
+        SIM_PK,
+        ["status", "priority", "total", "note"],
+        cuts=[MULTI_OFF_UPDATE - 1, mid, 3 * MULTI_OFF_DELETE],
+    )
+
+
+def _series_cut_sql(cut_expr: str, body: str) -> str:
+    # strip the body's own WITH prefix: the series oracle shares ONE CTE
+    marker = "SELECT o_orderkey"
+    return f"SELECT CAST({cut_expr} AS BIGINT) AS cut, s.* FROM (\n{body[body.index(marker):]}) s"
+
+
+_SQL_RECONSTRUCT_SERIES = f"""
+WITH {ORACLE_EVENTS_CTE}
+{_series_cut_sql("99999999", _SQL_RECONSTRUCT)}
+UNION ALL
+{_series_cut_sql("150000000", _SQL_RECONSTRUCT_AT_LSN)}
+UNION ALL
+{_series_cut_sql("600000000", _SQL_CHANGELOG_COMPACTED)}
+"""
+
+
 def _q_activity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-rate anomaly monitor (operators.profile.
     activity_anomaly): per-day changelog volume z-scored against the
@@ -1427,6 +1476,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_scd2_history": (_q_scd2_history, _SQL_SCD2),
     "cdc_scd2_incremental": (_q_scd2_incremental, _SQL_SCD2_INCREMENTAL),
     "cdc_reconstruct_at_lsn": (_q_reconstruct_at_lsn, _SQL_RECONSTRUCT_AT_LSN),
+    "cdc_reconstruct_series": (_q_reconstruct_series, _SQL_RECONSTRUCT_SERIES),
     "cdc_changelog_compacted": (_q_changelog_compacted, _SQL_CHANGELOG_COMPACTED),
     "cdc_snapshot_diff": (_q_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     "cdc_multi_table_snapshot": (_q_multi_table_snapshot, _SQL_MULTI_SNAPSHOT),
@@ -1500,7 +1550,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_column_churn",
     "cdc_debezium_dlq",
     "cdc_debezium_roundtrip",
-    "cdc_delta_cdf_roundtrip",
     "cdc_mssql_shape_roundtrip",
     "cdc_reconstruct_at_lsn",
     "streaming_dedup_keys",
@@ -1516,6 +1565,7 @@ _CHECK_WINDOW: list[str] = [
     "cdc_activity_anomaly",
     "events_value_histogram",
     "streaming_incremental_agg",
+    "cdc_reconstruct_series",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

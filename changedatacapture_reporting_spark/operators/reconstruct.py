@@ -172,3 +172,117 @@ def snapshot_tables_at_lsn(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def reconstruct_series(
+    changelog: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str],
+    cuts: list[int],
+    order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
+) -> DataFrame:
+    """State of every live row at EACH of several LSN cuts, in ONE pass
+    over the changelog — the backtesting/"state at every month end"
+    series a consumer otherwise gets by running ``reconstruct_state``
+    per cut (C scans, C shuffles) or materializing every snapshot.
+
+    Same dataflow as :func:`reconstruct_state` evaluated at C boundaries
+    via bounded conditional aggregates (the generalization
+    ``operators.diff.snapshot_diff`` applies at C=2): two hash
+    aggregations, ZERO joins, C× the aggregate-buffer width, one
+    explode; epoch correctness (delete → re-insert between cuts) holds
+    at every boundary independently. The changelog scan prunes to
+    ``lsn <= max(cuts)``. Output: ``cut`` + pk cols + value cols
+    (string-typed), one row per (cut, live row at that cut) —
+    output size is the series' own size, the irreducible cost.
+    """
+    if not cuts:
+        raise ValueError("need at least one cut")
+    cut_list = sorted({int(c) for c in cuts})
+    log = changelog.filter(F.col("lsn") <= F.lit(cut_list[-1]))
+    avail = [c for c in order_cols if c in log.columns]
+    ord_key = F.struct(*[F.col(c) for c in avail])
+    liveness = (
+        F.when(F.col("old_value") == DELETED_RECORD, F.lit("dead"))
+        .when(F.col("new_value") == NEW_RECORD, F.lit("live"))
+        .otherwise(F.lit("live"))
+    )
+
+    def last_at(i: int, cut_lsn: int):
+        cut = F.col("lsn") <= F.lit(cut_lsn)
+
+        def b(e):
+            return F.when(cut, e)
+
+        return [
+            F.max_by(b(F.col("new_value")), b(ord_key)).alias(f"_v{i}"),
+            F.max_by(b(liveness), b(ord_key)).alias(f"_live{i}"),
+            F.max(b(ord_key)).alias(f"_ord{i}"),
+            F.max(
+                b(F.when(F.col("old_value") == DELETED_RECORD, ord_key))
+            ).alias(f"_del{i}"),
+        ]
+
+    per_key = log.groupBy(*pk_cols, "column_name").agg(
+        *[e for i, c in enumerate(cut_list) for e in last_at(i, c)]
+    )
+
+    def wide_at(i: int):
+        cols = [
+            F.max(
+                F.when(
+                    F.col("column_name") == c,
+                    F.struct(
+                        F.col(f"_ord{i}").alias("o"),
+                        F.col(f"_v{i}").alias("v"),
+                    ),
+                )
+            ).alias(f"_s{i}_{c}")
+            for c in value_cols
+        ]
+        cols.append(
+            F.max(
+                F.when(F.col("column_name").isNull(), F.col(f"_live{i}"))
+            ).alias(f"_m{i}")
+        )
+        cols.append(
+            F.max(
+                F.when(F.col("column_name").isNull(), F.col(f"_del{i}"))
+            ).alias(f"_e{i}")
+        )
+        cols.append(F.max(F.col(f"_ord{i}").isNotNull()).alias(f"_seen{i}"))
+        return cols
+
+    wide = per_key.groupBy(*pk_cols).agg(
+        *[e for i in range(len(cut_list)) for e in wide_at(i)]
+    )
+
+    def val(i: int, c: str):
+        s = F.col(f"_s{i}_{c}")
+        in_epoch = F.col(f"_e{i}").isNull() | (s["o"] > F.col(f"_e{i}"))
+        return F.when(s.isNotNull() & in_epoch, s["v"])
+
+    def live(i: int):
+        return F.col(f"_seen{i}") & (
+            F.col(f"_m{i}").isNull() | (F.col(f"_m{i}") == "live")
+        )
+
+    states = F.array(
+        *[
+            F.struct(
+                F.lit(cut).cast("long").alias("cut"),
+                live(i).alias("live"),
+                *[val(i, c).alias(c) for c in value_cols],
+            )
+            for i, cut in enumerate(cut_list)
+        ]
+    )
+    return (
+        wide.select(*pk_cols, F.explode(states).alias("_st"))
+        .filter(F.col("_st.live"))
+        .select(
+            F.col("_st.cut").alias("cut"),
+            *pk_cols,
+            *[F.col(f"_st.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -181,3 +181,43 @@ def test_snapshot_diff_delete_reinsert_between_cuts(spark):
         ).collect()
     }
     assert out == {1: ("update", "a", "7", "z", "5")}
+
+
+@given(corpus=corpus, ncuts=st.integers(1, 4))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_reconstruct_series_equals_per_cut_states(spark, corpus, ncuts):
+    """reconstruct_series at N random cuts == reconstruct_state run once
+    per cut — the one-pass fold must agree with the trusted per-cut
+    operator on every boundary, delete→re-insert epochs included."""
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_series,
+    )
+
+    rows, max_lsn = _build_events(corpus)
+    if not rows:
+        return
+    cuts = sorted({1 + (7 * i * max_lsn // (ncuts + 1)) % (max_lsn + 1)
+                   for i in range(1, ncuts + 1)})
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    log = build_changelog(
+        events, ["id"], with_audit_cols=False,
+        carry_cols=["lsn", "seq"], record_insert_images=True,
+    ).localCheckpoint()
+
+    got = {
+        (r.cut, r.id): (r.name, r.qty)
+        for r in reconstruct_series(
+            log, ["id"], VALUE_COLS, cuts=cuts
+        ).collect()
+    }
+    want = {}
+    for cut in cuts:
+        for r in reconstruct_state(
+            log, ["id"], VALUE_COLS, as_of_lsn=cut
+        ).collect():
+            want[(cut, r.id)] = (r.name, r.qty)
+    assert got == want, (cuts, rows)
