@@ -175,6 +175,11 @@ HEADLINE = [
     "dq_orders_expectations",
     "cdc_activity_anomaly",
     "cdc_snapshot_diff",
+    "events_value_histogram",
+    "cdc_reconstruct_series",
+    # streaming_incremental_agg stays out: like cdc_forget_keys it
+    # populates a tempdir target per run (epoch-ledger commit churn);
+    # its batch-side plan is cdc_incremental_agg, benched above.
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -1548,7 +1548,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_apply_net_changes",
     "cdc_changelog_daily_activity",
     "cdc_column_churn",
-    "cdc_debezium_dlq",
     "cdc_debezium_roundtrip",
     "cdc_mssql_shape_roundtrip",
     "cdc_reconstruct_at_lsn",
@@ -1566,6 +1565,7 @@ _CHECK_WINDOW: list[str] = [
     "events_value_histogram",
     "streaming_incremental_agg",
     "cdc_reconstruct_series",
+    "salted_join_segment_revenue",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

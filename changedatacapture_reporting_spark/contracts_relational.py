@@ -558,6 +558,38 @@ ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
 """
 
 
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (plans.skew.salted_join): orders joined to
+    customer with the left side salted and the dimension replicated per
+    salt — the static-plan fallback for hot keys AQE can't split. The
+    result must be IDENTICAL to the plain join (no duplicated or dropped
+    rows), proven through per-segment counts and integer revenue sums
+    the oracle computes with an unsalted join."""
+    from changedatacapture_reporting_spark.plans.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor("o_totalprice").cast("long").alias("t"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, ["o_custkey"], salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("t").cast("long").alias("sum_total"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations (operators.quality.
     check_expectations): five rules over orders — nullability, accepted
@@ -1974,6 +2006,7 @@ REGISTRY_RELATIONAL = {
     "asof_signup_attribution": (asof_signup_attribution, SQL_ASOF),
     "scd2_pointintime_enrich": (scd2_pointintime_enrich, SQL_SCD2_ENRICH),
     "dq_orders_expectations": (dq_orders_expectations, SQL_DQ_ORDERS),
+    "salted_join_segment_revenue": (salted_join_segment_revenue, SQL_SALTED_JOIN),
     "events_tumbling_5min": (events_tumbling_5min, SQL_TUMBLING),
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "events_funnel": (events_funnel, SQL_FUNNEL),

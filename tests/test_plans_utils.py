@@ -67,3 +67,35 @@ def test_salted_aggregate_rejects_nondecomposable(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     with pytest.raises(ValueError):
         salted_aggregate(o, ["o_orderstatus"], {"d": ("countDistinct", "x")})
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Heavily skewed left side (one key holds half the rows): the
+    salted join returns exactly the plain join's multiset for inner and
+    left-outer (unmatched left rows exactly once, nulls on the right);
+    bad params raise."""
+    import pytest as _pytest
+
+    from changedatacapture_reporting_spark.plans.skew import salted_join
+
+    left_rows = [(1, i) for i in range(500)] + [
+        (k, 1000 + k) for k in range(2, 60)
+    ] + [(999, 0)]  # 999 unmatched
+    right_rows = [(1, "hot"), (2, "a"), (3, "b"), (3, "b2")]  # dup right key
+    left = spark.createDataFrame(left_rows, "k long, v long").repartition(8)
+    right = spark.createDataFrame(right_rows, "k long, lbl string")
+
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.lbl)
+            for r in salted_join(left, right, ["k"], 8, how).collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.lbl) for r in left.join(right, ["k"], how).collect()
+        )
+        assert got == want, how
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, ["k"], 8, "full")
+    with _pytest.raises(ValueError):
+        salted_join(left, right, ["k"], 1)
