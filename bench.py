@@ -177,6 +177,8 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "events_value_histogram",
     "cdc_reconstruct_series",
+    "salted_join_segment_revenue",
+    "ann_topk_ivfpq",
     # streaming_incremental_agg stays out: like cdc_forget_keys it
     # populates a tempdir target per run (epoch-ledger commit churn);
     # its batch-side plan is cdc_incremental_agg, benched above.

@@ -1546,7 +1546,6 @@ _CHECK_WINDOW: list[str] = [
     "topk_orders_per_customer",
     # last driver-green r6 — 19 of 45, highest-churn families first
     "cdc_apply_net_changes",
-    "cdc_changelog_daily_activity",
     "cdc_column_churn",
     "cdc_debezium_roundtrip",
     "cdc_mssql_shape_roundtrip",
@@ -1566,6 +1565,7 @@ _CHECK_WINDOW: list[str] = [
     "streaming_incremental_agg",
     "cdc_reconstruct_series",
     "salted_join_segment_revenue",
+    "ann_topk_ivfpq",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

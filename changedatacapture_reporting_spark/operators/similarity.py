@@ -466,3 +466,130 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    rerank_factor: int = 2,
+) -> DataFrame:
+    """IVF-PQ composite ANN (the standard billion-scale layout, Jégou et
+    al. 2011 / FAISS IVFPQ): coarse IVF pruning cuts the SCAN to
+    ~nprobe/n_centroids of the corpus, PQ compression cuts the BYTES per
+    scanned vector to m — the two savings multiply, which is what makes
+    a single machine-generation of hardware hold a billion vectors.
+
+    Composition of the two existing indexes: ``ivf_index`` assigns
+    clusters, ``pq_index`` trains the codebooks, and the ADC pass scores
+    codes only inside each query's probed clusters (a broadcast equi
+    join on cluster — the per-query LUT gather never sees unprobed
+    lists). Codes encode RAW vectors with one shared codebook, not
+    per-cluster residuals — simpler plumbing at slightly lower ADC
+    precision, restored by the exact rerank of the shortlist
+    (``rerank_factor``·k candidates' raw vectors fetched by broadcast
+    semi join; I/O ∝ shortlist). ``queries`` is driver-small (the
+    recall-contract shape shared by the other *_topk operators).
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    indexed, centroids = ivf_index(corpus, vec_col, id_col, n_centroids, iters)
+    _, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
+    with_codes = indexed.withColumn(
+        "codes", _pq_encode_udf(books)(F.col(vec_col))
+    )
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col))
+        .orderBy("qid")
+        .collect()
+    )
+    qids = [r.qid for r in q_rows]
+    qv = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    ds = books.shape[2]
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    qv[qi, j * ds : (j + 1) * ds] @ books[j].T
+                    for j in range(books.shape[0])
+                ]
+            )
+            for qi in range(len(qids))
+        ]
+    )  # Q × m × k_codes
+    probe_order = np.argsort(-(qv @ centroids.T), axis=1)[:, :nprobe]
+
+    q_probes = corpus.sparkSession.createDataFrame(
+        [
+            (int(qi), qids[qi], int(c))
+            for qi in range(len(qids))
+            for c in probe_order[qi]
+        ],
+        "qi int, query_id long, cluster int",
+    )
+
+    def adc(codes_s: pandas.Series, qi_s: pandas.Series) -> pandas.Series:
+        codes = np.stack(codes_s.to_numpy()).astype(np.int64)  # n × m
+        qi = qi_s.to_numpy().astype(np.int64)
+        sub = np.arange(codes.shape[1])[None, :]  # 1 × m
+        gathered = luts[qi[:, None], sub, codes]  # n × m
+        return pandas.Series(gathered.sum(axis=1))
+
+    adc_udf = F.pandas_udf(adc, DoubleType())
+    scored = (
+        with_codes.select(
+            F.col(id_col).alias("neighbor_id"), "cluster", "codes"
+        )
+        .join(F.broadcast(q_probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_udf(F.col("codes"), F.col("qi")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    shortlist_k = k * rerank_factor if rerank_factor > 0 else k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+    if rerank_factor <= 0:
+        return shortlist
+
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(
+        F.broadcast(shortlist.select("neighbor_id").distinct()),
+        "neighbor_id",
+        "left_semi",
+    )
+    qframe = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    refined = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(F.broadcast(qframe), "query_id")
+        .join(cand_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_double(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -943,3 +943,38 @@ def test_random_projection_exact_and_recall(embeddings):
         random_projection(F.col("embedding"), [])
     with pytest.raises(ValueError):
         random_projection(F.col("embedding"), [[1, -1], [1]])
+
+
+def test_ivfpq_topk_recall_and_pruning(embeddings):
+    """IVF-PQ composite: recall@10 ≥ 0.6 vs exact under coarse pruning +
+    compression + rerank; the ADC-only form (rerank_factor=0) still
+    returns k rows per query; invalid subspace split raises."""
+    from changedatacapture_reporting_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embeddings, q, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            embeddings, q, k=10, n_centroids=16, nprobe=6,
+            m=16, k_codes=32, rerank_factor=3,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f} too low"
+
+    adc_only = ivfpq_topk(
+        embeddings, q, k=5, n_centroids=16, nprobe=6,
+        m=16, k_codes=32, rerank_factor=0,
+    )
+    counts = {r.query_id: r.n for r in adc_only.groupBy("query_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(10)) and all(v == 5 for v in counts.values())
+
+    with pytest.raises(ValueError):
+        ivfpq_topk(embeddings, q, m=7).collect()  # 64 % 7 != 0
