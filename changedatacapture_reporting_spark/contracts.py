@@ -1504,10 +1504,14 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # explicit order column / monotonic id instead of value order, and the
 # record timestamp is an explicit parameter; cdc_forget_keys —
 # purge_keys_from_sink now appends negative rollup partials in the same
-# replace commit); all 26 last-green-r5 entries; and 19 of the 45
-# last-green-r6 entries, CDC/streaming/incremental-dedup first (deepest
-# shared-code churn risk). The 26 r6-green entries left out stay covered
-# by the local tools/check_contract.py full run every round.
+# replace commit); all 26 last-green-r5 entries; the 12 NEW r8 entries
+# (every new entry ships with a slot — the tail of this list); and 7 of
+# the 45 last-green-r6 entries (cdc_apply_net_changes,
+# cdc_column_churn, cdc_debezium_roundtrip, cdc_mssql_shape_roundtrip,
+# cdc_reconstruct_at_lsn, streaming_dedup_keys, streaming_interval_join
+# — CDC-core + watermark-bounded streaming, the deepest shared-code
+# churn risk). The 38 r6-green entries left out stay covered by the
+# local tools/check_contract.py full run every round.
 _CHECK_WINDOW: list[str] = [
     # never driver-checked — highest priority slot (ADVICE r07 item 1)
     "cdc_snapshot_diff",
