@@ -179,6 +179,7 @@ HEADLINE = [
     "cdc_reconstruct_series",
     "salted_join_segment_revenue",
     "ann_topk_ivfpq",
+    "corpus_boilerplate_scores",
     # streaming_incremental_agg stays out: like cdc_forget_keys it
     # populates a tempdir target per run (epoch-ledger commit churn);
     # its batch-side plan is cdc_incremental_agg, benched above.

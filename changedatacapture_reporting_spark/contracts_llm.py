@@ -1426,6 +1426,41 @@ FROM (
 """
 
 
+def corpus_boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate fraction (operators.corpus.boilerplate_scores,
+    hashed=False so the shingle keys replay in DuckDB): share of each
+    document's distinct 3-gram shingles with corpus df ≥ 3 — the
+    RefinedWeb-style templated-content signal. The xxhash64-keyed
+    production path is pytest-proven identical
+    (test_llm_ops::test_boilerplate_hashed_equals_string_key)."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        boilerplate_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_scores(d, "text", "doc_id", n=3, min_df=3, hashed=False)
+
+
+SQL_BOILERPLATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+dfc AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(*) FILTER (dfc.df >= 3) AS n_boiler,
+       CAST(COUNT(*) FILTER (dfc.df >= 3) AS DOUBLE) / COUNT(*)
+         AS boiler_frac
+FROM sh JOIN dfc USING (g)
+GROUP BY 1
+"""
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign random projection 64→8 (functions.vectors.random_projection):
     all-BIGINT fixed-point arithmetic on a 1e-6 lattice, so the projected
@@ -1569,6 +1604,7 @@ REGISTRY_LLM = {
     "text_normalization": (text_normalization, SQL_NORMALIZE),
     "embedding_quantization": (embedding_quantization, SQL_QUANTIZE),
     "embedding_random_projection": (embedding_random_projection, SQL_PROJECTION),
+    "corpus_boilerplate_scores": (corpus_boilerplate_scores, SQL_BOILERPLATE),
     "corpus_leakage_safe_splits": (corpus_leakage_safe_splits, SQL_SPLITS),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
     "corpus_pack_bfd": (corpus_pack_bfd, SQL_PACK_BFD),

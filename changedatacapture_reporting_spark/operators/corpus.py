@@ -492,3 +492,55 @@ def tfidf_top_terms(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def boilerplate_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 3,
+    hashed: bool = True,
+) -> DataFrame:
+    """Corpus-boilerplate fraction per document — the RefinedWeb/CCNet
+    quality signal "how much of this document is phrasing that recurs
+    across the corpus" (navigation chrome, license headers, templated
+    spans): the share of a document's DISTINCT n-gram shingles whose
+    corpus document-frequency is ≥ ``min_df``. High fraction → templated
+    page; filter or down-weight before training.
+
+    Output: (id, n_shingles, n_boiler, boiler_frac). Two hash
+    aggregations + ONE broadcast join: the df aggregation reuses the
+    per-doc-distinct shingle explode (map-side combine collapses
+    within-partition repeats), and the "boilerplate" shingle set is
+    df-FILTERED before joining back — its size is bounded by
+    total_shingle_instances / min_df, which is what makes the broadcast
+    safe at corpus scale where the full vocabulary is not. With
+    ``hashed=True`` (production) shingles travel as xxhash64 keys —
+    8 bytes through both shuffles instead of strings; ``hashed=False``
+    keeps raw strings so an external oracle replays exactly
+    (test_llm_ops proves the two select identical documents).
+    """
+    from changedatacapture_reporting_spark.functions.text import shingles
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    ).filter(F.col("g") != "")
+    key = F.xxhash64("g") if hashed else F.col("g")
+    per = sh.select("_id", key.alias("k"))
+    # shingles() is distinct-per-document, so count == document frequency
+    boiler = (
+        per.groupBy("k")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("k", F.lit(1).alias("_b"))
+    )
+    flagged = per.join(F.broadcast(boiler), "k", "left")
+    return flagged.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.count("_b").cast("long").alias("n_boiler"),
+        (F.count("_b") / F.count("*")).alias("boiler_frac"),
+    ).select(
+        F.col("_id").alias(id_col), "n_shingles", "n_boiler", "boiler_frac"
+    )

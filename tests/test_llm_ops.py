@@ -978,3 +978,34 @@ def test_ivfpq_topk_recall_and_pruning(embeddings):
 
     with pytest.raises(ValueError):
         ivfpq_topk(embeddings, q, m=7).collect()  # 64 % 7 != 0
+
+
+def test_boilerplate_hashed_equals_string_key(documents):
+    """The xxhash64-keyed production path selects identical per-doc
+    scores to the raw-string oracle path, and the score actually
+    separates a templated document from a unique one."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        boilerplate_scores,
+    )
+
+    h = {
+        r.doc_id: (r.n_shingles, r.n_boiler)
+        for r in boilerplate_scores(documents, hashed=True).collect()
+    }
+    s = {
+        r.doc_id: (r.n_shingles, r.n_boiler)
+        for r in boilerplate_scores(documents, hashed=False).collect()
+    }
+    assert h == s and len(h) == documents.count()
+
+    spark = documents.sparkSession
+    tmpl = "copyright footer terms apply"
+    docs = spark.createDataFrame(
+        [(i, f"{tmpl} unique{i} words{i} here{i}") for i in range(5)]
+        + [(99, "entirely singular content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.boiler_frac for r in
+           boilerplate_scores(docs, min_df=3).collect()}
+    assert out[99] == 0.0
+    assert all(out[i] > 0.2 for i in range(5))  # the shared prefix flags
