@@ -1504,14 +1504,14 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # explicit order column / monotonic id instead of value order, and the
 # record timestamp is an explicit parameter; cdc_forget_keys —
 # purge_keys_from_sink now appends negative rollup partials in the same
-# replace commit); all 26 last-green-r5 entries; the 13 NEW r8 entries
-# (every new entry ships with a slot — the tail of this list); and 6 of
+# replace commit); all 26 last-green-r5 entries; the 14 NEW r8 entries
+# (every new entry ships with a slot — the tail of this list); and 5 of
 # the 45 last-green-r6 entries (cdc_apply_net_changes,
-# cdc_debezium_roundtrip, cdc_mssql_shape_roundtrip,
-# cdc_reconstruct_at_lsn, streaming_dedup_keys, streaming_interval_join
-# — CDC-core + watermark-bounded streaming, the deepest shared-code
-# churn risk). The 39 r6-green entries left out stay covered by the
-# local tools/check_contract.py full run every round.
+# cdc_mssql_shape_roundtrip, cdc_reconstruct_at_lsn,
+# streaming_dedup_keys, streaming_interval_join — CDC-core +
+# watermark-bounded streaming, the deepest shared-code churn risk). The
+# 40 r6-green entries left out stay covered by the local
+# tools/check_contract.py full run every round.
 _CHECK_WINDOW: list[str] = [
     # never driver-checked — highest priority slot (ADVICE r07 item 1)
     "cdc_snapshot_diff",
@@ -1550,7 +1550,6 @@ _CHECK_WINDOW: list[str] = [
     "topk_orders_per_customer",
     # last driver-green r6 — 19 of 45, highest-churn families first
     "cdc_apply_net_changes",
-    "cdc_debezium_roundtrip",
     "cdc_mssql_shape_roundtrip",
     "cdc_reconstruct_at_lsn",
     "streaming_dedup_keys",
@@ -1570,6 +1569,7 @@ _CHECK_WINDOW: list[str] = [
     "salted_join_segment_revenue",
     "ann_topk_ivfpq",
     "corpus_boilerplate_scores",
+    "corpus_bpe_merges",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -1426,6 +1426,24 @@ FROM (
 """
 
 
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators.bpe.bpe_train):
+    30 merge rules learned from the documents corpus — iterative
+    (pair-count argmax per round), so there is no single-SQL oracle;
+    this is a rows-only registry entry, with the exact semantics pinned
+    instead by tests/test_bpe.py's pure-Python reference (merge
+    sequence AND final vocabulary must match, tie-breaks included).
+    Deterministic: lexicographic tie-break, no RNG."""
+    from changedatacapture_reporting_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, n_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, n long",
+    )
+
+
 def corpus_boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-boilerplate fraction (operators.corpus.boilerplate_scores,
     hashed=False so the shingle keys replay in DuckDB): share of each
@@ -1605,6 +1623,7 @@ REGISTRY_LLM = {
     "embedding_quantization": (embedding_quantization, SQL_QUANTIZE),
     "embedding_random_projection": (embedding_random_projection, SQL_PROJECTION),
     "corpus_boilerplate_scores": (corpus_boilerplate_scores, SQL_BOILERPLATE),
+    "corpus_bpe_merges": (corpus_bpe_merges, None),
     "corpus_leakage_safe_splits": (corpus_leakage_safe_splits, SQL_SPLITS),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
     "corpus_pack_bfd": (corpus_pack_bfd, SQL_PACK_BFD),

@@ -1,0 +1,137 @@
+"""Distributed BPE tokenizer training — learn merge rules from a corpus
+the way sentencepiece/GPT-2 BPE does, but with the corpus staying
+distributed end to end.
+
+BPE trains on the WORD HISTOGRAM, not the raw corpus: the first (and
+only corpus-sized) step collapses documents to distinct words with
+counts — at 100 TB that's one hash aggregation down to vocabulary scale
+(10⁷–10⁸ rows), after which every merge iteration touches only the
+histogram. Each iteration is:
+
+1. pair counting — explode adjacent symbol pairs per word, weighted by
+   the word's corpus frequency; ONE hash aggregation (map-side combine
+   collapses the heavy pairs early);
+2. argmax — `orderBy(count desc, pair).limit(1)`: a TakeOrdered of one
+   row (per-partition heads + driver pick), with a LEXICOGRAPHIC
+   tie-break so the learned merge sequence is deterministic across
+   partitionings and engines;
+3. greedy merge — a pure-expression left-to-right array fold rewrites
+   each word's symbol sequence (``a b a b`` → ``ab ab``; ``a a a`` →
+   ``aa a`` — the classic BPE greedy semantics), no Python, no shuffle;
+   the histogram is ``localCheckpoint``-ed per iteration so the plan
+   stays flat instead of nesting n_merges folds.
+
+Driver traffic is one (pair, count) row per iteration. The reference
+semantics are pinned by a pure-Python BPE in tests/test_bpe.py — merge
+sequence and final vocabulary must match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def _word_histogram(
+    df: DataFrame, text_col: str, lowercase: bool
+) -> DataFrame:
+    from changedatacapture_reporting_spark.functions.text import tokens
+
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    words = df.select(F.explode(tokens(c)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return words.groupBy("word").agg(F.count("*").alias("freq"))
+
+
+def _initial_symbols(word: Column) -> Column:
+    """word → [c1, c2, …, cn</w>]: characters, end-of-word marker fused
+    onto the last one (the GPT-2/sentencepiece convention that lets BPE
+    distinguish word-final units)."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(END_OF_WORD))),
+    )
+
+
+def _merge_expr(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) inside one symbol
+    array — the expression fold that replaces Python in the hot loop."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 40,
+    lowercase: bool = True,
+    min_pair_freq: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, vocab)``: ``merges`` is the ordered list of
+    ``(left, right, weighted_count)`` rules (stops early when no pair
+    reaches ``min_pair_freq``); ``vocab`` is the post-merge symbol
+    inventory as a DataFrame (symbol, freq = total weighted occurrences)
+    — the unit inventory a tokenizer ships.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    hist = _word_histogram(df, text_col, lowercase).select(
+        _initial_symbols(F.col("word")).alias("syms"), "freq"
+    )
+    hist = hist.localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            hist.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0].n < min_pair_freq:
+            break
+        a, b, n = pairs[0].p.a, pairs[0].p.b, int(pairs[0].n)
+        merges.append((a, b, n))
+        hist = hist.select(
+            _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
+        ).localCheckpoint()
+
+    vocab = (
+        hist.select(F.explode("syms").alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+    return merges, vocab

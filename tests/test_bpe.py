@@ -1,0 +1,88 @@
+"""Distributed BPE trainer vs a pure-Python reference implementation:
+the merge SEQUENCE (order, pairs, weighted counts) and the final symbol
+vocabulary must match exactly — including lexicographic tie-breaks and
+the greedy adjacent-merge semantics ('a a a' → 'aa a')."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from changedatacapture_reporting_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_train,
+)
+
+
+def _ref_bpe(texts, n_merges, min_pair_freq=2, lowercase=True):
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                words[w.lower() if lowercase else w] += 1
+    hist = {
+        tuple(list(w[:-1]) + [w[-1] + END_OF_WORD]): f
+        for w, f in words.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in hist.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), n = best
+        if n < min_pair_freq:
+            break
+        merges.append((a, b, n))
+        new_hist = {}
+        for syms, f in hist.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_hist[tuple(out)] = new_hist.get(tuple(out), 0) + f
+        hist = new_hist
+    vocab = Counter()
+    for syms, f in hist.items():
+        for s in syms:
+            vocab[s] += f
+    return merges, dict(vocab)
+
+
+def test_bpe_matches_reference_on_fixture(spark, sf_dir):
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    texts = [r.text for r in d.collect()]
+    want_merges, want_vocab = _ref_bpe(texts, n_merges=25)
+
+    merges, vocab = bpe_train(d, n_merges=25)
+    assert merges == want_merges
+    got_vocab = {r.symbol: r.freq for r in vocab.collect()}
+    assert got_vocab == want_vocab
+    # merges actually build multi-char units ending in the EOW marker
+    assert any(len(a + b) > 3 for a, b, _ in merges)
+    assert any((a + b).endswith(END_OF_WORD) for a, b, _ in merges)
+
+
+def test_bpe_greedy_and_ties(spark):
+    """'a a a' merges greedily left-to-right; ties break
+    lexicographically; early stop below min_pair_freq."""
+    df = spark.createDataFrame(
+        [("aaa aaa zz zz",)], "text string"
+    )
+    want_merges, want_vocab = _ref_bpe(["aaa aaa zz zz"], n_merges=10)
+    merges, vocab = bpe_train(df, n_merges=10)
+    assert merges == want_merges
+    assert {r.symbol: r.freq for r in vocab.collect()} == want_vocab
+
+    with pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)
