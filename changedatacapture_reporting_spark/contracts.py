@@ -1326,7 +1326,9 @@ def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total").cast("long").alias("sum_total"),
     )
     deltas = aggregate_deltas(ev, ["status"], {"sum_total": "total"})
-    return merge_aggregate(agg0, deltas, ["status"])
+    # agg0 here is a computed subtree, not a materialized table —
+    # checkpoint it so it is derived once, not twice (scd2 precedent)
+    return merge_aggregate(agg0, deltas, ["status"], materialize=True)
 
 
 _SQL_INCREMENTAL_AGG = f"""

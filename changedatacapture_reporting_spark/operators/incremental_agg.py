@@ -80,6 +80,7 @@ def merge_aggregate(
     deltas: DataFrame,
     group_cols: list[str],
     broadcast_deltas: bool = True,
+    materialize: bool | str = "auto",
 ) -> DataFrame:
     """Advance a maintained aggregate by one batch of deltas.
 
@@ -89,7 +90,37 @@ def merge_aggregate(
     ``n_rows = 0`` vanish — matching a from-scratch GROUP BY of the
     post-batch state exactly. Group keys compare null-safely, so a NULL
     group maintains like any other.
+
+    ``agg`` is referenced twice (anti join + semi join) — the
+    steady-state caller holds the materialized table and pays nothing,
+    but an unpersisted computed subtree would be derived twice, so the
+    same guard as ``operators.scd.scd2_merge`` applies:
+    ``materialize=True`` localCheckpoints it, ``"auto"`` (default) warns
+    when the plan is a non-trivial unpersisted computation.
     """
+    import warnings
+
+    from changedatacapture_reporting_spark.operators.scd import (
+        _plan_is_simple_scan,
+    )
+
+    if materialize is True:
+        agg = agg.localCheckpoint(eager=True)
+    elif materialize == "auto":
+        try:
+            uncached = agg.storageLevel.useMemory is False and (
+                agg.storageLevel.useDisk is False
+            )
+        except Exception:  # pragma: no cover - Connect-style sessions
+            uncached = True
+        if uncached and not _plan_is_simple_scan(agg):
+            warnings.warn(
+                "merge_aggregate references `agg` twice; its plan is an "
+                "unpersisted computation and will be recomputed 2x. "
+                "Pass the materialized aggregate table, cache it, or "
+                "call with materialize=True to localCheckpoint it.",
+                stacklevel=2,
+            )
     measure_cols = [c for c in agg.columns if c not in group_cols]
     touched = deltas.select(*group_cols).distinct()
     if broadcast_deltas:

@@ -154,3 +154,41 @@ def test_group_key_move_and_death(spark):
         for r in merge_aggregate(agg0, deltas, ["grp"]).collect()
     }
     assert got == {"b": (1, 5), "z": (2, 4)}
+
+
+def test_merge_aggregate_materialize_guard(spark):
+    """An unpersisted computed `agg` warns about the double reference;
+    materialize=True silences it by checkpointing (scd2_merge parity)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.lit(1).alias("x"),
+    )
+    dim = spark.range(3).select(
+        F.col("id").cast("string").alias("grp"), F.lit("d").alias("lbl")
+    )
+    computed = (
+        base.join(dim, "grp")  # deep subtree — NOT a bare table scan
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("x").cast("long").alias("sum_qty"),
+        )
+    )
+    deltas = spark.createDataFrame(
+        [("0", 1, 5)], "grp string, n_rows long, sum_qty long"
+    )
+    def guard_warnings(ws):
+        return [x for x in ws if "recomputed 2x" in str(x.message)]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_aggregate(computed, deltas, ["grp"]).collect()
+    assert guard_warnings(w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_aggregate(computed, deltas, ["grp"], materialize=True).collect()
+    assert not guard_warnings(w)
