@@ -185,6 +185,7 @@ HEADLINE = [
     # overhead x rounds in local mode, not data volume — benched anyway
     # for the trend, read it as "per-merge latency x 30".
     "corpus_bpe_merges",
+    "cdc_daily_series",
     # streaming_incremental_agg stays out: like cdc_forget_keys it
     # populates a tempdir target per run (epoch-ledger commit churn);
     # its batch-side plan is cdc_incremental_agg, benched above.

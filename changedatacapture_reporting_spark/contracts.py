@@ -1391,6 +1391,51 @@ UNION ALL
 """
 
 
+def _q_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily activity series (operators.timeseries.resample_daily,
+    zero fill): the changelog's irregular per-day counts regularized to
+    one row per (table, day) across each table's observed span — the
+    grid every dashboard/forecast consumes. Grid via sequence() explode
+    (rows ∝ output, no calendar join); oracle replays with
+    generate_series."""
+    from changedatacapture_reporting_spark.operators.timeseries import (
+        resample_daily,
+    )
+
+    log = _changelog(spark, sf_dir)
+    daily = (
+        log.withColumn("change_date", F.to_date("commit_time"))
+        .groupBy("table_name", "change_date")
+        .agg(F.count("*").cast("long").alias("n_changes"))
+    )
+    return resample_daily(
+        daily, ["table_name"], "change_date", ["n_changes"], fill="zero"
+    )
+
+
+_SQL_DAILY_SERIES = (
+    _ORACLE_CHANGES
+    + """
+, daily AS (
+  SELECT table_name, CAST(commit_time AS DATE) AS d, COUNT(*) AS n_changes
+  FROM changes GROUP BY 1, 2
+), span AS (
+  SELECT table_name, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+), grid AS (
+  SELECT table_name, CAST(g AS DATE) AS day
+  FROM span, UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                    CAST(hi AS TIMESTAMP),
+                                    INTERVAL 1 DAY)) AS t(g)
+)
+SELECT g.table_name, g.day,
+       CAST(COALESCE(d.n_changes, 0) AS BIGINT) AS n_changes,
+       d.d IS NOT NULL AS is_observed
+FROM grid g
+LEFT JOIN daily d ON g.table_name = d.table_name AND g.day = d.d
+"""
+)
+
+
 def _q_activity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-rate anomaly monitor (operators.profile.
     activity_anomaly): per-day changelog volume z-scored against the
@@ -1485,6 +1530,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_transaction_summary": (_q_transaction_summary, _SQL_TRANSACTION_SUMMARY),
     "cdc_incremental_agg": (_q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "cdc_activity_anomaly": (_q_activity_anomaly, _SQL_ACTIVITY_ANOMALY),
+    "cdc_daily_series": (_q_daily_series, _SQL_DAILY_SERIES),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
     **REGISTRY_RELATIONAL,
@@ -1506,14 +1552,13 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # explicit order column / monotonic id instead of value order, and the
 # record timestamp is an explicit parameter; cdc_forget_keys —
 # purge_keys_from_sink now appends negative rollup partials in the same
-# replace commit); all 26 last-green-r5 entries; the 14 NEW r8 entries
-# (every new entry ships with a slot — the tail of this list); and 5 of
+# replace commit); all 26 last-green-r5 entries; the 15 NEW r8 entries
+# (every new entry ships with a slot — the tail of this list); and 4 of
 # the 45 last-green-r6 entries (cdc_apply_net_changes,
-# cdc_mssql_shape_roundtrip, cdc_reconstruct_at_lsn,
-# streaming_dedup_keys, streaming_interval_join — CDC-core +
-# watermark-bounded streaming, the deepest shared-code churn risk). The
-# 40 r6-green entries left out stay covered by the local
-# tools/check_contract.py full run every round.
+# cdc_reconstruct_at_lsn, streaming_dedup_keys, streaming_interval_join
+# — CDC-core + watermark-bounded streaming, the deepest shared-code
+# churn risk). The 41 r6-green entries left out stay covered by the
+# local tools/check_contract.py full run every round.
 _CHECK_WINDOW: list[str] = [
     # never driver-checked — highest priority slot (ADVICE r07 item 1)
     "cdc_snapshot_diff",
@@ -1552,7 +1597,6 @@ _CHECK_WINDOW: list[str] = [
     "topk_orders_per_customer",
     # last driver-green r6 — 19 of 45, highest-churn families first
     "cdc_apply_net_changes",
-    "cdc_mssql_shape_roundtrip",
     "cdc_reconstruct_at_lsn",
     "streaming_dedup_keys",
     "streaming_interval_join",
@@ -1572,6 +1616,7 @@ _CHECK_WINDOW: list[str] = [
     "ann_topk_ivfpq",
     "corpus_boilerplate_scores",
     "corpus_bpe_merges",
+    "cdc_daily_series",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

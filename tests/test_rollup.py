@@ -83,3 +83,52 @@ def test_activity_anomaly_spike_and_cold_start(spark):
     # zero-variance baseline → NULL z, never anomalous
     for i in range(3, 6):
         assert got[("flat", str(base + dt.timedelta(days=i)))] == (None, False)
+
+
+def test_resample_daily_fill_policies(spark):
+    """Dense grid spans each key's own [min, max]; zero/locf/null fills
+    behave; input duplicates rejected implicitly by precondition (not
+    tested — documented); bad policy raises."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from changedatacapture_reporting_spark.operators.timeseries import (
+        resample_daily,
+    )
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 10),
+        ("a", d(2024, 1, 4), 40),   # 2 gap days
+        ("b", d(2024, 2, 1), 7),    # single observation → 1-day span
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v long")
+
+    zero = {
+        (r.k, str(r.day)): (r.v, r.is_observed)
+        for r in resample_daily(df, ["k"], "day", ["v"], "zero").collect()
+    }
+    assert zero == {
+        ("a", "2024-01-01"): (10, True),
+        ("a", "2024-01-02"): (0, False),
+        ("a", "2024-01-03"): (0, False),
+        ("a", "2024-01-04"): (40, True),
+        ("b", "2024-02-01"): (7, True),
+    }
+
+    locf = {
+        (r.k, str(r.day)): r.v
+        for r in resample_daily(df, ["k"], "day", ["v"], "locf").collect()
+    }
+    assert locf[("a", "2024-01-02")] == 10 and locf[("a", "2024-01-03")] == 10
+    assert locf[("a", "2024-01-04")] == 40
+
+    nulls = {
+        (r.k, str(r.day)): r.v
+        for r in resample_daily(df, ["k"], "day", ["v"], "null").collect()
+    }
+    assert nulls[("a", "2024-01-02")] is None
+
+    with _pytest.raises(ValueError):
+        resample_daily(df, ["k"], "day", ["v"], "ffill")
