@@ -186,6 +186,7 @@ HEADLINE = [
     # for the trend, read it as "per-merge latency x 30".
     "corpus_bpe_merges",
     "cdc_daily_series",
+    "fuzzy_match_customers",
     # streaming_incremental_agg stays out: like cdc_forget_keys it
     # populates a tempdir target per run (epoch-ledger commit churn);
     # its batch-side plan is cdc_incremental_agg, benched above.

@@ -558,6 +558,52 @@ ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
 """
 
 
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (operators.linkage.fuzzy_match): customer
+    names matched against a deterministically perturbed copy (even keys
+    get an 'x' appended) — blocked on the first 17 normalized chars
+    (never a cross join), length-band pruned (lossless under the
+    distance cap), verified by JVM Levenshtein ≤ 1. Same-block sibling
+    names differing in the final digit also match at distance 1 —
+    deterministic, and the oracle replays the identical
+    block + band + distance pipeline."""
+    from changedatacapture_reporting_spark.operators.linkage import (
+        fuzzy_match,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    right = c.select(
+        (F.col("c_custkey") + 1_000_000).alias("rid"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.concat(F.col("c_name"), F.lit("x"))
+        ).otherwise(F.col("c_name")).alias("name"),
+    )
+    return fuzzy_match(
+        c, right, "c_custkey", "rid", "c_name", "name",
+        max_distance=1,
+        block_key=lambda s: F.substring(s, 1, 17),
+    )
+
+
+SQL_FUZZY_MATCH = """
+WITH r AS (
+  SELECT c_custkey + 1000000 AS rid,
+         CASE WHEN c_custkey % 2 = 0 THEN c_name || 'x'
+              ELSE c_name END AS name
+  FROM customer
+),
+ln AS (SELECT c_custkey AS lid, c_name, lower(trim(c_name)) AS lnorm
+       FROM customer),
+rn AS (SELECT rid, name, lower(trim(name)) AS rnorm FROM r)
+SELECT lid AS left_id, rid AS right_id,
+       c_name AS left_val, name AS right_val,
+       levenshtein(lnorm, rnorm) AS distance
+FROM ln JOIN rn ON substring(lnorm, 1, 17) = substring(rnorm, 1, 17)
+WHERE abs(length(lnorm) - length(rnorm)) <= 1
+  AND levenshtein(lnorm, rnorm) <= 1
+"""
+
+
 def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join (plans.skew.salted_join): orders joined to
     customer with the left side salted and the dimension replicated per
@@ -2007,6 +2053,7 @@ REGISTRY_RELATIONAL = {
     "scd2_pointintime_enrich": (scd2_pointintime_enrich, SQL_SCD2_ENRICH),
     "dq_orders_expectations": (dq_orders_expectations, SQL_DQ_ORDERS),
     "salted_join_segment_revenue": (salted_join_segment_revenue, SQL_SALTED_JOIN),
+    "fuzzy_match_customers": (fuzzy_match_customers, SQL_FUZZY_MATCH),
     "events_tumbling_5min": (events_tumbling_5min, SQL_TUMBLING),
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "events_funnel": (events_funnel, SQL_FUNNEL),

@@ -99,3 +99,41 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, ["k"], 8, "full")
     with _pytest.raises(ValueError):
         salted_join(left, right, ["k"], 1)
+
+
+def test_fuzzy_match_blocking_and_distance(spark):
+    """Linkage finds within-cap pairs inside blocks, misses cross-block
+    pairs (documented recall tradeoff), length band never drops a
+    true match, no cross join in the plan."""
+    import pytest as _pytest
+
+    from changedatacapture_reporting_spark.operators.linkage import fuzzy_match
+
+    left = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "Bravo Ltd"), (3, "zeta")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "ACME Corp"),   # case-only → distance 0
+         (11, "Acme Crop"),  # transposition → distance 2
+         (12, "Bravo Ltd"),  # exact
+         (13, "cravo Ltd"),  # first-char edit → OUT OF BLOCK, missed
+         (14, "zetaxx")],    # distance 2 but length band ok at cap 2
+        "id long, name string",
+    )
+    out = {
+        (r.left_id, r.right_id): r.distance
+        for r in fuzzy_match(
+            left, right, "id", "id", "name", "name", max_distance=2
+        ).collect()
+    }
+    assert out == {(1, 10): 0, (1, 11): 2, (2, 12): 0, (3, 14): 2}
+
+    plan = fuzzy_match(
+        left, right, "id", "id", "name", "name"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with _pytest.raises(ValueError):
+        fuzzy_match(left, right, "id", "id", "name", "name", max_distance=-1)
