@@ -187,6 +187,7 @@ HEADLINE = [
     "corpus_bpe_merges",
     "cdc_daily_series",
     "fuzzy_match_customers",
+    "profile_lineitem_correlations",
     # streaming_incremental_agg stays out: like cdc_forget_keys it
     # populates a tempdir target per run (epoch-ledger commit churn);
     # its batch-side plan is cdc_incremental_agg, benched above.

@@ -1552,13 +1552,12 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # explicit order column / monotonic id instead of value order, and the
 # record timestamp is an explicit parameter; cdc_forget_keys —
 # purge_keys_from_sink now appends negative rollup partials in the same
-# replace commit); all 26 last-green-r5 entries; the 16 NEW r8 entries
-# (every new entry ships with a slot — the tail of this list); and 3 of
+# replace commit); all 26 last-green-r5 entries; the 17 NEW r8 entries
+# (every new entry ships with a slot — the tail of this list); and 2 of
 # the 45 last-green-r6 entries (cdc_reconstruct_at_lsn,
-# streaming_dedup_keys, streaming_interval_join — CDC-core +
-# watermark-bounded streaming, the deepest shared-code churn risk). The
-# 42 r6-green entries left out stay covered by the local
-# tools/check_contract.py full run every round.
+# streaming_dedup_keys — CDC-core + watermark-bounded streaming, the
+# deepest shared-code churn risk). The 43 r6-green entries left out stay
+# covered by the local tools/check_contract.py full run every round.
 _CHECK_WINDOW: list[str] = [
     # never driver-checked — highest priority slot (ADVICE r07 item 1)
     "cdc_snapshot_diff",
@@ -1598,7 +1597,6 @@ _CHECK_WINDOW: list[str] = [
     # last driver-green r6 — 19 of 45, highest-churn families first
     "cdc_reconstruct_at_lsn",
     "streaming_dedup_keys",
-    "streaming_interval_join",
     # new in r8 — first driver round each (no entry ships without a
     # slot); each displaces one r6-green slot from the list above
     "cdc_incremental_agg",
@@ -1617,6 +1615,7 @@ _CHECK_WINDOW: list[str] = [
     "corpus_bpe_merges",
     "cdc_daily_series",
     "fuzzy_match_customers",
+    "profile_lineitem_correlations",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -558,6 +558,38 @@ ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
 """
 
 
+def profile_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan correlation matrix (operators.profile.
+    profile_correlations): all six pairs of lineitem's measures in a
+    single aggregate pass, melted to long form. Oracle recomputes each
+    Pearson coefficient with DuckDB's corr; both sides round at 1e-6 —
+    the double-accumulation tolerance."""
+    from changedatacapture_reporting_spark.operators.profile import (
+        profile_correlations,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return profile_correlations(
+        l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+SQL_CORRELATIONS = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount',
+       ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax',
+       ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount',
+       ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax',
+       ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax',
+       ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+"""
+
+
 def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record linkage (operators.linkage.fuzzy_match): customer
     names matched against a deterministically perturbed copy (even keys
@@ -2054,6 +2086,7 @@ REGISTRY_RELATIONAL = {
     "dq_orders_expectations": (dq_orders_expectations, SQL_DQ_ORDERS),
     "salted_join_segment_revenue": (salted_join_segment_revenue, SQL_SALTED_JOIN),
     "fuzzy_match_customers": (fuzzy_match_customers, SQL_FUZZY_MATCH),
+    "profile_lineitem_correlations": (profile_lineitem_correlations, SQL_CORRELATIONS),
     "events_tumbling_5min": (events_tumbling_5min, SQL_TUMBLING),
     "events_sessionization": (events_sessionization, SQL_SESSIONS),
     "events_funnel": (events_funnel, SQL_FUNNEL),

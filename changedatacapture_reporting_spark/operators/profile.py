@@ -131,3 +131,47 @@ def activity_anomaly(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix in ONE scan — the multivariate
+    step of table profiling ("which measures move together?") that
+    otherwise triggers a scan per pair. All p·(p−1)/2 ``F.corr``
+    aggregates run in a single partial-aggregate pass (p² buffer slots,
+    zero extra scans — the profile_table recipe); the single wide row
+    melts to long form (col_a < col_b lexicographically, each pair
+    once). ``corr`` ignores rows with a NULL on either side, per the
+    standard pairwise-deletion semantics. Output: col_a, col_b, corr
+    (rounded 1e-6 — the cross-engine double-accumulation tolerance)."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {cols}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+
+    def corr(a: str, b: str):
+        # covar_samp/(stddev·stddev) instead of F.corr: identical value
+        # (the n−1 factors cancel), but guardable — F.corr's internal
+        # division throws under ANSI mode when a column has zero
+        # variance, where the correct profile answer is NULL (undefined)
+        sa, sb = F.stddev_samp(a), F.stddev_samp(b)
+        return F.when(
+            (sa > 0) & (sb > 0), F.covar_samp(a, b) / (sa * sb)
+        )
+
+    one = df.agg(
+        *[
+            F.round(corr(a, b), 6).alias(f"_c{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
+        )
+    )

@@ -137,3 +137,32 @@ def test_fuzzy_match_blocking_and_distance(spark):
 
     with _pytest.raises(ValueError):
         fuzzy_match(left, right, "id", "id", "name", "name", max_distance=-1)
+
+
+def test_profile_correlations_one_scan_and_values(spark):
+    import math
+
+    import pytest as _pytest
+
+    from changedatacapture_reporting_spark.operators.profile import (
+        profile_correlations,
+    )
+
+    rows = [(float(i), 2.0 * i + 1, float(-i), 5.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    out = {(r.col_a, r.col_b): r.corr
+           for r in profile_correlations(df, ["a", "b", "c", "d"]).collect()}
+    assert out[("a", "b")] == 1.0          # perfect linear
+    assert out[("a", "c")] == -1.0         # perfect inverse
+    assert out[("a", "d")] is None         # zero variance → undefined
+    assert math.isclose(out[("b", "c")], -1.0)
+    assert len(out) == 6                   # each unordered pair once
+
+    plan = profile_correlations(df, ["a", "b"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Scan") <= 2         # single aggregate pass
+
+    with _pytest.raises(ValueError):
+        profile_correlations(df, ["a"])
+    with _pytest.raises(ValueError):
+        profile_correlations(df, ["a", "a"])
