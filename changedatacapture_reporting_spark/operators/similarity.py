@@ -149,6 +149,29 @@ def _assign_udf(centroids: "np.ndarray"):
     return F.pandas_udf(_assign, IntegerType())
 
 
+def _merge_group_partials(partials: DataFrame, d: int) -> list:
+    """Merge per-Arrow-batch k-means partials (grp, s: array<double>,
+    cnt) down to one (grp, total_sum_vector, total_cnt) row per group —
+    an element-wise array fold over collect_list, grouped on the (tiny)
+    group key. Driver receives one row per NON-EMPTY group, never per
+    batch. Float fold order follows collect_list (nondeterministic at
+    the ulp — k-means centroids are tolerance-compared, and every
+    consumer contract is a recall bound, not a hash of centroids)."""
+    zero = F.array(*[F.lit(0.0) for _ in range(d)])
+    return (
+        partials.groupBy("grp")
+        .agg(
+            F.aggregate(
+                F.collect_list("s"),
+                zero,
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("s"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .collect()
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -160,27 +183,55 @@ def ivf_index(
     ``n_centroids`` lowest-id vectors) and ``iters`` Lloyd rounds.
 
     Distribution: assignment is a per-batch matmul (no shuffle); the
-    centroid update is posexplode → groupBy(cluster, dim) avg — fully
-    distributed, with only the k×d centroid matrix ever on the driver.
-    Returns (corpus with a ``cluster`` column, centroid matrix).
+    centroid update ships per-Arrow-batch PARTIAL SUMS — one
+    (cluster, sum-vector, count) row per non-empty cluster per batch —
+    so each Lloyd round shuffles O(k · batches) rows instead of the
+    n×d posexplode (the r1–r7 formulation: corpus×dim rows per round,
+    the actual bottleneck at corpus scale). Only the k×d centroid
+    matrix ever sits on the driver. Returns (corpus with a ``cluster``
+    column, centroid matrix).
     """
+    from pyspark.sql import types as T
+
     seed_rows = (
         corpus.orderBy(F.col(id_col)).limit(n_centroids).select(vec_col).collect()
     )
     centroids = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    d = centroids.shape[1]
+    partial_schema = T.StructType(
+        [
+            T.StructField("grp", T.IntegerType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
 
     for _ in range(iters):
-        assigned = corpus.select(
-            _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
-            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        mat = centroids.T
+        k = centroids.shape[0]
+
+        def partial_sums(batches):
+            for pdf in batches:
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                codes = (v @ mat).argmax(axis=1)
+                sums = np.zeros((k, d))
+                np.add.at(sums, codes, v)
+                cnts = np.bincount(codes, minlength=k)
+                nz = np.flatnonzero(cnts)
+                yield pandas.DataFrame(
+                    {
+                        "grp": nz.astype("int32"),
+                        "s": [sums[i] for i in nz],
+                        "cnt": cnts[nz].astype("int64"),
+                    }
+                )
+
+        merged = _merge_group_partials(
+            corpus.select(vec_col).mapInPandas(partial_sums, partial_schema),
+            d,
         )
-        means = (
-            assigned.groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        for r in means:
-            centroids[r.cluster, r.dim] = r.m
+        for r in merged:
+            centroids[r.grp] = np.asarray(r.s) / r.cnt
         # re-normalize so dot stays a valid nearest-centroid criterion
         norms = np.linalg.norm(centroids, axis=1, keepdims=True)
         centroids = centroids / np.clip(norms, 1e-12, None)
@@ -333,25 +384,53 @@ def pq_index(
         [seeds[:, j * ds : (j + 1) * ds].copy() for j in range(m)]
     )  # m × k × ds
 
+    from pyspark.sql import types as T
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("grp", T.IntegerType()),  # j * k_codes + code
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
     for _ in range(iters):
-        assigned = corpus.select(
-            _pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
-            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        snap = books.copy()
+        sq = [(snap[j] ** 2).sum(axis=1) for j in range(m)]
+
+        def partial_sums(batches):
+            # per-batch (subspace, code) partial sums — the codebook
+            # update shuffles O(m·k·batches) rows, not the n×d
+            # posexplode of the r7 formulation
+            for pdf in batches:
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                out_g, out_s, out_c = [], [], []
+                for j in range(m):
+                    sub = v[:, j * ds : (j + 1) * ds]
+                    codes = (-2.0 * (sub @ snap[j].T) + sq[j]).argmin(
+                        axis=1
+                    )
+                    sums = np.zeros((k_codes, ds))
+                    np.add.at(sums, codes, sub)
+                    cnts = np.bincount(codes, minlength=k_codes)
+                    for c in np.flatnonzero(cnts):
+                        out_g.append(j * k_codes + int(c))
+                        out_s.append(sums[c])
+                        out_c.append(int(cnts[c]))
+                yield pandas.DataFrame(
+                    {"grp": np.array(out_g, dtype="int32"),
+                     "s": out_s,
+                     "cnt": np.array(out_c, dtype="int64")}
+                )
+
+        merged = _merge_group_partials(
+            corpus.select(vec_col).mapInPandas(partial_sums, partial_schema),
+            ds,
         )
-        j = (F.col("dim") / ds).cast("int")
-        means = (
-            assigned.select(
-                j.alias("j"),
-                F.col("codes")[j].alias("code"),
-                (F.col("dim") % ds).alias("sd"),
-                "x",
+        for r in merged:
+            books[r.grp // k_codes, r.grp % k_codes] = (
+                np.asarray(r.s) / r.cnt
             )
-            .groupBy("j", "code", "sd")
-            .agg(F.avg("x").alias("mu"))
-            .collect()
-        )
-        for r in means:
-            books[r.j, r.code, r.sd] = r.mu
 
     return corpus.withColumn(
         "codes", _pq_encode_udf(books)(F.col(vec_col))
