@@ -18,8 +18,9 @@ histogram. Each iteration is:
 3. greedy merge — a pure-expression left-to-right array fold rewrites
    each word's symbol sequence (``a b a b`` → ``ab ab``; ``a a a`` →
    ``aa a`` — the classic BPE greedy semantics), no Python, no shuffle;
-   the histogram is ``localCheckpoint``-ed per iteration so the plan
-   stays flat instead of nesting n_merges folds.
+   the histogram is ``localCheckpoint``-ed every ``checkpoint_every``
+   rounds so plans never nest more than a few folds while avoiding a
+   per-round materialization job.
 
 Driver traffic is one (pair, count) row per iteration. The reference
 semantics are pinned by a pure-Python BPE in tests/test_bpe.py — merge
@@ -84,6 +85,7 @@ def bpe_train(
     n_merges: int = 40,
     lowercase: bool = True,
     min_pair_freq: int = 2,
+    checkpoint_every: int = 4,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -101,6 +103,7 @@ def bpe_train(
     hist = hist.localCheckpoint()
 
     merges: list[tuple[str, str, int]] = []
+    since_ckpt = 0
     for _ in range(n_merges):
         pairs = (
             hist.select(
@@ -127,7 +130,14 @@ def bpe_train(
         merges.append((a, b, n))
         hist = hist.select(
             _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
-        ).localCheckpoint()
+        )
+        # checkpoint every few rounds, not every round: a handful of
+        # nested merge folds optimizes fine, and each materialization
+        # costs a full job — this roughly halves the per-merge latency
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            hist = hist.localCheckpoint()
+            since_ckpt = 0
 
     vocab = (
         hist.select(F.explode("syms").alias("symbol"), "freq")
