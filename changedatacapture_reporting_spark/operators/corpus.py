@@ -519,7 +519,9 @@ def boilerplate_scores(
     ``hashed=True`` (production) shingles travel as xxhash64 keys —
     8 bytes through both shuffles instead of strings; ``hashed=False``
     keeps raw strings so an external oracle replays exactly
-    (test_llm_ops proves the two select identical documents).
+    (test_llm_ops proves the two select identical documents). Documents
+    shorter than ``n`` tokens have no shingles and are ABSENT from the
+    output — left-join back against the corpus if every id must appear.
     """
     from changedatacapture_reporting_spark.functions.text import shingles
 

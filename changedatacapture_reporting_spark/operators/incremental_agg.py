@@ -48,8 +48,23 @@ def aggregate_deltas(
     (NULL struct = no image on that side: inserts retract nothing,
     deletes assert nothing). Output: group cols + ``n_rows`` (signed
     row-count delta) + one signed sum delta per ``sum_cols`` alias.
+
+    Sum measures must be EXACT types (integer or decimal — the repo's
+    money convention): a float measure is rejected, because retraction
+    arithmetic on floats drifts (x added then subtracted need not cancel
+    bit-for-bit), so a float-maintained view diverges from the
+    from-scratch aggregate it must equal. Cast to decimal upstream.
     """
     sum_cols = sum_cols or {}
+    img_type = changes.schema["after"].dataType
+    for alias, src in sum_cols.items():
+        t = img_type[src].dataType.typeName()
+        if t in ("double", "float"):
+            raise ValueError(
+                f"sum measure {alias}={src!r} is {t}: retraction "
+                "arithmetic needs an exact type — cast to decimal or a "
+                "scaled integer upstream"
+            )
     signed = changes.select(
         F.explode(
             F.array(
@@ -67,9 +82,9 @@ def aggregate_deltas(
     ).agg(
         F.sum("e.sign").cast("long").alias("n_rows"),
         *[
-            F.sum(F.col("e.sign") * F.col(f"e.img.{src}"))
-            .cast("long")
-            .alias(alias)
+            # no cast: the sum keeps the measure's own exact type
+            # (long stays long, decimal widens per Spark's sum rules)
+            F.sum(F.col("e.sign") * F.col(f"e.img.{src}")).alias(alias)
             for alias, src in sum_cols.items()
         ],
     )
@@ -129,9 +144,21 @@ def merge_aggregate(
     untouched = agg.join(touched, cond, "left_anti")
     merged = (
         agg.join(touched, cond, "left_semi")
-        .unionByName(deltas.select(*agg.columns))
+        .unionByName(
+            deltas.select(
+                *[
+                    F.col(c).cast(agg.schema[c].dataType).alias(c)
+                    for c in agg.columns
+                ]
+            )
+        )
         .groupBy(*group_cols)
-        .agg(*[F.sum(c).cast("long").alias(c) for c in measure_cols])
+        .agg(
+            *[
+                F.sum(c).cast(agg.schema[c].dataType).alias(c)
+                for c in measure_cols
+            ]
+        )
         .filter(F.col("n_rows") != 0)
     )
     return untouched.unionByName(merged)

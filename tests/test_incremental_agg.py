@@ -192,3 +192,45 @@ def test_merge_aggregate_materialize_guard(spark):
         warnings.simplefilter("always")
         merge_aggregate(computed, deltas, ["grp"], materialize=True).collect()
     assert not guard_warnings(w)
+
+
+def test_aggregate_deltas_rejects_float_and_keeps_decimal(spark):
+    """Float measures raise (retraction drift); decimal measures keep
+    their exact type end-to-end through delta + merge."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    src_f = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("x", T.DoubleType()),
+    ])
+    ev_f = spark.createDataFrame(
+        [(None, ("a", 1.5))],
+        T.StructType([
+            T.StructField("before", src_f), T.StructField("after", src_f),
+        ]),
+    )
+    with _pytest.raises(ValueError, match="exact type"):
+        aggregate_deltas(ev_f, ["grp"], {"sx": "x"})
+
+    src_d = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("x", T.DecimalType(12, 2)),
+    ])
+    from decimal import Decimal
+
+    ev_d = spark.createDataFrame(
+        [(None, ("a", Decimal("1.50"))), (("a", Decimal("0.25")), None)],
+        T.StructType([
+            T.StructField("before", src_d), T.StructField("after", src_d),
+        ]),
+    )
+    deltas = aggregate_deltas(ev_d, ["grp"], {"sx": "x"})
+    [row] = deltas.collect()
+    assert row.n_rows == 0 and row.sx == Decimal("1.25")
+    agg0 = spark.createDataFrame(
+        [("a", 3, Decimal("10.00"))],
+        "grp string, n_rows long, sx decimal(22,2)",
+    )
+    [out] = merge_aggregate(agg0, deltas, ["grp"]).collect()
+    assert out.n_rows == 3 and out.sx == Decimal("11.25")
