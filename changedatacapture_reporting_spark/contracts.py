@@ -1552,12 +1552,11 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # explicit order column / monotonic id instead of value order, and the
 # record timestamp is an explicit parameter; cdc_forget_keys —
 # purge_keys_from_sink now appends negative rollup partials in the same
-# replace commit); all 26 last-green-r5 entries; the 17 NEW r8 entries
-# (every new entry ships with a slot — the tail of this list); and 2 of
-# the 45 last-green-r6 entries (cdc_reconstruct_at_lsn,
-# streaming_dedup_keys — CDC-core + watermark-bounded streaming, the
-# deepest shared-code churn risk). The 43 r6-green entries left out stay
-# covered by the local tools/check_contract.py full run every round.
+# replace commit); all 26 last-green-r5 entries; the 18 NEW r8 entries
+# (every new entry ships with a slot — the tail of this list); and 1
+# last-green-r6 entry (cdc_reconstruct_at_lsn — the CDC-core fold the
+# most new code touches). The 44 r6-green entries left out stay covered
+# by the local tools/check_contract.py full run every round.
 _CHECK_WINDOW: list[str] = [
     # never driver-checked — highest priority slot (ADVICE r07 item 1)
     "cdc_snapshot_diff",
@@ -1596,7 +1595,6 @@ _CHECK_WINDOW: list[str] = [
     "topk_orders_per_customer",
     # last driver-green r6 — 19 of 45, highest-churn families first
     "cdc_reconstruct_at_lsn",
-    "streaming_dedup_keys",
     # new in r8 — first driver round each (no entry ships without a
     # slot); each displaces one r6-green slot from the list above
     "cdc_incremental_agg",
@@ -1616,6 +1614,7 @@ _CHECK_WINDOW: list[str] = [
     "cdc_daily_series",
     "fuzzy_match_customers",
     "profile_lineitem_correlations",
+    "streaming_pointintime_enrich",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from changedatacapture_reporting_spark.contracts_relational import (
     ORACLE_EV,
+    SQL_SCD2_ENRICH,
     SQL_SESSIONS,
     SQL_TUMBLING,
 )
@@ -390,6 +391,84 @@ GROUP BY 1
 """
 
 
+def streaming_pointintime_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal enrichment (streaming.enrich_stream.
+    stream_temporal_enrich): the orders facts drain as a stream and each
+    micro-batch joins the SCD2 customer dimension AT THE FACT'S OWN
+    timestamp (batch temporal_enrich inside foreachBatch, epoch-ledger
+    exactly-once) — late facts enrich correctly by construction. The
+    oracle is the batch contract's interval LEFT JOIN (the epoch layers
+    must not change results). Replay idempotence is pytest-covered."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.tables import load_table
+    from changedatacapture_reporting_spark.streaming.enrich_stream import (
+        read_enriched,
+        stream_temporal_enrich,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1995-07-01").cast("timestamp")
+    late = F.lit("1996-07-01").cast("timestamp")
+    v0 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor("c_acctbal").cast("long").alias("bal"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        cut.alias("valid_to"),
+    )
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.col("c_mktsegment"), F.lit("+")).alias("segment"),
+        (F.floor("c_acctbal").cast("long") + 100).alias("bal"),
+        F.when(F.col("c_custkey") % 7 == 0, late)
+        .otherwise(cut)
+        .alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v0.unionByName(v1).localCheckpoint()
+
+    o = load_table(spark, sf_dir, "orders")
+    facts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="cdc_enrich_stream_")
+    facts.write.parquet(f"{d}/facts")
+    schema = spark.read.parquet(f"{d}/facts").schema
+    q = stream_temporal_enrich(
+        spark, f"{d}/facts", schema, dim, f"{d}/out", f"{d}/ckpt",
+        ["k"], "ts", ["segment", "bal"],
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_temporal_enrich did not drain within 300s; refusing "
+            "to read a partially-enriched target"
+        )
+    return read_enriched(spark, f"{d}/out", schema, dim, ["segment", "bal"])
+
+
+def _enrich_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink plan: pass-through into foreachBatch (temporal_enrich
+    runs per batch — the batch-side plan is audited via
+    scd2_pointintime_enrich); expose the source projection."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="cdc_enrich_plan_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    o.write.parquet(f"{d}/facts")
+    schema = spark.read.parquet(f"{d}/facts").schema
+    return spark.readStream.schema(schema).parquet(f"{d}/facts")
+
+
 def _ivm_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-sink plan: pass-through into foreachBatch (deltas + merge run
     per batch inside it — the batch-side plan is audited via
@@ -426,6 +505,7 @@ def _apply_state_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_PLANS = {
     "streaming_apply_state": _apply_state_pre_sink,
     "streaming_incremental_agg": _ivm_pre_sink,
+    "streaming_pointintime_enrich": _enrich_pre_sink,
     "streaming_tumbling_5min": lambda spark, sf: tumbling_counts(
         _events_stream(spark, sf)
     ),
@@ -445,6 +525,7 @@ STREAM_PLANS = {
 REGISTRY_STREAMING = {
     "streaming_apply_state": (streaming_apply_state, SQL_STREAM_APPLY),
     "streaming_incremental_agg": (streaming_incremental_agg, SQL_STREAM_IVM),
+    "streaming_pointintime_enrich": (streaming_pointintime_enrich, SQL_SCD2_ENRICH),
     "streaming_enriched_segments": (
         streaming_enriched_segments,
         SQL_STREAM_ENRICHED,

@@ -864,3 +864,83 @@ def test_stream_maintain_aggregate_equals_direct(spark, workdir):
 
     drain()  # replay with nothing new — the ledger makes it a no-op
     assert state() == final
+
+
+def test_stream_temporal_enrich_batches_and_replay(spark, workdir):
+    """Two fact file batches drain through per-batch temporal enrichment;
+    the union of committed epochs equals the batch temporal_enrich of all
+    facts; a replayed drain with nothing new adds nothing (epoch
+    ledger). A late fact (event time long before arrival) still joins
+    its event-time version."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.operators.temporal import (
+        temporal_enrich,
+    )
+    from changedatacapture_reporting_spark.streaming.enrich_stream import (
+        read_enriched,
+        stream_temporal_enrich,
+    )
+
+    D = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", D(2020, 1, 1), D(2020, 6, 1)),
+            (1, "v2", D(2020, 6, 1), None),
+        ],
+        "k long, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("fid", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    batch1 = [(1, 1, D(2020, 2, 1)), (2, 1, D(2020, 7, 1))]
+    # fid 3 is LATE: arrives in batch 2 but its event time is v1-era
+    batch2 = [(3, 1, D(2020, 3, 15)), (4, 2, D(2020, 7, 1))]
+
+    facts_path = f"{workdir}/enrich_facts"
+    out = f"{workdir}/enrich_out"
+    ckpt = f"{workdir}/enrich_ckpt"
+
+    def drain():
+        _drain(
+            stream_temporal_enrich(
+                spark, facts_path, schema, dim, out, ckpt,
+                ["k"], "ts", ["seg"],
+            )
+        )
+
+    def state():
+        return {
+            r.fid: r.seg
+            for r in read_enriched(spark, out, schema, dim, ["seg"]).collect()
+        }
+
+    spark.createDataFrame(batch1, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(facts_path)
+    drain()
+    assert state() == {1: "v1", 2: "v2"}
+
+    spark.createDataFrame(batch2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(facts_path)
+    drain()
+    want = {1: "v1", 2: "v2", 3: "v1", 4: None}
+    assert state() == want  # late fact joined its EVENT-time version
+
+    drain()  # replay — ledger makes it a no-op
+    assert state() == want
+
+    # union of epochs == one-shot batch enrichment of all facts
+    all_facts = spark.createDataFrame(batch1 + batch2, schema)
+    batch_out = {
+        r.fid: r.seg
+        for r in temporal_enrich(all_facts, dim, ["k"], "ts", ["seg"]).collect()
+    }
+    assert state() == batch_out
