@@ -75,66 +75,76 @@ def purge_keys_from_sink(
     # one discovery scan: which data files contain any of the keys?
     # (pk bloom filters + row-group stats prune; the key filter is a
     # broadcast semi join)
+    # persisted: the matched rows (tiny — an erasure batch's footprint)
+    # feed BOTH the affected-file discovery and the negative rollup
+    # partials below; without the persist the sink would be scanned
+    # twice for the same hits
     tagged = (
         spark.read.parquet(sink_path)
         .withColumn("_file", F.input_file_name())
         .join(F.broadcast(key_rows), pk_cols, "left_semi")
+        .persist()
     )
-    affected = [r._file for r in tagged.select("_file").distinct().collect()]
-    if not affected:
+    try:
+        affected = [
+            r._file for r in tagged.select("_file").distinct().collect()
+        ]
+        if not affected:
+            return {
+                "files_rewritten": 0,
+                "rows_purged": 0,
+                "partitions_touched": 0,
+            }
+
+        base = sink_path.rstrip("/")
+        rels = []
+        for f in affected:
+            i = f.find(base)
+            rels.append(f[i + len(base) + 1 :] if i >= 0 else f)
+        by_part: dict[str, list[str]] = {}
+        for rel in rels:
+            part, _, name = rel.rpartition("/")
+            by_part.setdefault(part, []).append(name)
+
+        run_id = "purge-" + uuid.uuid4().hex
+        staging = fs.join(sink_path, STAGING_ROOT, run_id)
+        rows_purged = 0
+        for part, names in sorted(by_part.items()):
+            paths = [fs.join(sink_path, part, n) for n in names]
+            df = spark.read.parquet(*paths)
+            kept = purge_keys(df, key_rows, pk_cols)
+            rows_purged += df.count() - kept.count()
+            (
+                kept.repartition(1)
+                .write.mode("overwrite")
+                .options(**sink_write_options())
+                .parquet(fs.join(staging, "data", part))
+            )
+        # the maintained _rollup_daily aggregate must shrink with the
+        # sink: stage NEGATIVE partials for the purged rows (counts are
+        # algebraic) so read_rollup stays exact after the swap —
+        # promoted by _publish_replace inside the same commit, so data
+        # and rollup can never disagree across a crash
+        from changedatacapture_reporting_spark.operators.rollup import (
+            ROLLUP_DIR,
+            write_negative_partials,
+        )
+
+        if fs.exists(spark, fs.join(sink_path, ROLLUP_DIR)):
+            write_negative_partials(
+                tagged.drop("_file"),
+                fs.join(staging, ROLLUP_DIR),
+                mode="overwrite",
+            )
+        # COMMIT POINT — marker written after all staged parts landed
+        fs.write_text(
+            spark, fs.join(staging, REPLACE_MARKER), "\n".join(sorted(rels))
+        )
+        _publish_replace(spark, staging, sink_path)
         return {
-            "files_rewritten": 0,
-            "rows_purged": 0,
-            "partitions_touched": 0,
+            "files_rewritten": len(rels),
+            "rows_purged": rows_purged,
+            "partitions_touched": len(by_part),
         }
-
-    base = sink_path.rstrip("/")
-    rels = []
-    for f in affected:
-        i = f.find(base)
-        rels.append(f[i + len(base) + 1 :] if i >= 0 else f)
-    by_part: dict[str, list[str]] = {}
-    for rel in rels:
-        part, _, name = rel.rpartition("/")
-        by_part.setdefault(part, []).append(name)
-
-    run_id = "purge-" + uuid.uuid4().hex
-    staging = fs.join(sink_path, STAGING_ROOT, run_id)
-    rows_purged = 0
-    for part, names in sorted(by_part.items()):
-        paths = [fs.join(sink_path, part, n) for n in names]
-        df = spark.read.parquet(*paths)
-        kept = purge_keys(df, key_rows, pk_cols)
-        rows_purged += df.count() - kept.count()
-        (
-            kept.repartition(1)
-            .write.mode("overwrite")
-            .options(**sink_write_options())
-            .parquet(fs.join(staging, "data", part))
-        )
-    # the maintained _rollup_daily aggregate must shrink with the sink:
-    # stage NEGATIVE partials for the purged rows (counts are algebraic)
-    # so read_rollup stays exact after the swap — promoted by
-    # _publish_replace inside the same commit, so data and rollup can
-    # never disagree across a crash
-    from changedatacapture_reporting_spark.operators.rollup import (
-        ROLLUP_DIR,
-        write_negative_partials,
-    )
-
-    if fs.exists(spark, fs.join(sink_path, ROLLUP_DIR)):
-        write_negative_partials(
-            tagged.drop("_file"),
-            fs.join(staging, ROLLUP_DIR),
-            mode="overwrite",
-        )
-    # COMMIT POINT — marker written after all staged parts landed
-    fs.write_text(
-        spark, fs.join(staging, REPLACE_MARKER), "\n".join(sorted(rels))
-    )
-    _publish_replace(spark, staging, sink_path)
-    return {
-        "files_rewritten": len(rels),
-        "rows_purged": rows_purged,
-        "partitions_touched": len(by_part),
-    }
+    finally:
+        tagged.unpersist()
