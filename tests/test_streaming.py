@@ -944,3 +944,68 @@ def test_stream_temporal_enrich_batches_and_replay(spark, workdir):
         for r in temporal_enrich(all_facts, dim, ["k"], "ts", ["seg"]).collect()
     }
     assert state() == batch_out
+
+
+def test_stream_maintain_aggregate_crash_recovery(spark, workdir):
+    """Crash between version directory and marker: the epoch replays into
+    an overwrite and the maintained aggregate converges to the same
+    state (the marker is the commit point, the checkpoint is not
+    trusted)."""
+    import datetime as dt
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        bootstrap_aggregate,
+        read_aggregate,
+        stream_maintain_aggregate,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    schema = cdc_event_schema(src)
+    ts = dt.datetime(2024, 2, 1, 9, 0, 0)
+    ev_path = f"{workdir}/crash_events"
+    target = f"{workdir}/crash_target"
+    gcols, scols = ["grp"], {"sum_qty": "qty"}
+
+    bootstrap_aggregate(spark, target, spark.createDataFrame(
+        [], "grp string, n_rows long, sum_qty long"))
+    spark.createDataFrame(
+        [(1, 0, ts, "insert", "t", None, (1, "a", 5))], schema
+    ).repartition(1).write.mode("append").parquet(ev_path)
+
+    _drain(stream_maintain_aggregate(
+        spark, ev_path, schema, target, f"{workdir}/crash_ckpt1",
+        gcols, scols,
+    ))
+
+    # simulate the crash window: version dir landed, marker did NOT —
+    # remove the marker of the committed (non-bootstrap) epoch
+    import os
+
+    epochs = [e for e in os.listdir(f"{target}/_epochs")
+              if not e.endswith("bootstrap")]
+    assert epochs
+    os.remove(f"{target}/_epochs/{epochs[0]}")
+
+    # a FRESH checkpoint replays the whole stream (worst case: the
+    # checkpoint was lost with the crash); the epoch re-lands into an
+    # overwrite of its own version dir and re-commits
+    shutil.rmtree(f"{workdir}/crash_ckpt1", ignore_errors=True)
+    _drain(stream_maintain_aggregate(
+        spark, ev_path, schema, target, f"{workdir}/crash_ckpt2",
+        gcols, scols,
+    ))
+    got = {
+        r.grp: (r.n_rows, r.sum_qty)
+        for r in read_aggregate(spark, target, gcols, scols, src).collect()
+    }
+    assert got == {"a": (1, 5)}  # exactly once despite the replay
