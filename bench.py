@@ -188,6 +188,7 @@ HEADLINE = [
     "cdc_daily_series",
     "fuzzy_match_customers",
     "profile_lineitem_correlations",
+    "cdc_drift_report",
     # streaming_incremental_agg stays out: like cdc_forget_keys it
     # populates a tempdir target per run (epoch-ledger commit churn);
     # its batch-side plan is cdc_incremental_agg, benched above.

@@ -1391,6 +1391,99 @@ UNION ALL
 """
 
 
+def _q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection (operators.consistency.drift_report): the
+    reconstructed state audited against a deterministically corrupted
+    snapshot — keys divisible by 17 vanish (missing_in_right), keys
+    divisible by 13 get a wrong status (value_mismatch), and the
+    delete-wave keys reappear as ghosts (missing_in_left). Identical
+    keys emit nothing, so the report is drift-sized. The oracle replays
+    the same corruption over the reconstruct arithmetic and the same
+    full-outer classification."""
+    from changedatacapture_reporting_spark.operators.consistency import (
+        drift_report,
+    )
+    from changedatacapture_reporting_spark.operators.reconstruct import (
+        reconstruct_state,
+    )
+
+    events = simulate_cdc_events(spark, sf_dir)
+    log = build_changelog(
+        events,
+        SIM_PK,
+        with_audit_cols=False,
+        carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    value_cols = ["status", "priority", "total", "note"]
+    left = reconstruct_state(log, SIM_PK, value_cols).localCheckpoint()
+    k = F.col("o_orderkey")
+    corrupted = left.filter(k % 17 != 0).withColumn(
+        "status",
+        F.when(k % 13 == 0, F.lit("DRIFT")).otherwise(F.col("status")),
+    )
+    ghosts = events.filter(F.col("op") == "delete").select(
+        F.col("before.o_orderkey").alias("o_orderkey"),
+        F.lit("GHOST").alias("status"),
+        F.lit(None).cast("string").alias("priority"),
+        F.lit(None).cast("string").alias("total"),
+        F.lit(None).cast("string").alias("note"),
+    )
+    return drift_report(
+        left, corrupted.unionByName(ghosts), SIM_PK, value_cols
+    )
+
+
+_SQL_DRIFT_REPORT = f"""
+WITH {ORACLE_EVENTS_CTE},
+L AS (
+  SELECT o_orderkey,
+         CASE WHEN op = 'insert' THEN a_status
+              WHEN b_status IS DISTINCT FROM a_status THEN a_status END AS status,
+         CASE WHEN op = 'insert' THEN a_priority
+              WHEN b_priority IS DISTINCT FROM a_priority THEN a_priority END AS priority,
+         CASE WHEN op = 'insert' THEN CAST(a_total AS VARCHAR)
+              WHEN b_total IS DISTINCT FROM a_total THEN CAST(a_total AS VARCHAR) END AS total,
+         CASE WHEN op = 'insert' THEN a_note
+              WHEN b_note IS DISTINCT FROM a_note THEN a_note END AS note
+  FROM ev
+  WHERE op != 'delete'
+    AND NOT (op = 'update'
+             AND b_status IS NOT DISTINCT FROM a_status
+             AND b_priority IS NOT DISTINCT FROM a_priority
+             AND b_total IS NOT DISTINCT FROM a_total
+             AND b_note IS NOT DISTINCT FROM a_note)
+),
+R AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'DRIFT' ELSE status END AS status,
+         priority, total, note
+  FROM L WHERE o_orderkey % 17 != 0
+  UNION ALL
+  SELECT o_orderkey, 'GHOST', NULL, NULL, NULL
+  FROM ev WHERE op = 'delete'
+)
+SELECT COALESCE(L.o_orderkey, R.o_orderkey) AS o_orderkey,
+       CASE WHEN R.o_orderkey IS NULL THEN 'missing_in_right'
+            WHEN L.o_orderkey IS NULL THEN 'missing_in_left'
+            WHEN L.status IS DISTINCT FROM R.status
+              OR L.priority IS DISTINCT FROM R.priority
+              OR L.total IS DISTINCT FROM R.total
+              OR L.note IS DISTINCT FROM R.note THEN 'value_mismatch'
+       END AS drift_kind,
+       L.status AS left_status, L.priority AS left_priority,
+       L.total AS left_total, L.note AS left_note,
+       R.status AS right_status, R.priority AS right_priority,
+       R.total AS right_total, R.note AS right_note
+FROM L FULL OUTER JOIN R ON L.o_orderkey = R.o_orderkey
+WHERE (R.o_orderkey IS NULL OR L.o_orderkey IS NULL
+       OR L.status IS DISTINCT FROM R.status
+       OR L.priority IS DISTINCT FROM R.priority
+       OR L.total IS DISTINCT FROM R.total
+       OR L.note IS DISTINCT FROM R.note)
+"""
+
+
 def _q_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense daily activity series (operators.timeseries.resample_daily,
     zero fill): the changelog's irregular per-day counts regularized to
@@ -1531,6 +1624,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_incremental_agg": (_q_incremental_agg, _SQL_INCREMENTAL_AGG),
     "cdc_activity_anomaly": (_q_activity_anomaly, _SQL_ACTIVITY_ANOMALY),
     "cdc_daily_series": (_q_daily_series, _SQL_DAILY_SERIES),
+    "cdc_drift_report": (_q_drift_report, _SQL_DRIFT_REPORT),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
     **REGISTRY_RELATIONAL,
@@ -1552,11 +1646,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # explicit order column / monotonic id instead of value order, and the
 # record timestamp is an explicit parameter; cdc_forget_keys —
 # purge_keys_from_sink now appends negative rollup partials in the same
-# replace commit); all 26 last-green-r5 entries; the 18 NEW r8 entries
-# (every new entry ships with a slot — the tail of this list); and 1
-# last-green-r6 entry (cdc_reconstruct_at_lsn — the CDC-core fold the
-# most new code touches). The 44 r6-green entries left out stay covered
-# by the local tools/check_contract.py full run every round.
+# replace commit); all 26 last-green-r5 entries; the 19 NEW r8 entries
+# (every new entry ships with a slot — the tail of this list). All 45
+# r6-green entries rotate out this round — every one stays covered by
+# the local tools/check_contract.py full run (141/141 this round).
 _CHECK_WINDOW: list[str] = [
     # never driver-checked — highest priority slot (ADVICE r07 item 1)
     "cdc_snapshot_diff",
@@ -1594,7 +1687,6 @@ _CHECK_WINDOW: list[str] = [
     "streaming_tumbling_5min",
     "topk_orders_per_customer",
     # last driver-green r6 — 19 of 45, highest-churn families first
-    "cdc_reconstruct_at_lsn",
     # new in r8 — first driver round each (no entry ships without a
     # slot); each displaces one r6-green slot from the list above
     "cdc_incremental_agg",
@@ -1615,6 +1707,7 @@ _CHECK_WINDOW: list[str] = [
     "fuzzy_match_customers",
     "profile_lineitem_correlations",
     "streaming_pointintime_enrich",
+    "cdc_drift_report",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -274,3 +274,42 @@ def test_multi_table_snapshot_is_transactionally_consistent(spark, sf_dir):
     o_ins = {k for k in o_keys if k % 10 in (0, 1)}
     t_ins = {k for k in t_keys if k % 10 in (0, 1)}
     assert o_ins == t_ins and o_ins
+
+
+def test_drift_report_classes_and_silence(spark):
+    """Identical states emit nothing; each drift class fires exactly on
+    its construction; the summary counts match."""
+    from changedatacapture_reporting_spark.operators.consistency import (
+        drift_report,
+        drift_summary,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", None)],
+        "id long, s string, q long",
+    )
+    assert drift_report(left, left, ["id"], ["s", "q"]).count() == 0
+
+    right = spark.createDataFrame(
+        [(1, "a", 10),      # identical → silent
+         (2, "b", 99),      # value_mismatch
+         (3, "c", 30),      # NULL→value mismatch (null-safe compare)
+         (5, "e", 50)],     # missing_in_left; id 4 → missing_in_right
+        "id long, s string, q long",
+    )
+    got = {
+        r.id: r.drift_kind
+        for r in drift_report(left, right, ["id"], ["s", "q"]).collect()
+    }
+    assert got == {
+        2: "value_mismatch", 3: "value_mismatch",
+        4: "missing_in_right", 5: "missing_in_left",
+    }
+    summary = {
+        r.drift_kind: r.n
+        for r in drift_summary(left, right, ["id"], ["s", "q"]).collect()
+    }
+    assert summary == {
+        "value_mismatch": 2, "missing_in_right": 1,
+        "missing_in_left": 1, "n_keys_compared": 5,
+    }
