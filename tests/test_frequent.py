@@ -97,3 +97,34 @@ def test_heavy_hitters_rejects_bad_params(spark):
         heavy_hitters(df, "k", 0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "k", 0.5, candidate_factor=1.0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 40)), max_size=12
+    ),
+    frac=st.sampled_from([0.02, 0.05, 0.1, 0.25]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_heavy_hitters_random_distributions(spark, tiny_batches, counts, frac):
+    """Random multiplicity profiles under forced 50-row Arrow batches:
+    the two-pass result equals the naive HAVING query for every drawn
+    threshold."""
+    vals = [f"v{i}" for i, n in counts for _ in range(n)]
+    if not vals:
+        return
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "item_col string"
+    ).repartition(3)
+    got = {
+        (r.item, r.n) for r in heavy_hitters(df, "item_col", frac).collect()
+    }
+    assert got == _exact(df, "item_col", frac), (counts, frac)
