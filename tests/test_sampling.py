@@ -162,3 +162,32 @@ def test_pps_sample_weighted_inclusion(spark):
 
     with pytest.raises(ValueError):
         pps_sample(df, "w", 0, ["id"])
+
+
+def test_pps_sample_matches_python_rule(spark):
+    """Random integer weights: the kept-row set equals a pure-Python
+    replication of the hex4(md5) < hex4((min(k*w, W)*65536) div W)
+    rule — bit-for-bit, no tolerance."""
+    import hashlib
+    import random
+
+    from changedatacapture_reporting_spark.operators.sampling import (
+        pps_sample,
+    )
+
+    rng = random.Random(88)
+    rows = [(i, rng.randint(1, 5000)) for i in range(800)]
+    W = sum(w for _, w in rows)
+    k = 60
+
+    def keep(i, w):
+        num = min(k * w, W) * 65536
+        v = num // W
+        if v >= 65536:
+            return True
+        return hashlib.md5(str(i).encode()).hexdigest()[:4] < format(v, "04x")
+
+    want = {i for i, w in rows if keep(i, w)}
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = {r.id for r in pps_sample(df, "w", k, ["id"]).collect()}
+    assert got == want and 0 < len(got) < len(rows)
