@@ -56,11 +56,22 @@ def heavy_hitters(
     col: str,
     threshold_fraction: float,
     candidate_factor: float = 2.0,
+    exact: bool = True,
 ) -> DataFrame:
     """Items of ``col`` occurring in ≥ ``threshold_fraction`` of non-null
     rows, with their EXACT counts. Output: ``item`` (the column's own
     type), ``n`` (long), n ≥ ceil(θ·N) — byte-identical to the naive
     ``GROUP BY … HAVING`` result.
+
+    ``exact=False`` skips the verification pass — ONE scan total,
+    returning every candidate with its merged MG weight as ``n``. The
+    guarantees then are the sketch's own: every true heavy hitter is
+    present; ``n`` UNDERCOUNTS by at most ``N/k`` (so true count ∈
+    [n, n + N/k]); items between θN − N/k and θN may appear as false
+    positives. The single-scan form is for when re-reading the data is
+    the cost that matters (a tail of a pipeline that won't rescan 100 TB
+    for exact counts) — downstream exact verification can always run
+    later on just the candidate list.
     """
     if not 0.0 < threshold_fraction <= 1.0:
         raise ValueError(f"threshold_fraction not in (0, 1]: {threshold_fraction}")
@@ -125,12 +136,24 @@ def heavy_hitters(
         # collect below is driver-small by construction, like the IVF
         # centroid pull (operators/similarity.py)
         floor_w = threshold_fraction * n_total - n_total / k
-        candidates = [
-            r.item
-            for r in summaries.filter(
-                F.col("item").isNotNull() & (F.col("weight") >= floor_w)
-            ).collect()
-        ]
+        survivors = summaries.filter(
+            F.col("item").isNotNull() & (F.col("weight") >= floor_w)
+        )
+        if not exact:
+            # one-scan form: candidates with their merged MG weights
+            # (collected then re-created so the unpersist below can't
+            # invalidate the returned frame's lineage)
+            rows = [(r.item, int(r.weight)) for r in survivors.collect()]
+            return df.sparkSession.createDataFrame(
+                rows,
+                T.StructType(
+                    [
+                        T.StructField("item", item_type),
+                        T.StructField("n", T.LongType()),
+                    ]
+                ),
+            )
+        candidates = [r.item for r in survivors.collect()]
     finally:
         summaries.unpersist()
     if not candidates:

@@ -128,3 +128,26 @@ def test_heavy_hitters_random_distributions(spark, tiny_batches, counts, frac):
         (r.item, r.n) for r in heavy_hitters(df, "item_col", frac).collect()
     }
     assert got == _exact(df, "item_col", frac), (counts, frac)
+
+
+def test_heavy_hitters_one_pass_mode(spark, tiny_batches):
+    """exact=False: one scan, every true heavy hitter present, weights
+    undercount by at most N/k, and the exact pass over its candidate
+    list reproduces the exact result."""
+    vals = ["h1"] * 300 + ["h2"] * 120 + [f"t{i}" for i in range(400)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "item_col string"
+    ).repartition(4)
+    n_total = len(vals)
+    frac = 0.1
+    import math
+
+    k = math.ceil(2.0 / frac)
+    approx = {
+        r.item: r.n
+        for r in heavy_hitters(df, "item_col", frac, exact=False).collect()
+    }
+    exact = dict(_exact(df, "item_col", frac))
+    assert set(exact) <= set(approx)  # no true heavy hitter missed
+    for item, true_n in exact.items():
+        assert true_n - n_total / k <= approx[item] <= true_n
