@@ -198,10 +198,11 @@ HEADLINE = [
 # since r01 — so the round-over-round "value" stays apples-to-apples.
 HEADLINE_TOTAL_SET = frozenset(HEADLINE[:17])
 
-# Per-query rep overrides: events_sessionization read 2.1× its r01 best
-# in r5 with an unchanged plan — suspected co-tenant noise; 7 reps for
-# one round to see through it (VERDICT_r05 next-round item 5).
-EXTRA_REPS = {"events_sessionization": 7}
+# Per-query rep overrides. events_sessionization carried 7 reps through
+# r5–r8 to see through a suspected co-tenant flag (VERDICT_r05 item 5);
+# r6/r7/r8 all measured it at or under its r01 best, so the flag is
+# resolved and the override retired.
+EXTRA_REPS: dict[str, int] = {}
 
 if __name__ == "__main__":
     main()
