@@ -1534,7 +1534,17 @@ def _q_activity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity_anomaly): per-day changelog volume z-scored against the
     trailing 7 days (current day excluded, ≥3-day history required) —
     the standing alert a CDC operator keeps on the maintained daily
-    rollup. The oracle replays the identical window arithmetic."""
+    rollup. The oracle replays the identical window arithmetic.
+
+    Accuracy-contract form (r9): the hashed columns are exact
+    (table_name, change_date, n_changes long) plus the two booleans
+    derived from the z computation — z_defined (history + positive
+    baseline stddev) and is_anomaly (|z| > 2). The double z itself is
+    NOT hashed: variance accumulates differently across engines at the
+    last ulp, so a rounded double sitting on a rounding boundary could
+    flip the hash (NOTES_r08 item 1); the booleans only flip if a z
+    sits exactly ON the 2.0 threshold across engines, which the fixture
+    is nowhere near (pytest pins the z values themselves)."""
     from changedatacapture_reporting_spark.operators.profile import (
         activity_anomaly,
     )
@@ -1545,9 +1555,16 @@ def _q_activity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("table_name", "change_date")
         .agg(F.count("*").cast("long").alias("n_changes"))
     )
-    return activity_anomaly(
+    flagged = activity_anomaly(
         daily, ["table_name"], "change_date", "n_changes",
         trailing=7, z_threshold=2.0,
+    )
+    return flagged.select(
+        "table_name",
+        "change_date",
+        "n_changes",
+        F.col("z_score").isNotNull().alias("z_defined"),
+        "is_anomaly",
     )
 
 
@@ -1568,8 +1585,7 @@ _SQL_ACTIVITY_ANOMALY = (
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
 SELECT table_name, change_date, n_changes,
-       ROUND(CASE WHEN n_prev >= 3 AND sd IS NOT NULL AND sd > 0
-                  THEN (n_changes - m) / sd END, 6) AS z_score,
+       (n_prev >= 3 AND sd IS NOT NULL AND sd > 0) AS z_defined,
        COALESCE(ABS(CASE WHEN n_prev >= 3 AND sd IS NOT NULL AND sd > 0
                          THEN (n_changes - m) / sd END) > 2.0,
                 FALSE) AS is_anomaly

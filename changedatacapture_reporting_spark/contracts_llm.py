@@ -1429,11 +1429,17 @@ FROM (
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators.bpe.bpe_train):
     30 merge rules learned from the documents corpus — iterative
-    (pair-count argmax per round), so there is no single-SQL oracle;
-    this is a rows-only registry entry, with the exact semantics pinned
-    instead by tests/test_bpe.py's pure-Python reference (merge
-    sequence AND final vocabulary must match, tie-breaks included).
-    Deterministic: lexicographic tie-break, no RNG."""
+    (pair-count argmax per round), so no single SQL computes it; but
+    the merge sequence is DETERMINISTIC (lexicographic tie-break, no
+    RNG), so the oracle is a committed GOLDEN MERGE TABLE generated by
+    an independent pure-Python BPE (tools/make_bpe_golden.py) over the
+    sf0.01 documents fixture — the driver hash-checks the full sequence
+    rows-exactly (r9; previously rows-only). The same pure-Python
+    semantics are additionally pinned subset-wise by tests/test_bpe.py
+    (merge sequence AND final vocabulary, tie-breaks included).
+    NOTE: the golden table is the sf0.01 sequence — the sf the driver's
+    correctness gate runs at; at any other sf this contract fails
+    loudly rather than silently passing."""
     from changedatacapture_reporting_spark.operators.bpe import bpe_train
 
     d = load_table(spark, sf_dir, "documents")
@@ -1442,6 +1448,37 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b, n) for i, (a, b, n) in enumerate(merges)],
         "rank int, left string, right string, merged string, n long",
     )
+
+
+def _bpe_golden_sql() -> str:
+    """VALUES-literal oracle from the committed golden merge table."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "bpe_golden_sf001.json",
+    )
+    with open(path) as f:
+        rows = json.load(f)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n".join(
+        f"({r['rank']}, {q(r['left'])}, {q(r['right'])}, "
+        f"{q(r['merged'])}, {r['n']})"
+        for r in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + values
+        + '\n) AS t(rank, "left", "right", merged, n)'
+    )
+
+
+SQL_BPE_GOLDEN = _bpe_golden_sql()
 
 
 def corpus_boilerplate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1623,7 +1660,7 @@ REGISTRY_LLM = {
     "embedding_quantization": (embedding_quantization, SQL_QUANTIZE),
     "embedding_random_projection": (embedding_random_projection, SQL_PROJECTION),
     "corpus_boilerplate_scores": (corpus_boilerplate_scores, SQL_BOILERPLATE),
-    "corpus_bpe_merges": (corpus_bpe_merges, None),
+    "corpus_bpe_merges": (corpus_bpe_merges, SQL_BPE_GOLDEN),
     "corpus_leakage_safe_splits": (corpus_leakage_safe_splits, SQL_SPLITS),
     "dedup_embedding_incremental": (dedup_embedding_incremental, SQL_EMB_INCREMENTAL),
     "corpus_pack_bfd": (corpus_pack_bfd, SQL_PACK_BFD),

@@ -561,32 +561,122 @@ ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
 def profile_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan correlation matrix (operators.profile.
     profile_correlations): all six pairs of lineitem's measures in a
-    single aggregate pass, melted to long form. Oracle recomputes each
-    Pearson coefficient with DuckDB's corr; both sides round at 1e-6 —
-    the double-accumulation tolerance."""
+    single aggregate pass, melted to long form.
+
+    Accuracy-contract form (r9, NOTES_r08 item 1): the hashed columns
+    are exact — pair names, the exact pairwise-complete row count — plus
+    two booleans: corr_defined, and corr_close (profile_correlations'
+    covar/stddev value vs an INDEPENDENT engine-native Pearson, F.corr
+    here / corr() in the DuckDB oracle, within 2e-6 — rounding half-step
+    + accumulation noise). No double is hashed, so no cross-engine
+    ulp/rounding-boundary flake is possible; the double values
+    themselves are pinned by pytest (test_relational_extra)."""
     from changedatacapture_reporting_spark.operators.profile import (
         profile_correlations,
     )
 
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     l = load_table(spark, sf_dir, "lineitem")
-    return profile_correlations(
-        l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    prof = profile_correlations(l, cols)
+    ref_wide = l.agg(
+        *[
+            F.struct(
+                F.corr(a, b).alias("ref_corr"),
+                F.count(
+                    F.when(
+                        F.col(a).isNotNull() & F.col(b).isNotNull(), 1
+                    )
+                ).alias("n_pairs"),
+            ).alias(f"_p{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    ref = ref_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"_p{i}.ref_corr").alias("ref_corr"),
+                        F.col(f"_p{i}.n_pairs").alias("n_pairs"),
+                    )
+                    for i, (a, b) in enumerate(pairs)
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return prof.join(ref, ["col_a", "col_b"]).select(
+        "col_a",
+        "col_b",
+        "n_pairs",
+        F.col("corr").isNotNull().alias("corr_defined"),
+        (F.abs(F.col("corr") - F.col("ref_corr")) < 2e-6).alias(
+            "corr_close"
+        ),
     )
 
 
 SQL_CORRELATIONS = """
+WITH c AS (
+  SELECT corr(l_quantity, l_extendedprice) AS c_qe,
+         corr(l_quantity, l_discount) AS c_qd,
+         corr(l_quantity, l_tax) AS c_qt,
+         corr(l_extendedprice, l_discount) AS c_ed,
+         corr(l_extendedprice, l_tax) AS c_et,
+         corr(l_discount, l_tax) AS c_dt,
+         COUNT(*) AS n
+  FROM lineitem
+), m AS (
+  -- independent recomputation from raw moments:
+  -- corr = (n*Sab - Sa*Sb) / sqrt((n*Saa - Sa^2)*(n*Sbb - Sb^2))
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(l_quantity) AS sq, SUM(l_extendedprice) AS se,
+         SUM(l_discount) AS sd, SUM(l_tax) AS st,
+         SUM(l_quantity*l_quantity) AS sqq,
+         SUM(l_extendedprice*l_extendedprice) AS see,
+         SUM(l_discount*l_discount) AS sdd,
+         SUM(l_tax*l_tax) AS stt,
+         SUM(l_quantity*l_extendedprice) AS sqe,
+         SUM(l_quantity*l_discount) AS sqd,
+         SUM(l_quantity*l_tax) AS sqt,
+         SUM(l_extendedprice*l_discount) AS sed,
+         SUM(l_extendedprice*l_tax) AS set_,
+         SUM(l_discount*l_tax) AS sdt
+  FROM lineitem
+)
 SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
-UNION ALL SELECT 'l_quantity', 'l_discount',
-       ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
-UNION ALL SELECT 'l_quantity', 'l_tax',
-       ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
-UNION ALL SELECT 'l_extendedprice', 'l_discount',
-       ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
-UNION ALL SELECT 'l_extendedprice', 'l_tax',
-       ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
-UNION ALL SELECT 'l_discount', 'l_tax',
-       ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+       c.n AS n_pairs, c_qe IS NOT NULL AS corr_defined,
+       ABS(c_qe - (m.n*sqe - sq*se)
+                  / SQRT((m.n*sqq - sq*sq)*(m.n*see - se*se))) < 2e-6
+         AS corr_close
+FROM c, m
+UNION ALL SELECT 'l_quantity', 'l_discount', c.n,
+       c_qd IS NOT NULL,
+       ABS(c_qd - (m.n*sqd - sq*sd)
+                  / SQRT((m.n*sqq - sq*sq)*(m.n*sdd - sd*sd))) < 2e-6
+FROM c, m
+UNION ALL SELECT 'l_quantity', 'l_tax', c.n,
+       c_qt IS NOT NULL,
+       ABS(c_qt - (m.n*sqt - sq*st)
+                  / SQRT((m.n*sqq - sq*sq)*(m.n*stt - st*st))) < 2e-6
+FROM c, m
+UNION ALL SELECT 'l_extendedprice', 'l_discount', c.n,
+       c_ed IS NOT NULL,
+       ABS(c_ed - (m.n*sed - se*sd)
+                  / SQRT((m.n*see - se*se)*(m.n*sdd - sd*sd))) < 2e-6
+FROM c, m
+UNION ALL SELECT 'l_extendedprice', 'l_tax', c.n,
+       c_et IS NOT NULL,
+       ABS(c_et - (m.n*set_ - se*st)
+                  / SQRT((m.n*see - se*se)*(m.n*stt - st*st))) < 2e-6
+FROM c, m
+UNION ALL SELECT 'l_discount', 'l_tax', c.n,
+       c_dt IS NOT NULL,
+       ABS(c_dt - (m.n*sdt - sd*st)
+                  / SQRT((m.n*sdd - sd*sd)*(m.n*stt - st*st))) < 2e-6
+FROM c, m
 """
 
 

@@ -77,7 +77,8 @@ def drift_summary(
     value_cols: list[str],
 ) -> DataFrame:
     """One row per drift class with its count (zero-drift classes
-    absent), plus an ``n_rows_compared`` row — the cheap health gate."""
+    absent), plus an ``n_keys_compared`` row (distinct keys seen on
+    either side) — the cheap health gate."""
     rep = drift_report(left, right, pk_cols, value_cols)
     counts = rep.groupBy("drift_kind").agg(
         F.count("*").cast("long").alias("n")

@@ -137,6 +137,25 @@ def merge_aggregate(
                 stacklevel=2,
             )
     measure_cols = [c for c in agg.columns if c not in group_cols]
+
+    def checked_cast(col: F.Column, name: str) -> F.Column:
+        # Narrowing back to the maintained type can overflow; under
+        # non-ANSI Spark that cast yields NULL SILENTLY, corrupting the
+        # view. Surface it instead (ADVICE r8): a non-null value that
+        # casts to null raises.
+        target = agg.schema[name].dataType
+        casted = col.cast(target)
+        return F.when(
+            col.isNotNull() & casted.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"merge_aggregate: overflow casting measure "
+                    f"{name!r} to {target.simpleString()} — widen the "
+                    "maintained table's measure type"
+                )
+            ).cast(target),
+        ).otherwise(casted).alias(name)
+
     touched = deltas.select(*group_cols).distinct()
     if broadcast_deltas:
         touched = F.broadcast(touched)
@@ -148,6 +167,8 @@ def merge_aggregate(
             deltas.select(
                 *[
                     F.col(c).cast(agg.schema[c].dataType).alias(c)
+                    if c in group_cols
+                    else checked_cast(F.col(c), c)
                     for c in agg.columns
                 ]
             )
@@ -155,7 +176,7 @@ def merge_aggregate(
         .groupBy(*group_cols)
         .agg(
             *[
-                F.sum(c).cast(agg.schema[c].dataType).alias(c)
+                checked_cast(F.sum(c), c)
                 for c in measure_cols
             ]
         )

@@ -155,8 +155,14 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         # covar_samp/(stddev·stddev) instead of F.corr: identical value
         # (the n−1 factors cancel), but guardable — F.corr's internal
         # division throws under ANSI mode when a column has zero
-        # variance, where the correct profile answer is NULL (undefined)
-        sa, sb = F.stddev_samp(a), F.stddev_samp(b)
+        # variance, where the correct profile answer is NULL (undefined).
+        # Every moment is restricted to PAIRWISE-COMPLETE rows (a AND b
+        # non-null): covar_samp only accumulates those, so the stddevs
+        # must too, or the ratio is not Pearson when the columns have
+        # different null patterns.
+        av = F.when(F.col(b).isNotNull(), F.col(a))
+        bv = F.when(F.col(a).isNotNull(), F.col(b))
+        sa, sb = F.stddev_samp(av), F.stddev_samp(bv)
         return F.when(
             (sa > 0) & (sb > 0), F.covar_samp(a, b) / (sa * sb)
         )

@@ -154,15 +154,17 @@ def _merge_group_partials(partials: DataFrame, d: int) -> list:
     cnt) down to one (grp, total_sum_vector, total_cnt) row per group —
     an element-wise array fold over collect_list, grouped on the (tiny)
     group key. Driver receives one row per NON-EMPTY group, never per
-    batch. Float fold order follows collect_list (nondeterministic at
-    the ulp — k-means centroids are tolerance-compared, and every
-    consumer contract is a recall bound, not a hash of centroids)."""
+    batch. The collected partials are array_sort-ed (lexicographic on
+    the sum vectors) BEFORE the float fold, so the fold order — and
+    therefore every centroid — is bit-stable across partitionings and
+    reruns (r9: collect_list order alone is nondeterministic at the
+    ulp, a latent trap for any future hash-checked consumer)."""
     zero = F.array(*[F.lit(0.0) for _ in range(d)])
     return (
         partials.groupBy("grp")
         .agg(
             F.aggregate(
-                F.collect_list("s"),
+                F.array_sort(F.collect_list("s")),
                 zero,
                 lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
             ).alias("s"),

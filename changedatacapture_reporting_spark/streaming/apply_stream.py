@@ -231,17 +231,30 @@ def read_aggregate(
 ) -> DataFrame:
     """The maintained aggregate table of a
     :func:`stream_maintain_aggregate` target: the max committed version,
-    or an empty typed frame before bootstrap (group cols typed from the
-    source image struct; measures are long)."""
+    or an empty typed frame before bootstrap. Empty-frame measures carry
+    the SUM-RESULT type of their source field (long for integrals,
+    decimal(p+10, s) for decimals — Spark's sum widening, the same type
+    ``bootstrap_aggregate``'s GROUP BY would produce), so a no-bootstrap
+    start maintains decimals exactly instead of locking the view to long
+    and truncating the first epoch's deltas."""
     epochs = _committed_epochs(spark, target_path)
     if not epochs:
+
+        def sum_result_type(dt: T.DataType) -> T.DataType:
+            if isinstance(dt, T.DecimalType):
+                return T.DecimalType(min(38, dt.precision + 10), dt.scale)
+            return T.LongType()
+
         fields = [
             T.StructField(f.name, f.dataType)
             for f in source_struct.fields
             if f.name in group_cols
         ]
         fields.append(T.StructField("n_rows", T.LongType()))
-        fields += [T.StructField(a, T.LongType()) for a in sum_cols]
+        fields += [
+            T.StructField(a, sum_result_type(source_struct[src].dataType))
+            for a, src in sum_cols.items()
+        ]
         return spark.createDataFrame([], T.StructType(fields))
     current = sorted(epochs)[-1]
     return spark.read.parquet(os.path.join(target_path, f"v={current}"))

@@ -234,3 +234,45 @@ def test_aggregate_deltas_rejects_float_and_keeps_decimal(spark):
     )
     [out] = merge_aggregate(agg0, deltas, ["grp"]).collect()
     assert out.n_rows == 3 and out.sx == Decimal("11.25")
+
+
+def test_merge_aggregate_overflow_raises(spark):
+    """A widened delta sum that no longer fits the maintained measure
+    type must RAISE, not silently write NULL (non-ANSI decimal cast
+    overflow → NULL corrupts the view; ADVICE r8)."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    agg0 = spark.createDataFrame(
+        [("a", 1, Decimal("99.00"))],
+        "grp string, n_rows long, sx decimal(4,2)",
+    )
+    deltas = spark.createDataFrame(
+        [("a", 0, Decimal("5.00"))],
+        "grp string, n_rows long, sx decimal(14,2)",
+    )
+    # ANSI mode (the session default): the cast itself raises; the
+    # explicit guard covers non-ANSI deployments where the cast would
+    # otherwise yield NULL silently — check BOTH.
+    out = merge_aggregate(agg0, deltas, ["grp"])
+    with _pytest.raises(
+        Exception, match="overflow casting measure|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        out.collect()
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with _pytest.raises(Exception, match="overflow casting measure"):
+            merge_aggregate(agg0, deltas, ["grp"]).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+    # a fitting merge still works bit-exactly
+    deltas_ok = spark.createDataFrame(
+        [("a", 0, Decimal("0.50"))],
+        "grp string, n_rows long, sx decimal(14,2)",
+    )
+    [row] = merge_aggregate(agg0, deltas_ok, ["grp"]).collect()
+    assert row.sx == Decimal("99.50")

@@ -113,13 +113,18 @@ def test_ivf_topk_recall_vs_bruteforce(embeddings):
 
 
 def test_ivf_index_is_deterministic(embeddings):
+    """Bit-exact, not merely close: the partial-sum fold sorts before
+    folding (r9), so centroids are identical across reruns AND across
+    different physical partitionings."""
     from changedatacapture_reporting_spark.operators.similarity import ivf_index
 
     _, c1 = ivf_index(embeddings)
     _, c2 = ivf_index(embeddings)
+    _, c3 = ivf_index(embeddings.repartition(7))
     import numpy as np
 
-    assert np.allclose(c1, c2)
+    assert np.array_equal(c1, c2)
+    assert np.array_equal(c1, c3)
 
 
 def test_lsh_topk_is_subset_ranked_correctly(embeddings):

@@ -158,6 +158,19 @@ def test_profile_correlations_one_scan_and_values(spark):
     assert math.isclose(out[("b", "c")], -1.0)
     assert len(out) == 6                   # each unordered pair once
 
+    # pairwise-complete semantics under DIFFERENT null patterns
+    # (ADVICE r8 high): stddevs must be restricted to rows where the
+    # OTHER column is non-null too, matching F.corr exactly.
+    nrows = [
+        (1.0, 1.0), (2.0, 2.0), (3.0, 3.0),
+        (None, 1000.0), (None, -950.0),
+    ]
+    ndf = spark.createDataFrame(nrows, "a double, b double")
+    got = profile_correlations(ndf, ["a", "b"]).collect()[0].corr
+    want = ndf.agg(F.corr("a", "b")).collect()[0][0]
+    assert math.isclose(got, want, abs_tol=1e-6)
+    assert math.isclose(got, 1.0)          # pairwise-complete rows are linear
+
     plan = profile_correlations(df, ["a", "b"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Scan") <= 2         # single aggregate pass

@@ -130,3 +130,38 @@ def test_histogram_rollup_merge_is_split_invariant(spark):
         fixed_width_histogram(df, "v", [], 5.0, 5.0, 10)
     with _pytest.raises(ValueError):
         histogram_quantiles(merged, ["grp"], [0.0])
+
+
+def test_correlations_contract_pins_values(spark, sf_dir):
+    """The driver contract hashes only exact columns + booleans
+    (accuracy form, r9); THIS test pins the actual double correlations
+    against engine-native F.corr so a wrong value cannot hide behind
+    the booleans."""
+    import math
+
+    from changedatacapture_reporting_spark.contracts_relational import (
+        profile_lineitem_correlations,
+    )
+    from changedatacapture_reporting_spark.operators.profile import (
+        profile_correlations,
+    )
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    l = load_table(spark, sf_dir, "lineitem")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in profile_correlations(l, cols).collect()
+    }
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    want_row = l.agg(
+        *[F.corr(a, b).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    ).collect()[0]
+    n = l.count()
+    for i, (a, b) in enumerate(pairs):
+        assert math.isclose(got[(a, b)], want_row[i], abs_tol=2e-6), (a, b)
+
+    contract = profile_lineitem_correlations(spark, sf_dir).collect()
+    assert len(contract) == 6
+    for r in contract:
+        assert r.n_pairs == n
+        assert r.corr_defined and r.corr_close, (r.col_a, r.col_b)

@@ -76,7 +76,14 @@ def test_activity_anomaly_spike_and_cold_start(spark):
     # cold start: first 3 days have <3 preceding observations
     for i in range(3):
         assert got[("t", str(base + dt.timedelta(days=i)))] == (None, False)
-    assert got[("t", str(base + dt.timedelta(days=7)))][1] is True  # spike
+    # spike day: pin the z VALUE (baseline days 0-6: mean 100.0,
+    # stddev_samp sqrt(4/6)) — the driver contract hashes only
+    # booleans (accuracy form, r9), so the double is pinned here.
+    import math
+
+    z7, anom7 = got[("t", str(base + dt.timedelta(days=7)))]
+    assert anom7 is True  # spike
+    assert math.isclose(z7, 900.0 / math.sqrt(4.0 / 6.0), rel_tol=1e-6)
     # day after the spike: baseline now contains the spike → high stddev
     # → the return to 100 is NOT anomalous
     assert got[("t", str(base + dt.timedelta(days=8)))][1] is False

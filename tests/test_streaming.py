@@ -1009,3 +1009,61 @@ def test_stream_maintain_aggregate_crash_recovery(spark, workdir):
         for r in read_aggregate(spark, target, gcols, scols, src).collect()
     }
     assert got == {"a": (1, 5)}  # exactly once despite the replay
+
+
+def test_stream_maintain_aggregate_decimal_no_bootstrap(spark, workdir):
+    """Without bootstrap_aggregate, the pre-bootstrap empty frame must
+    type decimal measures as the sum-result decimal (not long), so the
+    first epoch's fractional deltas survive exactly (ADVICE r8: 10.75
+    must not become 10)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.schema import cdc_event_schema
+    from changedatacapture_reporting_spark.streaming.apply_stream import (
+        read_aggregate,
+        stream_maintain_aggregate,
+    )
+
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("amt", T.DecimalType(12, 2)),
+        ]
+    )
+    schema = cdc_event_schema(src)
+    ts = dt.datetime(2024, 2, 1, 9, 0, 0)
+    batch = [
+        (1, 0, ts, "insert", "t", None, (1, "a", Decimal("10.75"))),
+        (2, 0, ts, "insert", "t", None, (2, "a", Decimal("0.25"))),
+    ]
+    ev_path = f"{workdir}/ivm_dec_events"
+    target = f"{workdir}/ivm_dec_target"
+    ckpt = f"{workdir}/ivm_dec_ckpt"
+    gcols, scols = ["grp"], {"sum_amt": "amt"}
+
+    # pre-bootstrap read: typed empty frame, measure is decimal
+    empty = read_aggregate(spark, target, gcols, scols, src)
+    assert isinstance(empty.schema["sum_amt"].dataType, T.DecimalType)
+    assert empty.schema["sum_amt"].dataType.scale == 2
+    assert empty.count() == 0
+
+    spark.createDataFrame(batch, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(ev_path)
+    _drain(
+        stream_maintain_aggregate(
+            spark, ev_path, schema, target, ckpt, gcols, scols
+        )
+    )
+    [row] = read_aggregate(spark, target, gcols, scols, src).collect()
+    assert row.grp == "a" and row.n_rows == 2
+    assert row.sum_amt == Decimal("11.00")
+    # and the maintained type is still decimal (no long lock-in)
+    out_t = read_aggregate(spark, target, gcols, scols, src).schema[
+        "sum_amt"
+    ].dataType
+    assert isinstance(out_t, T.DecimalType) and out_t.scale == 2
