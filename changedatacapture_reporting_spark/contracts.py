@@ -351,6 +351,75 @@ def _q_mssql_shape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jdbc_shape_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-JDBC input-form parity (sources.jdbc_cdc — the reference's
+    actual input is fn_cdc_get_all_changes over a live connection,
+    populate:319): synthesize the exact row shape
+    :func:`sources.jdbc_cdc.mssql_cdc_query` projects server-side
+    ('all update old' op-3/4 split, hex LSN, long seqval/mask, resolved
+    commit_ts, lsn_num), apply the stand-in reader's inclusive LSN
+    window (file_cdc_rows — the same semantics the server's TVF bounds
+    give), pair back into the event model, build the changelog. Oracle
+    = the changelog SQL restricted to the same window. The real
+    read_cdc_jdbc differs only in the row producer (JDBC load vs this
+    frame) — everything exercised here is the shared code."""
+    from changedatacapture_reporting_spark.sources.cdc_simulator import (
+        SIM_VALUE_COLS,
+    )
+    from changedatacapture_reporting_spark.sources.jdbc_cdc import (
+        file_cdc_rows,
+        make_cdc_function_rows,
+    )
+    from changedatacapture_reporting_spark.sources.mssql_cdc import (
+        mssql_rows_to_events,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    rows = make_cdc_function_rows(ev, SIM_VALUE_COLS)
+    windowed = file_cdc_rows(rows, _JDBC_WINDOW[0], _JDBC_WINDOW[1])
+    events = mssql_rows_to_events(windowed, SIM_VALUE_COLS)
+    return build_changelog(events, SIM_PK, with_audit_cols=False).select(
+        *CHANGELOG_OUT
+    )
+
+
+# inclusive LSN window for the JDBC roundtrip — inside every sf's key
+# range (sf0.001 orders keys reach ~6000)
+_JDBC_WINDOW = (1000, 4000)
+
+_SQL_JDBC_ROUNDTRIP = f"""
+WITH {ORACLE_EVENTS_CTE},
+evw AS (
+  SELECT * FROM ev
+  WHERE lsn BETWEEN {_JDBC_WINDOW[0]} AND {_JDBC_WINDOW[1]}
+),
+upd AS (SELECT * FROM evw WHERE op = 'update'),
+changes AS (
+  SELECT commit_ts AS commit_time, 'orders' AS table_name, o_orderkey,
+         'status' AS column_name, b_status AS old_value, a_status AS new_value
+  FROM upd WHERE b_status IS DISTINCT FROM a_status
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, 'priority', b_priority, a_priority
+  FROM upd WHERE b_priority IS DISTINCT FROM a_priority
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, 'total',
+         CAST(b_total AS VARCHAR), CAST(a_total AS VARCHAR)
+  FROM upd WHERE b_total IS DISTINCT FROM a_total
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, 'note', b_note, a_note
+  FROM upd WHERE b_note IS DISTINCT FROM a_note
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, NULL, 'DELETED RECORD', NULL
+  FROM evw WHERE op = 'delete'
+  UNION ALL
+  SELECT commit_ts, 'orders', o_orderkey, NULL, NULL, 'NEW RECORD'
+  FROM evw WHERE op = 'insert'
+)
+SELECT commit_time, table_name, o_orderkey, column_name, old_value,
+       new_value FROM changes
+"""
+
+
 def _q_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC parsing parity for the open wire format: serialize the simulated
     events as Debezium JSON envelopes (sources.debezium.events_to_debezium
@@ -1619,6 +1688,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_reconstruct_state": (_q_reconstruct_state, _SQL_RECONSTRUCT),
     "cdc_state_snapshot_refresh": (_q_state_snapshot_refresh, _SQL_RECONSTRUCT),
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
+    "cdc_jdbc_shape_roundtrip": (_q_jdbc_shape_roundtrip, _SQL_JDBC_ROUNDTRIP),
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_dlq": (_q_debezium_dlq, _SQL_DEBEZIUM_DLQ),
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
@@ -1649,81 +1719,74 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
-# entries. r08 rotation: r7's window went 50/50 green, so its unchanged
-# survivors rotate OUT and the STALEST entries rotate IN. Slots:
-# 1 never-driver-checked entry (cdc_snapshot_diff, new in r7 but left
-# out of the r7 window — ADVICE r07 item 1; its property test is
-# tests/test_diff.py); 1 last-green-r4 entry (ann_topk_bruteforce, which
-# yielded its r7 slot because it executes inside every ANN recall
-# contract — refreshed here anyway so no entry's green row ages past ~3
-# rounds); 3 entries whose code was touched this round and must re-prove
-# (corpus_pack_bfd — any-fit bound now max(1, …)-guarded for zero-token
-# shards; cdc_kafka_roundtrip — make_kafka_records offsets now follow an
-# explicit order column / monotonic id instead of value order, and the
-# record timestamp is an explicit parameter; cdc_forget_keys —
-# purge_keys_from_sink now appends negative rollup partials in the same
-# replace commit); all 26 last-green-r5 entries; the 19 NEW r8 entries
-# (every new entry ships with a slot — the tail of this list). All 45
-# r6-green entries rotate out this round — every one stays covered by
-# the local tools/check_contract.py full run (141/141 this round).
+# entries. r09 rotation (VERDICT r8 item 4): the r8 window went 50/50
+# green, so its survivors rotate OUT and the ENTIRE r6-last-verified
+# cohort (the 45 entries whose last driver check was round 6 — nothing
+# in the registry is staler) rotates IN. The remaining 5 slots: the one
+# NEW r9 entry (cdc_jdbc_shape_roundtrip — the live-JDBC input form),
+# and the 4 entries whose CONTRACT changed this round and must re-prove
+# on the driver (cdc_activity_anomaly + profile_lineitem_correlations —
+# migrated to accuracy form, no hashed doubles; corpus_bpe_merges — now
+# hash-checked against the committed golden merge table instead of
+# rows-only; ann_topk_ivfpq — k-means partial fold now sorts before
+# folding, and this one contract trains BOTH the IVF and PQ indexes).
+# Also touched this round but out of window (driver-green r8, re-proven
+# by the local full sweep): ann_topk_ivf, ann_topk_pq,
+# cdc_incremental_agg, streaming_incremental_agg.
 _CHECK_WINDOW: list[str] = [
-    # never driver-checked — highest priority slot (ADVICE r07 item 1)
-    "cdc_snapshot_diff",
-    # last driver-green r4 — stalest entry in the registry
-    "ann_topk_bruteforce",
-    # code touched this round — re-prove on the new code
-    "corpus_pack_bfd",
-    "cdc_kafka_roundtrip",
-    "cdc_forget_keys",
-    # last driver-green r5 — all 26
-    "asof_signup_attribution",
-    "cdc_changelog_full",
-    "cdc_incremental_resume",
-    "cdc_reconstruct_state",
-    "cube_lineitem_counts",
-    "dedup_embedding_neardup",
-    "events_sessionization",
-    "json_props_stats",
-    "like_filter_parts",
-    "q10_returned_item_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_brackets",
-    "q21_single_supplier_orders",
-    "q22_idle_rich_customers",
-    "q4_late_orders",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "q8_market_share",
-    "range_join_order_windows",
-    "streaming_session_windows",
-    "streaming_sliding_10min",
-    "streaming_tumbling_5min",
-    "topk_orders_per_customer",
-    # last driver-green r6 — 19 of 45, highest-churn families first
-    # new in r8 — first driver round each (no entry ships without a
-    # slot); each displaces one r6-green slot from the list above
-    "cdc_incremental_agg",
-    "events_heavy_hitters",
-    "corpus_pps_sample",
-    "scd2_pointintime_enrich",
-    "embedding_random_projection",
-    "dq_orders_expectations",
+    # new in r9 — first driver round
+    "cdc_jdbc_shape_roundtrip",
+    # contract changed in r9 — re-prove on the new form
     "cdc_activity_anomaly",
-    "events_value_histogram",
-    "streaming_incremental_agg",
-    "cdc_reconstruct_series",
-    "salted_join_segment_revenue",
-    "ann_topk_ivfpq",
-    "corpus_boilerplate_scores",
-    "corpus_bpe_merges",
-    "cdc_daily_series",
-    "fuzzy_match_customers",
     "profile_lineitem_correlations",
-    "streaming_pointintime_enrich",
-    "cdc_drift_report",
+    "corpus_bpe_merges",
+    "ann_topk_ivfpq",
+    # the full r6-last-verified cohort — all 45
+    "cdc_apply_net_changes",
+    "cdc_changelog_daily_activity",
+    "cdc_column_churn",
+    "cdc_debezium_dlq",
+    "cdc_debezium_roundtrip",
+    "cdc_delta_cdf_roundtrip",
+    "cdc_mssql_shape_roundtrip",
+    "cdc_multi_table_snapshot",
+    "cdc_net_changes",
+    "cdc_reconstruct_at_lsn",
+    "cdc_row_history",
+    "cdc_state_snapshot_refresh",
+    "cdc_transaction_summary",
+    "corpus_budget_mix",
+    "corpus_chunks",
+    "corpus_decontaminate",
+    "corpus_leakage_safe_splits",
+    "corpus_ngram_vocab",
+    "corpus_sampled_mix",
+    "corpus_token_freq_scores",
+    "customers_without_orders",
+    "dedup_embedding_incremental",
+    "dedup_incremental_batch",
+    "events_cohort_retention",
+    "events_distinct_sketch_rollup",
+    "events_funnel",
+    "events_tumbling_5min",
+    "order_gaps",
+    "order_priority_stats",
+    "part_price_ranks",
+    "percentile_spend",
+    "q11_important_parts",
+    "q12_shipping_latency",
+    "q16_supplier_count_by_part",
+    "q20_excess_suppliers",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "streaming_dedup_keys",
+    "streaming_enriched_segments",
+    "streaming_interval_join",
+    "text_normalization",
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "text_sentiment_scores",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(
