@@ -89,7 +89,14 @@ def _overrides() -> dict:
     """Bench-only replacements where a registry entry became an accuracy
     CONTRACT (r2: ann_topk_lsh embeds a brute-force comparison leg) —
     the bench keeps timing the PRODUCTION path so per-query numbers stay
-    comparable across rounds."""
+    comparable across rounds — plus the *_steady entries (r9): the
+    registry's ANN / incremental-dedup contracts time index BUILD +
+    query per run (right for cross-round continuity, wrong for capacity
+    planning); the steady entries build + persist the index ONCE on the
+    first rep and time only probe/ADC/rerank against the parquet-backed
+    index thereafter — min-of-reps therefore reports the steady-state
+    query cost, which is the number that matters at 100 TB where an
+    index is built once per ingestion epoch and served many times."""
     from pyspark.sql import functions as F
 
     from changedatacapture_reporting_spark.operators.similarity import lsh_topk
@@ -100,7 +107,85 @@ def _overrides() -> dict:
         q = e.filter(F.col("vec_id") < 10)
         return lsh_topk(e, q, k=10)
 
-    return {"ann_topk_lsh": ann_lsh_production}
+    cache: dict = {}
+
+    def _indexes(spark, sf_dir):
+        if sf_dir in cache:
+            return cache[sf_dir]
+        import tempfile
+
+        from changedatacapture_reporting_spark.operators.dedup import (
+            embedding_index,
+        )
+        from changedatacapture_reporting_spark.operators.similarity import (
+            ivf_index,
+            pq_encode,
+            pq_index,
+        )
+
+        print("# building steady-state indexes (untimed rep 1)",
+              file=sys.stderr)
+        tmp = tempfile.mkdtemp(prefix="bench_steady_idx_")
+        e = load_table(spark, sf_dir, "embeddings")
+        codes_df, books = pq_index(e, m=16, k_codes=32)
+        codes_df.select("vec_id", "codes").write.parquet(f"{tmp}/pq")
+        indexed, centroids = ivf_index(e, n_centroids=16)
+        pq_encode(indexed, books).select(
+            "vec_id", "cluster", "codes"
+        ).write.parquet(f"{tmp}/ivfpq")
+        embedding_index(e.filter(F.col("vec_id") % 3 != 0)).write.parquet(
+            f"{tmp}/emb_idx"
+        )
+        cache[sf_dir] = (tmp, books, centroids)
+        return cache[sf_dir]
+
+    def ann_pq_steady(spark, sf_dir):
+        from changedatacapture_reporting_spark.operators.similarity import (
+            pq_topk,
+        )
+
+        tmp, books, _ = _indexes(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 10)
+        return pq_topk(
+            e, q, k=10, m=16, k_codes=32, rerank_factor=5,
+            index=(spark.read.parquet(f"{tmp}/pq"), books),
+        )
+
+    def ann_ivfpq_steady(spark, sf_dir):
+        from changedatacapture_reporting_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+
+        tmp, books, centroids = _indexes(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 10)
+        return ivfpq_topk(
+            e, q, k=10, n_centroids=16, nprobe=6, m=16, k_codes=32,
+            rerank_factor=3,
+            index=(spark.read.parquet(f"{tmp}/ivfpq"), centroids, books),
+        )
+
+    def dedup_embedding_steady(spark, sf_dir):
+        from changedatacapture_reporting_spark.operators.dedup import (
+            incremental_embedding_dedup,
+        )
+
+        tmp, _, _ = _indexes(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings")
+        new = e.filter(F.col("vec_id") % 3 == 0)
+        corpus = e.filter(F.col("vec_id") % 3 != 0)
+        return incremental_embedding_dedup(
+            new, corpus, threshold=0.45,
+            corpus_index=spark.read.parquet(f"{tmp}/emb_idx"),
+        )
+
+    return {
+        "ann_topk_lsh": ann_lsh_production,
+        "ann_topk_pq_steady": ann_pq_steady,
+        "ann_topk_ivfpq_steady": ann_ivfpq_steady,
+        "dedup_embedding_steady": dedup_embedding_steady,
+    }
 
 
 HEADLINE = [
@@ -192,6 +277,13 @@ HEADLINE = [
     # streaming_incremental_agg stays out: like cdc_forget_keys it
     # populates a tempdir target per run (epoch-ledger commit churn);
     # its batch-side plan is cdc_incremental_agg, benched above.
+    # r9 additions: steady-state index-serving numbers (bench-only
+    # overrides — index built+persisted on rep 1, min-of-reps reports
+    # the pure query cost) + the new live-JDBC input form's shared path.
+    "ann_topk_pq_steady",
+    "ann_topk_ivfpq_steady",
+    "dedup_embedding_steady",
+    "cdc_jdbc_shape_roundtrip",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -1720,22 +1720,36 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
 # entries. r09 rotation (VERDICT r8 item 4): the r8 window went 50/50
-# green, so its survivors rotate OUT and the ENTIRE r6-last-verified
-# cohort (the 45 entries whose last driver check was round 6 — nothing
-# in the registry is staler) rotates IN. The remaining 5 slots: the one
-# NEW r9 entry (cdc_jdbc_shape_roundtrip — the live-JDBC input form),
-# and the 4 entries whose CONTRACT changed this round and must re-prove
-# on the driver (cdc_activity_anomaly + profile_lineitem_correlations —
+# green, so its survivors rotate OUT and the r6-last-verified cohort
+# (the 45 entries whose last driver check was round 6 — nothing in the
+# registry is staler) rotates IN, minus 5 displaced TPC-H shapes (see
+# below). The other 10 slots: the SIX NEW r9 entries
+# (cdc_jdbc_shape_roundtrip — the live-JDBC input form;
+# corpus_bpe_encode, corpus_quality_buckets,
+# dedup_cluster_representatives, profile_key_skew,
+# layout_zorder_events — every new entry ships with a slot), and the 4
+# entries whose CONTRACT changed this round and must re-prove on the
+# driver (cdc_activity_anomaly + profile_lineitem_correlations —
 # migrated to accuracy form, no hashed doubles; corpus_bpe_merges — now
 # hash-checked against the committed golden merge table instead of
 # rows-only; ann_topk_ivfpq — k-means partial fold now sorts before
 # folding, and this one contract trains BOTH the IVF and PQ indexes).
+# To fit, 5 of the r6 cohort are displaced to the FRONT of the r10
+# window — the 5 static TPC-H shapes whose code hasn't changed since
+# they went green (q2_min_cost_supplier, q7_nation_volume,
+# q9_product_profit, q12_shipping_latency, q16_supplier_count_by_part);
+# all 5 re-proved green by this round's local 143/143 full sweep.
 # Also touched this round but out of window (driver-green r8, re-proven
 # by the local full sweep): ann_topk_ivf, ann_topk_pq,
 # cdc_incremental_agg, streaming_incremental_agg.
 _CHECK_WINDOW: list[str] = [
     # new in r9 — first driver round
     "cdc_jdbc_shape_roundtrip",
+    "corpus_bpe_encode",
+    "corpus_quality_buckets",
+    "dedup_cluster_representatives",
+    "profile_key_skew",
+    "layout_zorder_events",
     # contract changed in r9 — re-prove on the new form
     "cdc_activity_anomaly",
     "profile_lineitem_correlations",
@@ -1774,12 +1788,7 @@ _CHECK_WINDOW: list[str] = [
     "part_price_ranks",
     "percentile_spend",
     "q11_important_parts",
-    "q12_shipping_latency",
-    "q16_supplier_count_by_part",
     "q20_excess_suppliers",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q9_product_profit",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_interval_join",

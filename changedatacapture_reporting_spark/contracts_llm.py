@@ -1654,7 +1654,168 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer SERVING (operators.bpe.bpe_encode): apply the trained
+    merge table — the committed golden merges, i.e. exactly what
+    corpus_bpe_merges learns — to the documents corpus and report
+    per-language token totals (the number a data pipeline actually
+    bills by). The merge chain runs once per DISTINCT word (vocabulary
+    scale), pure expressions end to end. Like the trainer, encoding is
+    iterative (|merges| rewrite passes), so the oracle is a committed
+    golden table from an independent pure-Python encoder
+    (tools/make_bpe_encode_golden.py) over the sf0.01 fixture; at any
+    other sf this contract fails loudly rather than silently passing."""
+    import json as _json
+    import os as _os
+
+    from changedatacapture_reporting_spark.operators.bpe import bpe_encode
+
+    merges_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "fixtures",
+        "bpe_golden_sf001.json",
+    )
+    merges = [
+        (r["left"], r["right"]) for r in _json.load(open(merges_path))
+    ]
+    d = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(d, merges)
+    return (
+        enc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_units").cast("long").alias("n_bpe_units"),
+        )
+    )
+
+
+def _bpe_encode_golden_sql() -> str:
+    """VALUES-literal oracle from the committed per-lang encode table."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "fixtures",
+        "bpe_encode_golden_sf001.json",
+    )
+    rows = _json.load(open(path))
+    values = ",\n".join(
+        f"('{r['lang']}', {r['n_docs']}, {r['n_words']}, {r['n_bpe_units']})"
+        for r in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + values
+        + "\n) AS t(lang, n_docs, n_words, n_bpe_units)"
+    )
+
+
+SQL_BPE_ENCODE_GOLDEN = _bpe_encode_golden_sql()
+
+
+def corpus_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing (operators.sampling.rank_buckets): 8 exact
+    equal-population buckets over the (n_chars, doc_id) total order —
+    train-short-to-long curricula and quality-tier mixes consume this.
+    Computed WITHOUT a global sort: per-score cumulative base ranks
+    (window over the distinct-score frame) + a score-PARTITIONED
+    within-rank window. The oracle replays the NTILE-free formula
+    bucket = ⌊k·(rank−1)/n⌋ through one ROW_NUMBER."""
+    from changedatacapture_reporting_spark.operators.sampling import (
+        rank_buckets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return rank_buckets(d, "n_chars", "doc_id", k=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+SQL_QUALITY_BUCKETS = """
+WITH r AS (
+  SELECT doc_id, n_chars AS score,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, score, rank,
+       CAST(FLOOR((rank - 1) * 8.0 / n) AS INT) AS bucket
+FROM r
+"""
+
+
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP/DROP decision a dedup pipeline actually executes
+    (operators.dedup.cluster_representatives): MinHash-LSH verified
+    pairs at jaccard 0.8 → connected components → per transitive group
+    keep the longest member (ties → smallest doc_id), singletons keep
+    themselves. One row per document: (doc_id, cluster_id, rep_id,
+    is_kept, n_members). The production path end to end — banded
+    candidates, min-label-propagation components, aggregate-max
+    representative (no corpus-wide window). Oracle replays the exact
+    jaccard-0.8 pair graph through a recursive CTE."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        cluster_representatives,
+        neardup_clusters,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.8)
+    clusters = neardup_clusters(pairs)
+    return cluster_representatives(d, clusters)
+
+
+SQL_CLUSTER_REPS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3
+              THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                     i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')))
+         END AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+reps AS (
+  SELECT cluster_id,
+         FIRST(doc_id ORDER BY n_chars DESC, doc_id) AS rep_id,
+         COUNT(*) AS n_members
+  FROM assigned GROUP BY cluster_id
+)
+SELECT a.doc_id, a.cluster_id, r.rep_id,
+       a.doc_id = r.rep_id AS is_kept, r.n_members
+FROM assigned a JOIN reps r USING (cluster_id)
+"""
+
+
 REGISTRY_LLM = {
+    "corpus_bpe_encode": (corpus_bpe_encode, SQL_BPE_ENCODE_GOLDEN),
+    "corpus_quality_buckets": (corpus_quality_buckets, SQL_QUALITY_BUCKETS),
+    "dedup_cluster_representatives": (
+        dedup_cluster_representatives,
+        SQL_CLUSTER_REPS,
+    ),
     "dedup_incremental_batch": (dedup_incremental_batch, SQL_DEDUP_INCREMENTAL),
     "text_normalization": (text_normalization, SQL_NORMALIZE),
     "embedding_quantization": (embedding_quantization, SQL_QUANTIZE),

@@ -2154,7 +2154,89 @@ ORDER BY s_name
 """
 
 
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report (operators.profile.key_skew) over the
+    events fact's user_id — the diagnostic run before a big join to
+    choose plain-shuffle vs broadcast vs salting. One map-side-
+    combinable aggregation to distinct-key scale, a 20-row TakeOrdered,
+    and the 1-row totals folded in by a constant-key broadcast hash
+    join. All-integer output, so the skew ratio is derivable exactly."""
+    from changedatacapture_reporting_spark.operators.profile import key_skew
+
+    return key_skew(load_table(spark, sf_dir, "events"), "user_id", 20)
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         COUNT(*) AS n_keys
+  FROM counts
+),
+top AS (
+  SELECT key, n_rows,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS INT) AS rank
+  FROM counts ORDER BY n_rows DESC, key LIMIT 20
+)
+SELECT key, n_rows, rank, total_rows, n_keys FROM top, tot
+"""
+
+
+def _zorder_sql() -> str:
+    """The morton-interleave mirror, generated term-by-term with the
+    same bit arithmetic operators/layout.py builds as Spark expressions."""
+    terms = []
+    for i in range(10):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH dims AS (
+  SELECT user_id % 1024 AS x,
+         CAST(FLOOR(date_part('epoch', ts) / 60) AS BIGINT) % 1024 AS y
+  FROM events
+),
+zvals AS (SELECT x, y, ({z}) AS z FROM dims)
+SELECT z >> 16 AS zbucket, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM zvals
+GROUP BY 1
+"""
+
+
+SQL_ZORDER = _zorder_sql()
+
+
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout report (operators.layout.zorder_bucket_stats):
+    bucket the events fact by the top 4 bits of the Morton interleave
+    of (user_id mod 1024, epoch-minute mod 1024) — the file/task
+    boundaries a z-ordered rewrite would produce — and emit each
+    bucket's bounding box in BOTH original dimensions. Tight boxes in
+    both columns = min/max file stats prune either predicate; this
+    one-scan report is what you run before paying for the 100 TB
+    rewrite (operators.layout.write_zordered). Pure integer expressions
+    (scan-stage, engine-portable), one hash aggregation."""
+    from changedatacapture_reporting_spark.operators.layout import (
+        zorder_bucket_stats,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return zorder_bucket_stats(
+        e,
+        x=F.col("user_id") % 1024,
+        y=F.floor(F.col("ts").cast("long") / 60) % 1024,
+        bits=10,
+        n_buckets=16,
+    )
+
+
 REGISTRY_RELATIONAL = {
+    "profile_key_skew": (profile_key_skew, SQL_KEY_SKEW),
+    "layout_zorder_events": (layout_zorder_events, SQL_ZORDER),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
     "q5_region_revenue": (q5_region_revenue, SQL_Q5),

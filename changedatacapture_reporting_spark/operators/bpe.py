@@ -171,3 +171,68 @@ def bpe_train(
         .agg(F.sum("freq").cast("long").alias("freq"))
     )
     return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Tokenize documents with a TRAINED merge table — the serving half
+    of :func:`bpe_train` (a tokenizer is trained once per corpus epoch
+    and applied to every later batch).
+
+    The merge chain runs once per DISTINCT word, not per occurrence:
+    the corpus collapses to a per-(doc, word) count aggregation, the
+    distinct-word side is encoded through the same pure-expression
+    greedy fold the trainer uses (`_merge_expr` — no Python in the
+    encode path), and a join on ``word`` carries unit counts back.
+    At 100 TB the encode table is vocabulary-scale (10⁷–10⁸ rows), so
+    the expensive |merges|-deep expression chain runs over ~10⁻⁵ of the
+    corpus rows; the word join is AQE's call (broadcast for shipped
+    vocabularies, shuffle otherwise) and the heaviest key ("the") is
+    bounded by n_docs because the left side is pre-aggregated distinct
+    (doc, word). Every ``checkpoint_every`` merges the chain is cut with
+    a localCheckpoint so Catalyst never optimizes a |merges|-deep
+    nested-lambda tree at once.
+
+    Output: one row per document — (id_col, n_words, n_bpe_units),
+    where n_bpe_units is the post-merge symbol count (Σ words' units).
+    """
+    from changedatacapture_reporting_spark.functions.text import tokens
+
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    doc_words = (
+        df.select(F.col(id_col), F.explode(tokens(c)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    encode = doc_words.select("word").distinct().select(
+        "word", _initial_symbols(F.col("word")).alias("syms")
+    )
+    since_ckpt = 0
+    for a, b in [(m[0], m[1]) for m in merges]:
+        encode = encode.select(
+            "word", _merge_expr(F.col("syms"), a, b).alias("syms")
+        )
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            encode = encode.localCheckpoint()
+            since_ckpt = 0
+    units = encode.select("word", F.size("syms").alias("n_units"))
+    return (
+        doc_words.join(units, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_units"))
+            .cast("long")
+            .alias("n_bpe_units"),
+        )
+    )

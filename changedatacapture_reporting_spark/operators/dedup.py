@@ -354,6 +354,65 @@ def neardup_clusters(
     )
 
 
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Pick the document a pipeline KEEPS from every near-dup cluster —
+    the step after :func:`neardup_clusters` that actually shrinks a
+    training corpus: per transitive dup group, keep the highest-weight
+    member (ties → smallest id; keep-the-longest is the standard
+    near-dup heuristic since the longest variant usually subsumes the
+    truncated copies), mark the rest as drops.
+
+    ``clusters`` is the (member_id, cluster_id) frame from
+    :func:`neardup_clusters` (covers only documents that appear in a
+    pair); documents outside every pair are singletons and keep
+    themselves. Output is one row per document — (id, cluster_id,
+    rep_id, is_kept, n_members) — the exact frame a downstream
+    ``filter(is_kept)`` / lineage audit consumes.
+
+    Scale: the left join assigns cluster ids in one shuffle on id; the
+    representative is an aggregate max over a (weight, -id) struct —
+    map-side combinable, no window over the full corpus — followed by a
+    join back on cluster_id. Every shuffle is ∝ corpus rows with
+    cluster-sized groups; nothing is quadratic.
+    """
+    assigned = (
+        docs.select(
+            F.col(id_col).alias("id"), F.col(weight_col).alias("w")
+        )
+        .join(
+            clusters.select(
+                F.col("member_id").alias("id"), "cluster_id"
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id", "w", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    )
+    reps = assigned.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("w"), (-F.col("id")).alias("neg_id"))).alias(
+            "best"
+        ),
+        F.count("*").alias("n_members"),
+    )
+    return (
+        assigned.join(reps, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("rep_id"),
+            (F.col("id") == -F.col("best.neg_id")).alias("is_kept"),
+            "n_members",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

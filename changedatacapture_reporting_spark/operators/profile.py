@@ -181,3 +181,43 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
             f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
         )
     )
+
+
+def key_skew(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Join/shuffle-key skew report: the top-``top_n`` heaviest keys
+    with exact counts plus the table totals — the diagnostic run BEFORE
+    a big join to decide between a plain shuffle, a broadcast, and
+    salting (`operators.skew.salted_join`). At 100 TB the whole thing is
+    one map-side-combinable hash aggregation down to distinct-key scale,
+    one tiny top-N (TakeOrdered, per-partition heads), and a scalar
+    total folded in as literals-by-join (no second scan of the fact
+    table: totals aggregate FROM the key counts).
+
+    Output: (key, n_rows, rank, total_rows, n_keys) — skew ratio =
+    n_rows * n_keys / total_rows is derivable exactly from the integer
+    columns, so nothing floating-point is emitted.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_rows"), F.asc("key"))
+            ),
+        )
+    )
+    # ONE-ROW totals broadcast against the top_n rows — the q11 scalar
+    # fold-in shape (O(top_n × 1); no equi key exists for a scalar)
+    return top.crossJoin(F.broadcast(totals))

@@ -256,3 +256,77 @@ def leakage_safe_splits(
     for name, thr in reversed(bounds):
         split = F.when(h < F.lit(thr), F.lit(name)).otherwise(split)
     return labeled.select(id_col, split.alias("split"))
+
+
+def rank_buckets(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact equal-population curriculum buckets WITHOUT a global sort:
+    bucket b = ⌊k·(rank−1)/n⌋ where rank is the row's position under the
+    total order (score, id) — NTILE-adjacent semantics (equal-size
+    buckets in score order, deterministic tie-break by id) but computed
+    in two partitionable steps instead of one all-rows-to-one-partition
+    window:
+
+    1. per-score counts → a cumulative base rank per distinct score
+       (window over the SCORE-cardinality frame, which for an integer
+       quality score — token/char counts, rounded scores — is orders of
+       magnitude smaller than the corpus; documented assumption);
+    2. within-score position by a window PARTITIONED on score (shuffle
+       ∝ corpus on score, groups are per-score — never one partition),
+       plus the broadcast base.
+
+    Length-ordered curriculum ("train short→long") and quality-tier
+    mixes both consume this frame. ``score_col`` should be integer-typed
+    so ordering is engine-exact (doubles rank-flip at the ulp across
+    engines; the caller rounds first if needed).
+
+    Output: (id, score, rank, bucket) — rank ∈ [1, n], bucket ∈ [0, k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    per_score = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count("*").alias("cnt")
+    )
+    # cumulative count of rows with strictly smaller score + total n.
+    # The unpartitioned window runs over the distinct-score frame only.
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = per_score.select(
+        "score",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("base_rank"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    within = F.row_number().over(
+        Window.partitionBy(F.col(score_col)).orderBy(F.col(id_col))
+    )
+    ranked = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).alias("score"),
+            within.alias("within"),
+        )
+        .join(F.broadcast(base), "score")
+        .select(
+            "id",
+            "score",
+            (F.col("base_rank") + F.col("within")).alias("rank"),
+            "n_total",
+        )
+    )
+    return ranked.select(
+        "id",
+        "score",
+        "rank",
+        F.floor(
+            (F.col("rank") - 1) * F.lit(k) / F.col("n_total")
+        ).cast("int").alias("bucket"),
+    )

@@ -439,6 +439,17 @@ def pq_index(
     ), books
 
 
+def pq_encode(
+    df: DataFrame, books: "np.ndarray", vec_col: str = "embedding"
+) -> DataFrame:
+    """Encode ``vec_col`` against an existing codebook tensor (adds a
+    ``codes`` column) — the append path of a persisted PQ index: later
+    ingestion batches encode against the epoch's trained books without
+    retraining, so the index store stays mutually compatible (the
+    :func:`dedup.embedding_index` seeding rule, applied to PQ)."""
+    return df.withColumn("codes", _pq_encode_udf(books)(F.col(vec_col)))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -449,6 +460,7 @@ def pq_topk(
     k_codes: int = 16,
     iters: int = 2,
     rerank_factor: int = 0,
+    index: "tuple[DataFrame, np.ndarray] | None" = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ top-k: queries stay EXACT; each corpus
     vector is scored from its codes through a per-query inner-product
@@ -457,6 +469,13 @@ def pq_topk(
     codes — the corpus's float vectors are never read at query time,
     which is the point: at billion scale the scan touches m bytes per
     vector, not 4·d.
+
+    ``index`` is the steady-state entry point: pass a prebuilt
+    ``(codes_df, books)`` pair (the :func:`pq_index` output, typically
+    the codes persisted to parquet and the codebook tensor from the
+    index store) and no training happens — the call is pure query. At
+    100 TB the index is built once per ingestion epoch and served many
+    times; this split is what the bench's *_steady entries measure.
 
     ``rerank_factor > 0`` adds the standard PQ refinement: the ADC pass
     shortlists ``k·rerank_factor`` candidates per query, whose raw
@@ -471,7 +490,10 @@ def pq_topk(
     """
     from pyspark.sql.types import ArrayType, DoubleType
 
-    codes_df, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
+    if index is not None:
+        codes_df, books = index
+    else:
+        codes_df, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
     q_rows = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col))
         .orderBy("qid")
@@ -561,6 +583,7 @@ def ivfpq_topk(
     k_codes: int = 16,
     iters: int = 2,
     rerank_factor: int = 2,
+    index: "tuple[DataFrame, np.ndarray, np.ndarray] | None" = None,
 ) -> DataFrame:
     """IVF-PQ composite ANN (the standard billion-scale layout, Jégou et
     al. 2011 / FAISS IVFPQ): coarse IVF pruning cuts the SCAN to
@@ -578,14 +601,25 @@ def ivfpq_topk(
     (``rerank_factor``·k candidates' raw vectors fetched by broadcast
     semi join; I/O ∝ shortlist). ``queries`` is driver-small (the
     recall-contract shape shared by the other *_topk operators).
+
+    ``index`` is the steady-state entry point: pass a prebuilt
+    ``(with_codes_df, centroids, books)`` triple — ``with_codes_df``
+    carries (id, cluster, codes), typically read back from the
+    persisted index store — and no k-means training happens; the call
+    is pure probe + ADC + rerank (the bench's *_steady measurement).
     """
     from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-    indexed, centroids = ivf_index(corpus, vec_col, id_col, n_centroids, iters)
-    _, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
-    with_codes = indexed.withColumn(
-        "codes", _pq_encode_udf(books)(F.col(vec_col))
-    )
+    if index is not None:
+        with_codes, centroids, books = index
+    else:
+        indexed, centroids = ivf_index(
+            corpus, vec_col, id_col, n_centroids, iters
+        )
+        _, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
+        with_codes = indexed.withColumn(
+            "codes", _pq_encode_udf(books)(F.col(vec_col))
+        )
 
     q_rows = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col))

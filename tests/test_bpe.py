@@ -113,3 +113,64 @@ def test_bpe_batched_rounds(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         bpe_train(d, n_merges=5, merges_per_round=0)
+
+
+def _ref_encode(text, merges, lowercase=True):
+    """Per-doc (n_words, n_bpe_units) with the trained merges applied
+    greedily left-to-right in rank order — mirrors bpe_encode."""
+    words = [
+        (w.lower() if lowercase else w) for w in text.split() if w
+    ]
+    n_units = 0
+    for w in words:
+        syms = list(w[:-1]) + [w[-1] + END_OF_WORD]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        n_units += len(syms)
+    return len(words), n_units
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Serving path: encode with the merges trained on the same corpus;
+    per-doc word and unit counts must equal the pure-Python reference,
+    and zero-word docs must be absent."""
+    from changedatacapture_reporting_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "low lower lowest low"),
+            (3, "   "),  # zero words -> absent from output
+            (4, "newer newest new er"),
+            (5, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    merges_full, _ = _ref_bpe(
+        [r.text for r in docs.collect()], n_merges=12, min_pair_freq=2
+    )
+    merges = [(a, b) for a, b, _ in merges_full]
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_units)
+        for r in bpe_encode(docs, merges, checkpoint_every=5).collect()
+    }
+    assert 3 not in got
+    for r in docs.collect():
+        if r.doc_id == 3:
+            continue
+        assert got[r.doc_id] == _ref_encode(r.text, merges), r.doc_id
+
+    # zero merges: unit count is character count + end-of-word fusion
+    raw = {
+        r.doc_id: r.n_bpe_units
+        for r in bpe_encode(docs, []).collect()
+    }
+    assert raw[5] == 3 * 3  # "the" -> t, h, e</w>

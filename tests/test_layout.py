@@ -1,0 +1,113 @@
+"""Z-order layout + key-skew profiling tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.operators.layout import (
+    morton_interleave,
+    write_zordered,
+    zorder_bucket_stats,
+)
+from changedatacapture_reporting_spark.operators.profile import key_skew
+
+
+def _ref_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_interleave_matches_reference(spark):
+    rows = [(x, y) for x in (0, 1, 2, 3, 5, 511, 1023) for y in (0, 1, 7, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", morton_interleave(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _ref_morton(x, y, 10), (x, y)
+    # x fills even bit positions, y odd: (1023, 0) and (0, 1023) disjoint
+    assert got[(1023, 0)] & got[(0, 1023)] == 0
+    assert got[(1023, 0)] | got[(0, 1023)] == (1 << 20) - 1
+
+    with pytest.raises(ValueError):
+        morton_interleave(F.col("x"), F.col("y"), bits=0)
+    with pytest.raises(ValueError):
+        morton_interleave(F.col("x"), F.col("y"), bits=32)
+
+
+def test_zorder_bucket_stats_tightness(spark):
+    # a 32x32 grid: under z-order, every one of the 16 top-bit buckets
+    # must be a contiguous quadrant — bounding boxes 16x16 at most,
+    # versus a full-width 1024-row stripe under a single-column sort
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    stats = zorder_bucket_stats(
+        grid, F.col("x"), F.col("y"), bits=5, n_buckets=16
+    ).collect()
+    assert len(stats) == 16
+    assert sum(r.n_rows for r in stats) == 1024
+    for r in stats:
+        assert r.max_x - r.min_x <= 15, r
+        assert r.max_y - r.min_y <= 15, r
+
+    with pytest.raises(ValueError):
+        zorder_bucket_stats(grid, F.col("x"), F.col("y"), n_buckets=12)
+
+
+def test_write_zordered_files_are_tight(spark, tmp_path):
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(grid, path, F.col("x"), F.col("y"), bits=6, n_files=16)
+    per_file = (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("f"),
+            "x",
+            "y",
+        )
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("x") - F.min("x")).alias("span_x"),
+            (F.max("y") - F.min("y")).alias("span_y"),
+        )
+        .collect()
+    )
+    assert sum(r.n for r in per_file) == 4096
+    assert len(per_file) > 1
+    # every file's bounding box must be tight in BOTH dims — far under
+    # the 63 a single-dimension sort leaves in the other column. Range
+    # boundaries are sampled, so allow a quadrant of slack.
+    for r in per_file:
+        assert r.span_x <= 32, r
+        assert r.span_y <= 32, r
+
+
+def test_key_skew_exact(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 30 + [3] * 15 + [4] * 5],
+        "k long",
+    )
+    rows = key_skew(df, "k", top_n=3).collect()
+    assert [(r.key, r.n_rows, r.rank) for r in rows] == [
+        (1, 50, 1),
+        (2, 30, 2),
+        (3, 15, 3),
+    ]
+    assert all(r.total_rows == 100 and r.n_keys == 4 for r in rows)
+    # deterministic tie-break: equal counts rank by key ascending
+    ties = spark.createDataFrame(
+        [(k,) for k in [10, 20, 30] * 2], "k long"
+    )
+    trows = key_skew(ties, "k", top_n=2).collect()
+    assert [(r.key, r.rank) for r in trows] == [(10, 1), (20, 2)]

@@ -985,6 +985,55 @@ def test_ivfpq_topk_recall_and_pruning(embeddings):
         ivfpq_topk(embeddings, q, m=7).collect()  # 64 % 7 != 0
 
 
+def test_topk_prebuilt_index_matches_trained(embeddings, tmp_path):
+    """The steady-state entry points (``index=`` param, the bench's
+    *_steady path) return IDENTICAL rows to the train-in-call form after
+    a parquet round-trip of the codes — deterministic seeding makes the
+    in-call index equal the persisted one, so serving from the index
+    store changes cost, never results."""
+    from changedatacapture_reporting_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_index,
+        pq_topk,
+    )
+
+    spark = embeddings.sparkSession
+    q = embeddings.filter(F.col("vec_id") < 5)
+
+    codes_df, books = pq_index(embeddings, m=16, k_codes=32)
+    codes_df.select("vec_id", "codes").write.parquet(str(tmp_path / "pq"))
+    trained = pq_topk(
+        embeddings, q, k=10, m=16, k_codes=32, rerank_factor=5
+    )
+    steady = pq_topk(
+        embeddings, q, k=10, rerank_factor=5,
+        index=(spark.read.parquet(str(tmp_path / "pq")), books),
+    )
+    assert sorted(map(tuple, trained.collect())) == sorted(
+        map(tuple, steady.collect())
+    )
+
+    indexed, centroids = ivf_index(embeddings, n_centroids=16)
+    pq_encode(indexed, books).select(
+        "vec_id", "cluster", "codes"
+    ).write.parquet(str(tmp_path / "ivfpq"))
+    trained2 = ivfpq_topk(
+        embeddings, q, k=10, n_centroids=16, nprobe=6,
+        m=16, k_codes=32, rerank_factor=3,
+    )
+    steady2 = ivfpq_topk(
+        embeddings, q, k=10, nprobe=6, rerank_factor=3,
+        index=(
+            spark.read.parquet(str(tmp_path / "ivfpq")), centroids, books
+        ),
+    )
+    assert sorted(map(tuple, trained2.collect())) == sorted(
+        map(tuple, steady2.collect())
+    )
+
+
 def test_boilerplate_hashed_equals_string_key(documents):
     """The xxhash64-keyed production path selects identical per-doc
     scores to the raw-string oracle path, and the score actually
@@ -1014,3 +1063,36 @@ def test_boilerplate_hashed_equals_string_key(documents):
            boilerplate_scores(docs, min_df=3).collect()}
     assert out[99] == 0.0
     assert all(out[i] > 0.2 for i in range(5))  # the shared prefix flags
+
+
+def test_cluster_representatives_keep_rules(spark):
+    """Keep-longest with min-id tie-break; singletons keep themselves;
+    every doc appears exactly once; n_members counts the full group."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (5, 80), (6, 10)],
+        "doc_id long, n_chars long",
+    )
+    # {1,2,3} one cluster (rep: 2 — longest, tie with 3 broken by id),
+    # {4,5} another (rep: 5 — longer), 6 singleton
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "member_id long, cluster_id long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.rep_id, r.is_kept, r.n_members)
+        for r in cluster_representatives(docs, clusters).collect()
+    }
+    assert len(got) == 6
+    assert got[1] == (1, 2, False, 3)
+    assert got[2] == (1, 2, True, 3)
+    assert got[3] == (1, 2, False, 3)
+    assert got[4] == (4, 5, False, 2)
+    assert got[5] == (4, 5, True, 2)
+    assert got[6] == (6, 6, True, 1)
+    # exactly one keeper per cluster
+    keepers = [v for v in got.values() if v[2]]
+    assert len({v[0] for v in keepers}) == len(keepers) == 3

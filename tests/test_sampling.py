@@ -191,3 +191,46 @@ def test_pps_sample_matches_python_rule(spark):
     df = spark.createDataFrame(rows, "id long, w long")
     got = {r.id for r in pps_sample(df, "w", k, ["id"]).collect()}
     assert got == want and 0 < len(got) < len(rows)
+
+
+def test_rank_buckets_exact_and_partition_stable(spark):
+    from changedatacapture_reporting_spark.operators.sampling import (
+        rank_buckets,
+    )
+
+    # scores with heavy ties — rank must follow the (score, id) total
+    # order exactly, buckets the floor(k*(rank-1)/n) formula
+    rows = [(i, [5, 5, 5, 1, 1, 9, 3, 3, 3, 3][i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, s long")
+    got = {
+        r.id: (r.rank, r.bucket)
+        for r in rank_buckets(df, "s", "doc_id", k=4).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    for rank0, (i, _) in enumerate(order):
+        assert got[i] == (rank0 + 1, (rank0 * 4) // 10), i
+
+    # physical-layout independence
+    got2 = {
+        r.id: (r.rank, r.bucket)
+        for r in rank_buckets(
+            df.repartition(7), "s", "doc_id", k=4
+        ).collect()
+    }
+    assert got == got2
+
+    # k > n: every row its own bucket prefix, buckets still in [0, k)
+    wide = {
+        r.id: r.bucket
+        for r in rank_buckets(df, "s", "doc_id", k=100).collect()
+    }
+    assert sorted(wide.values()) == [i * 100 // 10 for i in range(10)]
+
+    # k = 1: single bucket
+    one = rank_buckets(df, "s", "doc_id", k=1).collect()
+    assert {r.bucket for r in one} == {0}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rank_buckets(df, "s", "doc_id", k=0)

@@ -51,6 +51,9 @@ ALLOW = {
     # same scalar shape: the ONE-ROW total weight broadcast into the
     # PPS keep rule (operators/sampling.pps_sample)
     "corpus_pps_sample": {"BroadcastNestedLoopJoin"},
+    # same scalar shape: the ONE-ROW (total_rows, n_keys) totals
+    # broadcast against the top-N skew rows (operators/profile.key_skew)
+    "profile_key_skew": {"BroadcastNestedLoopJoin"},
     # accuracy contracts that compare the scale path against an embedded
     # exact reference (all-pairs jaccard / brute-force top-k) — the
     # quadratic node is the reference side, not the production path
