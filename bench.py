@@ -284,6 +284,12 @@ HEADLINE = [
     "ann_topk_ivfpq_steady",
     "dedup_embedding_steady",
     "cdc_jdbc_shape_roundtrip",
+    "corpus_bpe_encode",
+    "corpus_chunk_dedup",
+    "corpus_quality_buckets",
+    "dedup_cluster_representatives",
+    "profile_key_skew",
+    "layout_zorder_events",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -1722,10 +1722,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries. r09 rotation (VERDICT r8 item 4): the r8 window went 50/50
 # green, so its survivors rotate OUT and the r6-last-verified cohort
 # (the 45 entries whose last driver check was round 6 — nothing in the
-# registry is staler) rotates IN, minus 5 displaced TPC-H shapes (see
-# below). The other 10 slots: the SIX NEW r9 entries
+# registry is staler) rotates IN, minus 6 displaced TPC-H shapes (see
+# below). The other 11 slots: the SEVEN NEW r9 entries
 # (cdc_jdbc_shape_roundtrip — the live-JDBC input form;
-# corpus_bpe_encode, corpus_quality_buckets,
+# corpus_bpe_encode, corpus_chunk_dedup, corpus_quality_buckets,
 # dedup_cluster_representatives, profile_key_skew,
 # layout_zorder_events — every new entry ships with a slot), and the 4
 # entries whose CONTRACT changed this round and must re-prove on the
@@ -1734,11 +1734,13 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # hash-checked against the committed golden merge table instead of
 # rows-only; ann_topk_ivfpq — k-means partial fold now sorts before
 # folding, and this one contract trains BOTH the IVF and PQ indexes).
-# To fit, 5 of the r6 cohort are displaced to the FRONT of the r10
-# window — the 5 static TPC-H shapes whose code hasn't changed since
+# To fit, 6 of the r6 cohort are displaced to the FRONT of the r10
+# window — the 6 static TPC-H shapes whose code hasn't changed since
 # they went green (q2_min_cost_supplier, q7_nation_volume,
-# q9_product_profit, q12_shipping_latency, q16_supplier_count_by_part);
-# all 5 re-proved green by this round's local 143/143 full sweep.
+# q9_product_profit, q12_shipping_latency, q16_supplier_count_by_part,
+# and — for the late r9 entry corpus_chunk_dedup — q20_excess_suppliers);
+# all 6 re-proved green by this round's local full sweeps (143/143
+# early-r9, 149/149 end-of-round).
 # Also touched this round but out of window (driver-green r8, re-proven
 # by the local full sweep): ann_topk_ivf, ann_topk_pq,
 # cdc_incremental_agg, streaming_incremental_agg.
@@ -1746,6 +1748,7 @@ _CHECK_WINDOW: list[str] = [
     # new in r9 — first driver round
     "cdc_jdbc_shape_roundtrip",
     "corpus_bpe_encode",
+    "corpus_chunk_dedup",
     "corpus_quality_buckets",
     "dedup_cluster_representatives",
     "profile_key_skew",
@@ -1788,7 +1791,6 @@ _CHECK_WINDOW: list[str] = [
     "part_price_ranks",
     "percentile_spend",
     "q11_important_parts",
-    "q20_excess_suppliers",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_interval_join",

@@ -1809,7 +1809,56 @@ FROM assigned a JOIN reps r USING (cluster_id)
 """
 
 
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (operators.corpus.chunk_exact_dedup)
+    over the standard chunking (16-token windows, overlap 4): repeated
+    spans — licence headers, boilerplate, quoted reposts — get one
+    keeper (lexicographically smallest (doc, chunk) occurrence) and the
+    copies are marked for drop. One shuffle on the chunk hash; the
+    oracle replays chunking + md5 keying + the keeper rule."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        chunk_documents,
+        chunk_exact_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_exact_dedup(
+        chunk_documents(d, chunk_tokens=16, overlap=4)
+    )
+
+
+SQL_CHUNK_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest(len(t) - 4 - 1, 0) + 1, 12)) AS start
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, CAST(start // 12 AS INTEGER) AS chunk_id,
+         md5(array_to_string(t[start + 1 : start + 16], ' ')) AS chunk_key
+  FROM ex
+),
+g AS (
+  SELECT chunk_key,
+         FIRST(doc_id ORDER BY doc_id, chunk_id) AS keeper_doc_id,
+         FIRST(chunk_id ORDER BY doc_id, chunk_id) AS keeper_chunk_id,
+         COUNT(*) AS n_copies
+  FROM ch GROUP BY chunk_key
+)
+SELECT c.doc_id, c.chunk_id, c.chunk_key,
+       c.doc_id = g.keeper_doc_id AND c.chunk_id = g.keeper_chunk_id
+         AS is_kept,
+       g.keeper_doc_id, g.keeper_chunk_id, g.n_copies
+FROM ch c JOIN g USING (chunk_key)
+"""
+
+
 REGISTRY_LLM = {
+    "corpus_chunk_dedup": (corpus_chunk_dedup, SQL_CHUNK_DEDUP),
     "corpus_bpe_encode": (corpus_bpe_encode, SQL_BPE_ENCODE_GOLDEN),
     "corpus_quality_buckets": (corpus_quality_buckets, SQL_QUALITY_BUCKETS),
     "dedup_cluster_representatives": (

@@ -211,6 +211,56 @@ def chunk_documents(
     )
 
 
+def chunk_exact_dedup(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Exact SUB-document dedup — the pass between chunking and packing
+    that removes repeated spans (licence headers, navigation boilerplate,
+    quoted reposts) which survive document-level dedup because the HOST
+    documents differ. Key = md5 of the chunk text (chunk_documents
+    already whitespace-normalizes); keeper = lexicographically smallest
+    (doc, chunk_id) occurrence, so the decision is deterministic and
+    layout-independent.
+
+    ONE shuffle: keeper and multiplicity come from per-key window
+    aggregates (partitioned on the hash key — group sizes are duplicate
+    multiplicities, never corpus-sized), not a groupBy + join-back,
+    which would shuffle the chunk set twice. Output is one row per
+    input chunk: (doc, chunk_id, chunk_key, is_kept, keeper_doc,
+    keeper_chunk_id, n_copies); ``filter(is_kept)`` feeds the packer.
+    """
+    key = F.md5(F.col(text_col))
+    w = Window.partitionBy("chunk_key")
+    keeper = F.min(F.struct(F.col(id_col), F.col(chunk_id_col))).over(w)
+    return (
+        chunks.select(
+            F.col(id_col), F.col(chunk_id_col), key.alias("chunk_key")
+        )
+        .select(
+            id_col,
+            chunk_id_col,
+            "chunk_key",
+            keeper.alias("_keeper"),
+            F.count("*").over(w).alias("n_copies"),
+        )
+        .select(
+            id_col,
+            chunk_id_col,
+            "chunk_key",
+            (
+                (F.col(id_col) == F.col(f"_keeper.{id_col}"))
+                & (F.col(chunk_id_col) == F.col(f"_keeper.{chunk_id_col}"))
+            ).alias("is_kept"),
+            F.col(f"_keeper.{id_col}").alias("keeper_doc_id"),
+            F.col(f"_keeper.{chunk_id_col}").alias("keeper_chunk_id"),
+            "n_copies",
+        )
+    )
+
+
 def ngram_vocab(
     df: DataFrame,
     text_col: str = "text",

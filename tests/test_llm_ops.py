@@ -1096,3 +1096,42 @@ def test_cluster_representatives_keep_rules(spark):
     # exactly one keeper per cluster
     keepers = [v for v in got.values() if v[2]]
     assert len({v[0] for v in keepers}) == len(keepers) == 3
+
+
+def test_chunk_exact_dedup_keeper_rule(spark):
+    """Keeper = lexicographically smallest (doc, chunk); every input
+    chunk appears once; unique chunks keep themselves."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        chunk_exact_dedup,
+    )
+
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, "a b c"),
+            (1, 1, "d e f"),
+            (2, 0, "a b c"),   # copy of (1,0)
+            (2, 1, "a b c"),   # another copy
+            (3, 0, "g h i"),
+            (0, 5, "d e f"),   # copy of (1,1) with SMALLER doc id -> keeper
+        ],
+        "doc_id long, chunk_id long, chunk_text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (
+            r.is_kept, r.keeper_doc_id, r.keeper_chunk_id, r.n_copies
+        )
+        for r in chunk_exact_dedup(chunks).collect()
+    }
+    assert len(got) == 6
+    assert got[(1, 0)] == (True, 1, 0, 3)
+    assert got[(2, 0)] == (False, 1, 0, 3)
+    assert got[(2, 1)] == (False, 1, 0, 3)
+    assert got[(0, 5)] == (True, 0, 5, 2)
+    assert got[(1, 1)] == (False, 0, 5, 2)
+    assert got[(3, 0)] == (True, 3, 0, 1)
+    # layout independence
+    got2 = {
+        (r.doc_id, r.chunk_id): r.is_kept
+        for r in chunk_exact_dedup(chunks.repartition(5)).collect()
+    }
+    assert got2 == {k: v[0] for k, v in got.items()}
