@@ -290,6 +290,7 @@ HEADLINE = [
     "dedup_cluster_representatives",
     "profile_key_skew",
     "layout_zorder_events",
+    "cdc_changelog_sql_surface",
 ]
 
 # The headline total sums only these 17 — the list benched every round

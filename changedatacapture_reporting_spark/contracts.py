@@ -691,6 +691,40 @@ GROUP BY 1, 2
 )
 
 
+def _q_changelog_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration path a reference user actually takes: the engine's
+    changelog registered as a view (sql.register_view) and queried with
+    PLAIN SQL — the reference's own consumption pattern is ad-hoc
+    SELECTs over the generated _ChangeLog tables (usp_cdc_query_data.sql
+    :40–75). The statement here is the per-column activity rollup; the
+    view is a lazy logical plan, so Catalyst optimizes the SQL text and
+    the DataFrame-built changelog as ONE plan."""
+    from changedatacapture_reporting_spark.sql import register_view
+
+    register_view(spark, _changelog(spark, sf_dir), "changelog_v")
+    return spark.sql(
+        """
+        SELECT table_name, column_name,
+               COUNT(*) AS n_changes,
+               COUNT(DISTINCT o_orderkey) AS n_rows_touched
+        FROM changelog_v
+        GROUP BY table_name, column_name
+        """
+    )
+
+
+_SQL_SQL_SURFACE = (
+    _ORACLE_CHANGES
+    + """
+SELECT table_name, column_name,
+       COUNT(*) AS n_changes,
+       COUNT(DISTINCT o_orderkey) AS n_rows_touched
+FROM changes
+GROUP BY table_name, column_name
+"""
+)
+
+
 def _q_row_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-row audit trail — the changelog's point-lookup pattern
     (partition pruning on table_name + pk predicate at the scan)."""
@@ -1685,6 +1719,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_watermark_bounds": (_q_watermark_bounds, _SQL_WATERMARK_BOUNDS),
     "cdc_incremental_resume": (_q_incremental_resume, _SQL_INCREMENTAL_RESUME),
     "cdc_changelog_daily_activity": (_q_changelog_daily_activity, _SQL_CHANGELOG_DAILY),
+    "cdc_changelog_sql_surface": (_q_changelog_sql_surface, _SQL_SQL_SURFACE),
     "cdc_reconstruct_state": (_q_reconstruct_state, _SQL_RECONSTRUCT),
     "cdc_state_snapshot_refresh": (_q_state_snapshot_refresh, _SQL_RECONSTRUCT),
     "cdc_mssql_shape_roundtrip": (_q_mssql_shape_roundtrip, _SQL_CHANGELOG_FULL),
@@ -1722,24 +1757,27 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries. r09 rotation (VERDICT r8 item 4): the r8 window went 50/50
 # green, so its survivors rotate OUT and the r6-last-verified cohort
 # (the 45 entries whose last driver check was round 6 — nothing in the
-# registry is staler) rotates IN, minus 6 displaced TPC-H shapes (see
-# below). The other 11 slots: the SEVEN NEW r9 entries
+# registry is staler) rotates IN, minus 7 displaced TPC-H shapes (see
+# below). The other 12 slots: the EIGHT NEW r9 entries
 # (cdc_jdbc_shape_roundtrip — the live-JDBC input form;
 # corpus_bpe_encode, corpus_chunk_dedup, corpus_quality_buckets,
 # dedup_cluster_representatives, profile_key_skew,
-# layout_zorder_events — every new entry ships with a slot), and the 4
+# layout_zorder_events, cdc_changelog_sql_surface — every new entry
+# ships with a slot), and the 4
 # entries whose CONTRACT changed this round and must re-prove on the
 # driver (cdc_activity_anomaly + profile_lineitem_correlations —
 # migrated to accuracy form, no hashed doubles; corpus_bpe_merges — now
 # hash-checked against the committed golden merge table instead of
 # rows-only; ann_topk_ivfpq — k-means partial fold now sorts before
 # folding, and this one contract trains BOTH the IVF and PQ indexes).
-# To fit, 6 of the r6 cohort are displaced to the FRONT of the r10
-# window — the 6 static TPC-H shapes whose code hasn't changed since
+# To fit, 7 of the r6 cohort are displaced to the FRONT of the r10
+# window — the 7 static TPC-H shapes whose code hasn't changed since
 # they went green (q2_min_cost_supplier, q7_nation_volume,
-# q9_product_profit, q12_shipping_latency, q16_supplier_count_by_part,
-# and — for the late r9 entry corpus_chunk_dedup — q20_excess_suppliers);
-# all 6 re-proved green by this round's local full sweeps (143/143
+# q9_product_profit, q11_important_parts, q12_shipping_latency,
+# q16_supplier_count_by_part, and — for the late r9 entries
+# corpus_chunk_dedup and cdc_changelog_sql_surface —
+# q20_excess_suppliers);
+# all 7 re-proved green by this round's local full sweeps (143/143
 # early-r9, 149/149 end-of-round).
 # Also touched this round but out of window (driver-green r8, re-proven
 # by the local full sweep): ann_topk_ivf, ann_topk_pq,
@@ -1753,6 +1791,7 @@ _CHECK_WINDOW: list[str] = [
     "dedup_cluster_representatives",
     "profile_key_skew",
     "layout_zorder_events",
+    "cdc_changelog_sql_surface",
     # contract changed in r9 — re-prove on the new form
     "cdc_activity_anomaly",
     "profile_lineitem_correlations",
@@ -1790,7 +1829,6 @@ _CHECK_WINDOW: list[str] = [
     "order_priority_stats",
     "part_price_ranks",
     "percentile_spend",
-    "q11_important_parts",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_interval_join",
