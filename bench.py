@@ -291,6 +291,8 @@ HEADLINE = [
     "profile_key_skew",
     "layout_zorder_events",
     "cdc_changelog_sql_surface",
+    "dq_scd2_validate",
+    "profile_join_cardinality",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -2234,9 +2234,118 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_scd2_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval-integrity audit (operators.scd.scd2_validate): a
+    two-version-per-key history fabricated from orders, deterministically
+    corrupted (key%7: v1 end overruns v2 start → overlap; key%11: v1
+    left open → open_not_last + noncurrent_open; key%13: v1 also flagged
+    current → current_closed + multiple_current on both rows), then
+    audited. Output is violation-sized; the oracle replays the
+    fabrication, the corruption, and every window rule."""
+    from changedatacapture_reporting_spark.operators.scd import scd2_validate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    k = F.col("o_orderkey")
+    day = lambda n: F.expr(f"INTERVAL {n} DAYS")  # noqa: E731
+    v1 = o.select(
+        k.alias("o_orderkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.when(k % 11 == 0, F.lit(None).cast("timestamp"))
+        .when(k % 7 == 0, F.col("o_orderdate") + day(40))
+        .otherwise(F.col("o_orderdate") + day(30))
+        .alias("valid_to"),
+        (k % 13 == 0).alias("is_current"),
+    )
+    v2 = o.select(
+        k.alias("o_orderkey"),
+        (F.col("o_orderdate") + day(30)).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return scd2_validate(v1.unionByName(v2), ["o_orderkey"])
+
+
+SQL_SCD2_VALIDATE = """
+WITH hist AS (
+  SELECT o_orderkey, o_orderdate AS valid_from,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 40 DAY
+              ELSE o_orderdate + INTERVAL 30 DAY END AS valid_to,
+         o_orderkey % 13 = 0 AS is_current
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, NULL, TRUE FROM orders
+),
+w AS (
+  SELECT *,
+         LEAD(valid_from) OVER (PARTITION BY o_orderkey
+                                ORDER BY valid_from, valid_to NULLS LAST)
+           AS nxt,
+         SUM(CASE WHEN is_current THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_orderkey) AS n_current
+  FROM hist
+)
+SELECT o_orderkey, valid_from, violation FROM (
+  SELECT o_orderkey, valid_from, 'overlap' AS violation FROM w
+  WHERE valid_to IS NOT NULL AND nxt IS NOT NULL AND valid_to > nxt
+  UNION ALL
+  SELECT o_orderkey, valid_from, 'open_not_last' FROM w
+  WHERE valid_to IS NULL AND nxt IS NOT NULL
+  UNION ALL
+  SELECT o_orderkey, valid_from, 'current_closed' FROM w
+  WHERE is_current AND valid_to IS NOT NULL
+  UNION ALL
+  SELECT o_orderkey, valid_from, 'noncurrent_open' FROM w
+  WHERE NOT is_current AND valid_to IS NULL
+  UNION ALL
+  SELECT o_orderkey, valid_from, 'multiple_current' FROM w
+  WHERE is_current AND n_current > 1
+)
+"""
+
+
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join cardinality report (operators.profile.
+    join_cardinality) for orders ⋈ customer on custkey — the join's
+    output size, match rates, and worst single-key blowup computed from
+    two key-column-only aggregations plus a distinct-key-scale join,
+    never the join itself. All-integer output."""
+    from changedatacapture_reporting_spark.operators.profile import (
+        join_cardinality,
+    )
+
+    return join_cardinality(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+
+
+SQL_JOIN_CARDINALITY = """
+WITH lc AS (SELECT o_custkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1),
+rc AS (SELECT c_custkey AS k, COUNT(*) AS cr FROM customer GROUP BY 1),
+m AS (SELECT cl * cr AS prod FROM lc JOIN rc USING (k))
+SELECT (SELECT CAST(SUM(cl) AS BIGINT) FROM lc) AS n_left,
+       (SELECT COUNT(*) FROM lc) AS d_left,
+       (SELECT CAST(SUM(cr) AS BIGINT) FROM rc) AS n_right,
+       (SELECT COUNT(*) FROM rc) AS d_right,
+       (SELECT COUNT(*) FROM m) AS d_matched,
+       (SELECT CAST(COALESCE(SUM(prod), 0) AS BIGINT) FROM m) AS out_rows,
+       (SELECT CAST(COALESCE(MAX(prod), 0) AS BIGINT) FROM m) AS max_key_out
+"""
+
+
 REGISTRY_RELATIONAL = {
     "profile_key_skew": (profile_key_skew, SQL_KEY_SKEW),
     "layout_zorder_events": (layout_zorder_events, SQL_ZORDER),
+    "dq_scd2_validate": (dq_scd2_validate, SQL_SCD2_VALIDATE),
+    "profile_join_cardinality": (
+        profile_join_cardinality,
+        SQL_JOIN_CARDINALITY,
+    ),
     "q1_pricing_summary": (q1_pricing_summary, SQL_Q1),
     "q3_top_unshipped": (q3_top_unshipped, SQL_Q3),
     "q5_region_revenue": (q5_region_revenue, SQL_Q5),

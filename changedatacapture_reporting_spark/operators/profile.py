@@ -221,3 +221,50 @@ def key_skew(
     # ONE-ROW totals broadcast against the top_n rows — the q11 scalar
     # fold-in shape (O(top_n × 1); no equi key exists for a scalar)
     return top.crossJoin(F.broadcast(totals))
+
+
+def join_cardinality(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+) -> DataFrame:
+    """EXACT pre-join cardinality report — what an equi-join would
+    produce, computed WITHOUT running it: both sides collapse to
+    per-key counts (map-side-combinable aggregations down to
+    distinct-key scale), the count frames join on the key, and the
+    output size is Σ_k cl(k)·cr(k) exactly. The companion to
+    :func:`key_skew` for join planning: a 100 TB × 100 TB join's row
+    count, match rates, and max single-key blowup for the cost of two
+    aggregations over key columns only (column pruning reaches the
+    scans) plus a distinct-key-scale join.
+
+    One all-integer row: n_left/n_right (input rows), d_left/d_right
+    (distinct keys), d_matched (keys on both sides), out_rows (exact
+    join output size), max_key_out (largest single key's contribution —
+    the skew-explosion early warning).
+    """
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count("*").alias("cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count("*").alias("cr")
+    )
+    m = lc.join(rc, "k").select(
+        (F.col("cl") * F.col("cr")).alias("prod")
+    )
+    matched = m.agg(
+        F.count("*").alias("d_matched"),
+        F.coalesce(F.sum("prod"), F.lit(0)).cast("long").alias("out_rows"),
+        F.coalesce(F.max("prod"), F.lit(0)).cast("long").alias("max_key_out"),
+    )
+    lt = lc.agg(
+        F.sum("cl").cast("long").alias("n_left"),
+        F.count("*").alias("d_left"),
+    )
+    rt = rc.agg(
+        F.sum("cr").cast("long").alias("n_right"),
+        F.count("*").alias("d_right"),
+    )
+    # three ONE-ROW frames folded together — scalar broadcast shape
+    return lt.crossJoin(F.broadcast(rt)).crossJoin(F.broadcast(matched))

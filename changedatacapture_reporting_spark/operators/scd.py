@@ -261,3 +261,78 @@ def scd2_merge(
         .unionByName(closed.select(*out_cols))
         .unionByName(recomputed.select(*out_cols))
     )
+
+
+def scd2_validate(
+    hist: DataFrame,
+    pk_cols: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Interval-integrity audit of an SCD2 history — the DQ gate run
+    before anyone trusts point-in-time joins against it. Emits one row
+    per (version, violated rule); a well-formed history emits nothing.
+
+    Rules (closed-open convention; GAPS are legal — a delete closes an
+    interval and a re-insert opens a later one, the gap IS the deleted
+    period):
+
+    - ``overlap``            — interval end exceeds the next version's
+                               start within the same key;
+    - ``open_not_last``      — NULL-ended interval that is not the
+                               key's final version;
+    - ``current_closed``     — flagged current but has an end;
+    - ``noncurrent_open``    — NULL-ended but not flagged current;
+    - ``multiple_current``   — more than one current row per key (each
+                               current row of such a key is flagged).
+
+    ONE shuffle: every rule is a window expression over the same
+    (key, order) partitioning; flags collect into an array, explode
+    drops clean versions, so output is violation-sized.
+    """
+    key = [F.col(c) for c in pk_cols]
+    order = W.partitionBy(*key).orderBy(
+        F.col(from_col).asc(), F.col(to_col).asc_nulls_last()
+    )
+    whole = W.partitionBy(*key)
+    # window expressions first (generators cannot host them), flags after
+    staged = hist.select(
+        *pk_cols,
+        from_col,
+        to_col,
+        current_col,
+        F.lead(F.col(from_col)).over(order).alias("_nxt"),
+        F.sum(F.when(F.col(current_col), F.lit(1)).otherwise(F.lit(0)))
+        .over(whole)
+        .alias("_n_current"),
+    )
+    flags = F.array(
+        F.when(
+            F.col(to_col).isNotNull()
+            & F.col("_nxt").isNotNull()
+            & (F.col(to_col) > F.col("_nxt")),
+            F.lit("overlap"),
+        ),
+        F.when(
+            F.col(to_col).isNull() & F.col("_nxt").isNotNull(),
+            F.lit("open_not_last"),
+        ),
+        F.when(
+            F.col(current_col) & F.col(to_col).isNotNull(),
+            F.lit("current_closed"),
+        ),
+        F.when(
+            ~F.col(current_col) & F.col(to_col).isNull(),
+            F.lit("noncurrent_open"),
+        ),
+        F.when(
+            F.col(current_col) & (F.col("_n_current") > 1),
+            F.lit("multiple_current"),
+        ),
+    )
+    return staged.select(
+        *pk_cols,
+        from_col,
+        F.explode(F.filter(flags, lambda x: x.isNotNull())).alias("violation"),
+    )

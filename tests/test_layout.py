@@ -111,3 +111,25 @@ def test_key_skew_exact(spark):
     )
     trows = key_skew(ties, "k", top_n=2).collect()
     assert [(r.key, r.rank) for r in trows] == [(10, 1), (20, 2)]
+
+
+def test_join_cardinality_exact(spark):
+    from changedatacapture_reporting_spark.operators.profile import (
+        join_cardinality,
+    )
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 9]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 4]], "k long"
+    )
+    r = join_cardinality(left, "k", right, "k").head()
+    assert (r.n_left, r.d_left, r.n_right, r.d_right) == (7, 4, 4, 3)
+    # matched keys {1, 2}: 3*2 + 2*1 = 8 output rows, max single key 6
+    assert (r.d_matched, r.out_rows, r.max_key_out) == (2, 8, 6)
+    assert r.out_rows == left.join(right, "k").count()
+
+    empty = spark.createDataFrame([], "k long")
+    r2 = join_cardinality(left, "k", empty, "k").head()
+    assert (r2.d_matched, r2.out_rows, r2.max_key_out) == (0, 0, 0)

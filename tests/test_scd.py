@@ -383,3 +383,45 @@ def test_scd2_merge_materialize_guard(spark, cdc_fixture):
         # the existing subtree appears exactly once per reference as a
         # checkpoint/table scan — and results agree across all modes
         assert _vset(merged_tbl) == _vset(merged_true)
+
+
+def test_scd2_validate_rules(spark):
+    """Every rule fires on a crafted defect; a well-formed history is
+    silent; multi-rule versions emit one row per rule."""
+    import datetime as dt
+
+    from changedatacapture_reporting_spark.operators.scd import scd2_validate
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # key 1: well-formed (closed then open+current) -> silent
+        (1, t(1), t(10), False),
+        (1, t(10), None, True),
+        # key 2: overlap (first ends after second starts)
+        (2, t(1), t(15), False),
+        (2, t(10), None, True),
+        # key 3: open interval that is not last (+ noncurrent_open)
+        (3, t(1), None, False),
+        (3, t(10), None, True),
+        # key 4: two current rows, first also closed
+        (4, t(1), t(10), True),
+        (4, t(10), None, True),
+        # key 5: legal GAP after a delete -> silent
+        (5, t(1), t(5), False),
+        (5, t(20), None, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+    got = {
+        (r.id, r.valid_from.day, r.violation)
+        for r in scd2_validate(df, ["id"]).collect()
+    }
+    assert got == {
+        (2, 1, "overlap"),
+        (3, 1, "open_not_last"),
+        (3, 1, "noncurrent_open"),
+        (4, 1, "current_closed"),
+        (4, 1, "multiple_current"),
+        (4, 10, "multiple_current"),
+    }

@@ -54,6 +54,9 @@ ALLOW = {
     # same scalar shape: the ONE-ROW (total_rows, n_keys) totals
     # broadcast against the top-N skew rows (operators/profile.key_skew)
     "profile_key_skew": {"BroadcastNestedLoopJoin"},
+    # same scalar shape: three ONE-ROW aggregate frames folded into the
+    # single report row (operators/profile.join_cardinality)
+    "profile_join_cardinality": {"BroadcastNestedLoopJoin"},
     # accuracy contracts that compare the scale path against an embedded
     # exact reference (all-pairs jaccard / brute-force top-k) — the
     # quadratic node is the reference side, not the production path
