@@ -76,14 +76,28 @@ def export_shards(
     n_shards: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    data_format: str = "parquet",
 ) -> DataFrame:
-    """Write ``df`` as ``path/shard=K/…`` parquet plus a manifest, and
-    return the manifest DataFrame (shard, n_docs, n_tokens, n_bytes,
-    n_files). Manifest-last write order gives a single commit point."""
+    """Write ``df`` as ``path/shard=K/…`` plus a manifest, and return
+    the manifest DataFrame (shard, n_docs, n_tokens, n_bytes, n_files).
+    Manifest-last write order gives a single commit point (the manifest
+    itself is always parquet).
+
+    ``data_format``: ``parquet`` (default) or ``json`` — Spark's json
+    writer emits JSON LINES, the lingua franca of training-corpus
+    interchange (one document object per line; loaders stream it
+    without a columnar reader). Same stable md5 shard assignment, same
+    manifest, same commit point either way; prefer parquet when the
+    consumer can read it (columnar pruning + compression), jsonl when
+    the corpus leaves the lakehouse."""
+    if data_format not in ("parquet", "json"):
+        raise ValueError(f"unsupported data_format: {data_format!r}")
     data = df.withColumn(
         "shard", shard_assignment(F.col(id_col), n_shards)
     ).repartition(n_shards, "shard")
-    data.write.mode("overwrite").partitionBy("shard").parquet(path)
+    data.write.mode("overwrite").partitionBy("shard").format(
+        data_format
+    ).save(path)
 
     # count files per shard from what actually landed (crash evidence
     # would show up here as a missing manifest, not a wrong one) — via
@@ -97,7 +111,7 @@ def export_shards(
         n = sum(
             1
             for f in fs.listdir(spark, fs.join(path, entry))
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") or f.endswith(".json")
         )
         files.append((k, n))
     file_counts = spark.createDataFrame(files, "shard long, n_files long")

@@ -76,3 +76,41 @@ def test_export_shards_roundtrip_and_manifest(spark, sf_dir, tmp_path):
 
     # manifest presence is the commit marker
     assert os.path.isdir(os.path.join(path, "_manifest"))
+
+
+def test_export_shards_jsonl(spark, sf_dir, tmp_path):
+    """json format: identical assignment + manifest; data reads back as
+    JSON LINES with the same rows."""
+    from changedatacapture_reporting_spark.operators.export import (
+        export_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    path = str(tmp_path / "jsonl_export")
+    manifest = export_shards(
+        spark, docs, path, n_shards=4, data_format="json"
+    )
+    m = {r.shard: r.n_docs for r in manifest.collect()}
+    assert sum(m.values()) == docs.count()
+
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    a = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
+    b = {(r.doc_id, r.text, r.lang) for r in back.select("doc_id", "text", "lang").collect()}
+    assert a == b
+
+    # raw files are one JSON object per line
+    import glob
+    import json as _json
+
+    f = sorted(glob.glob(f"{path}/shard=*/*.json"))[0]
+    with open(f) as fh:
+        first = fh.readline().strip()
+    assert _json.loads(first)["doc_id"] is not None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        export_shards(spark, docs, path, 4, data_format="csvx")
