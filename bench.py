@@ -293,6 +293,7 @@ HEADLINE = [
     "cdc_changelog_sql_surface",
     "dq_scd2_validate",
     "profile_join_cardinality",
+    "text_mixed_language",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -1857,7 +1857,96 @@ FROM ch c JOIN g USING (chunk_key)
 """
 
 
+def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level language consistency — the multilingual-corpus DQ
+    check doc-level language-ID can't do: a document whose CHUNKS
+    predict different languages is mixed-language content (embedded
+    quotes, concatenated crawls, template wrappers) that a per-doc
+    label hides. Runs the same langid heuristic at both granularities
+    over the standard chunking; one join on doc_id, one aggregation.
+    Output per doc: (doc_id, doc_lang, n_chunks, n_disagree)."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    doc = d.select(
+        "doc_id", langid_scores("text")["lang"].alias("doc_lang")
+    )
+    ch = chunk_documents(d, chunk_tokens=16, overlap=4).select(
+        "doc_id", langid_scores("chunk_text")["lang"].alias("chunk_lang")
+    )
+    return (
+        ch.join(doc, "doc_id")
+        .groupBy("doc_id", "doc_lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("chunk_lang") != F.col("doc_lang")).cast("long")
+            ).alias("n_disagree"),
+        )
+    )
+
+
+def _mixed_language_sql() -> str:
+    """Oracle generated FROM LANG_MARKERS so the marker lists can never
+    drift between the Spark heuristic and the SQL replay. The argmax
+    tie-break (score, then language code) is mirrored by the CASE order
+    fr > es > en > de — identical to langid_scores' struct array_max."""
+    from changedatacapture_reporting_spark.functions.text import LANG_MARKERS
+
+    def score(col: str, lang: str) -> str:
+        marks = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (
+            f"CAST(len(list_filter({col}, w -> lower(w) IN ({marks}))) "
+            f"AS DOUBLE) / greatest(len({col}), 1) AS s_{lang}"
+        )
+
+    pick = (
+        "CASE greatest(s_en, s_es, s_fr, s_de) "
+        "WHEN s_fr THEN 'fr' WHEN s_es THEN 'es' "
+        "WHEN s_en THEN 'en' ELSE 'de' END"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents
+),
+doc_pred AS (
+  SELECT doc_id, {pick} AS doc_lang FROM (
+    SELECT doc_id, {score('t', 'en')}, {score('t', 'es')},
+           {score('t', 'fr')}, {score('t', 'de')}
+    FROM toks
+  )
+),
+ex AS (
+  SELECT doc_id, t[start + 1 : start + 16] AS ct
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(0, greatest(len(t) - 4 - 1, 0) + 1, 12)) AS start
+    FROM toks
+  )
+),
+chunk_pred AS (
+  SELECT doc_id, {pick} AS chunk_lang FROM (
+    SELECT doc_id, {score('ct', 'en')}, {score('ct', 'es')},
+           {score('ct', 'fr')}, {score('ct', 'de')}
+    FROM ex
+  )
+)
+SELECT c.doc_id, d.doc_lang, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN c.chunk_lang != d.doc_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_disagree
+FROM chunk_pred c JOIN doc_pred d USING (doc_id)
+GROUP BY c.doc_id, d.doc_lang
+"""
+
+
+SQL_MIXED_LANGUAGE = _mixed_language_sql()
+
+
 REGISTRY_LLM = {
+    "text_mixed_language": (text_mixed_language, SQL_MIXED_LANGUAGE),
     "corpus_chunk_dedup": (corpus_chunk_dedup, SQL_CHUNK_DEDUP),
     "corpus_bpe_encode": (corpus_bpe_encode, SQL_BPE_ENCODE_GOLDEN),
     "corpus_quality_buckets": (corpus_quality_buckets, SQL_QUALITY_BUCKETS),

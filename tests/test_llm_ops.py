@@ -1135,3 +1135,41 @@ def test_chunk_exact_dedup_keeper_rule(spark):
         for r in chunk_exact_dedup(chunks.repartition(5)).collect()
     }
     assert got2 == {k: v[0] for k, v in got.items()}
+
+
+def test_mixed_language_detects_embedded_chunks(spark):
+    """A doc whose tail is a different language gets disagreeing chunks;
+    a monolingual doc does not."""
+    from changedatacapture_reporting_spark.functions.text import langid_scores
+    from changedatacapture_reporting_spark.operators.corpus import (
+        chunk_documents,
+    )
+
+    en = "the cat and the dog is with that thing of to is the and of "
+    es = "el perro la casa de que los una por el la de que los una por "
+    docs = spark.createDataFrame(
+        [(1, en * 4), (2, en * 3 + es * 3)],
+        "doc_id long, text string",
+    )
+    doc = docs.select(
+        "doc_id", langid_scores("text")["lang"].alias("doc_lang")
+    )
+    ch = chunk_documents(docs, chunk_tokens=16, overlap=4).select(
+        "doc_id", langid_scores("chunk_text")["lang"].alias("chunk_lang")
+    )
+    got = {
+        r.doc_id: (r.doc_lang, r.n_disagree)
+        for r in ch.join(doc, "doc_id")
+        .groupBy("doc_id", "doc_lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                (F.col("chunk_lang") != F.col("doc_lang")).cast("long")
+            ).alias("n_disagree"),
+        )
+        .collect()
+    }
+    assert got[1] == ("en", 0)
+    # whichever language wins the whole doc, the other half's chunks
+    # disagree with it — that's the mixed-content signal
+    assert got[2][0] in ("en", "es") and got[2][1] > 0
