@@ -728,7 +728,14 @@ def incremental_embedding_dedup(
         corpus_index = embedding_index(
             corpus, vec_col, id_col, tables, planes, dim
         )
-    new_index = embedding_index(new_vecs, vec_col, id_col, tables, planes, dim)
+    # the batch index feeds THREE join legs (corpus candidates + both
+    # sides of the within-batch self-join); a lazy persist makes the
+    # 48-table explode compute once per action instead of three times.
+    # persist (not checkpoint): no eager job, no semantics change —
+    # batch-sized, so the cache is small and LRU-evictable.
+    new_index = embedding_index(
+        new_vecs, vec_col, id_col, tables, planes, dim
+    ).persist()
 
     nb, cb = new_index.alias("nb"), corpus_index.alias("cb")
     cand_corpus = nb.join(
