@@ -625,9 +625,13 @@ def incremental_dedup(
         corpus_index = minhash_band_index(
             corpus, text_col, id_col, n, num_hashes, bands
         )
+    # same rationale as incremental_embedding_dedup: the batch's band
+    # entries feed the corpus-candidate join AND both sides of the
+    # within-batch self-join — lazy persist so the shingle→minhash
+    # pipeline runs once per action, not per join leg
     new_index = minhash_band_index(
         new_docs, text_col, id_col, n, num_hashes, bands
-    )
+    ).persist()
 
     nb, cb = new_index.alias("nb"), corpus_index.alias("cb")
     cand_corpus = nb.join(
