@@ -80,3 +80,5 @@ def cdc_fixture(spark):
         ]
     )
     return spark.createDataFrame(events, schema)
+
+

@@ -8,6 +8,7 @@ cases; this pins the ones nobody thought to write down."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -132,7 +133,7 @@ def _py_state(events, as_of_lsn):
     }
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=int(os.environ.get("FUZZ_EXAMPLES", "12")), deadline=None)
 @given(_HISTORY)
 def test_changelog_matches_python_interpreter(spark, draw):
     events = _events_from_draw(draw)
@@ -149,7 +150,7 @@ def test_changelog_matches_python_interpreter(spark, draw):
         assert got == _py_changelog(events, rii)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=int(os.environ.get("FUZZ_EXAMPLES", "12")), deadline=None)
 @given(_HISTORY, st.integers(0, 25))
 def test_reconstruct_matches_python_fold(spark, draw, cut):
     events = _events_from_draw(draw)
