@@ -656,6 +656,56 @@ def _q_delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delta_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-native Delta Lake table format (sources.delta_table —
+    the lakehouse-interchange gap behind fs.py's own commit protocol):
+    four commits against a real _delta_log (append, append, OVERWRITE
+    as an atomic replace, checkpoint compaction, then one post-
+    checkpoint append), hive-partitioned on o_orderstatus, read back at
+    the LATEST version through the checkpoint + tail-JSON replay path.
+    The oracle computes the post-overwrite survivor set directly — so
+    the hash check proves adds/removes/checkpoint/partition-typing all
+    resolved correctly. Time travel and spec-shape assertions live in
+    tests/test_delta_table.py."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="delta_tbl_") + "/orders_delta"
+    write_delta(
+        spark, orders.filter(k % 10 == 0), path,
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(
+        spark, orders.filter(k % 10 == 1), path,
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(
+        spark, orders.filter(k % 7 == 0), path,
+        mode="overwrite", partition_by=["o_orderstatus"],
+    )
+    write_checkpoint(spark, path)
+    write_delta(
+        spark, orders.filter(k % 7 == 1), path,
+        partition_by=["o_orderstatus"],
+    )
+    return read_delta(spark, path)
+
+
+_SQL_DELTA_TABLE = """
+SELECT o_orderkey, o_orderpriority, o_orderstatus
+FROM orders WHERE o_orderkey % 7 IN (0, 1)
+"""
+
+
 def _q_changelog_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reporting rollup over the changelog: per-day, per-kind activity
     (exercises groupBy over the EAV output)."""
@@ -1727,6 +1777,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_debezium_roundtrip": (_q_debezium_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_debezium_dlq": (_q_debezium_dlq, _SQL_DEBEZIUM_DLQ),
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
+    "delta_table_roundtrip": (_q_delta_table_roundtrip, _SQL_DELTA_TABLE),
     "cdc_kafka_roundtrip": (_q_kafka_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_schema_evolution": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "cdc_forget_keys": (_q_forget_keys, _SQL_FORGET),
@@ -1757,13 +1808,14 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries. r09 rotation (VERDICT r8 item 4): the r8 window went 50/50
 # green, so its survivors rotate OUT and the r6-last-verified cohort
 # (the 45 entries whose last driver check was round 6 — nothing in the
-# registry is staler) rotates IN, minus 10 displaced static relational shapes (see
-# below). The other 15 slots: the ELEVEN NEW r9 entries
+# registry is staler) rotates IN, minus 11 displaced static relational shapes (see
+# below). The other 16 slots: the TWELVE NEW r9 entries
 # (cdc_jdbc_shape_roundtrip — the live-JDBC input form;
 # corpus_bpe_encode, corpus_chunk_dedup, corpus_quality_buckets,
 # dedup_cluster_representatives, profile_key_skew,
 # layout_zorder_events, cdc_changelog_sql_surface, dq_scd2_validate,
-# profile_join_cardinality, text_mixed_language — every new entry
+# profile_join_cardinality, text_mixed_language,
+# delta_table_roundtrip — every new entry
 # ships with a slot), and the 4
 # entries whose CONTRACT changed this round and must re-prove on the
 # driver (cdc_activity_anomaly + profile_lineitem_correlations —
@@ -1771,15 +1823,16 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # hash-checked against the committed golden merge table instead of
 # rows-only; ann_topk_ivfpq — k-means partial fold now sorts before
 # folding, and this one contract trains BOTH the IVF and PQ indexes).
-# To fit, 10 of the r6 cohort are displaced to the FRONT of the r10
-# window — 10 static relational shapes whose code hasn't changed since
+# To fit, 11 of the r6 cohort are displaced to the FRONT of the r10
+# window — 11 static relational shapes whose code hasn't changed since
 # they went green (q2_min_cost_supplier, q7_nation_volume,
 # q9_product_profit, q11_important_parts, q12_shipping_latency,
 # q16_supplier_count_by_part, and — for the late r9 entries
 # corpus_chunk_dedup, cdc_changelog_sql_surface, dq_scd2_validate and
-# profile_join_cardinality, text_mixed_language — q20_excess_suppliers,
-# order_priority_stats, part_price_ranks and percentile_spend);
-# all 10 re-proved green by this round's local full sweeps (143/143
+# profile_join_cardinality, text_mixed_language, delta_table_roundtrip —
+# q20_excess_suppliers, order_priority_stats, part_price_ranks,
+# percentile_spend and order_gaps);
+# all 11 re-proved green by this round's local full sweeps (143/143
 # early-r9, 149/149 end-of-round).
 # Also touched this round but out of window (driver-green r8, re-proven
 # by the local full sweep): ann_topk_ivf, ann_topk_pq,
@@ -1797,6 +1850,7 @@ _CHECK_WINDOW: list[str] = [
     "dq_scd2_validate",
     "profile_join_cardinality",
     "text_mixed_language",
+    "delta_table_roundtrip",
     # contract changed in r9 — re-prove on the new form
     "cdc_activity_anomaly",
     "profile_lineitem_correlations",
@@ -1830,7 +1884,6 @@ _CHECK_WINDOW: list[str] = [
     "events_distinct_sketch_rollup",
     "events_funnel",
     "events_tumbling_5min",
-    "order_gaps",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_interval_join",

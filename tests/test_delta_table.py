@@ -1,0 +1,127 @@
+"""Protocol-native Delta table tests: commit/read roundtrips, time
+travel, overwrite-as-atomic-replace, hive partitioning, checkpoint
+compaction, and spec-shape assertions on the emitted JSON actions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.sources.delta_table import (
+    read_delta,
+    table_versions,
+    write_checkpoint,
+    write_delta,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert write_delta(spark, a, path) == 0
+    assert write_delta(spark, b, path) == 1
+    assert table_versions(spark, path) == [0, 1]
+    assert _rows(read_delta(spark, path)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert _rows(read_delta(spark, path, version=0)) == {(1, "a"), (2, "b")}
+
+
+def test_overwrite_replaces_atomically(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    write_delta(spark, spark.createDataFrame([(1, "a")], "id long, v string"), path)
+    write_delta(spark, spark.createDataFrame([(2, "b")], "id long, v string"), path)
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        path,
+        mode="overwrite",
+    )
+    assert _rows(read_delta(spark, path)) == {(9, "z")}
+    # pre-overwrite history still readable (time travel)
+    assert _rows(read_delta(spark, path, version=1)) == {(1, "a"), (2, "b")}
+
+
+def test_partitioned_roundtrip_typed(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 10, "y"), (3, 20, "z")], "id long, p int, v string"
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+    back = read_delta(spark, path)
+    assert dict(back.dtypes)["p"] == "int"  # committed schema, no inference
+    assert _rows(back.select("id", "p", "v")) == _rows(df)
+    # partition pruning pushes into the scan
+    plan = (
+        back.filter(F.col("p") == 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "p" in plan
+    with pytest.raises(ValueError):
+        write_delta(spark, df, path, partition_by=[])  # mismatched layout
+
+
+def test_checkpoint_equivalent_and_used(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    for i in range(4):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, str(i))], "id long, v string"),
+            path,
+        )
+    before = _rows(read_delta(spark, path))
+    assert write_checkpoint(spark, path) == 3
+    assert _rows(read_delta(spark, path)) == before
+    # a post-checkpoint commit still applies on top
+    write_delta(
+        spark, spark.createDataFrame([(99, "n")], "id long, v string"), path
+    )
+    assert _rows(read_delta(spark, path)) == before | {(99, "n")}
+
+
+def test_emitted_actions_are_spec_shaped(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        path,
+        timestamp_ms=1700000000000,
+    )
+    log = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    actions = [json.loads(l) for l in open(log) if l.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    proto = actions[0]["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = actions[1]["metaData"]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and all(
+        a["path"].endswith(".parquet")
+        and a["size"] > 0
+        and a["dataChange"] is True
+        and a["partitionValues"] == {}
+        for a in adds
+    )
+
+
+def test_errors(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_delta(spark, str(tmp_path / "nope"))
+    path = str(tmp_path / "t6")
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), path)
+    with pytest.raises(ValueError):
+        read_delta(spark, path, version=7)
+    with pytest.raises(ValueError):
+        write_delta(
+            spark, spark.createDataFrame([(1,)], "id long"), path, mode="merge"
+        )
