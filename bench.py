@@ -294,7 +294,8 @@ HEADLINE = [
     "dq_scd2_validate",
     "profile_join_cardinality",
     "text_mixed_language",
-    # delta_table_roundtrip stays out: like cdc_forget_keys it rewrites
+    # delta_table_roundtrip / cdc_from_delta_snapshots stay out: like
+    # cdc_forget_keys they rewrite
     # a tempdir table per run (4 commits + a checkpoint) — it times
     # filesystem commit churn; the read path's plan is a plain pruned
     # parquet scan already covered by every relational entry.

@@ -706,6 +706,76 @@ FROM orders WHERE o_orderkey % 7 IN (0, 1)
 """
 
 
+def _q_cdc_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC WITHOUT CDC (operators.diff.snapshots_to_events over
+    sources.delta_table): two versions of a Delta table — v1 drops the
+    k%5==0 keys, adds the k%5==3 keys, and rewrites priority for k%3==0
+    survivors — are diffed into the engine's event model by one
+    pk-keyed full-outer join, then fed to the SAME build_changelog as
+    every log-based source. This is the ingestion shape for sources
+    that publish versioned tables but no change feed (Delta without
+    CDF, nightly warehouse extracts); the oracle derives the
+    insert/delete/update rows from the key arithmetic directly."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.operators.diff import (
+        snapshots_to_events,
+    )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v0 = base.filter(k % 5 < 3)
+    v1 = base.filter((k % 5 >= 1) & (k % 5 <= 3)).withColumn(
+        "priority",
+        F.when(k % 3 == 0, F.lit("X-URGENT")).otherwise(F.col("priority")),
+    )
+    path = tempfile.mkdtemp(prefix="delta_snap_") + "/t"
+    write_delta(spark, v0, path)
+    write_delta(spark, v1, path, mode="overwrite")
+    events = snapshots_to_events(
+        read_delta(spark, path, version=0),
+        read_delta(spark, path, version=1),
+        ["o_orderkey"],
+        lsn=1,
+        table_name="orders",
+    )
+    return build_changelog(
+        events, ["o_orderkey"], with_audit_cols=False
+    ).select(
+        "commit_time", "table_name", "o_orderkey", "column_name",
+        "old_value", "new_value",
+    )
+
+
+_SQL_CDC_FROM_SNAPSHOTS = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr FROM orders
+),
+ch AS (
+  SELECT k, 'priority' AS column_name, pr AS old_value,
+         'X-URGENT' AS new_value
+  FROM base WHERE k % 5 IN (1, 2) AND k % 3 = 0
+  UNION ALL
+  SELECT k, NULL, 'DELETED RECORD', NULL FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT k, NULL, NULL, 'NEW RECORD' FROM base WHERE k % 5 = 3
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' AS commit_time,
+       'orders' AS table_name, k AS o_orderkey,
+       column_name, old_value, new_value
+FROM ch
+"""
+
+
 def _q_changelog_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reporting rollup over the changelog: per-day, per-kind activity
     (exercises groupBy over the EAV output)."""
@@ -1778,6 +1848,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_debezium_dlq": (_q_debezium_dlq, _SQL_DEBEZIUM_DLQ),
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
     "delta_table_roundtrip": (_q_delta_table_roundtrip, _SQL_DELTA_TABLE),
+    "cdc_from_delta_snapshots": (_q_cdc_from_snapshots, _SQL_CDC_FROM_SNAPSHOTS),
     "cdc_kafka_roundtrip": (_q_kafka_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_schema_evolution": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "cdc_forget_keys": (_q_forget_keys, _SQL_FORGET),
@@ -1808,14 +1879,14 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries. r09 rotation (VERDICT r8 item 4): the r8 window went 50/50
 # green, so its survivors rotate OUT and the r6-last-verified cohort
 # (the 45 entries whose last driver check was round 6 — nothing in the
-# registry is staler) rotates IN, minus 11 displaced static relational shapes (see
-# below). The other 16 slots: the TWELVE NEW r9 entries
+# registry is staler) rotates IN, minus 12 displaced static relational shapes (see
+# below). The other 17 slots: the THIRTEEN NEW r9 entries
 # (cdc_jdbc_shape_roundtrip — the live-JDBC input form;
 # corpus_bpe_encode, corpus_chunk_dedup, corpus_quality_buckets,
 # dedup_cluster_representatives, profile_key_skew,
 # layout_zorder_events, cdc_changelog_sql_surface, dq_scd2_validate,
 # profile_join_cardinality, text_mixed_language,
-# delta_table_roundtrip — every new entry
+# delta_table_roundtrip, cdc_from_delta_snapshots — every new entry
 # ships with a slot), and the 4
 # entries whose CONTRACT changed this round and must re-prove on the
 # driver (cdc_activity_anomaly + profile_lineitem_correlations —
@@ -1823,16 +1894,16 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # hash-checked against the committed golden merge table instead of
 # rows-only; ann_topk_ivfpq — k-means partial fold now sorts before
 # folding, and this one contract trains BOTH the IVF and PQ indexes).
-# To fit, 11 of the r6 cohort are displaced to the FRONT of the r10
-# window — 11 static relational shapes whose code hasn't changed since
+# To fit, 12 of the r6 cohort are displaced to the FRONT of the r10
+# window — 12 static relational shapes whose code hasn't changed since
 # they went green (q2_min_cost_supplier, q7_nation_volume,
 # q9_product_profit, q11_important_parts, q12_shipping_latency,
 # q16_supplier_count_by_part, and — for the late r9 entries
 # corpus_chunk_dedup, cdc_changelog_sql_surface, dq_scd2_validate and
 # profile_join_cardinality, text_mixed_language, delta_table_roundtrip —
 # q20_excess_suppliers, order_priority_stats, part_price_ranks,
-# percentile_spend and order_gaps);
-# all 11 re-proved green by this round's local full sweeps (143/143
+# percentile_spend, order_gaps and customers_without_orders);
+# all 12 re-proved green by this round's local full sweeps (143/143
 # early-r9, 149/149 end-of-round).
 # Also touched this round but out of window (driver-green r8, re-proven
 # by the local full sweep): ann_topk_ivf, ann_topk_pq,
@@ -1851,6 +1922,7 @@ _CHECK_WINDOW: list[str] = [
     "profile_join_cardinality",
     "text_mixed_language",
     "delta_table_roundtrip",
+    "cdc_from_delta_snapshots",
     # contract changed in r9 — re-prove on the new form
     "cdc_activity_anomaly",
     "profile_lineitem_correlations",
@@ -1877,7 +1949,6 @@ _CHECK_WINDOW: list[str] = [
     "corpus_ngram_vocab",
     "corpus_sampled_mix",
     "corpus_token_freq_scores",
-    "customers_without_orders",
     "dedup_embedding_incremental",
     "dedup_incremental_batch",
     "events_cohort_retention",

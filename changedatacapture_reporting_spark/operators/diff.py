@@ -147,3 +147,94 @@ def snapshot_diff(
             *[val("b", c).alias(f"new_{c}") for c in value_cols],
         )
     )
+
+
+def snapshots_to_events(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str] | None = None,
+    lsn: int = 1,
+    commit_ts=None,
+    table_name: str = "table",
+) -> DataFrame:
+    """CDC WITHOUT CDC: derive the engine's event model (op, before,
+    after) from two TABLE SNAPSHOTS — the standard ingestion pattern
+    for sources that publish versioned tables but no change feed (a
+    Delta table without CDF, nightly warehouse extracts, vendor dumps).
+    The events feed build_changelog / populate exactly like a native
+    feed, so snapshot-diff sources and log-based sources share every
+    downstream operator.
+
+    One full-outer join on the pk (each side scanned once):
+
+    - only in B               → ``insert``  (after = B row)
+    - only in A               → ``delete``  (before = A row)
+    - in both, any value col differs (null-safe) → ``update``
+    - in both, identical      → no event
+
+    All events carry the SAME (lsn, commit_ts): a snapshot diff is one
+    atomic transition, exactly like a single-transaction batch; ``seq``
+    disambiguates nothing here and is 0. Per-key correctness needs no
+    ordering because a key appears at most once per snapshot.
+
+    Scale: shuffle = the two snapshot scans hashed on pk; output ∝
+    changed rows. Intermediate churn (rows changed several times
+    BETWEEN snapshots) is invisible by construction — the documented
+    fidelity limit of snapshot-diff CDC.
+    """
+    cols_a = set(snap_a.columns)
+    if cols_a != set(snap_b.columns):
+        raise ValueError(
+            f"snapshot schemas differ: {sorted(cols_a)} vs "
+            f"{sorted(snap_b.columns)}"
+        )
+    if value_cols is None:
+        value_cols = [c for c in snap_a.columns if c not in pk_cols]
+    all_cols = [*pk_cols, *value_cols]
+
+    a = snap_a.select(
+        *[F.col(c).alias(f"_a_{c}") for c in all_cols],
+        F.lit(True).alias("_in_a"),
+    )
+    b = snap_b.select(
+        *[F.col(c).alias(f"_b_{c}") for c in all_cols],
+        F.lit(True).alias("_in_b"),
+    )
+    cond = None
+    for c in pk_cols:
+        eq = F.col(f"_a_{c}") == F.col(f"_b_{c}")
+        cond = eq if cond is None else cond & eq
+    j = a.join(b, cond, "full_outer")
+
+    changed = None
+    for c in value_cols:
+        ne = ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        changed = ne if changed is None else changed | ne
+    op = (
+        F.when(F.col("_in_a").isNull(), F.lit("insert"))
+        .when(F.col("_in_b").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    before = F.struct(
+        *[F.col(f"_a_{c}").alias(c) for c in all_cols]
+    )
+    after = F.struct(*[F.col(f"_b_{c}").alias(c) for c in all_cols])
+    ts = (
+        F.lit(commit_ts).cast("timestamp")
+        if commit_ts is not None
+        else F.timestamp_seconds(F.lit(0))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit(0).alias("seq"),
+            ts.alias("commit_ts"),
+            "op",
+            F.lit(table_name).alias("table_name"),
+            F.when(F.col("op") != "insert", before).alias("before"),
+            F.when(F.col("op") != "delete", after).alias("after"),
+        )
+    )

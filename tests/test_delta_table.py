@@ -125,3 +125,49 @@ def test_errors(spark, tmp_path):
         write_delta(
             spark, spark.createDataFrame([(1,)], "id long"), path, mode="merge"
         )
+
+
+def test_snapshots_to_events_all_ops(spark):
+    """insert/delete/update/no-op classification with null-safe value
+    compare; events feed build_changelog like any native CDC source."""
+    from changedatacapture_reporting_spark.operators.changelog import (
+        build_changelog,
+    )
+    from changedatacapture_reporting_spark.operators.diff import (
+        snapshots_to_events,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", None), (3, "z", 30), (4, "w", 40)],
+        "id long, v string, n int",
+    )
+    b = spark.createDataFrame(
+        [(2, "y", None), (3, "z2", 30), (4, "w", 41), (5, "new", 5)],
+        "id long, v string, n int",
+    )
+    ev = snapshots_to_events(a, b, ["id"], lsn=7, table_name="t")
+    got = {
+        (r.op, (r.before or {"id": None})["id"] or (r.after or {})["id"])
+        for r in ev.collect()
+    }
+    # 1 deleted, 2 unchanged (null == null, NO event), 3+4 updated, 5 new
+    assert got == {
+        ("delete", 1), ("update", 3), ("update", 4), ("insert", 5)
+    }
+    assert ev.filter("lsn != 7 or seq != 0").count() == 0
+
+    log = build_changelog(ev, ["id"], with_audit_cols=False)
+    rows = {
+        (r.id, r.column_name, r.old_value, r.new_value)
+        for r in log.collect()
+    }
+    assert (3, "v", "z", "z2") in rows
+    assert (4, "n", "40", "41") in rows
+    assert (1, None, "DELETED RECORD", None) in rows
+    assert (5, None, None, "NEW RECORD") in rows
+    assert len(rows) == 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        snapshots_to_events(a, b.drop("n"), ["id"])
