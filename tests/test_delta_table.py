@@ -171,3 +171,57 @@ def test_snapshots_to_events_all_ops(spark):
 
     with pytest.raises(ValueError):
         snapshots_to_events(a, b.drop("n"), ["id"])
+
+
+def test_delta_version_events_and_populate_resume(spark, tmp_path):
+    """Version transitions → event stream (lsn = version) → the standard
+    populate into a sink; re-running after new commits ingests ONLY the
+    new versions (watermark resume = version resume)."""
+    from changedatacapture_reporting_spark.operators.populate import (
+        populate_changelog,
+    )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delta_version_events,
+        write_delta,
+    )
+
+    path = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")  # noqa: E731
+    write_delta(spark, mk([(1, "a"), (2, "b")]), path, timestamp_ms=1000)
+    write_delta(
+        spark, mk([(1, "a2"), (2, "b"), (3, "c")]), path,
+        mode="overwrite", timestamp_ms=2000,
+    )
+
+    ev = delta_version_events(spark, path, ["id"], table_name="t")
+    got = {(r.lsn, r.op, (r.after or r.before)["id"]) for r in ev.collect()}
+    assert got == {(1, "update", 1), (1, "insert", 3)}
+    assert {r.commit_ts.isoformat() for r in ev.collect()} == {
+        "1970-01-01T00:00:02"
+    }
+
+    r1 = populate_changelog(spark, ev, sink, ["id"])
+    assert r1.rows_changed > 0
+    # no new commits -> resume ingests nothing
+    r2 = populate_changelog(
+        spark, delta_version_events(spark, path, ["id"], table_name="t"),
+        sink, ["id"],
+    )
+    assert r2.rows_changed == 0
+    # a new commit ingests only its own transition
+    write_delta(
+        spark, mk([(9, "z")]), path, timestamp_ms=3000
+    )
+    ev3 = delta_version_events(spark, path, ["id"], table_name="t")
+    r3 = populate_changelog(spark, ev3, sink, ["id"])
+    assert r3.rows_changed == 1  # one NEW RECORD marker for id 9
+
+    log = spark.read.parquet(f"{sink}/table_name=t")
+    rows = {
+        (r.id, r.column_name, r.old_value, r.new_value)
+        for r in log.collect()
+    }
+    assert (1, "v", "a", "a2") in rows
+    assert (3, None, None, "NEW RECORD") in rows
+    assert (9, None, None, "NEW RECORD") in rows
