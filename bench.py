@@ -294,6 +294,7 @@ HEADLINE = [
     "dq_scd2_validate",
     "profile_join_cardinality",
     "text_mixed_language",
+    "corpus_datasheet",
     # delta_table_roundtrip / cdc_from_delta_snapshots stay out: like
     # cdc_forget_keys they rewrite
     # a tempdir table per run (4 commits + a checkpoint) — it times

@@ -1879,14 +1879,15 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries. r09 rotation (VERDICT r8 item 4): the r8 window went 50/50
 # green, so its survivors rotate OUT and the r6-last-verified cohort
 # (the 45 entries whose last driver check was round 6 — nothing in the
-# registry is staler) rotates IN, minus 12 displaced static relational shapes (see
-# below). The other 17 slots: the THIRTEEN NEW r9 entries
+# registry is staler) rotates IN, minus 13 displaced static shapes (see
+# below). The other 18 slots: the FOURTEEN NEW r9 entries
 # (cdc_jdbc_shape_roundtrip — the live-JDBC input form;
 # corpus_bpe_encode, corpus_chunk_dedup, corpus_quality_buckets,
 # dedup_cluster_representatives, profile_key_skew,
 # layout_zorder_events, cdc_changelog_sql_surface, dq_scd2_validate,
 # profile_join_cardinality, text_mixed_language,
-# delta_table_roundtrip, cdc_from_delta_snapshots — every new entry
+# delta_table_roundtrip, cdc_from_delta_snapshots, corpus_datasheet —
+# every new entry
 # ships with a slot), and the 4
 # entries whose CONTRACT changed this round and must re-prove on the
 # driver (cdc_activity_anomaly + profile_lineitem_correlations —
@@ -1894,16 +1895,17 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # hash-checked against the committed golden merge table instead of
 # rows-only; ann_topk_ivfpq — k-means partial fold now sorts before
 # folding, and this one contract trains BOTH the IVF and PQ indexes).
-# To fit, 12 of the r6 cohort are displaced to the FRONT of the r10
-# window — 12 static relational shapes whose code hasn't changed since
+# To fit, 13 of the r6 cohort are displaced to the FRONT of the r10
+# window — 13 static shapes whose code hasn't changed since
 # they went green (q2_min_cost_supplier, q7_nation_volume,
 # q9_product_profit, q11_important_parts, q12_shipping_latency,
 # q16_supplier_count_by_part, and — for the late r9 entries
 # corpus_chunk_dedup, cdc_changelog_sql_surface, dq_scd2_validate and
 # profile_join_cardinality, text_mixed_language, delta_table_roundtrip —
 # q20_excess_suppliers, order_priority_stats, part_price_ranks,
-# percentile_spend, order_gaps and customers_without_orders);
-# all 12 re-proved green by this round's local full sweeps (143/143
+# percentile_spend, order_gaps, customers_without_orders and
+# events_tumbling_5min);
+# all 13 re-proved green by this round's local full sweeps (143/143
 # early-r9, 149/149 end-of-round).
 # Also touched this round but out of window (driver-green r8, re-proven
 # by the local full sweep): ann_topk_ivf, ann_topk_pq,
@@ -1923,6 +1925,7 @@ _CHECK_WINDOW: list[str] = [
     "text_mixed_language",
     "delta_table_roundtrip",
     "cdc_from_delta_snapshots",
+    "corpus_datasheet",
     # contract changed in r9 — re-prove on the new form
     "cdc_activity_anomaly",
     "profile_lineitem_correlations",
@@ -1954,7 +1957,6 @@ _CHECK_WINDOW: list[str] = [
     "events_cohort_retention",
     "events_distinct_sketch_rollup",
     "events_funnel",
-    "events_tumbling_5min",
     "streaming_dedup_keys",
     "streaming_enriched_segments",
     "streaming_interval_join",

@@ -1945,7 +1945,55 @@ GROUP BY c.doc_id, d.doc_lang
 SQL_MIXED_LANGUAGE = _mixed_language_sql()
 
 
+def corpus_datasheet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (operators.corpus.corpus_datasheet): the headline
+    facts a corpus publishes — volume, language spread, exact-duplicate
+    load — as ~7 all-integer (metric, value) rows at any corpus size.
+    The sf0.01 fixture has zero exact-dup groups, so the dup metrics
+    verify as exact zeros here; the counting logic itself is pinned on
+    crafted duplicates in pytest."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        corpus_datasheet,
+    )
+
+    return corpus_datasheet(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DATASHEET = r"""
+WITH fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+         COUNT(*) AS c
+  FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+),
+d AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS n_words,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents
+),
+lm AS (
+  SELECT MAX(c) AS max_lang_docs
+  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+),
+dd AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs,
+         COUNT(*) AS n_dup_groups
+  FROM fp
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM d
+UNION ALL SELECT 'n_langs', n_langs FROM d
+UNION ALL SELECT 'n_words', n_words FROM d
+UNION ALL SELECT 'n_chars', n_chars FROM d
+UNION ALL SELECT 'max_lang_docs', max_lang_docs FROM lm
+UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM dd
+UNION ALL SELECT 'n_dup_groups', n_dup_groups FROM dd
+"""
+
+
 REGISTRY_LLM = {
+    "corpus_datasheet": (corpus_datasheet_report, SQL_DATASHEET),
     "text_mixed_language": (text_mixed_language, SQL_MIXED_LANGUAGE),
     "corpus_chunk_dedup": (corpus_chunk_dedup, SQL_CHUNK_DEDUP),
     "corpus_bpe_encode": (corpus_bpe_encode, SQL_BPE_ENCODE_GOLDEN),

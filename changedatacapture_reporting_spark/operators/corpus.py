@@ -596,3 +596,55 @@ def boilerplate_scores(
     ).select(
         F.col("_id").alias(id_col), "n_shingles", "n_boiler", "boiler_frac"
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The dataset card a corpus PUBLISHES — headline facts in one tiny
+    long-form frame (metric, value): document/word/char volume, language
+    spread, exact-duplicate load. All-integer values (engine-exact, no
+    doubles); ratios derive downstream. Three aggregation passes, each
+    map-side-combinable (volume aggregates; per-language counts to
+    language scale; per-fingerprint counts to distinct-text scale),
+    folded through one-row scalar broadcasts and melted with stack —
+    output is ~7 rows at ANY corpus size.
+    """
+    from changedatacapture_reporting_spark.functions.text import (
+        fingerprint_md5,
+        tokens,
+    )
+
+    t = F.col(text_col)
+    vol = df.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(lang_col).alias("n_langs"),
+        F.sum(F.size(tokens(t))).cast("long").alias("n_words"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+    )
+    lang_max = (
+        df.groupBy(lang_col)
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("max_lang_docs"))
+    )
+    dup = (
+        df.groupBy(fingerprint_md5(t).alias("fp"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_dup_docs"),
+            F.count("*").alias("n_dup_groups"),
+        )
+    )
+    one = vol.crossJoin(F.broadcast(lang_max)).crossJoin(F.broadcast(dup))
+    metrics = [
+        "n_docs", "n_langs", "n_words", "n_chars",
+        "max_lang_docs", "n_dup_docs", "n_dup_groups",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return one.select(
+        F.expr(f"stack({len(metrics)}, {stack}) as (metric, value)")
+    )

@@ -1173,3 +1173,30 @@ def test_mixed_language_detects_embedded_chunks(spark):
     # whichever language wins the whole doc, the other half's chunks
     # disagree with it — that's the mixed-content signal
     assert got[2][0] in ("en", "es") and got[2][1] > 0
+
+
+def test_corpus_datasheet_counts_with_crafted_dups(spark):
+    """Dup metrics (zero on the fixture) are pinned here: whitespace-
+    normalized exact copies group; all-integer values exact."""
+    from changedatacapture_reporting_spark.operators.corpus import (
+        corpus_datasheet,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello  world", "en"),
+            (2, " hello world ", "en"),   # same after normalization
+            (3, "HELLO world", "en"),     # lowercased -> same
+            (4, "adios mundo", "es"),
+            (5, "adios mundo", "es"),     # exact copy
+            (6, "unique text here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.metric: r.value for r in corpus_datasheet(docs).collect()}
+    assert got["n_docs"] == 6
+    assert got["n_langs"] == 2
+    assert got["n_words"] == 2 * 5 + 3
+    assert got["max_lang_docs"] == 4
+    assert got["n_dup_docs"] == 5      # {1,2,3} and {4,5}
+    assert got["n_dup_groups"] == 2

@@ -57,6 +57,9 @@ ALLOW = {
     # same scalar shape: three ONE-ROW aggregate frames folded into the
     # single report row (operators/profile.join_cardinality)
     "profile_join_cardinality": {"BroadcastNestedLoopJoin"},
+    # same scalar shape: three ONE-ROW aggregate frames folded into the
+    # ~7-row dataset card (operators/corpus.corpus_datasheet)
+    "corpus_datasheet": {"BroadcastNestedLoopJoin"},
     # accuracy contracts that compare the scale path against an embedded
     # exact reference (all-pairs jaccard / brute-force top-k) — the
     # quadratic node is the reference side, not the production path
