@@ -169,3 +169,75 @@ def test_reconstruct_matches_python_fold(spark, draw, cut):
         k: (row[1], row[2]) for k, row in _py_state(events, cut).items()
     }
     assert got == want
+
+
+def _py_scd2(events):
+    """Independent SCD2 interpreter: per (lsn, seq) transaction, carry
+    values within delete-bounded epochs (explicit NULL writes carry as
+    null, unwritten columns stay absent), close each version at the
+    NEXT transaction's commit_time (delete transactions close but emit
+    no version), last open version is current."""
+    by_key: dict[int, list] = {}
+    for lsn, seq, ts, op, _, before, after in sorted(
+        events, key=lambda e: (e[0], e[1])
+    ):
+        key = (after or before)[0]
+        if op == "delete":
+            by_key.setdefault(key, []).append((ts, "delete", None))
+            continue
+        if op == "insert":
+            delta = {
+                c: str(after[i])
+                for i, c in enumerate(VALUE_COLS)
+                if after[i] is not None
+            }
+            by_key.setdefault(key, []).append((ts, "insert", delta))
+            continue
+        delta = {}
+        for i, c in enumerate(VALUE_COLS):
+            if before[i] != after[i]:
+                delta[c] = None if after[i] is None else str(after[i])
+        if delta:  # a no-op update emits no changelog rows -> no version
+            by_key.setdefault(key, []).append((ts, "update", delta))
+
+    rows = set()
+    for key, txns in by_key.items():
+        carry: dict = {}
+        for i, (ts, kind, delta) in enumerate(txns):
+            if kind == "delete":
+                carry = {}
+                continue
+            if kind == "insert":
+                carry = dict(delta)
+            else:
+                carry.update(delta)
+            valid_to = txns[i + 1][0] if i + 1 < len(txns) else None
+            rows.add(
+                (
+                    key,
+                    carry.get("v1"),
+                    carry.get("v2"),
+                    ts,
+                    valid_to,
+                    valid_to is None,
+                )
+            )
+    return rows
+
+
+@settings(max_examples=int(os.environ.get("FUZZ_EXAMPLES", "12")), deadline=None)
+@given(_HISTORY)
+def test_scd2_history_matches_python_interpreter(spark, draw):
+    from changedatacapture_reporting_spark.operators.scd import scd2_history
+
+    events = _events_from_draw(draw)
+    df = spark.createDataFrame(events, _SCHEMA)
+    log = build_changelog(
+        df, PK, with_audit_cols=False, carry_cols=["lsn", "seq"],
+        record_insert_images=True,
+    )
+    got = {
+        (r.id, r.v1, r.v2, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(log, PK, ["v1", "v2"]).collect()
+    }
+    assert got == _py_scd2(events)
