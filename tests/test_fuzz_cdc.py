@@ -241,3 +241,59 @@ def test_scd2_history_matches_python_interpreter(spark, draw):
         for r in scd2_history(log, PK, ["v1", "v2"]).collect()
     }
     assert got == _py_scd2(events)
+
+
+def _py_net(events, from_lsn, to_lsn):
+    win = [
+        e for e in sorted(events, key=lambda e: (e[0], e[1]))
+        if from_lsn <= e[0] <= to_lsn
+    ]
+    by_key: dict[int, list] = {}
+    for e in win:
+        by_key.setdefault((e[6] or e[5])[0], []).append(e)
+    rows = set()
+    for key, es in by_key.items():
+        first, last = es[0], es[-1]
+        existed_before = first[3] != "insert"
+        exists_after = last[3] != "delete"
+        if not (existed_before or exists_after):
+            continue
+        net_op = (
+            "update" if existed_before and exists_after
+            else "insert" if exists_after else "delete"
+        )
+        rows.add(
+            (
+                key,
+                net_op,
+                first[5] if existed_before else None,  # before image
+                last[6] if exists_after else None,     # after image
+                max(e[0] for e in es),
+                last[2],
+            )
+        )
+    return rows
+
+
+@settings(max_examples=int(os.environ.get("FUZZ_EXAMPLES", "12")), deadline=None)
+@given(_HISTORY, st.integers(0, 20), st.integers(0, 8))
+def test_net_changes_matches_python_interpreter(spark, draw, lo, width):
+    from changedatacapture_reporting_spark.operators.net_changes import (
+        net_changes,
+    )
+
+    events = _events_from_draw(draw)
+    hi = lo + width
+    df = spark.createDataFrame(events, _SCHEMA)
+    got = {
+        (
+            r.id,
+            r.net_op,
+            tuple(r.before) if r.before is not None else None,
+            tuple(r.after) if r.after is not None else None,
+            r.last_lsn,
+            r.last_commit_ts,
+        )
+        for r in net_changes(df, PK, from_lsn=lo, to_lsn=hi).collect()
+    }
+    assert got == _py_net(events, lo, hi)
