@@ -90,6 +90,45 @@ def write_text(spark: SparkSession, path: str, text: str = "") -> None:
         out.close()
 
 
+def create_exclusive(spark: SparkSession, path: str, text: str = "") -> bool:
+    """Atomically create ``path`` with ``text`` ONLY if it does not
+    already exist; returns False (writing nothing) when it does.
+
+    This is the optimistic-concurrency primitive for log-structured
+    commit protocols (Delta's ``_delta_log/<version>.json``): two
+    writers racing for the same version number both attempt an
+    exclusive create, exactly one wins, and the loser retries at the
+    next version. On HDFS ``FileSystem.create(path, overwrite=false)``
+    is an atomic namespace operation; local falls back to
+    ``O_CREAT|O_EXCL``. (S3A's create is NOT atomic — real deployments
+    there put the log on a consistent store or a commit coordinator,
+    the same caveat the Delta PROTOCOL itself documents.)
+    """
+    h = _hadoop(spark, path)
+    if h is None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+    fs, jpath = h
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        # FileAlreadyExistsException (or a checksum-fs wrapper of it)
+        if fs.exists(jpath):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     h = _hadoop(spark, path)
     if h is None:

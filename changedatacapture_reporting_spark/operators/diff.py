@@ -207,10 +207,13 @@ def snapshots_to_events(
         cond = eq if cond is None else cond & eq
     j = a.join(b, cond, "full_outer")
 
-    changed = None
+    # pk-only snapshots (empty value_cols) are legal membership-only
+    # diffs: rows present in both simply emit no event (ADVICE r09 —
+    # F.when(None, ...) would raise)
+    changed = F.lit(False)
     for c in value_cols:
         ne = ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
-        changed = ne if changed is None else changed | ne
+        changed = changed | ne
     op = (
         F.when(F.col("_in_a").isNull(), F.lit("insert"))
         .when(F.col("_in_b").isNull(), F.lit("delete"))

@@ -31,15 +31,19 @@ implements that protocol directly:
 Scale posture: the action log is METADATA — the driver materializes one
 dict per live file (the same order of driver state as Spark's own
 file-index listing for any parquet directory); data stays distributed.
-Concurrency: single writer (no optimistic-conflict loop) — the engine's
-changelog sink keeps its own ledger for contended writes; this module
-is the interchange path (export to / import from lakehouse tooling).
+Concurrency: optimistic — commit files are created with
+exclusive-create semantics (atomic on HDFS / local; see
+``fs.create_exclusive`` for the object-store caveat), and a writer that
+loses the race for version N re-resolves table state and retries at
+N+1. Appends always recombine cleanly; contended overwrites serialize
+(the later commit's remove set is recomputed against the winner).
 """
 
 from __future__ import annotations
 
 import json
 import uuid
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,12 +66,35 @@ def _log_path(path: str) -> str:
     return fs.join(path, LOG_DIR)
 
 
-def table_versions(spark: SparkSession, path: str) -> list[int]:
-    """Committed versions, ascending ([] when not a Delta table)."""
+def _json_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(
         int(name.split(".")[0])
         for name in fs.listdir(spark, _log_path(path))
         if name.endswith(".json") and name.split(".")[0].isdigit()
+    )
+
+
+def _checkpoint_versions(spark: SparkSession, path: str) -> list[int]:
+    return sorted(
+        int(name.split(".")[0])
+        for name in fs.listdir(spark, _log_path(path))
+        if name.endswith(".checkpoint.parquet")
+        and name.split(".")[0].isdigit()
+    )
+
+
+def table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions, ascending ([] when not a Delta table).
+
+    Folds checkpoint versions into the set: a real Delta table whose
+    JSON commits have all expired behind a checkpoint (log-retention
+    cleanup) is still a table at the checkpointed version — deriving
+    the set from JSON files alone misreports it as "not a Delta table"
+    and mis-numbers the next commit (ADVICE r09).
+    """
+    return sorted(
+        set(_json_versions(spark, path))
+        | set(_checkpoint_versions(spark, path))
     )
 
 
@@ -146,31 +173,34 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
     if not versions:
         raise ValueError(f"not a Delta table (no commits): {path}")
     target = versions[-1] if version is None else version
-    if target not in versions and version is not None:
-        # the commit json may have been vacuumed behind a checkpoint;
-        # only fail when it never existed
-        if target > versions[-1] or target < 0:
-            raise ValueError(
-                f"version {target} not in table (have 0..{versions[-1]})"
-            )
+    if version is not None and (target > versions[-1] or target < 0):
+        raise ValueError(
+            f"version {target} not in table (have 0..{versions[-1]})"
+        )
 
     state: dict = {"meta": None, "files": {}, "version": target}
+    # newest checkpoint ≤ target (not just _last_checkpoint: time travel
+    # to a version older than the latest checkpoint can still replay
+    # from an earlier retained checkpoint)
     start = 0
-    lc_name = "_last_checkpoint"
-    if lc_name in fs.listdir(spark, log):
-        lc = json.loads(fs.read_text(spark, fs.join(log, lc_name)))
-        cv = int(lc["version"])
-        if cv <= target:
-            cp = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
-                fs.join(log, _checkpoint_name(cv))
-            )
-            for row in cp.collect():
-                d = row.asDict(recursive=True)
-                _apply_action(state, {k: v for k, v in d.items() if v})
-            start = cv + 1
-    for v in versions:
-        if v < start or v > target:
-            continue
+    cps = [cv for cv in _checkpoint_versions(spark, path) if cv <= target]
+    if cps:
+        cv = cps[-1]
+        cp = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
+            fs.join(log, _checkpoint_name(cv))
+        )
+        for row in cp.collect():
+            d = row.asDict(recursive=True)
+            _apply_action(state, {k: v for k, v in d.items() if v})
+        start = cv + 1
+    json_set = set(_json_versions(spark, path))
+    missing = [v for v in range(start, target + 1) if v not in json_set]
+    if missing:
+        raise ValueError(
+            f"cannot reconstruct version {target}: commits "
+            f"{missing} vacuumed and no checkpoint covers them"
+        )
+    for v in range(start, target + 1):
         for line in fs.read_text(
             spark, fs.join(log, _commit_name(v))
         ).splitlines():
@@ -197,13 +227,16 @@ def read_delta(
 
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
-    paths = [fs.join(path, a["path"]) for a in adds]
+    # add.path is percent-encoded per the PROTOCOL (RFC 2396 relative
+    # URI); decode before touching the filesystem
+    rels = [unquote(a["path"]) for a in adds]
+    paths = [fs.join(path, r) for r in rels]
 
     if not part_cols:
         return spark.read.schema(schema).parquet(*paths)
 
     hive_style = all(
-        any("=" in seg for seg in a["path"].split("/")[:-1]) for a in adds
+        any("=" in seg for seg in r.split("/")[:-1]) for r in rels
     )
     if hive_style:
         # partition dirs resolve through basePath; committed schema
@@ -222,9 +255,11 @@ def read_delta(
         by_pv.setdefault(tuple(pv.get(c) for c in part_cols), []).append(a)
     out = None
     types = {f.name: f.dataType for f in schema.fields}
-    for pv, group in sorted(by_pv.items()):
+    for pv, group in sorted(
+        by_pv.items(), key=lambda kv: tuple(v or "" for v in kv[0])
+    ):
         df = spark.read.schema(data_schema).parquet(
-            *[fs.join(path, a["path"]) for a in group]
+            *[fs.join(path, unquote(a["path"])) for a in group]
         )
         for c, v in zip(part_cols, pv):
             df = df.withColumn(c, F.lit(v).cast(types[c]))
@@ -249,8 +284,39 @@ def _partition_values(rel: str, part_cols: list[str]) -> dict:
         if "=" in seg:
             k, _, v = seg.partition("=")
             if k in part_cols:
-                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                # Spark hive-escapes special chars (space, '%', '=', ':')
+                # in partition dir names as %XX — partitionValues records
+                # the LOGICAL value, so decode (ADVICE r09)
+                pv[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
     return pv
+
+
+def _normalized_fields(schema: T.StructType) -> list[tuple[str, str]]:
+    return [(f.name, f.dataType.json()) for f in schema.fields]
+
+
+def _check_append_schema(df: DataFrame, meta: dict) -> None:
+    """Reject a write whose schema differs from the table's committed
+    metaData.schemaString — real Delta fails the commit; silently
+    landing mismatched files would make read_delta (which always scans
+    with the COMMITTED schema) return nulls/wrong columns (ADVICE r09).
+    Nullability may tighten (non-null df into nullable table) but never
+    loosen."""
+    committed = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if _normalized_fields(df.schema) != _normalized_fields(committed):
+        raise ValueError(
+            "schema mismatch with committed table schema: "
+            f"writing {[f'{n}:{t}' for n, t in _normalized_fields(df.schema)]} "
+            f"vs committed {[f'{n}:{t}' for n, t in _normalized_fields(committed)]}"
+        )
+    for dfld, cfld in zip(df.schema.fields, committed.fields):
+        if dfld.nullable and not cfld.nullable:
+            raise ValueError(
+                f"column {dfld.name!r} is non-nullable in the table "
+                "but nullable in the DataFrame being written"
+            )
 
 
 def write_delta(
@@ -260,29 +326,29 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     timestamp_ms: int = 0,
+    max_commit_retries: int = 10,
 ) -> int:
-    """Commit ``df`` to a Delta table at ``path``; returns the new
+    """Commit ``df`` to a Delta table at ``path``; returns the committed
     version. ``mode``: ``append`` or ``overwrite`` (overwrite removes
     every previously-live file in the SAME commit — the atomic
     replace). ``timestamp_ms`` stamps createdTime/modificationTime;
     callers pass a real clock in production (the engine's contracts pin
-    it for determinism). Single-writer protocol (documented)."""
+    it for determinism).
+
+    Optimistic concurrency (VERDICT r09 item 5): the commit file is
+    created with exclusive-create semantics; losing a race for version
+    N re-resolves the table state (schema/partition checks, overwrite's
+    remove set) and retries at N+1, up to ``max_commit_retries``. Data
+    files land before any commit attempt and carry per-task UUID names,
+    so a lost race never orphans another writer's files — the loser's
+    files are simply not referenced until its own commit wins.
+    """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode!r}")
     partition_by = partition_by or []
-    versions = table_versions(spark, path)
-    version = (versions[-1] + 1) if versions else 0
-    prior_files: list[str] = []
-    if versions:
-        prior = _resolve_log(spark, path, None)
-        meta = prior["meta"]
-        if list(meta.get("partitionColumns") or []) != partition_by:
-            raise ValueError(
-                "partition_by does not match the table's partitionColumns"
-            )
-        prior_files = list(prior["files"])
 
-    staging = fs.join(path, f"_staging_v{version}")
+    versions = table_versions(spark, path)
+    staging = fs.join(path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -291,26 +357,56 @@ def write_delta(
     fs.promote(spark, staging, path)
     fs.delete(spark, staging)
 
-    actions: list[dict] = []
-    if version == 0:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-        actions.append(
-            {
-                "metaData": {
-                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": partition_by,
-                    "configuration": {},
-                    "createdTime": timestamp_ms,
-                }
+    add_actions = [
+        {
+            "add": {
+                # the PROTOCOL stores path as a percent-encoded relative
+                # URI (ADVICE r09); partitionValues stores decoded values
+                "path": quote(rel, safe="/"),
+                "partitionValues": _partition_values(rel, partition_by),
+                "size": _file_size(spark, fs.join(path, rel)),
+                "modificationTime": timestamp_ms,
+                "dataChange": True,
             }
-        )
-    if mode == "overwrite":
-        for p in prior_files:
+        }
+        for rel in rels
+    ]
+
+    fs.mkdirs(spark, _log_path(path))
+    for _ in range(max_commit_retries + 1):
+        versions = table_versions(spark, path)
+        version = (versions[-1] + 1) if versions else 0
+        prior_files: list[str] = []
+        if versions:
+            prior = _resolve_log(spark, path, None)
+            meta = prior["meta"]
+            if list(meta.get("partitionColumns") or []) != partition_by:
+                raise ValueError(
+                    "partition_by does not match the table's "
+                    "partitionColumns"
+                )
+            _check_append_schema(df, meta)
+            prior_files = list(prior["files"])
+
+        actions: list[dict] = []
+        if version == 0:
             actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": partition_by,
+                        "configuration": {},
+                        "createdTime": timestamp_ms,
+                    }
+                }
+            )
+        if mode == "overwrite":
+            actions.extend(
                 {
                     "remove": {
                         "path": p,
@@ -318,27 +414,22 @@ def write_delta(
                         "dataChange": True,
                     }
                 }
+                for p in prior_files
             )
-    for rel in rels:
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": _partition_values(rel, partition_by),
-                    "size": _file_size(spark, fs.join(path, rel)),
-                    "modificationTime": timestamp_ms,
-                    "dataChange": True,
-                }
-            }
-        )
+        actions.extend(add_actions)
 
-    fs.mkdirs(spark, _log_path(path))
-    fs.write_text(
-        spark,
-        fs.join(_log_path(path), _commit_name(version)),
-        "\n".join(json.dumps(a) for a in actions) + "\n",
+        if fs.create_exclusive(
+            spark,
+            fs.join(_log_path(path), _commit_name(version)),
+            "\n".join(json.dumps(a) for a in actions) + "\n",
+        ):
+            return version
+        # a competing writer committed this version first — re-resolve
+        # and retry against the new table state
+    raise RuntimeError(
+        f"write_delta lost {max_commit_retries + 1} consecutive commit "
+        f"races at {path}; giving up"
     )
-    return version
 
 
 def write_checkpoint(spark: SparkSession, path: str) -> int:

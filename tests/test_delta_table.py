@@ -225,3 +225,162 @@ def test_delta_version_events_and_populate_resume(spark, tmp_path):
     assert (1, "v", "a", "a2") in rows
     assert (3, None, None, "NEW RECORD") in rows
     assert (9, None, None, "NEW RECORD") in rows
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    """ADVICE r09: appending a mismatched-schema frame must fail the
+    commit, not land files the committed schema then misreads."""
+    path = str(tmp_path / "t_schema")
+    write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+    )
+    # wrong column name
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, "b")], "id long, w string"),
+            path,
+        )
+    # wrong type
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, 3)], "id long, v long"),
+            path,
+        )
+    # overwrite keeps the committed metaData, so it enforces too
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(2,)], "id long"),
+            path,
+            mode="overwrite",
+        )
+    # matching append still fine; failed attempts committed nothing
+    write_delta(
+        spark, spark.createDataFrame([(2, "b")], "id long, v string"), path
+    )
+    assert table_versions(spark, path) == [0, 1]
+    assert _rows(read_delta(spark, path)) == {(1, "a"), (2, "b")}
+
+
+def test_partition_values_special_chars_roundtrip(spark, tmp_path):
+    """ADVICE r09: partition values with spaces / '%' / '=' must record
+    the LOGICAL (decoded) value in partitionValues and percent-encoded
+    paths in add.path, and still read back exactly."""
+    path = str(tmp_path / "t_pct")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x%y"), (3, "k=v"), (4, "plain")],
+        "id long, p string",
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+    log = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    adds = [
+        json.loads(l)["add"]
+        for l in open(log)
+        if l.strip() and "add" in json.loads(l)
+    ]
+    pvs = {a["partitionValues"]["p"] for a in adds}
+    assert pvs == {"a b", "x%y", "k=v", "plain"}  # decoded, not escaped
+    # add.path is a valid percent-encoded relative URI: decoding it must
+    # yield an existing file, and no raw space survives encoding
+    from urllib.parse import unquote
+
+    for a in adds:
+        assert " " not in a["path"]
+        assert os.path.exists(os.path.join(path, unquote(a["path"])))
+    assert _rows(read_delta(spark, path)) == _rows(df)
+
+
+def test_checkpoint_only_log_resolves(spark, tmp_path):
+    """ADVICE r09: a table whose JSON commits all expired behind a
+    checkpoint must still resolve to the checkpointed snapshot."""
+    path = str(tmp_path / "t_cponly")
+    write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+    )
+    write_delta(
+        spark, spark.createDataFrame([(2, "b")], "id long, v string"), path
+    )
+    v = write_checkpoint(spark, path)
+    assert v == 1
+    # simulate log-retention cleanup: drop every JSON commit
+    logdir = os.path.join(path, "_delta_log")
+    for name in os.listdir(logdir):
+        if name.endswith(".json"):
+            os.remove(os.path.join(logdir, name))
+    assert table_versions(spark, path) == [1]
+    assert _rows(read_delta(spark, path)) == {(1, "a"), (2, "b")}
+    # versions behind the checkpoint are gone and say so
+    with pytest.raises(ValueError, match="vacuumed"):
+        read_delta(spark, path, version=0)
+    # the NEXT commit numbers from the checkpoint, not from zero
+    write_delta(
+        spark, spark.createDataFrame([(3, "c")], "id long, v string"), path
+    )
+    assert table_versions(spark, path) == [1, 2]
+    assert _rows(read_delta(spark, path)) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_concurrent_writers_one_wins_no_corrupt_log(spark, tmp_path):
+    """VERDICT r09 item 5: two writers racing the same version — the
+    loser detects the existing commit file and lands at the next
+    version; both appends survive; the log replays cleanly."""
+    from changedatacapture_reporting_spark import fs as _fs
+    from changedatacapture_reporting_spark.sources import delta_table as dt
+
+    path = str(tmp_path / "t_race")
+    write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+    )
+
+    # interleave: writer B commits version 1 between writer A's version
+    # computation and A's commit attempt (worst-case race window),
+    # simulated by hooking the exclusive-create to inject B's commit
+    real_create = _fs.create_exclusive
+    injected = {"done": False}
+
+    def racing_create(sp, p, text=""):
+        if not injected["done"] and "00000000000000000001.json" in p:
+            injected["done"] = True
+            write_delta(
+                sp,
+                sp.createDataFrame([(2, "b")], "id long, v string"),
+                path,
+            )
+        return real_create(sp, p, text)
+
+    _fs.create_exclusive = racing_create
+    try:
+        v = write_delta(
+            spark,
+            spark.createDataFrame([(3, "c")], "id long, v string"),
+            path,
+        )
+    finally:
+        _fs.create_exclusive = real_create
+
+    assert v == 2  # lost the race at 1, won at 2
+    assert table_versions(spark, path) == [0, 1, 2]
+    assert _rows(read_delta(spark, path)) == {(1, "a"), (2, "b"), (3, "c")}
+    # every version is a single coherent json commit (no partial writes)
+    logdir = os.path.join(path, "_delta_log")
+    for name in sorted(os.listdir(logdir)):
+        if name.endswith(".json"):
+            for line in open(os.path.join(logdir, name)):
+                if line.strip():
+                    json.loads(line)
+
+
+def test_snapshots_to_events_pk_only(spark):
+    """ADVICE r09: membership-only diffs of key-only tables emit
+    insert/delete and never crash on the empty value_cols fold."""
+    from changedatacapture_reporting_spark.operators.diff import (
+        snapshots_to_events,
+    )
+
+    a = spark.createDataFrame([(1,), (2,)], "id long")
+    b = spark.createDataFrame([(2,), (3,)], "id long")
+    ev = snapshots_to_events(a, b, ["id"], lsn=5, table_name="t")
+    got = {(r.op, (r.after or r.before)["id"]) for r in ev.collect()}
+    assert got == {("delete", 1), ("insert", 3)}
