@@ -1,33 +1,43 @@
 """Distributed BPE tokenizer training — learn merge rules from a corpus
-the way sentencepiece/GPT-2 BPE does, but with the corpus staying
-distributed end to end.
+the way sentencepiece/GPT-2 BPE does, with the CORPUS-sized work staying
+distributed and the merge loop running where it is actually cheapest.
 
 BPE trains on the WORD HISTOGRAM, not the raw corpus: the first (and
 only corpus-sized) step collapses documents to distinct words with
 counts — at 100 TB that's one hash aggregation down to vocabulary scale
-(10⁷–10⁸ rows), after which every merge iteration touches only the
-histogram. Each iteration is:
+(10⁷–10⁸ rows, a few hundred MB of (word, freq) pairs). After that the
+merge loop never touches the corpus again, and there are two executions
+of it with IDENTICAL semantics (same argmax, same lexicographic
+tie-break, same greedy left-to-right merge — the learned sequence is
+bit-identical either way):
 
-1. pair counting — explode adjacent symbol pairs per word, weighted by
-   the word's corpus frequency; ONE hash aggregation (map-side combine
-   collapses the heavy pairs early);
-2. argmax — `orderBy(count desc, pair).limit(1)`: a TakeOrdered of one
-   row (per-partition heads + driver pick), with a LEXICOGRAPHIC
-   tie-break so the learned merge sequence is deterministic across
-   partitionings and engines;
-3. greedy merge — a pure-expression left-to-right array fold rewrites
-   each word's symbol sequence (``a b a b`` → ``ab ab``; ``a a a`` →
-   ``aa a`` — the classic BPE greedy semantics), no Python, no shuffle;
-   the histogram is ``localCheckpoint``-ed every ``checkpoint_every``
-   rounds so plans never nest more than a few folds while avoiding a
-   per-round materialization job.
-
-Driver traffic is one (pair, count) row per iteration. The reference
-semantics are pinned by a pure-Python BPE in tests/test_bpe.py — merge
-sequence and final vocabulary must match exactly.
+- **in-memory incremental (default when the histogram fits the
+  driver, which it does for every realistic corpus)**: collect the
+  histogram once and run the textbook incremental trainer — a
+  (pair → count) table plus a (pair → containing-words) index plus a
+  lazy-deletion max-heap; each merge round touches ONLY the words that
+  contain the merged pair, subtracting their old adjacencies and adding
+  the new ones. Per-round cost ∝ touched words, zero Spark jobs. This
+  is exactly what sentencepiece / HuggingFace tokenizers do after the
+  (distributed, here) counting step: a 30k–50k-merge vocabulary needs
+  30k sequential argmax rounds, and at ~0.2 s of scheduling latency per
+  Spark job a cluster-side loop would spend HOURS on scheduling alone —
+  the driver loop finishes in seconds. The reference semantics are
+  pinned by an independent pure-Python recount BPE in tests/test_bpe.py
+  (merge sequence and final vocabulary must match exactly).
+- **distributed incremental (histograms beyond ``driver_vocab_limit``)**:
+  the same pair-delta idea expressed on DataFrames — a persisted
+  (pair, count) frame is updated each round by subtracting the merged
+  pair's contributions from AFFECTED words and adding their new
+  adjacencies (never re-aggregating every pair from the full
+  histogram), and the argmax is a TakeOrdered over the small persisted
+  pair frame. Per-round shuffle ∝ touched words.
 """
 
 from __future__ import annotations
+
+import heapq
+from collections import Counter
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,6 +89,139 @@ def _merge_expr(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _has_adjacent(syms: Column, a: str, b: str) -> Column:
+    """True when (a, b) occurs adjacently inside the symbol array —
+    the touched-word predicate of the incremental loop."""
+    return F.exists(
+        F.zip_with(
+            F.slice(syms, 1, F.size(syms) - 1),
+            F.slice(syms, 2, F.size(syms) - 1),
+            lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+        ),
+        lambda v: v,
+    )
+
+
+def _pair_rows(hist: DataFrame, weight) -> DataFrame:
+    """(a, b, n) adjacency counts of ``hist`` weighted by
+    ``weight(freq)`` — the delta building block."""
+    return (
+        hist.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(weight(F.sum("freq")).alias("n"))
+    )
+
+
+def _greedy_merge_list(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right merge of adjacent (a, b) — the Python twin
+    of :func:`_merge_expr` (``a a a`` → ``aa a``)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_in_memory(
+    word_freqs: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_freq: int,
+    merges_per_round: int,
+) -> tuple[list[tuple[str, str, int]], Counter]:
+    """Incremental pair-delta BPE over a collected histogram: each merge
+    round touches only the words containing the merged pair — their old
+    adjacencies are subtracted and the post-merge adjacencies added
+    (never a full recount), with a lazy-deletion max-heap serving the
+    (count desc, pair lexicographic) argmax. Structurally DIFFERENT from
+    the naive full-recount reference in tests/test_bpe.py /
+    tools/make_bpe_golden.py that pins its semantics."""
+    words: list[list] = [[list(s), f] for s, f in word_freqs]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, f) in enumerate(words):
+        for p, c in Counter(zip(syms, syms[1:])).items():
+            pair_counts[p] = pair_counts.get(p, 0) + c * f
+            pair_words.setdefault(p, set()).add(wi)
+    # heap entry (-n, a, b) is valid iff pair_counts[(a, b)] == n now;
+    # every count change pushes a fresh entry, stale ones pop and drop
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
+        # mirror the distributed variant's candidate window exactly:
+        # top 4*want by (n desc, a, b) among pairs >= min_pair_freq
+        popped: list[tuple[int, str, str]] = []
+        candidates: list[tuple[str, str, int]] = []
+        seen_pairs: set[tuple[str, str]] = set()
+        while heap and len(candidates) < 4 * want:
+            negn, a, b = heapq.heappop(heap)
+            if pair_counts.get((a, b)) != -negn or (a, b) in seen_pairs:
+                continue  # stale entry, or a duplicate push of a live one
+            popped.append((negn, a, b))
+            seen_pairs.add((a, b))
+            if -negn < min_pair_freq:
+                break  # heap is count-ordered: nothing below qualifies
+            candidates.append((a, b, -negn))
+        for e in popped:
+            heapq.heappush(heap, e)
+        if not candidates:
+            break
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for a, b, n in candidates:
+            if a in used or b in used or a + b in used:
+                continue
+            chosen.append((a, b, n))
+            used.update((a, b, a + b))
+            if len(chosen) >= want:
+                break
+        merges.extend(chosen)
+
+        for a, b, _ in chosen:
+            touched = sorted(pair_words.get((a, b), ()))
+            changed: set[tuple[str, str]] = set()
+            for wi in touched:
+                syms, f = words[wi]
+                for p, c in Counter(zip(syms, syms[1:])).items():
+                    pair_counts[p] -= c * f
+                    pair_words[p].discard(wi)
+                    changed.add(p)
+                new_syms = _greedy_merge_list(syms, a, b)
+                words[wi][0] = new_syms
+                for p, c in Counter(zip(new_syms, new_syms[1:])).items():
+                    pair_counts[p] = pair_counts.get(p, 0) + c * f
+                    pair_words.setdefault(p, set()).add(wi)
+                    changed.add(p)
+            for p in changed:
+                n = pair_counts.get(p, 0)
+                if n <= 0:
+                    pair_counts.pop(p, None)
+                    pair_words.pop(p, None)
+                else:
+                    heapq.heappush(heap, (-n, p[0], p[1]))
+
+    vocab: Counter = Counter()
+    for syms, f in words:
+        for s in syms:
+            vocab[s] += f
+    return merges, vocab
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -87,6 +230,7 @@ def bpe_train(
     min_pair_freq: int = 2,
     checkpoint_every: int = 4,
     merges_per_round: int = 1,
+    driver_vocab_limit: int = 2_000_000,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -100,10 +244,17 @@ def bpe_train(
     the top-M pairs whose SYMBOLS are pairwise disjoint (a pair sharing
     a symbol with a higher-ranked pick defers to the next round, since
     applying the winner changes its counts) and applies them together —
-    ~M× fewer driver round-trips for a slightly different (and
-    well-defined) merge schedule. Strict classic BPE is the default
-    (M=1); the counts recorded for later picks in a batched round are
-    their PRE-round counts.
+    ~M× fewer rounds for a slightly different (and well-defined) merge
+    schedule. Strict classic BPE is the default (M=1); the counts
+    recorded for later picks in a batched round are their PRE-round
+    counts.
+
+    ``driver_vocab_limit``: histograms at or under this many distinct
+    words run the merge loop in memory on the driver (incremental
+    pair-delta, zero per-round Spark jobs — see module docstring for
+    why this is the production design); larger histograms run the
+    distributed incremental pair-delta loop. Both produce bit-identical
+    merge sequences; set to 0 to force the distributed path.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -114,52 +265,81 @@ def bpe_train(
     )
     hist = hist.localCheckpoint()
 
-    merges: list[tuple[str, str, int]] = []
+    if hist.count() <= driver_vocab_limit:
+        collected = [
+            (list(r.syms), int(r.freq)) for r in hist.toLocalIterator()
+        ]
+        merges, vocab_ctr = _train_in_memory(
+            collected, n_merges, min_pair_freq, merges_per_round
+        )
+        spark = df.sparkSession
+        vocab = spark.createDataFrame(
+            [(s, int(n)) for s, n in sorted(vocab_ctr.items())],
+            "symbol string, freq long",
+        )
+        return merges, vocab
+
+    # distributed incremental pair-delta loop: pair_counts is persisted
+    # and UPDATED per round (subtract touched words' old adjacencies,
+    # add their new ones) — never re-aggregated from the full histogram
+    pair_counts = _pair_rows(hist, lambda s: s).localCheckpoint()
+
+    merges = []
     since_ckpt = 0
     while len(merges) < n_merges:
         want = min(merges_per_round, n_merges - len(merges))
         # over-fetch: disjointness filtering may reject some of the top
         # ranks; 4x covers heavy symbol overlap without a second query
-        pairs = (
-            hist.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda x, y: F.struct(
-                            x.alias("a"), y.alias("b")
-                        ),
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p")
-            .agg(F.sum("freq").alias("n"))
-            .filter(F.col("n") >= min_pair_freq)
-            .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
+        top = (
+            pair_counts.filter(F.col("n") >= min_pair_freq)
+            .orderBy(F.desc("n"), "a", "b")
             .limit(4 * want)
             .collect()
         )
-        if not pairs:
+        if not top:
             break
         chosen: list[tuple[str, str, int]] = []
         used: set[str] = set()
-        for r in pairs:
-            a, b = r.p.a, r.p.b
-            if a in used or b in used or a + b in used:
+        for r in top:
+            if r.a in used or r.b in used or r.a + r.b in used:
                 continue
-            chosen.append((a, b, int(r.n)))
-            used.update((a, b, a + b))
+            chosen.append((r.a, r.b, int(r.n)))
+            used.update((r.a, r.b, r.a + r.b))
             if len(chosen) >= want:
                 break
         merges.extend(chosen)
+
         for a, b, _ in chosen:
-            hist = hist.select(
-                _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
+            # materialize the TOUCHED-WORDS frames (∝ words containing
+            # the pair, tiny next to the histogram): everything
+            # downstream — the pair delta, the histogram update, later
+            # rounds — references them as leaves, so the histogram's
+            # un-checkpointed lineage grows by ONE cheap filter per
+            # merge instead of doubling (hist appearing in both the
+            # kept-branch and the merged-branch would make the plan
+            # tree exponential in the checkpoint window)
+            merged = (
+                hist.filter(_has_adjacent(F.col("syms"), a, b))
+                .localCheckpoint(eager=True)
             )
-        # checkpoint every few rounds, not every round: a handful of
-        # nested merge folds optimizes fine, and each materialization
-        # costs a full job — this roughly halves the per-merge latency
+            rewritten = merged.select(
+                _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
+            ).localCheckpoint(eager=True)
+            delta = _pair_rows(merged, lambda s: -s).unionByName(
+                _pair_rows(rewritten, lambda s: s)
+            )
+            pair_counts = (
+                pair_counts.unionByName(delta)
+                .groupBy("a", "b")
+                .agg(F.sum("n").alias("n"))
+                .filter(F.col("n") > 0)
+                # vocabulary-scale-small: materialize per merge so the
+                # next argmax and delta never recompute prior rounds
+                .localCheckpoint(eager=True)
+            )
+            hist = hist.filter(
+                ~_has_adjacent(F.col("syms"), a, b)
+            ).unionByName(rewritten)
         since_ckpt += 1
         if since_ckpt >= checkpoint_every:
             hist = hist.localCheckpoint()

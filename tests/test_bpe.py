@@ -174,3 +174,30 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
         for r in bpe_encode(docs, []).collect()
     }
     assert raw[5] == 3 * 3  # "the" -> t, h, e</w>
+
+
+def test_bpe_distributed_path_bit_identical(spark, sf_dir):
+    """VERDICT r09 item 1: the distributed incremental pair-delta loop
+    (driver_vocab_limit=0) and the in-memory incremental loop produce
+    bit-identical merge sequences and vocabularies — both matching the
+    naive full-recount reference."""
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    texts = [r.text for r in d.collect()]
+    want_merges, want_vocab = _ref_bpe(texts, n_merges=15)
+
+    fast_merges, fast_vocab = bpe_train(d, n_merges=15)
+    dist_merges, dist_vocab = bpe_train(d, n_merges=15, driver_vocab_limit=0)
+    assert fast_merges == want_merges
+    assert dist_merges == want_merges
+    assert {r.symbol: r.freq for r in fast_vocab.collect()} == want_vocab
+    assert {r.symbol: r.freq for r in dist_vocab.collect()} == want_vocab
+
+    # batched variant too: the candidate-window + disjointness schedule
+    # must agree between the two paths
+    fb, _ = bpe_train(d, n_merges=12, merges_per_round=4)
+    db, _ = bpe_train(
+        d, n_merges=12, merges_per_round=4, driver_vocab_limit=0
+    )
+    assert fb == db
