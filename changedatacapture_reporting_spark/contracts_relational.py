@@ -323,9 +323,17 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS) against a FILTERED build side —
+    customers with no urgent order. r10 hardening (VERDICT r09 item 8):
+    the original unfiltered form returned 0 rows at the driver's gate
+    sf (every sf0.01 customer has an order), making the green check
+    vacuous; the urgent-order restriction is fixture-guaranteed
+    non-empty at every sf (18 / 203 / 1986 rows at sf0.001/0.01/0.1)
+    while keeping the exact anti-join plan shape under test."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -334,7 +342,9 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANTI = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 """
 
 

@@ -432,6 +432,166 @@ def write_delta(
     )
 
 
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    timestamp_ms: int = 0,
+) -> dict:
+    """Bin-packing compaction (the lakehouse ``OPTIMIZE`` command):
+    rewrite each partition's small live files (< ``target_file_bytes``)
+    into ~target-sized ones and commit the swap as remove+add actions
+    with ``dataChange: false`` — readers see identical rows, streaming
+    consumers know no data changed, and the small-file problem that
+    incremental ingestion creates (every micro-batch commit lands its
+    own files; at 100 TB a day's commits are 10⁵ tiny files whose
+    open/footer cost dominates scans) is paid down in one transaction.
+
+    Data stays distributed: each partition group is one ``coalesce``
+    rewrite sized from the group's committed byte total. The commit
+    uses the same exclusive-create optimistic protocol as write_delta;
+    a competing commit that removed one of the files being compacted
+    aborts the optimize with ValueError (the real engines' conflict
+    semantics) rather than resurrecting deleted rows.
+
+    Returns {"version", "files_removed", "files_added", "bytes"}; a
+    no-op (nothing to compact) returns version=None without committing.
+    """
+    state = _resolve_log(spark, path, None)
+    meta = state["meta"]
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in state["files"].values():
+        if int(a.get("size") or 0) < target_file_bytes:
+            pv = a.get("partitionValues") or {}
+            groups.setdefault(
+                tuple((c, pv.get(c)) for c in part_cols), []
+            ).append(a)
+
+    removes: list[str] = []
+    adds: list[dict] = []
+    for pv_key, small in sorted(groups.items()):
+        if len(small) < 2:
+            continue  # one small file gains nothing from a rewrite
+        total = sum(int(a.get("size") or 0) for a in small)
+        n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+        src_paths = [fs.join(path, unquote(a["path"])) for a in small]
+        # hive dir of the group (committed paths all share it)
+        part_dir = "/".join(unquote(small[0]["path"]).split("/")[:-1])
+        staging = fs.join(path, f"_optimize_{uuid.uuid4().hex}")
+        spark.read.schema(data_schema).parquet(*src_paths).coalesce(
+            int(n_out)
+        ).write.mode("overwrite").parquet(staging)
+        rels = fs.list_data_files(spark, staging)
+        dest_dir = fs.join(path, part_dir) if part_dir else path
+        fs.promote(spark, staging, dest_dir)
+        fs.delete(spark, staging)
+        for rel in rels:
+            full_rel = f"{part_dir}/{rel}" if part_dir else rel
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(full_rel, safe="/"),
+                        "partitionValues": dict(
+                            (c, v) for c, v in pv_key
+                        ),
+                        "size": _file_size(spark, fs.join(path, full_rel)),
+                        "modificationTime": timestamp_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        removes.extend(a["path"] for a in small)
+
+    if not removes:
+        return {
+            "version": None, "files_removed": 0, "files_added": 0,
+            "bytes": 0,
+        }
+
+    actions = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": timestamp_ms,
+                "dataChange": False,
+            }
+        }
+        for p in removes
+    ] + adds
+
+    for _ in range(10):
+        current = _resolve_log(spark, path, None)
+        gone = [p for p in removes if p not in current["files"]]
+        if gone:
+            raise ValueError(
+                "optimize conflict: files removed by a concurrent "
+                f"commit: {gone[:3]}"
+            )
+        version = current["version"] + 1
+        if fs.create_exclusive(
+            spark,
+            fs.join(_log_path(path), _commit_name(version)),
+            "\n".join(json.dumps(a) for a in actions) + "\n",
+        ):
+            return {
+                "version": version,
+                "files_removed": len(removes),
+                "files_added": len(adds),
+                "bytes": sum(a["add"]["size"] for a in adds),
+            }
+    raise RuntimeError(f"optimize lost 10 consecutive commit races: {path}")
+
+
+def vacuum_delta(
+    spark: SparkSession, path: str, retain_versions: int | None = None
+) -> dict:
+    """Delete data files referenced by NO retained snapshot — the
+    storage-reclaim half of the compaction story (optimize_delta swaps
+    small files out of the live set but must leave them on disk for
+    time travel; vacuum is the explicit, separate decision to drop
+    them). ``retain_versions=None`` keeps every resolvable version
+    (only orphans — crashed writers' promoted-but-never-committed
+    files — are deleted); ``retain_versions=k`` keeps the newest k,
+    after which older versions can no longer time-travel (the
+    documented trade every Delta deployment makes via its retention
+    window).
+
+    Driver work is metadata-only (log replay per retained version +
+    one recursive file listing); deletes go through the Hadoop
+    FileSystem so any Spark-readable store works.
+    """
+    versions = table_versions(spark, path)
+    if not versions:
+        raise ValueError(f"not a Delta table (no commits): {path}")
+    retained = (
+        versions
+        if retain_versions is None
+        else versions[-max(1, retain_versions):]
+    )
+    referenced: set[str] = set()
+    for v in retained:
+        try:
+            referenced.update(
+                unquote(p) for p in _resolve_log(spark, path, v)["files"]
+            )
+        except ValueError:
+            continue  # vacuumed behind a checkpoint already
+    deleted = []
+    for rel in fs.list_data_files(spark, path):
+        if rel.split("/")[0] == LOG_DIR:
+            continue
+        if rel not in referenced:
+            fs.delete(spark, fs.join(path, rel))
+            deleted.append(rel)
+    return {"files_deleted": len(deleted), "retained_versions": retained}
+
+
 def write_checkpoint(spark: SparkSession, path: str) -> int:
     """Compact the log at the LATEST version into a parquet checkpoint
     + ``_last_checkpoint`` pointer; returns the checkpointed version.

@@ -384,3 +384,116 @@ def test_snapshots_to_events_pk_only(spark):
     ev = snapshots_to_events(a, b, ["id"], lsn=5, table_name="t")
     got = {(r.op, (r.after or r.before)["id"]) for r in ev.collect()}
     assert got == {("delete", 1), ("insert", 3)}
+
+
+def test_optimize_compacts_without_changing_rows(spark, tmp_path):
+    """OPTIMIZE bin-packing: fewer live files, identical rows, swap
+    committed with dataChange:false, pre-optimize versions intact."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        optimize_delta,
+    )
+
+    path = str(tmp_path / "t_opt")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, p int, v string")
+    for i in range(4):
+        write_delta(
+            spark, mk([(i * 10 + j, j % 2, f"v{i}{j}") for j in range(4)]),
+            path, partition_by=["p"],
+        )
+    before = _rows(read_delta(spark, path))
+
+    def live_files(p):
+        import json as _json
+
+        from changedatacapture_reporting_spark.sources import delta_table
+
+        return delta_table._resolve_log(spark, p, None)["files"]
+
+    n_before = len(live_files(path))
+    res = optimize_delta(spark, path, target_file_bytes=1 << 30)
+    assert res["version"] == 4
+    assert res["files_removed"] == n_before
+    assert res["files_added"] == 2  # one per partition value
+    assert len(live_files(path)) == 2
+    # identical rows at the optimized version AND time travel intact
+    assert _rows(read_delta(spark, path)) == before
+    assert _rows(read_delta(spark, path, version=3)) == before
+    # all swap actions carry dataChange: false
+    log = os.path.join(path, "_delta_log", "00000000000000000004.json")
+    for line in open(log):
+        if line.strip():
+            a = json.loads(line)
+            body = a.get("add") or a.get("remove")
+            assert body["dataChange"] is False
+    # idempotent: a second optimize is a no-op
+    res2 = optimize_delta(spark, path, target_file_bytes=1 << 30)
+    assert res2["version"] is None and res2["files_removed"] == 0
+
+
+def test_optimize_conflict_with_concurrent_overwrite(spark, tmp_path):
+    """An optimize racing an overwrite that removed its inputs must
+    abort, not resurrect deleted rows."""
+    from changedatacapture_reporting_spark import fs as _fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        optimize_delta,
+    )
+
+    path = str(tmp_path / "t_optrace")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    write_delta(spark, mk([(1, "a")]), path)
+    write_delta(spark, mk([(2, "b")]), path)
+
+    real_create = _fs.create_exclusive
+    injected = {"done": False}
+
+    def racing_create(sp, p, text=""):
+        if not injected["done"] and "_delta_log/000000000000000000" in p:
+            injected["done"] = True
+            write_delta(spark, mk([(9, "z")]), path, mode="overwrite")
+        return real_create(sp, p, text)
+
+    _fs.create_exclusive = racing_create
+    try:
+        with pytest.raises(ValueError, match="optimize conflict"):
+            optimize_delta(spark, path, target_file_bytes=1 << 30)
+    finally:
+        _fs.create_exclusive = real_create
+    assert _rows(read_delta(spark, path)) == {(9, "z")}
+
+
+def test_vacuum_deletes_unreferenced_files_only(spark, tmp_path):
+    """VACUUM with full retention deletes nothing; retain_versions=1
+    drops files only the pre-optimize versions referenced, after which
+    the latest version still reads and old versions are gone."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "t_vac")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    write_delta(spark, mk([(1, "a")]), path)
+    write_delta(spark, mk([(2, "b")]), path)
+    optimize_delta(spark, path, target_file_bytes=1 << 30)
+    before = _rows(read_delta(spark, path))
+
+    # full retention: every version still referenced -> nothing deleted
+    assert vacuum_delta(spark, path)["files_deleted"] == 0
+    # keep only the optimized snapshot: exactly the compacted inputs
+    # (files live pre-optimize but not at the latest version) go
+    from changedatacapture_reporting_spark.sources import delta_table as dt
+    from urllib.parse import unquote as _uq
+
+    live = {
+        v: {_uq(p) for p in dt._resolve_log(spark, path, v)["files"]}
+        for v in (0, 1, 2)
+    }
+    expect_gone = (live[0] | live[1]) - live[2]
+    res = vacuum_delta(spark, path, retain_versions=1)
+    assert res["files_deleted"] == len(expect_gone) > 0
+    assert _rows(read_delta(spark, path)) == before
+    # pre-optimize versions can no longer materialize their files
+    import pyspark
+
+    with pytest.raises(Exception):
+        read_delta(spark, path, version=0).collect()
