@@ -159,7 +159,9 @@ def _overrides() -> dict:
         pq_encode(indexed, books).select(
             "vec_id", "cluster", "codes"
         ).write.parquet(f"{tmp}/ivfpq")
-        embedding_index(e.filter(F.col("vec_id") % 3 != 0)).write.parquet(
+        embedding_index(
+            e.filter(F.col("vec_id") % 3 != 0), with_vectors=True
+        ).write.parquet(
             f"{tmp}/emb_idx"
         )
         cache[sf_dir] = (tmp, books, centroids)

@@ -747,6 +747,81 @@ FROM orders WHERE o_orderkey % 7 <= 4
 """
 
 
+def _q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (sources.delta_table.merge_delta): one transaction
+    carrying updates (k%5==0 non-deleted rows re-prioritized), inserts
+    (k%11==0 keys shifted into a fresh key range) and deletes (k%7==3)
+    against a hive-partitioned table built from two appends. The merge
+    rewrites ONLY the files containing matched keys (discovery = one
+    pk-pruned provenance scan + broadcast semi-join; I/O ∝ touched
+    files) and the table is read back at the merged version — the hash
+    check proves update/insert/delete semantics and survivor rewriting
+    in one shot. Conflict/ambiguity/no-op edges live in
+    tests/test_delta_table.py."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="delta_mrg_") + "/orders_delta"
+    write_delta(
+        spark, orders.filter(k % 2 == 0), path,
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(
+        spark, orders.filter(k % 2 == 1), path,
+        partition_by=["o_orderstatus"],
+    )
+    updates = (
+        orders.filter((k % 5 == 0) & (k % 7 != 3))
+        .withColumn("o_orderpriority", F.lit("X-MERGED"))
+        .withColumn("_delete", F.lit(False))
+    )
+    inserts = orders.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("X-NEW").alias("o_orderpriority"),
+        "o_orderstatus",
+    ).withColumn("_delete", F.lit(False))
+    deletes = orders.filter(k % 7 == 3).withColumn(
+        "_delete", F.lit(True)
+    )
+    res = merge_delta(
+        spark,
+        updates.unionByName(inserts).unionByName(deletes),
+        path,
+        ["o_orderkey"],
+        delete_col="_delete",
+    )
+    assert res["version"] == 2 and res["files_rewritten"] > 0, res
+    return read_delta(spark, path, version=res["version"])
+
+
+_SQL_DELTA_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 3
+            THEN 'X-MERGED' ELSE o_orderpriority END AS o_orderpriority,
+       o_orderstatus
+FROM base
+WHERE o_orderkey % 7 <> 3
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey,
+       'X-NEW' AS o_orderpriority,
+       o_orderstatus
+FROM base
+WHERE o_orderkey % 11 = 0
+"""
+
+
 def _q_cdc_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC WITHOUT CDC (operators.diff.snapshots_to_events over
     sources.delta_table): two versions of a Delta table — v1 drops the
@@ -1890,6 +1965,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_delta_cdf_roundtrip": (_q_delta_cdf_roundtrip, _SQL_CHANGELOG_FULL),
     "delta_table_roundtrip": (_q_delta_table_roundtrip, _SQL_DELTA_TABLE),
     "delta_optimize_roundtrip": (_q_delta_optimize, _SQL_DELTA_OPTIMIZE),
+    "delta_merge_upsert": (_q_delta_merge, _SQL_DELTA_MERGE),
     "cdc_from_delta_snapshots": (_q_cdc_from_snapshots, _SQL_CDC_FROM_SNAPSHOTS),
     "cdc_kafka_roundtrip": (_q_kafka_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_schema_evolution": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
@@ -1962,6 +2038,7 @@ _CHECK_WINDOW: list[str] = [
     "order_gaps",
     # new in r10 — first driver round
     "delta_optimize_roundtrip",
+    "delta_merge_upsert",
     # implementation changed in r10 — re-prove on the driver
     "corpus_bpe_merges",
     "delta_table_roundtrip",
@@ -1979,7 +2056,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_scd2_history",
     "cdc_scd2_incremental",
     "cdc_schema_evolution",
-    "cdc_watermark_bounds",
     "corpus_pack_sequences",
     "corpus_prepare",
     "corpus_shard_stats",

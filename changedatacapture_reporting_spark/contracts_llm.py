@@ -1235,7 +1235,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     new = e.filter(F.col("vec_id") % 3 == 0)
     corpus = e.filter(F.col("vec_id") % 3 != 0)
-    idx = embedding_index(corpus)
+    idx = embedding_index(corpus, with_vectors=True)
     return incremental_embedding_dedup(
         new, corpus, threshold=0.45, corpus_index=idx
     )

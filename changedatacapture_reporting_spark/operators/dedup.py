@@ -694,21 +694,33 @@ def embedding_index(
     tables: int = 48,
     planes: int = 4,
     dim: int = 64,
+    with_vectors: bool = False,
 ) -> DataFrame:
     """Hyperplane-LSH bucket index of an embedding corpus: one
     (id, table, bucket) row per table per vector — the embedding twin of
     :func:`minhash_band_index`. Planes are seeded, so indexes built
     across ingestion rounds are mutually compatible and append-only;
     persist bucketed by (table, bucket) and later batches join without
-    re-embedding or re-bucketing the corpus."""
+    re-embedding or re-bucketing the corpus.
+
+    ``with_vectors=True`` additionally carries the vector in each index
+    row (``vec``): persisted bucketed by (table, bucket) this is the
+    serving layout for the ``"group"`` (in-bucket matmul) verification
+    strategy — the corpus never reshuffles at batch time (r10, after
+    the sf1 rehearsal measured the pairwise candidate path blowing up
+    66× at 10× data under dense collisions)."""
     from changedatacapture_reporting_spark.operators.similarity import (
         lsh_buckets_vectorized,
     )
 
     buckets = lsh_buckets_vectorized(tables, planes, dim)
-    return df.select(
-        F.col(id_col).alias("id"), buckets(F.col(vec_col)).alias("bk")
-    ).select("id", F.posexplode("bk").alias("table", "bucket"))
+    cols = [F.col(id_col).alias("id")] + (
+        [F.col(vec_col).alias("vec")] if with_vectors else []
+    )
+    out_cols = ["id"] + (["vec"] if with_vectors else [])
+    return df.select(*cols, buckets(F.col(vec_col)).alias("bk")).select(
+        *out_cols, F.posexplode("bk").alias("table", "bucket")
+    )
 
 
 def incremental_embedding_dedup(
@@ -721,25 +733,158 @@ def incremental_embedding_dedup(
     planes: int = 4,
     dim: int = 64,
     corpus_index: DataFrame | None = None,
+    strategy: str = "group",
 ) -> DataFrame:
     """Dedup an incoming embedding batch against an ingested corpus via
     its persisted bucket index — same steady-state shape as
     :func:`incremental_dedup`, same duplicate rule (corpus match, or
-    smaller-id batch match, exact cosine ≥ threshold), candidates from
-    (table, bucket) equi-joins, corpus vectors semi-join-fetched for
-    exact verification only. Output: (id, is_dup, dup_of)."""
+    smaller-id batch match, exact cosine ≥ threshold). Output:
+    (id, is_dup, dup_of).
+
+    Two verification strategies (same split as
+    :func:`embedding_neardup_bucketed`, chosen by collision density):
+
+    - ``"group"`` (default since r10): cogroup the batch's index entries
+      with the other side's per (table, bucket) and verify INSIDE each
+      bucket with one numpy matmul, emitting only above-threshold
+      survivors; survivors re-verify with the fold-exact expression.
+      Sub-threshold candidates never materialize as rows — the r10 sf1
+      rehearsal measured the pairwise path at 66× cost for 10× data
+      under dense collisions (fixed 16-bucket tables make candidate
+      volume ∝ n²/2^planes · tables), group cut it to the collision
+      matmul plus true-match-sized shuffles. Serving layout: persist
+      ``embedding_index(..., with_vectors=True)`` bucketed by
+      (table, bucket) so the corpus never reshuffles at batch time; an
+      id-only index is joined back to corpus vectors once (documented
+      fallback).
+    - ``"pairs"``: ship (id, table, bucket), equi-join buckets, distinct
+      candidate ids, join vectors back for verification — cheaper when
+      collisions are SPARSE (the ~0.9-threshold production regime) and
+      the vector payload is wide.
+    """
+    if strategy not in ("group", "pairs"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    want_vec = strategy == "group"
     if corpus_index is None:
         corpus_index = embedding_index(
-            corpus, vec_col, id_col, tables, planes, dim
+            corpus, vec_col, id_col, tables, planes, dim,
+            with_vectors=want_vec,
         )
-    # the batch index feeds THREE join legs (corpus candidates + both
-    # sides of the within-batch self-join); a lazy persist makes the
-    # 48-table explode compute once per action instead of three times.
-    # persist (not checkpoint): no eager job, no semantics change —
-    # batch-sized, so the cache is small and LRU-evictable.
+    elif want_vec and "vec" not in corpus_index.columns:
+        # id-only persisted index: fetch the vectors once (fallback —
+        # the serving layout persists with_vectors=True, see docstring)
+        corpus_index = corpus_index.join(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ),
+            "id",
+        )
     new_index = embedding_index(
-        new_vecs, vec_col, id_col, tables, planes, dim
+        new_vecs, vec_col, id_col, tables, planes, dim,
+        with_vectors=want_vec,
     ).persist()
+
+    vecs_all = new_vecs.select(F.col(id_col), F.col(vec_col)).unionByName(
+        corpus.select(F.col(id_col), F.col(vec_col))
+    )
+    v_new = new_vecs.select(
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("vn")
+    )
+
+    def _finish(candidates: DataFrame) -> DataFrame:
+        """Fold-exact verification + keeper pick + batch left join."""
+        other_ids = candidates.select(
+            F.col("other_id").alias(id_col)
+        ).distinct()
+        v_other = vecs_all.join(
+            other_ids, on=id_col, how="left_semi"
+        ).select(F.col(id_col).alias("other_id"), F.col(vec_col).alias("vo"))
+        sim = F.round(dot_double(F.col("vn"), F.col("vo")), 6)
+        matches = (
+            candidates.join(v_new, "new_id")
+            .join(v_other, "other_id")
+            .filter(sim >= F.lit(threshold))
+            .groupBy("new_id")
+            .agg(F.min("other_id").alias("dup_of"))
+        )
+        return (
+            new_vecs.select(F.col(id_col).alias("new_id"))
+            .join(matches, "new_id", "left")
+            .select(
+                F.col("new_id").alias(id_col),
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+            )
+        )
+
+    if strategy == "group":
+        import numpy as np
+
+        # other side = corpus entries ∪ batch entries; the is_corpus
+        # flag lets the matmul apply the duplicate rule in place
+        # (corpus match always eligible, batch match only at smaller id)
+        other_entries = corpus_index.select(
+            "id", "vec", "table", "bucket", F.lit(True).alias("is_corpus")
+        ).unionByName(
+            new_index.select(
+                "id", "vec", "table", "bucket",
+                F.lit(False).alias("is_corpus"),
+            )
+        )
+        # epsilon guard: numpy's SIMD summation can differ from the
+        # sequential fold in the last ulp; emit a hair below threshold,
+        # the fold-exact expression in _finish decides membership
+        eps = 1e-6
+
+        def _mat(tbl, col: str) -> np.ndarray:
+            # zero-copy: the Arrow ListArray's flat value buffer reshapes
+            # straight into the (rows, dim) matrix — never a Python list
+            # per row (the applyInPandas form spent most of its time
+            # materializing object lists; measured 2.8x end-to-end)
+            lst = tbl.column(col).combine_chunks()
+            return np.asarray(lst.values, dtype=np.float64).reshape(
+                len(tbl), -1
+            )
+
+        def _bucket_matches(left, right):
+            import pyarrow as pa
+
+            if len(left) == 0 or len(right) == 0:
+                return pa.table(
+                    {
+                        "new_id": pa.array([], type=pa.int64()),
+                        "other_id": pa.array([], type=pa.int64()),
+                    }
+                )
+            nid = left.column("id").to_numpy()
+            vn = _mat(left, "vec")
+            oid = right.column("id").to_numpy()
+            vo = _mat(right, "vec")
+            isc = right.column("is_corpus").to_numpy(zero_copy_only=False)
+            outs_r, outs_c = [], []
+            block = 2048  # peak memory block×|bucket|, not |bucket|²
+            for lo in range(0, len(nid), block):
+                hi = min(lo + block, len(nid))
+                s = vn[lo:hi] @ vo.T
+                r, c = np.nonzero(s >= threshold - eps)
+                r = r + lo
+                keep = isc[c] | (oid[c] < nid[r])
+                outs_r.append(nid[r[keep]])
+                outs_c.append(oid[c[keep]])
+            return pa.table(
+                {
+                    "new_id": np.concatenate(outs_r),
+                    "other_id": np.concatenate(outs_c),
+                }
+            )
+
+        survivors = (
+            new_index.groupBy("table", "bucket")
+            .cogroup(other_entries.groupBy("table", "bucket"))
+            .applyInArrow(_bucket_matches, "new_id long, other_id long")
+            .distinct()
+        )
+        return _finish(survivors)
 
     nb, cb = new_index.alias("nb"), corpus_index.alias("cb")
     cand_corpus = nb.join(
@@ -757,34 +902,7 @@ def incremental_embedding_dedup(
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("b.id").alias("new_id"), F.col("a.id").alias("other_id"))
     candidates = cand_corpus.unionByName(cand_batch).distinct()
-
-    vecs_all = new_vecs.select(F.col(id_col), F.col(vec_col)).unionByName(
-        corpus.select(F.col(id_col), F.col(vec_col))
-    )
-    other_ids = candidates.select(F.col("other_id").alias(id_col)).distinct()
-    v_other = vecs_all.join(other_ids, on=id_col, how="left_semi").select(
-        F.col(id_col).alias("other_id"), F.col(vec_col).alias("vo")
-    )
-    v_new = new_vecs.select(
-        F.col(id_col).alias("new_id"), F.col(vec_col).alias("vn")
-    )
-    sim = F.round(dot_double(F.col("vn"), F.col("vo")), 6)
-    matches = (
-        candidates.join(v_new, "new_id")
-        .join(v_other, "other_id")
-        .filter(sim >= F.lit(threshold))
-        .groupBy("new_id")
-        .agg(F.min("other_id").alias("dup_of"))
-    )
-    return (
-        new_vecs.select(F.col(id_col).alias("new_id"))
-        .join(matches, "new_id", "left")
-        .select(
-            F.col("new_id").alias(id_col),
-            F.col("dup_of").isNotNull().alias("is_dup"),
-            "dup_of",
-        )
-    )
+    return _finish(candidates)
 
 
 def benchmark_overlap(

@@ -211,19 +211,27 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
     return state
 
 
-def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+def _scan_adds(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    adds: list[dict],
+    with_file: bool = False,
 ) -> DataFrame:
-    """Snapshot DataFrame of a Delta table at ``version`` (None =
-    latest) — pure protocol replay + one parquet scan of exactly the
-    live files, with the COMMITTED schema (no inference drift)."""
-    state = _resolve_log(spark, path, version)
-    meta = state["meta"]
+    """One parquet scan of exactly ``adds`` with the COMMITTED schema
+    (no inference drift); ``with_file=True`` appends a ``_file``
+    provenance column (the scan-side half of file-targeted rewrites)."""
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    adds = list(state["files"].values())
+    out_cols = [f.name for f in schema.fields] + (
+        ["_file"] if with_file else []
+    )
     if not adds:
-        return spark.createDataFrame([], schema)
+        empty = T.StructType(
+            schema.fields
+            + ([T.StructField("_file", T.StringType())] if with_file else [])
+        )
+        return spark.createDataFrame([], empty)
 
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
@@ -232,8 +240,15 @@ def read_delta(
     rels = [unquote(a["path"]) for a in adds]
     paths = [fs.join(path, r) for r in rels]
 
+    def _tag(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_file", F.input_file_name()) if with_file else df
+        )
+
     if not part_cols:
-        return spark.read.schema(schema).parquet(*paths)
+        return _tag(spark.read.schema(schema).parquet(*paths)).select(
+            *out_cols
+        )
 
     hive_style = all(
         any("=" in seg for seg in r.split("/")[:-1]) for r in rels
@@ -241,12 +256,11 @@ def read_delta(
     if hive_style:
         # partition dirs resolve through basePath; committed schema
         # types the partition columns (no inference)
-        return (
-            spark.read.schema(schema)
-            .option("basePath", path)
-            .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
-        )
+        return _tag(
+            spark.read.schema(schema).option("basePath", path).parquet(
+                *paths
+            )
+        ).select(*out_cols)
 
     # non-hive layout: attach partitionValues literals per value-group
     by_pv: dict[tuple, list] = {}
@@ -258,14 +272,28 @@ def read_delta(
     for pv, group in sorted(
         by_pv.items(), key=lambda kv: tuple(v or "" for v in kv[0])
     ):
-        df = spark.read.schema(data_schema).parquet(
-            *[fs.join(path, unquote(a["path"])) for a in group]
+        df = _tag(
+            spark.read.schema(data_schema).parquet(
+                *[fs.join(path, unquote(a["path"])) for a in group]
+            )
         )
         for c, v in zip(part_cols, pv):
             df = df.withColumn(c, F.lit(v).cast(types[c]))
-        df = df.select(*[f.name for f in schema.fields])
+        df = df.select(*out_cols)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot DataFrame of a Delta table at ``version`` (None =
+    latest) — pure protocol replay + one parquet scan of exactly the
+    live files, with the COMMITTED schema (no inference drift)."""
+    state = _resolve_log(spark, path, version)
+    return _scan_adds(
+        spark, path, state["meta"], list(state["files"].values())
+    )
 
 
 def _file_size(spark: SparkSession, full_path: str) -> int:
@@ -546,6 +574,156 @@ def optimize_delta(
                 "bytes": sum(a["add"]["size"] for a in adds),
             }
     raise RuntimeError(f"optimize lost 10 consecutive commit races: {path}")
+
+
+def merge_delta(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    pk_cols: list[str],
+    delete_col: str | None = None,
+    timestamp_ms: int = 0,
+) -> dict:
+    """MERGE INTO by primary key — matched target rows update to the
+    source row, unmatched source rows insert, and rows whose
+    ``delete_col`` (optional boolean in ``source``) is true delete.
+
+    The 100 TB shape: rewrite I/O ∝ files CONTAINING matched keys, not
+    table size. A column-pruned (pk + provenance) scan of the live set
+    discovers which files hold matches via one broadcast semi-join;
+    only those files are re-read in full — survivors (anti-join on pk)
+    are rewritten together with the upserts, every untouched file stays
+    live in place, and the swap commits remove+add (dataChange: true)
+    through the same exclusive-create optimistic protocol as
+    write_delta, aborting on a conflicting commit that removed a
+    touched file. The same file-targeted pattern as the engine's
+    right-to-be-forgotten purge (operators.forget.purge_keys_from_sink).
+
+    ``source`` (minus ``delete_col``) must match the committed schema;
+    duplicate pks in ``source`` raise (a target row would receive two
+    different updates — real MERGE engines reject this as ambiguous).
+    Returns {"version", "files_rewritten", "files_added", "rows_upserted",
+    "rows_deleted"}.
+    """
+    state = _resolve_log(spark, path, None)
+    meta = state["meta"]
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    col_order = [f.name for f in schema.fields]
+
+    deletes = None
+    data_source = source
+    if delete_col is not None:
+        deletes = source.filter(F.col(delete_col)).drop(delete_col)
+        data_source = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    missing = [c for c in col_order if c not in data_source.columns]
+    if missing:
+        raise ValueError(f"source is missing table columns: {missing}")
+    data_source = data_source.select(*col_order)
+    _check_append_schema(data_source, meta)
+
+    dup = (
+        source.groupBy(*pk_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"ambiguous merge: duplicate source pk {tuple(dup[0])[:-1]}"
+        )
+
+    all_keys = source.select(*pk_cols)
+    n_deleted = deletes.count() if deletes is not None else 0
+    n_upserts = data_source.count()
+
+    # discovery: column-pruned pk+provenance scan, broadcast semi-join
+    adds = list(state["files"].values())
+    touched_full = {
+        r._file
+        for r in _scan_adds(spark, path, meta, adds, with_file=True)
+        .select(*pk_cols, "_file")
+        .join(F.broadcast(all_keys), pk_cols, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    }
+    touched_adds = [
+        a
+        for a in adds
+        if any(f.endswith("/" + unquote(a["path"])) for f in touched_full)
+    ]
+
+    if not touched_adds and n_upserts == 0:
+        return {
+            "version": None, "files_rewritten": 0, "files_added": 0,
+            "rows_upserted": 0, "rows_deleted": 0,
+        }
+
+    # full re-read of ONLY the touched files; survivors rewritten with
+    # the upserts (new keys' rows land in their partitions' new files)
+    survivors = _scan_adds(spark, path, meta, touched_adds).join(
+        F.broadcast(all_keys), pk_cols, "left_anti"
+    )
+    out = survivors.unionByName(data_source)
+
+    staging = fs.join(path, f"_merge_{uuid.uuid4().hex}")
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    rels = fs.list_data_files(spark, staging)
+    fs.promote(spark, staging, path)
+    fs.delete(spark, staging)
+
+    actions = [
+        {
+            "remove": {
+                "path": a["path"],
+                "deletionTimestamp": timestamp_ms,
+                "dataChange": True,
+            }
+        }
+        for a in touched_adds
+    ] + [
+        {
+            "add": {
+                "path": quote(rel, safe="/"),
+                "partitionValues": _partition_values(rel, part_cols),
+                "size": _file_size(spark, fs.join(path, rel)),
+                "modificationTime": timestamp_ms,
+                "dataChange": True,
+            }
+        }
+        for rel in rels
+    ]
+
+    removed_paths = [a["path"] for a in touched_adds]
+    for _ in range(10):
+        current = _resolve_log(spark, path, None)
+        gone = [p for p in removed_paths if p not in current["files"]]
+        if gone:
+            raise ValueError(
+                "merge conflict: touched files removed by a concurrent "
+                f"commit: {gone[:3]}"
+            )
+        version = current["version"] + 1
+        if fs.create_exclusive(
+            spark,
+            fs.join(_log_path(path), _commit_name(version)),
+            "\n".join(json.dumps(a) for a in actions) + "\n",
+        ):
+            return {
+                "version": version,
+                "files_rewritten": len(touched_adds),
+                "files_added": len(rels),
+                "rows_upserted": n_upserts,
+                "rows_deleted": n_deleted,
+            }
+    raise RuntimeError(f"merge lost 10 consecutive commit races: {path}")
 
 
 def vacuum_delta(

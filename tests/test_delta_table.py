@@ -497,3 +497,74 @@ def test_vacuum_deletes_unreferenced_files_only(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_delta(spark, path, version=0).collect()
+
+
+def test_merge_delta_upsert_insert_delete(spark, tmp_path):
+    """MERGE semantics: matched rows update, unmatched source rows
+    insert, delete-flagged rows delete; only files containing matched
+    keys are rewritten; untouched files stay live in place."""
+    from changedatacapture_reporting_spark.sources import delta_table as dt
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "t_merge")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, p int, v string")
+    # two appends -> several files per partition
+    write_delta(spark, mk([(1, 0, "a"), (2, 1, "b")]), path,
+                partition_by=["p"])
+    write_delta(spark, mk([(3, 0, "c"), (4, 1, "d")]), path,
+                partition_by=["p"])
+    live_before = set(dt._resolve_log(spark, path, None)["files"])
+
+    src = spark.createDataFrame(
+        [
+            (2, 1, "B2", False),   # update
+            (9, 0, "new", False),  # insert (new key)
+            (3, 0, None, True),    # delete
+        ],
+        "id long, p int, v string, _del boolean",
+    )
+    res = merge_delta(spark, src, path, ["id"], delete_col="_del")
+    assert res["version"] == 2
+    assert res["rows_upserted"] == 2 and res["rows_deleted"] == 1
+    assert _rows(read_delta(spark, path)) == {
+        (1, 0, "a"), (2, 1, "B2"), (4, 1, "d"), (9, 0, "new"),
+    }
+    # file-targeted: the p=1/v0 file holding id=1's... actually id=1
+    # lives in the v0 p=0 file WITH no matched key only if ids 2,3 are
+    # elsewhere; assert at least one pre-merge file survived untouched
+    live_after = set(dt._resolve_log(spark, path, None)["files"])
+    assert live_before & live_after, "merge rewrote every file"
+    # pre-merge version still time-travels
+    assert _rows(read_delta(spark, path, version=1)) == {
+        (1, 0, "a"), (2, 1, "b"), (3, 0, "c"), (4, 1, "d"),
+    }
+
+
+def test_merge_delta_guards(spark, tmp_path):
+    """Duplicate source pks are ambiguous and raise; a no-match,
+    no-insert merge is a no-op; schema mismatch rejected."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "t_merge_g")
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string")
+    write_delta(spark, mk([(1, "a")]), path)
+
+    dup = spark.createDataFrame(
+        [(1, "x", False), (1, "y", False)], "id long, v string, _del boolean"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_delta(spark, dup, path, ["id"], delete_col="_del")
+
+    noop = spark.createDataFrame([(99, None, True)],
+                                 "id long, v string, _del boolean")
+    res = merge_delta(spark, noop, path, ["id"], delete_col="_del")
+    assert res["version"] is None and res["files_rewritten"] == 0
+    assert _rows(read_delta(spark, path)) == {(1, "a")}
+
+    bad = spark.createDataFrame([(2, 5)], "id long, v long")
+    with pytest.raises(ValueError):
+        merge_delta(spark, bad, path, ["id"])

@@ -1200,3 +1200,46 @@ def test_corpus_datasheet_counts_with_crafted_dups(spark):
     assert got["max_lang_docs"] == 4
     assert got["n_dup_docs"] == 5      # {1,2,3} and {4,5}
     assert got["n_dup_groups"] == 2
+
+
+def test_incremental_embedding_dedup_strategies_agree(embeddings):
+    """r10: the in-bucket matmul strategy ("group", default) and the
+    candidate-pair strategy ("pairs") return identical verdicts, with a
+    with_vectors index, an id-only index (fallback join), and no index."""
+    from changedatacapture_reporting_spark.operators.dedup import (
+        embedding_index,
+        incremental_embedding_dedup,
+    )
+
+    new = embeddings.filter(F.col("vec_id") % 3 == 0)
+    corpus = embeddings.filter(F.col("vec_id") % 3 != 0)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    want = rows(
+        incremental_embedding_dedup(
+            new, corpus, threshold=0.45, strategy="pairs"
+        )
+    )
+    assert want == rows(
+        incremental_embedding_dedup(
+            new, corpus, threshold=0.45, strategy="group"
+        )
+    )
+    idx_vec = embedding_index(corpus, with_vectors=True)
+    assert want == rows(
+        incremental_embedding_dedup(
+            new, corpus, threshold=0.45, corpus_index=idx_vec
+        )
+    )
+    idx_plain = embedding_index(corpus)
+    assert want == rows(
+        incremental_embedding_dedup(
+            new, corpus, threshold=0.45, corpus_index=idx_plain
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        incremental_embedding_dedup(new, corpus, strategy="nope")
