@@ -1,0 +1,168 @@
+"""Differential fuzz of the protocol-native Delta table: random
+append / overwrite / merge / optimize / checkpoint sequences executed
+against BOTH sources.delta_table and an independent in-memory model
+(a dict of pk -> row per version). Every version must read back
+exactly the model's snapshot — time travel included — regardless of
+the interleaving, partitioning, or compaction points.
+
+The same differential strategy as tests/test_fuzz_cdc.py: the model is
+deliberately naive (no files, no log, no partitions) so a shared bug
+is implausible.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark.sources.delta_table import (
+    merge_delta,
+    optimize_delta,
+    read_delta,
+    vacuum_delta,
+    write_checkpoint,
+    write_delta,
+)
+
+N_OPS = int(os.environ.get("FUZZ_DELTA_OPS", "12"))
+SEEDS = [0, 1, 2]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp int, v string")
+
+
+def _apply_model(model: dict, op: str, payload) -> dict:
+    """The naive interpreter: version state as {id: (id, grp, v)}."""
+    new = dict(model)
+    if op == "append":
+        for r in payload:
+            # append keeps BOTH rows for a duplicated id (a Delta
+            # append is not an upsert); model stores a list per id
+            new.setdefault(r[0], []).append(r)
+    elif op == "overwrite":
+        new = {}
+        for r in payload:
+            new.setdefault(r[0], []).append(r)
+    elif op == "merge":
+        upserts, deletes = payload
+        for rid in deletes:
+            new.pop(rid, None)
+        for r in upserts:
+            new[r[0]] = [r]
+    return new
+
+
+def _model_rows(model: dict) -> set:
+    return {r for rows in model.values() for r in rows}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_delta_log_replay(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"t_fuzz_{seed}")
+    # genesis commit fixes the schema and partitioning
+    partitioned = rng.random() < 0.5
+    part = ["grp"] if partitioned else []
+    rows0 = [(i, i % 3, f"s{seed}_{i}") for i in range(rng.randint(1, 6))]
+    write_delta(spark, _mk(spark, rows0), path, partition_by=part)
+    model = _apply_model({}, "append", rows0)
+    versions = {0: _model_rows(model)}
+    next_id = 100
+
+    v = 0
+    for step in range(N_OPS):
+        op = rng.choice(
+            ["append", "overwrite", "merge", "optimize", "checkpoint"]
+        )
+        if op == "append":
+            rows = [
+                (next_id + i, (next_id + i) % 3, f"a{step}_{i}")
+                for i in range(rng.randint(1, 4))
+            ]
+            next_id += len(rows)
+            got = write_delta(spark, _mk(spark, rows), path,
+                              partition_by=part)
+            model = _apply_model(model, "append", rows)
+            v += 1
+            assert got == v
+        elif op == "overwrite":
+            rows = [
+                (next_id + i, (next_id + i) % 3, f"o{step}_{i}")
+                for i in range(rng.randint(1, 4))
+            ]
+            next_id += len(rows)
+            got = write_delta(spark, _mk(spark, rows), path, mode="overwrite",
+                              partition_by=part)
+            model = _apply_model(model, "overwrite", rows)
+            v += 1
+            assert got == v
+        elif op == "merge":
+            existing = [
+                rid for rid, rows in model.items() if len(rows) == 1
+            ]
+            if not existing:
+                continue
+            upd_ids = rng.sample(existing, min(2, len(existing)))
+            del_ids = [
+                rid for rid in rng.sample(existing, min(2, len(existing)))
+                if rid not in upd_ids
+            ]
+            ins = [(next_id, next_id % 3, f"m{step}")]
+            next_id += 1
+            upserts = [
+                (rid, rid % 3, f"u{step}_{rid}") for rid in upd_ids
+            ] + ins
+            src = spark.createDataFrame(
+                [(*r, False) for r in upserts]
+                + [(rid, rid % 3, None, True) for rid in del_ids],
+                "id long, grp int, v string, _del boolean",
+            )
+            res = merge_delta(spark, src, path, ["id"], delete_col="_del")
+            model = _apply_model(model, "merge", (upserts, del_ids))
+            if res["version"] is not None:
+                v += 1
+                assert res["version"] == v
+        elif op == "optimize":
+            res = optimize_delta(spark, path, target_file_bytes=1 << 30)
+            if res["version"] is not None:
+                v += 1
+                assert res["version"] == v
+            # rows unchanged by construction (dataChange: false)
+        elif op == "checkpoint":
+            write_checkpoint(spark, path)
+        versions[v] = _model_rows(model)
+
+        # the LATEST snapshot always matches the model
+        got_rows = {tuple(r) for r in read_delta(spark, path).collect()}
+        assert got_rows == versions[v], f"seed={seed} step={step} op={op}"
+
+    # full time travel: every recorded version replays to its model state
+    for ver, want in versions.items():
+        got = {tuple(r) for r in read_delta(spark, path, version=ver).collect()}
+        assert got == want, f"seed={seed} version={ver}"
+
+    # vacuum with full retention deletes nothing and changes no snapshot
+    vacuum_delta(spark, path)
+    for ver, want in versions.items():
+        got = {tuple(r) for r in read_delta(spark, path, version=ver).collect()}
+        assert got == want, f"seed={seed} post-vacuum version={ver}"
+
+
+def test_fuzz_delta_merge_respects_multirow_append_guard(spark, tmp_path):
+    """A merge whose key matches a MULTI-ROW id (two appends of the same
+    id) must rewrite every copy — MERGE semantics collapse the key to
+    the single source row."""
+    path = str(tmp_path / "t_multi")
+    write_delta(spark, _mk(spark, [(1, 0, "a")]), path)
+    write_delta(spark, _mk(spark, [(1, 0, "b"), (2, 1, "c")]), path)
+    src = spark.createDataFrame(
+        [(1, 0, "merged", False)], "id long, grp int, v string, _del boolean"
+    )
+    merge_delta(spark, src, path, ["id"], delete_col="_del")
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == {(1, 0, "merged"), (2, 1, "c")}
