@@ -327,6 +327,11 @@ HEADLINE = [
     # a tempdir table per run (4 commits + a checkpoint) — it times
     # filesystem commit churn; the read path's plan is a plain pruned
     # parquet scan already covered by every relational entry.
+    # r10 additions (first trend points). delta_merge_upsert /
+    # delta_optimize_roundtrip stay out for the same tempdir-commit-churn
+    # reason as delta_table_roundtrip.
+    "cdc_pk_change_events",
+    "corpus_lm_surprisal",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -1933,6 +1933,101 @@ FROM stats
 )
 
 
+def _q_pk_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-change fusion (operators.changelog.fuse_pk_change_events):
+    SQL Server CDC emits an UPDATE that changes the primary key as a
+    same-transaction DELETE+INSERT pair; this contract fabricates such a
+    stream deterministically from ``orders`` (delete of pk=k, insert of
+    pk=k+10^7 with the identical value image, grouped ~50 per lsn so the
+    rank-disambiguation path is exercised, plus unmatched deletes and
+    inserts) and checks the fused event stream — op, old/new pk, carried
+    values — against a full SQL replay of the rank-to-rank pairing."""
+    from changedatacapture_reporting_spark.operators.changelog import (
+        fuse_pk_change_events,
+    )
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = o.filter(k % 97 < 30).select(
+        k.alias("k"),
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    kk = F.col("k")
+
+    def _image(pk) -> F.Column:
+        return F.struct(
+            pk.cast("long").alias("okey"),
+            F.col("cust").alias("cust"),
+            F.col("prio").alias("prio"),
+        )
+
+    null_img = F.lit(None).cast("struct<okey:bigint,cust:bigint,prio:string>")
+    dels = src.filter(kk % 3 != 0).select(
+        (kk % 50).cast("long").alias("lsn"),
+        kk.cast("long").alias("seq"),
+        F.timestamp_seconds(kk).alias("commit_ts"),
+        F.lit("delete").alias("op"),
+        F.lit("orders").alias("table_name"),
+        _image(kk).alias("before"),
+        null_img.alias("after"),
+    )
+    ins = src.filter(kk % 3 != 1).select(
+        (kk % 50).cast("long").alias("lsn"),
+        (kk + 1).cast("long").alias("seq"),
+        F.timestamp_seconds(kk + 1).alias("commit_ts"),
+        F.lit("insert").alias("op"),
+        F.lit("orders").alias("table_name"),
+        null_img.alias("before"),
+        _image(kk + 10_000_000).alias("after"),
+    )
+    fused = fuse_pk_change_events(
+        dels.unionByName(ins), ["okey"], ["cust", "prio"]
+    )
+    return fused.select(
+        "lsn",
+        "seq",
+        "op",
+        F.col("before.okey").alias("old_pk"),
+        F.col("after.okey").alias("new_pk"),
+        F.coalesce(F.col("after.cust"), F.col("before.cust")).alias("cust"),
+        F.coalesce(F.col("after.prio"), F.col("before.prio")).alias("prio"),
+    )
+
+
+_SQL_PK_CHANGE = """
+WITH src AS (
+  SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS cust,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 97 < 30
+),
+d AS (
+  SELECT CAST(k % 50 AS BIGINT) AS lsn, CAST(k AS BIGINT) AS seq,
+         CAST(k AS BIGINT) AS pk, cust, prio,
+         ROW_NUMBER() OVER (PARTITION BY k % 50, cust, prio ORDER BY k) AS r
+  FROM src WHERE k % 3 != 0
+),
+i AS (
+  SELECT CAST(k % 50 AS BIGINT) AS lsn, CAST(k + 1 AS BIGINT) AS seq,
+         CAST(k + 10000000 AS BIGINT) AS pk, cust, prio,
+         ROW_NUMBER() OVER (PARTITION BY k % 50, cust, prio ORDER BY k) AS r
+  FROM src WHERE k % 3 != 1
+)
+SELECT COALESCE(i.lsn, d.lsn) AS lsn,
+       COALESCE(i.seq, d.seq) AS seq,
+       CASE WHEN d.pk IS NOT NULL AND i.pk IS NOT NULL THEN 'pk_update'
+            WHEN d.pk IS NOT NULL THEN 'delete'
+            ELSE 'insert' END AS op,
+       d.pk AS old_pk,
+       i.pk AS new_pk,
+       COALESCE(i.cust, d.cust) AS cust,
+       COALESCE(i.prio, d.prio) AS prio
+FROM d FULL OUTER JOIN i
+  ON d.lsn = i.lsn AND d.cust = i.cust AND d.prio = i.prio AND d.r = i.r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1988,6 +2083,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_drift_report": (_q_drift_report, _SQL_DRIFT_REPORT),
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
+    "cdc_pk_change_events": (_q_pk_change_events, _SQL_PK_CHANGE),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
     **REGISTRY_STREAMING,
@@ -2020,7 +2116,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # running_total_per_customer, scalar_functions_showcase,
 # profile_orders, approx_distinct_stats, deterministic_sample,
 # embedding_centroids_by_label — q1/q3 additionally run in every
-# round's pinned-17 bench); the 15 lead the r11 window.
+# round's pinned-17 bench; text_fingerprints and
+# text_top_terms_per_lang displaced late-round to make room for the
+# two NEW r10 entries cdc_pk_change_events + corpus_lm_surprisal);
+# the 17 displaced lead the r11 window.
 _CHECK_WINDOW: list[str] = [
     # stalest cohort — last driver-checked r6 (leads per VERDICT r9 #4)
     "q2_min_cost_supplier",
@@ -2039,6 +2138,8 @@ _CHECK_WINDOW: list[str] = [
     # new in r10 — first driver round
     "delta_optimize_roundtrip",
     "delta_merge_upsert",
+    "cdc_pk_change_events",
+    "corpus_lm_surprisal",
     # implementation changed in r10 — re-prove on the driver
     "corpus_bpe_merges",
     "delta_table_roundtrip",
@@ -2071,11 +2172,9 @@ _CHECK_WINDOW: list[str] = [
     "multimodal_frame_sample",
     "streaming_apply_state",
     "streaming_current_state",
-    "text_fingerprints",
     "text_langid",
     "text_quality_scores",
     "text_token_stats",
-    "text_top_terms_per_lang",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -1992,7 +1992,72 @@ UNION ALL SELECT 'n_dup_groups', n_dup_groups FROM dd
 """
 
 
+def corpus_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-surprisal quality scoring (operators.lm.lm_surprisal_scores):
+    add-one bigram LM, self-scored — the CCNet-style "perplexity filter"
+    stage of a training-data pipeline. The hash-checked surface is the
+    exact-integer diagnostic columns (bigram counts, corpus-frequency
+    sums, hapax/rare position counts) plus the boolean curation flag;
+    the float avg_logprob/ppl_proxy production columns are excluded
+    (never hash engine doubles — r9 de-flake rule)."""
+    from changedatacapture_reporting_spark.operators.lm import (
+        lm_surprisal_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_surprisal_scores(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "sum_bigram_freq",
+        "n_hapax_bigrams",
+        "n_rare_bigrams",
+        "flagged",
+    )
+
+
+SQL_LM_SURPRISAL = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+           AS bg
+  FROM (SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS ord
+        FROM arr)
+),
+bgpos AS (SELECT doc_id, bg FROM pos WHERE bg IS NOT NULL),
+bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM bgpos GROUP BY bg),
+perdoc AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(b.c) AS BIGINT) AS sum_bigram_freq,
+         CAST(SUM(CASE WHEN b.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax_bigrams,
+         CAST(SUM(CASE WHEN b.c <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare_bigrams
+  FROM bgpos p JOIN bgc b USING (bg)
+  GROUP BY p.doc_id
+)
+SELECT a.doc_id,
+       CAST(len(a.toks) AS BIGINT) AS n_tokens,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.sum_bigram_freq, 0) AS sum_bigram_freq,
+       COALESCE(p.n_hapax_bigrams, 0) AS n_hapax_bigrams,
+       COALESCE(p.n_rare_bigrams, 0) AS n_rare_bigrams,
+       CAST(COALESCE(p.n_rare_bigrams, 0) AS DOUBLE)
+         > 0.25 * CAST(COALESCE(p.n_bigrams, 0) AS DOUBLE) AS flagged
+FROM arr a LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 REGISTRY_LLM = {
+    "corpus_lm_surprisal": (corpus_lm_surprisal, SQL_LM_SURPRISAL),
     "corpus_datasheet": (corpus_datasheet_report, SQL_DATASHEET),
     "text_mixed_language": (text_mixed_language, SQL_MIXED_LANGUAGE),
     "corpus_chunk_dedup": (corpus_chunk_dedup, SQL_CHUNK_DEDUP),

@@ -296,3 +296,107 @@ def pair_update_images(
         "old_value",
         "new_value",
     )
+
+
+OP_PK_UPDATE = "pk_update"
+
+
+def fuse_pk_change_events(
+    events: DataFrame,
+    pk_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Fuse same-transaction delete+insert pairs into ``pk_update`` events.
+
+    SQL Server CDC (and most log-based CDC) represents an UPDATE that
+    changes the primary key as a DELETE of the old row plus an INSERT of
+    the new row inside the same transaction (same ``__$start_lsn``) — the
+    reference's changelog therefore records a PK change as two unrelated
+    marker rows (populate:371/383) and loses the row's identity thread.
+    This operator re-pairs them: a delete and an insert in the same
+    (table, lsn) whose non-PK value images are null-safe identical become
+    ONE event with ``op='pk_update'``, ``before`` = the delete's image,
+    ``after`` = the insert's image. Unmatched deletes/inserts and all
+    other ops pass through unchanged.
+
+    Ambiguity (several identical value images in one transaction) is
+    resolved deterministically: each side is ranked by (seq, pk) within
+    (table, lsn, value-image) and pairing is rank-to-rank — replayable
+    bit-exactly by any engine with ROW_NUMBER.
+
+    At scale: two filters over one event scan, each ranked by a window
+    partitioned on (table, lsn, value-image) — high-cardinality keys, so
+    no skewed single partition — then ONE full-outer equi-join on that
+    same key + rank (the sort/exchange is shared between the window and
+    the join). No driver round-trips, no Python in the data plane.
+    """
+    from pyspark.sql.window import Window
+
+    # canonical value-image key: unit-separator concat with an explicit
+    # NULL marker (concat_ws silently drops nulls, which would collide
+    # ('a', NULL) with ('a',))
+    def _vkey(side: str) -> Column:
+        parts = [
+            F.coalesce(
+                F.col(f"{side}.{c}").cast("string"), F.lit("\x00NULL")
+            )
+            for c in value_cols
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.concat(out, F.lit("\x1f"), p)
+        return out
+
+    def _pk_order(side: str) -> list[Column]:
+        return [F.col(f"{side}.{c}").cast("string") for c in pk_cols]
+
+    event_cols = ["lsn", "seq", "commit_ts", "op", "table_name", "before", "after"]
+    dels = events.filter(F.col("op") == OP_DELETE).withColumn(
+        "_vk", _vkey("before")
+    )
+    ins = events.filter(F.col("op") == OP_INSERT).withColumn(
+        "_vk", _vkey("after")
+    )
+    others = events.filter(~F.col("op").isin(OP_DELETE, OP_INSERT))
+
+    w_d = Window.partitionBy("table_name", "lsn", "_vk").orderBy(
+        "seq", *_pk_order("before")
+    )
+    w_i = Window.partitionBy("table_name", "lsn", "_vk").orderBy(
+        "seq", *_pk_order("after")
+    )
+    d = dels.withColumn("_r", F.row_number().over(w_d)).select(
+        F.col("table_name").alias("_t"),
+        F.col("lsn").alias("_l"),
+        "_vk",
+        "_r",
+        F.struct(*event_cols).alias("_de"),
+    )
+    i = ins.withColumn("_r", F.row_number().over(w_i)).select(
+        F.col("table_name").alias("_t"),
+        F.col("lsn").alias("_l"),
+        "_vk",
+        "_r",
+        F.struct(*event_cols).alias("_ie"),
+    )
+    j = d.join(i, on=["_t", "_l", "_vk", "_r"], how="full_outer")
+    fused = j.select(
+        F.coalesce(F.col("_ie.lsn"), F.col("_de.lsn")).alias("lsn"),
+        F.coalesce(F.col("_ie.seq"), F.col("_de.seq")).alias("seq"),
+        F.coalesce(F.col("_ie.commit_ts"), F.col("_de.commit_ts")).alias(
+            "commit_ts"
+        ),
+        F.when(
+            F.col("_de").isNotNull() & F.col("_ie").isNotNull(),
+            F.lit(OP_PK_UPDATE),
+        )
+        .when(F.col("_de").isNotNull(), F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_INSERT))
+        .alias("op"),
+        F.coalesce(F.col("_de.table_name"), F.col("_ie.table_name")).alias(
+            "table_name"
+        ),
+        F.col("_de.before").alias("before"),
+        F.col("_ie.after").alias("after"),
+    )
+    return fused.unionByName(others.select(*event_cols))

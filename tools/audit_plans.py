@@ -60,6 +60,9 @@ ALLOW = {
     # same scalar shape: three ONE-ROW aggregate frames folded into the
     # ~7-row dataset card (operators/corpus.corpus_datasheet)
     "corpus_datasheet": {"BroadcastNestedLoopJoin"},
+    # same scalar shape: the ONE-ROW vocabulary size |V| broadcast into
+    # the add-one smoothing denominator (operators/lm.lm_surprisal_scores)
+    "corpus_lm_surprisal": {"BroadcastNestedLoopJoin"},
     # accuracy contracts that compare the scale path against an embedded
     # exact reference (all-pairs jaccard / brute-force top-k) — the
     # quadratic node is the reference side, not the production path
