@@ -186,4 +186,28 @@ def lm_surprisal_scores(
     )
 
 
-__all__ = ["lm_counts", "lm_surprisal_scores"]
+def lm_merge_counts(
+    counts_a: tuple[DataFrame, DataFrame],
+    counts_b: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two trained models (from :func:`lm_counts`) into one.
+
+    N-gram counts are mergeable summaries — sum by key — so an epoch
+    model is maintained incrementally: train on each ingestion batch,
+    merge into the persisted model, never re-scan the corpus. The merge
+    is two vocabulary-scale aggregations (map-side combinable); at
+    100 TB the corpus never participates.
+    """
+
+    def _merge(a: DataFrame, b: DataFrame) -> DataFrame:
+        keys = [c for c in a.columns if c != "c"]
+        return (
+            a.unionByName(b)
+            .groupBy(*keys)
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    return _merge(counts_a[0], counts_b[0]), _merge(counts_a[1], counts_b[1])
+
+
+__all__ = ["lm_counts", "lm_merge_counts", "lm_surprisal_scores"]

@@ -115,3 +115,24 @@ def test_flag_fraction_boundary(spark):
     assert row["n_bigrams"] == 7
     assert row["n_rare_bigrams"] == 1  # only (a c)
     assert row["flagged"] is False  # 1 > 1.75 is false
+
+
+def test_merge_counts_equals_full_train(spark):
+    from changedatacapture_reporting_spark.operators.lm import lm_merge_counts
+
+    half_a = _docs(spark, [(i, f"a b c w{i}") for i in range(10)])
+    half_b = _docs(spark, [(i + 10, f"b c d w{i}") for i in range(10)])
+    full = half_a.unionByName(half_b)
+    merged = lm_merge_counts(lm_counts(half_a), lm_counts(half_b))
+    direct = lm_counts(full)
+    for m, d in zip(merged, direct):
+        assert sorted(map(tuple, m.collect())) == sorted(
+            map(tuple, d.collect())
+        )
+    # and scoring through the merged model == self-scoring the full corpus
+    cols = ["doc_id", "sum_bigram_freq", "n_rare_bigrams"]
+    via_merged = sorted(
+        lm_surprisal_scores(full, counts=merged).select(cols).collect()
+    )
+    via_full = sorted(lm_surprisal_scores(full).select(cols).collect())
+    assert via_merged == via_full

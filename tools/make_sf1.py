@@ -9,10 +9,13 @@ artifact of naive duplication:
   (``word`` → ``word_r3``), so shingle/minhash/bigram spaces are disjoint
   across replicas — the near-dup pair graph grows LINEARLY (10 identical
   copies would grow it quadratically inside each 10-clone clique);
-- ``embeddings``: each replica r ≥ 1 adds ``0.9·r`` to dimension
-  ``r mod dim``, pushing replicas into different directions — no
+- ``embeddings``: replica r gets its dimensions rotated by r positions
+  (a permutation — orthogonal, so every in-replica pairwise cosine is
+  EXACTLY preserved) — replicas are mutually decorrelated with no
   cross-replica cosine near-dups, so dedup/ANN candidate sets scale
-  linearly too.
+  linearly, and no replica collapses toward an axis (an additive tilt
+  does, which concentrates hyperplane-LSH buckets and fabricates a
+  quadratic in-bucket blowup the real data doesn't have).
 
 Small dimension tables (region/nation/…) and the rest of the TPC-H side
 are hard-copied unchanged — the wave-2 rehearsal targets read documents
@@ -95,10 +98,10 @@ def main() -> None:
         (F.col("vec_id") + F.col("_r") * VEC_OFFSET).alias("vec_id"),
         F.transform(
             "embedding",
-            lambda x, i: F.when(
-                (F.col("_r") > 0) & (i == (F.col("_r") % dim)),
-                x + F.lit(0.9) * F.col("_r").cast("float"),
-            ).otherwise(x),
+            lambda x, i: F.element_at(
+                F.col("embedding"),
+                ((i + F.col("_r")) % F.lit(dim)).cast("int") + 1,
+            ),
         ).alias("embedding"),
         "label",
     )

@@ -63,11 +63,16 @@ def main() -> None:
     print(f"| query | {base} (s) | {big} (s) | ratio at 10x data |")
     print("|---|---|---|---|")
     for name in ops:
+        # contracts .cache() intermediates (band indexes etc.); leftover
+        # cached frames from the previous op skew the next one's JVM —
+        # start each op from a clean executor-storage slate
+        spark.catalog.clearCache()
         t_base = run(name, base)
         t_big = run(name, big)
         print(
             f"| {name} | {t_base:.3f} | {t_big:.3f} |"
-            f" {t_big / t_base:.2f}x |"
+            f" {t_big / t_base:.2f}x |",
+            flush=True,
         )
 
 
