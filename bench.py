@@ -332,6 +332,7 @@ HEADLINE = [
     # reason as delta_table_roundtrip.
     "cdc_pk_change_events",
     "corpus_lm_surprisal",
+    "ann_topk_ivfpq_residual",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -2140,13 +2140,15 @@ _CHECK_WINDOW: list[str] = [
     "delta_merge_upsert",
     "cdc_pk_change_events",
     "corpus_lm_surprisal",
+    "ann_topk_ivfpq_residual",
     # implementation changed in r10 — re-prove on the driver
     "corpus_bpe_merges",
     "delta_table_roundtrip",
     "cdc_from_delta_snapshots",
     "cdc_snapshot_diff",
-    # r7-last-verified cohort (the next-stalest), 32 of 47
-    "ann_topk_ivf",
+    # r7-last-verified cohort (the next-stalest), 29 of 47
+    # (ann_topk_ivf also displaced late-round for the third NEW r10
+    # entry ann_topk_ivfpq_residual; it leads r11 with the other 18)
     "ann_topk_lsh",
     "ann_topk_pq",
     "cdc_backfill_gap",

@@ -353,6 +353,20 @@ def _pq_encode_udf(books: "np.ndarray"):
     return F.pandas_udf(enc, ArrayType(IntegerType()))
 
 
+def _residual_udf(centroids: "np.ndarray"):
+    """residual = v − centroid[cluster], vectorized per Arrow batch —
+    the IVFADC encoding input (only the k×d centroid matrix ships in
+    the closure)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def res(vec_s: pandas.Series, cl_s: pandas.Series) -> pandas.Series:
+        v = np.stack(vec_s.to_numpy()).astype(np.float64)
+        out = v - centroids[cl_s.to_numpy().astype(np.int64)]
+        return pandas.Series(list(out))
+
+    return F.pandas_udf(res, ArrayType(DoubleType()))
+
+
 def pq_index(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -584,6 +598,7 @@ def ivfpq_topk(
     iters: int = 2,
     rerank_factor: int = 2,
     index: "tuple[DataFrame, np.ndarray, np.ndarray] | None" = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite ANN (the standard billion-scale layout, Jégou et
     al. 2011 / FAISS IVFPQ): coarse IVF pruning cuts the SCAN to
@@ -595,18 +610,31 @@ def ivfpq_topk(
     clusters, ``pq_index`` trains the codebooks, and the ADC pass scores
     codes only inside each query's probed clusters (a broadcast equi
     join on cluster — the per-query LUT gather never sees unprobed
-    lists). Codes encode RAW vectors with one shared codebook, not
-    per-cluster residuals — simpler plumbing at slightly lower ADC
-    precision, restored by the exact rerank of the shortlist
-    (``rerank_factor``·k candidates' raw vectors fetched by broadcast
-    semi join; I/O ∝ shortlist). ``queries`` is driver-small (the
-    recall-contract shape shared by the other *_topk operators).
+    lists). ``queries`` is driver-small (the recall-contract shape
+    shared by the other *_topk operators).
+
+    ``residual=False`` (default): codes encode RAW vectors with one
+    shared codebook — simpler plumbing at slightly lower ADC precision,
+    restored by the exact rerank of the shortlist (``rerank_factor``·k
+    candidates' raw vectors fetched by broadcast semi join; I/O ∝
+    shortlist).
+
+    ``residual=True`` is the paper's IVFADC: the codebook is trained on
+    and encodes ``v − centroid[cluster]`` — residuals concentrate near
+    the origin so the same m·log2(k) bits cover a tighter ball (finer
+    quantization, higher ADC fidelity before any rerank). The
+    inner-product score decomposes exactly: ``q·v = q·centroid +
+    q·residual`` — the first term is a per-(query, probed-cluster)
+    scalar added to the LUT gather, so the ADC pass costs the same.
 
     ``index`` is the steady-state entry point: pass a prebuilt
     ``(with_codes_df, centroids, books)`` triple — ``with_codes_df``
     carries (id, cluster, codes), typically read back from the
     persisted index store — and no k-means training happens; the call
     is pure probe + ADC + rerank (the bench's *_steady measurement).
+    The triple must have been built with the SAME ``residual`` setting
+    (raw-encoded codes scored with a residual offset are garbage, and
+    vice versa).
     """
     from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
@@ -616,10 +644,29 @@ def ivfpq_topk(
         indexed, centroids = ivf_index(
             corpus, vec_col, id_col, n_centroids, iters
         )
-        _, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
-        with_codes = indexed.withColumn(
-            "codes", _pq_encode_udf(books)(F.col(vec_col))
-        )
+        if residual:
+            res_udf = _residual_udf(centroids)
+            res_frame = indexed.withColumn(
+                "_res", res_udf(F.col(vec_col), F.col("cluster"))
+            )
+            _, books = pq_index(
+                res_frame.select(
+                    F.col(id_col), F.col("_res").alias(vec_col)
+                ),
+                vec_col,
+                id_col,
+                m,
+                k_codes,
+                iters,
+            )
+            with_codes = res_frame.withColumn(
+                "codes", _pq_encode_udf(books)(F.col("_res"))
+            ).drop("_res")
+        else:
+            _, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
+            with_codes = indexed.withColumn(
+                "codes", _pq_encode_udf(books)(F.col(vec_col))
+            )
 
     q_rows = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col))
@@ -651,12 +698,20 @@ def ivfpq_topk(
         "qi int, query_id long, cluster int",
     )
 
-    def adc(codes_s: pandas.Series, qi_s: pandas.Series) -> pandas.Series:
+    # residual decomposition: q·v = q·centroid[cluster] + q·residual —
+    # the first term is a per-(query, cluster) scalar gather
+    offs = qv @ centroids.T if residual else None  # Q × n_centroids
+
+    def adc(
+        codes_s: pandas.Series, qi_s: pandas.Series, cl_s: pandas.Series
+    ) -> pandas.Series:
         codes = np.stack(codes_s.to_numpy()).astype(np.int64)  # n × m
         qi = qi_s.to_numpy().astype(np.int64)
         sub = np.arange(codes.shape[1])[None, :]  # 1 × m
-        gathered = luts[qi[:, None], sub, codes]  # n × m
-        return pandas.Series(gathered.sum(axis=1))
+        gathered = luts[qi[:, None], sub, codes].sum(axis=1)  # n
+        if offs is not None:
+            gathered = gathered + offs[qi, cl_s.to_numpy().astype(np.int64)]
+        return pandas.Series(gathered)
 
     adc_udf = F.pandas_udf(adc, DoubleType())
     scored = (
@@ -668,7 +723,9 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            adc_udf(F.col("codes"), F.col("qi")).alias("sim"),
+            adc_udf(F.col("codes"), F.col("qi"), F.col("cluster")).alias(
+                "sim"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(

@@ -1243,3 +1243,42 @@ def test_incremental_embedding_dedup_strategies_agree(embeddings):
 
     with _pytest.raises(ValueError, match="strategy"):
         incremental_embedding_dedup(new, corpus, strategy="nope")
+
+
+def test_ivfpq_residual_improves_adc_fidelity(spark):
+    """IVFADC (residual=True): pre-rerank ADC recall beats raw-vector
+    encoding on the sf0.01 fixture (deterministic: measured 0.60 vs
+    0.53; on the 10×-smaller smoke fixture the two are within quantizer
+    noise of each other, so this test pins the scale where the paper's
+    effect is visible), and the reranked form clears the same recall
+    bound as the raw entry. The score decomposition
+    q·v = q·centroid + q·residual is exact, so determinism holds."""
+    from changedatacapture_reporting_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    embeddings = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embeddings, q, k=10).collect()
+    }
+
+    def recall(residual, rerank):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(
+                embeddings, q, k=10, n_centroids=16, nprobe=6,
+                m=16, k_codes=32, rerank_factor=rerank, residual=residual,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    raw_adc = recall(False, 0)
+    res_adc = recall(True, 0)
+    assert res_adc > raw_adc, f"residual ADC {res_adc} <= raw {raw_adc}"
+    assert recall(True, 3) >= 0.7
+
+    # rerun determinism (seeded centroids + codebooks + exact decomposition)
+    assert recall(True, 0) == res_adc

@@ -71,6 +71,7 @@ ALLOW = {
     "ann_topk_ivf": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     "ann_topk_pq": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     "ann_topk_ivfpq": {"CartesianProduct", "BroadcastNestedLoopJoin"},
+    "ann_topk_ivfpq_residual": {"CartesianProduct", "BroadcastNestedLoopJoin"},
     # applyInPandasWithState keyed on the CDC primary key: state is
     # O(live keys) and bounded by delete-tombstone semantics + timeouts,
     # not by event time — no watermark is required or meaningful here
