@@ -2141,14 +2141,16 @@ _CHECK_WINDOW: list[str] = [
     "cdc_pk_change_events",
     "corpus_lm_surprisal",
     "ann_topk_ivfpq_residual",
+    "streaming_quality_gate",
     # implementation changed in r10 — re-prove on the driver
     "corpus_bpe_merges",
     "delta_table_roundtrip",
     "cdc_from_delta_snapshots",
     "cdc_snapshot_diff",
-    # r7-last-verified cohort (the next-stalest), 29 of 47
-    # (ann_topk_ivf also displaced late-round for the third NEW r10
-    # entry ann_topk_ivfpq_residual; it leads r11 with the other 18)
+    # r7-last-verified cohort (the next-stalest), 28 of 47
+    # (ann_topk_ivf and corpus_prepare also displaced late-round for the
+    # NEW r10 entries ann_topk_ivfpq_residual + streaming_quality_gate;
+    # they lead r11 with the other displaced shapes)
     "ann_topk_lsh",
     "ann_topk_pq",
     "cdc_backfill_gap",
@@ -2160,7 +2162,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_scd2_incremental",
     "cdc_schema_evolution",
     "corpus_pack_sequences",
-    "corpus_prepare",
     "corpus_shard_stats",
     "corpus_tfidf_terms",
     "dedup_clusters",

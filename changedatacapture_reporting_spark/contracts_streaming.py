@@ -485,6 +485,70 @@ def _ivm_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(f"{d}/ev")
 
 
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM quality gate (streaming.quality_gate): the documents
+    corpus streams in as 4 micro-batches (maxFilesPerTrigger=1), each
+    scored inside foreachBatch against the PERSISTED epoch LM (lm_counts
+    parquet round-tripped, as an index store would serve it) and
+    committed through idempotent per-batch-id parquet writes. Documents
+    are row-atomic and the model is epoch-static, so per-doc scores
+    decompose exactly per batch — the drained union must equal the batch
+    corpus_lm_surprisal result row-for-row, which is what the shared
+    oracle checks (streaming execution, batch semantics, one oracle)."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.operators.lm import lm_counts
+    from changedatacapture_reporting_spark.sources.tables import load_table
+    from changedatacapture_reporting_spark.streaming.quality_gate import (
+        read_scored,
+        stream_score_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="docs_quality_stream_")
+    docs.repartition(4).write.parquet(f"{d}/src")
+    schema = spark.read.parquet(f"{d}/src").schema
+    bg, uni = lm_counts(docs)
+    bg.write.parquet(f"{d}/model/bg")
+    uni.write.parquet(f"{d}/model/uni")
+    counts = (
+        spark.read.parquet(f"{d}/model/bg"),
+        spark.read.parquet(f"{d}/model/uni"),
+    )
+    q = stream_score_documents(
+        spark, f"{d}/src", schema, counts, f"{d}/out", f"{d}/ckpt"
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "quality-gate stream did not drain within 300s; refusing to "
+            "read a partial score set"
+        )
+    return read_scored(spark, f"{d}/out").select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "sum_bigram_freq",
+        "n_hapax_bigrams",
+        "n_rare_bigrams",
+        "flagged",
+    )
+
+
+def _quality_gate_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-sink plan: pass-through into foreachBatch (the scoring plan is
+    audited batch-side via corpus_lm_surprisal); expose the streaming
+    source projection."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="docs_quality_plan_")
+    load_table(spark, sf_dir, "documents").write.parquet(f"{d}/src")
+    schema = spark.read.parquet(f"{d}/src").schema
+    return spark.readStream.schema(schema).parquet(f"{d}/src")
+
+
 def _apply_state_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-sink plan: the stream itself is a pass-through into
     foreachBatch (net_changes + apply run per batch inside it), so the
@@ -503,6 +567,7 @@ def _apply_state_pre_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_PLANS = {
+    "streaming_quality_gate": _quality_gate_pre_sink,
     "streaming_apply_state": _apply_state_pre_sink,
     "streaming_incremental_agg": _ivm_pre_sink,
     "streaming_pointintime_enrich": _enrich_pre_sink,
@@ -522,7 +587,12 @@ STREAM_PLANS = {
 }
 
 
+from changedatacapture_reporting_spark.contracts_llm import (  # noqa: E402
+    SQL_LM_SURPRISAL,
+)
+
 REGISTRY_STREAMING = {
+    "streaming_quality_gate": (streaming_quality_gate, SQL_LM_SURPRISAL),
     "streaming_apply_state": (streaming_apply_state, SQL_STREAM_APPLY),
     "streaming_incremental_agg": (streaming_incremental_agg, SQL_STREAM_IVM),
     "streaming_pointintime_enrich": (streaming_pointintime_enrich, SQL_SCD2_ENRICH),

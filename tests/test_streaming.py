@@ -1067,3 +1067,51 @@ def test_stream_maintain_aggregate_decimal_no_bootstrap(spark, workdir):
         "sum_amt"
     ].dataType
     assert isinstance(out_t, T.DecimalType) and out_t.scale == 2
+
+
+def test_stream_quality_gate_equals_batch_and_replays_idempotent(spark, tmp_path):
+    """foreachBatch LM gate: the multi-batch drained union equals the
+    batch operator row-for-row (docs are row-atomic, model epoch-static,
+    so per-batch scoring decomposes exactly); a second drain on the same
+    checkpoint processes nothing and changes nothing."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_reporting_spark.operators.lm import (
+        lm_counts,
+        lm_surprisal_scores,
+    )
+    from changedatacapture_reporting_spark.streaming.quality_gate import (
+        read_scored,
+        stream_score_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} a b w{i % 5} a c d w{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    counts = lm_counts(docs)
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = stream_score_documents(spark, src, schema, counts, target, ckpt)
+    assert q.awaitTermination(300)
+    cols = [
+        "doc_id", "n_tokens", "n_bigrams", "sum_bigram_freq",
+        "n_hapax_bigrams", "n_rare_bigrams", "flagged",
+    ]
+    streamed = sorted(read_scored(spark, target).select(cols).collect())
+    batch = sorted(lm_surprisal_scores(docs, counts=counts).select(cols).collect())
+    assert streamed == batch
+    assert len(streamed) == 60
+
+    # multiple micro-batches actually happened (maxFilesPerTrigger=1)
+    import glob
+    assert len(glob.glob(f"{target}/b*")) >= 2
+
+    # replay: second drain from the same checkpoint is a no-op
+    q2 = stream_score_documents(spark, src, schema, counts, target, ckpt)
+    assert q2.awaitTermination(300)
+    again = sorted(read_scored(spark, target).select(cols).collect())
+    assert again == streamed
