@@ -208,11 +208,40 @@ def _overrides() -> dict:
             corpus_index=spark.read.parquet(f"{tmp}/emb_idx"),
         )
 
+    lm_cache: dict = {}
+
+    def lm_steady(spark, sf_dir):
+        # scoring against a PERSISTED epoch model — isolates the serving
+        # join from count training (built + parquet-persisted on rep 1)
+        from changedatacapture_reporting_spark.operators.lm import (
+            lm_counts,
+            lm_surprisal_scores,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        if sf_dir not in lm_cache:
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="bench_lm_model_")
+            bg, uni = lm_counts(d)
+            bg.write.parquet(f"{tmp}/bg")
+            uni.write.parquet(f"{tmp}/uni")
+            lm_cache[sf_dir] = tmp
+        tmp = lm_cache[sf_dir]
+        return lm_surprisal_scores(
+            d,
+            counts=(
+                spark.read.parquet(f"{tmp}/bg"),
+                spark.read.parquet(f"{tmp}/uni"),
+            ),
+        )
+
     return {
         "ann_topk_lsh": ann_lsh_production,
         "ann_topk_pq_steady": ann_pq_steady,
         "ann_topk_ivfpq_steady": ann_ivfpq_steady,
         "dedup_embedding_steady": dedup_embedding_steady,
+        "corpus_lm_surprisal_steady": lm_steady,
     }
 
 
@@ -332,6 +361,7 @@ HEADLINE = [
     # reason as delta_table_roundtrip.
     "cdc_pk_change_events",
     "corpus_lm_surprisal",
+    "corpus_lm_surprisal_steady",
     "ann_topk_ivfpq_residual",
 ]
 

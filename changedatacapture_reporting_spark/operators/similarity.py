@@ -464,6 +464,32 @@ def pq_encode(
     return df.withColumn("codes", _pq_encode_udf(books)(F.col(vec_col)))
 
 
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    books: "np.ndarray",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """Append path of a persisted IVF-PQ index: assign each new vector
+    its coarse ``cluster`` and its PQ ``codes`` against the epoch's
+    trained centroids/codebooks — no retraining, so appended batches are
+    mutually compatible with the existing index and with
+    :func:`ivfpq_topk`'s ``index=`` entry point. ``residual`` must match
+    how the epoch's books were trained (raw vs v − centroid[cluster] —
+    the IVFADC layout)."""
+    out = df.withColumn("cluster", _assign_udf(centroids)(F.col(vec_col)))
+    if not residual:
+        return out.withColumn("codes", _pq_encode_udf(books)(F.col(vec_col)))
+    return (
+        out.withColumn(
+            "_res", _residual_udf(centroids)(F.col(vec_col), F.col("cluster"))
+        )
+        .withColumn("codes", _pq_encode_udf(books)(F.col("_res")))
+        .drop("_res")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,6 +1,7 @@
-"""Training-corpus pipeline walkthrough — the r9 surface end to end:
+"""Training-corpus pipeline walkthrough — the curation surface end to end:
 
-    documents → chunk (sliding window) → chunk-level exact dedup →
+    documents → LM-surprisal quality gate (perplexity filter) →
+    chunk (sliding window) → chunk-level exact dedup →
     doc-level MinHash near-dup → connected components → keep/drop
     (cluster representatives) → language-consistency audit →
     curriculum buckets (exact rank, no global sort) → BPE encode
@@ -44,7 +45,24 @@ from changedatacapture_reporting_spark.operators.sampling import rank_buckets
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("corpus_pipeline_demo")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 0. LM-surprisal quality gate (CCNet-style perplexity filter):
+    #    self-score the corpus, drop docs dominated by rare bigrams.
+    #    In production the model is lm_counts persisted once per epoch
+    #    (and refreshed batch-side with lm_merge_counts); streaming
+    #    ingestion applies the same gate via streaming.quality_gate.
+    from changedatacapture_reporting_spark.operators.lm import (
+        lm_surprisal_scores,
+    )
+
+    scores = lm_surprisal_scores(raw)
+    docs = raw.join(
+        scores.filter(~F.col("flagged")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    print(f"lm quality gate: {raw.count()} docs -> {docs.count()} kept")
 
     # 1. doc-level near-dup keep/drop: LSH pairs → components → keepers
     pairs = minhash_lsh_pairs(docs, threshold=0.8)

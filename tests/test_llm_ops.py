@@ -1282,3 +1282,45 @@ def test_ivfpq_residual_improves_adc_fidelity(spark):
 
     # rerun determinism (seeded centroids + codebooks + exact decomposition)
     assert recall(True, 0) == res_adc
+
+
+def test_ivfpq_encode_residual_steady_roundtrip(spark, embeddings, tmp_path):
+    """The residual index lifecycle: train centroids+books once, encode
+    the corpus with ivfpq_encode(residual=True), parquet-persist, and the
+    index= steady entry point must return IDENTICAL rows to
+    train-in-call residual=True (the raw-encoding twin of the r9 steady
+    test)."""
+    from changedatacapture_reporting_spark.operators.similarity import (
+        _residual_udf,
+        ivf_index,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_index,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    kw = dict(k=10, n_centroids=16, nprobe=6, m=16, k_codes=32,
+              rerank_factor=3)
+
+    trained = ivfpq_topk(embeddings, q, residual=True, **kw)
+
+    indexed, centroids = ivf_index(embeddings)
+    res = indexed.withColumn(
+        "_r", _residual_udf(centroids)(F.col("embedding"), F.col("cluster"))
+    )
+    _, books = pq_index(
+        res.select("vec_id", F.col("_r").alias("embedding")),
+        m=16, k_codes=32,
+    )
+    ivfpq_encode(embeddings, centroids, books, residual=True).select(
+        "vec_id", "cluster", "codes"
+    ).write.parquet(str(tmp_path / "ivfpq_res"))
+    steady = ivfpq_topk(
+        embeddings, q, residual=True,
+        index=(spark.read.parquet(str(tmp_path / "ivfpq_res")),
+               centroids, books),
+        **kw,
+    )
+    assert sorted(map(tuple, trained.collect())) == sorted(
+        map(tuple, steady.collect())
+    )
