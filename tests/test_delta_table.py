@@ -568,3 +568,121 @@ def test_merge_delta_guards(spark, tmp_path):
     bad = spark.createDataFrame([(2, 5)], "id long, v long")
     with pytest.raises(ValueError):
         merge_delta(spark, bad, path, ["id"])
+
+
+# ---------------------------------------------------------------------------
+# per-file stats + data skipping (r10)
+# ---------------------------------------------------------------------------
+
+
+def _adds_at(spark, path, version=None):
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+    )
+
+    return list(_resolve_log(spark, path, version)["files"].values())
+
+
+def test_write_embeds_spec_shaped_stats(spark, tmp_path):
+    path = str(tmp_path / "stats1")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (30, "z", -4.0)],
+        "id long, v string, x double",
+    ).repartition(2)
+    write_delta(spark, df, path)
+    adds = _adds_at(spark, path)
+    assert adds and all("stats" in a for a in adds)
+    parsed = [json.loads(a["stats"]) for a in adds]
+    assert sum(p["numRecords"] for p in parsed) == 3
+    # global envelope across files matches the data
+    ids = [
+        (p["minValues"].get("id"), p["maxValues"].get("id"))
+        for p in parsed
+        if p["numRecords"]
+    ]
+    assert min(lo for lo, _ in ids) == 1 and max(hi for _, hi in ids) == 30
+    assert sum(p["nullCount"]["x"] for p in parsed) == 1
+
+
+def test_prune_adds_interval_logic():
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        prune_adds,
+    )
+
+    def add(lo, hi):
+        return {
+            "path": f"f_{lo}_{hi}",
+            "stats": json.dumps(
+                {
+                    "numRecords": 5,
+                    "minValues": {"id": lo},
+                    "maxValues": {"id": hi},
+                    "nullCount": {"id": 0},
+                }
+            ),
+        }
+
+    adds = [add(0, 9), add(10, 19), add(20, 29)]
+    keep = lambda skip: {a["path"] for a in prune_adds(adds, skip)}  # noqa: E731
+    assert keep([("id", ">=", 20)]) == {"f_20_29"}
+    assert keep([("id", "<", 10)]) == {"f_0_9"}
+    assert keep([("id", "=", 10)]) == {"f_10_19"}
+    assert keep([("id", ">", 9), ("id", "<=", 19)]) == {"f_10_19"}
+    # no stats for the column -> conservatively kept
+    bare = [{"path": "old"}]
+    assert {a["path"] for a in prune_adds(bare, [("id", "=", 1)])} == {"old"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prune_adds(adds, [("id", "!=", 3)])
+
+
+def test_read_delta_skip_equals_filter_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "stats2")
+    # three appends with disjoint id ranges -> at least 3 files
+    for lo in (0, 100, 200):
+        write_delta(
+            spark,
+            spark.range(lo, lo + 50).select(
+                F.col("id"), (F.col("id") % 7).alias("bucket")
+            ),
+            path,
+        )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        prune_adds,
+    )
+
+    adds = _adds_at(spark, path)
+    assert len(adds) >= 3
+    pruned = prune_adds(adds, [("id", ">=", 200)])
+    assert len(pruned) < len(adds)
+
+    skip = [("id", ">=", 120), ("id", "<", 230)]
+    got = _rows(read_delta(spark, path, skip=skip))
+    want = _rows(
+        read_delta(spark, path).filter((F.col("id") >= 120) & (F.col("id") < 230))
+    )
+    assert got == want and got
+
+
+def test_read_delta_skip_on_partition_column(spark, tmp_path):
+    path = str(tmp_path / "stats3")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "id long, p int, v string"
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        prune_adds,
+        _resolve_log,
+    )
+
+    state = _resolve_log(spark, path, None)
+    adds = list(state["files"].values())
+    pruned = prune_adds(adds, [("p", "=", 1)], ["p"])
+    assert len(pruned) < len(adds)
+    assert all(a["partitionValues"]["p"] == "1" for a in pruned)
+    got = _rows(read_delta(spark, path, skip=[("p", "=", 1), ("id", ">", 10)]))
+    want = _rows(
+        read_delta(spark, path).filter((F.col("p") == 1) & (F.col("id") > 10))
+    )
+    assert got == want and got
