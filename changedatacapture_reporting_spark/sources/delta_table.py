@@ -725,8 +725,11 @@ def optimize_delta(
         dest_dir = fs.join(path, part_dir) if part_dir else path
         fs.promote(spark, staging, dest_dir)
         fs.delete(spark, staging)
-        for rel in rels:
-            full_rel = f"{part_dir}/{rel}" if part_dir else rel
+        full_rels = [f"{part_dir}/{r}" if part_dir else r for r in rels]
+        # compaction must not destroy data skipping: recompute stats for
+        # the rewritten files (same one-pass aggregate as write_delta)
+        group_stats = _file_stats(spark, path, full_rels, schema, part_cols)
+        for full_rel in full_rels:
             adds.append(
                 {
                     "add": {
@@ -737,6 +740,7 @@ def optimize_delta(
                         "size": _file_size(spark, fs.join(path, full_rel)),
                         "modificationTime": timestamp_ms,
                         "dataChange": False,
+                        "stats": group_stats[full_rel],
                     }
                 }
             )
@@ -884,6 +888,7 @@ def merge_delta(
     rels = fs.list_data_files(spark, staging)
     fs.promote(spark, staging, path)
     fs.delete(spark, staging)
+    merge_stats = _file_stats(spark, path, rels, schema, part_cols)
 
     actions = [
         {
@@ -902,6 +907,7 @@ def merge_delta(
                 "size": _file_size(spark, fs.join(path, rel)),
                 "modificationTime": timestamp_ms,
                 "dataChange": True,
+                "stats": merge_stats[rel],
             }
         }
         for rel in rels

@@ -686,3 +686,35 @@ def test_read_delta_skip_on_partition_column(spark, tmp_path):
         read_delta(spark, path).filter((F.col("p") == 1) & (F.col("id") > 10))
     )
     assert got == want and got
+
+
+def test_optimize_and_merge_preserve_stats(spark, tmp_path):
+    """Compaction and MERGE rewrite files — their add actions must carry
+    recomputed stats so data skipping survives table maintenance."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+        optimize_delta,
+    )
+
+    path = str(tmp_path / "stats_maint")
+    for lo in (0, 100):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, i * 2) for i in range(lo, lo + 50)], "id long, v long"
+            ),
+            path,
+        )
+    r = optimize_delta(spark, path)
+    assert r["version"] is not None
+    adds = _adds_at(spark, path)
+    assert adds and all(a.get("stats") for a in adds)
+    post = [json.loads(a["stats"]) for a in adds]
+    assert sum(p["numRecords"] for p in post) == 100
+
+    src = spark.createDataFrame([(5, 999), (500, 1000)], "id long, v long")
+    merge_delta(spark, src, path, ["id"])
+    adds = _adds_at(spark, path)
+    assert adds and all(a.get("stats") for a in adds)
+    total = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    assert total == 101  # 100 merged-over rows + 1 new key
