@@ -64,6 +64,11 @@ def main() -> None:
     print("rows @v0:", read_delta(spark, table, version=0).count(),
           "| rows @latest:", read_delta(spark, table).count())
 
+    # data skipping: the commit's per-file stats prune the scan before
+    # any task launches; the result is identical to read().filter()
+    skipped = read_delta(spark, table, skip=[("c_custkey", "<", 50)])
+    print("point-range read via stats skipping:", skipped.count(), "rows")
+
     # CDC without a change feed: version transitions → events → populate
     ev = delta_version_events(spark, table, ["c_custkey"], table_name="customer")
     r = populate_changelog(spark, ev, sink, ["c_custkey"])

@@ -166,3 +166,54 @@ def test_fuzz_delta_merge_respects_multirow_append_guard(spark, tmp_path):
     merge_delta(spark, src, path, ["id"], delete_col="_del")
     got = {tuple(r) for r in read_delta(spark, path).collect()}
     assert got == {(1, 0, "merged"), (2, 1, "c")}
+
+
+# ---------------------------------------------------------------------------
+# data-skipping pruner fuzz (r10): a pruned file must NEVER contain a
+# matching row — and every file that could match must be kept
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+_VALS = st.integers(min_value=-5, max_value=15)
+_FILE = st.lists(_VALS, min_size=0, max_size=6)  # the rows of one file
+_OP = st.sampled_from(["=", "==", "<", "<=", ">", ">="])
+_PRED = st.tuples(_OP, _VALS)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_FILE, min_size=1, max_size=5), st.lists(_PRED, min_size=1, max_size=3))
+def test_prune_adds_never_drops_a_matching_file(files, preds):
+    import json as _json
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        prune_adds,
+    )
+
+    def _match(v, op, x):
+        return {
+            "=": v == x, "==": v == x, "<": v < x, "<=": v <= x,
+            ">": v > x, ">=": v >= x,
+        }[op]
+
+    adds = []
+    for i, rows in enumerate(files):
+        stats = {
+            "numRecords": len(rows),
+            "minValues": {"c": min(rows)} if rows else {},
+            "maxValues": {"c": max(rows)} if rows else {},
+            "nullCount": {"c": 0},
+        }
+        adds.append({"path": f"f{i}", "stats": _json.dumps(stats)})
+
+    skip = [("c", op, x) for op, x in preds]
+    kept = {a["path"] for a in prune_adds(adds, skip)}
+    for i, rows in enumerate(files):
+        has_match = any(
+            all(_match(v, op, x) for op, x in preds) for v in rows
+        )
+        if has_match:
+            # soundness: a file containing a matching row is NEVER pruned
+            assert f"f{i}" in kept, (rows, preds)
