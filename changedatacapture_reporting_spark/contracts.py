@@ -1933,6 +1933,67 @@ FROM stats
 )
 
 
+def _q_delta_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (sources.delta_table.metadata_summary):
+    COUNT/MIN/MAX/null-count per column answered ENTIRELY from the
+    committed add.stats — zero data files opened after the writes. The
+    table is built from orders across three appends (one per priority
+    band, partitioned on o_orderstatus), so every number the oracle
+    computes by scanning the source rows must be reproduced by folding
+    per-file stats alone — proving write-time stats are exact, not
+    estimates. Only integer/string/date columns participate (float
+    formatting is engine-specific; the stats themselves carry any atomic
+    type)."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate",
+        "o_orderstatus",
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="delta_meta_") + "/orders_delta"
+    for band in (0, 1, 2):
+        write_delta(
+            spark,
+            orders.filter(k % 3 == band),
+            path,
+            partition_by=["o_orderstatus"],
+        )
+    return metadata_summary(spark, path)
+
+
+_SQL_DELTA_META = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+"""
+
+
 def _q_pk_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK-change fusion (operators.changelog.fuse_pk_change_events):
     SQL Server CDC emits an UPDATE that changes the primary key as a
@@ -2084,6 +2145,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "profile_orders": (_q_profile_orders, _SQL_PROFILE),
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
     "cdc_pk_change_events": (_q_pk_change_events, _SQL_PK_CHANGE),
+    "delta_metadata_summary": (_q_delta_metadata_summary, _SQL_DELTA_META),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
     **REGISTRY_STREAMING,
@@ -2142,13 +2204,14 @@ _CHECK_WINDOW: list[str] = [
     "corpus_lm_surprisal",
     "ann_topk_ivfpq_residual",
     "streaming_quality_gate",
+    "delta_metadata_summary",
     # implementation changed in r10 — re-prove on the driver
     "corpus_bpe_merges",
     "delta_table_roundtrip",
     "cdc_from_delta_snapshots",
     "cdc_snapshot_diff",
     # r7-last-verified cohort (the next-stalest), 28 of 47
-    # (ann_topk_ivf and corpus_prepare also displaced late-round for the
+    # (ann_topk_ivf, corpus_prepare and corpus_pack_sequences also displaced late-round for the
     # NEW r10 entries ann_topk_ivfpq_residual + streaming_quality_gate;
     # they lead r11 with the other displaced shapes)
     "ann_topk_lsh",
@@ -2161,7 +2224,6 @@ _CHECK_WINDOW: list[str] = [
     "cdc_scd2_history",
     "cdc_scd2_incremental",
     "cdc_schema_evolution",
-    "corpus_pack_sequences",
     "corpus_shard_stats",
     "corpus_tfidf_terms",
     "dedup_clusters",

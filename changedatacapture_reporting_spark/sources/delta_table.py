@@ -358,6 +358,7 @@ _STATS_TYPES = (
     T.StringType,
     T.DateType,
     T.TimestampType,
+    T.TimestampNTZType,
     T.BooleanType,
 )
 
@@ -420,10 +421,21 @@ def _file_stats(
         .agg(*aggs)
         .collect()
     )
-    by_base = {unquote(r["_f"]).rsplit("/", 1)[-1]: r for r in rows}
+    # key by full-path suffix, NOT basename: with hive partitioning one
+    # task writes the SAME part-file basename into several partition
+    # dirs, so basenames collide across a single commit's files
+    by_path = {unquote(r["_f"]): r for r in rows}
+
+    def _lookup(rel: str):
+        suffix = "/" + unquote(rel)
+        for full, r in by_path.items():
+            if full.endswith(suffix):
+                return r
+        return None
+
     out: dict[str, str] = {}
     for rel in rels:
-        r = by_base.get(unquote(rel).rsplit("/", 1)[-1])
+        r = _lookup(rel)
         if r is None:  # zero-row file — no group emitted
             stats = {
                 "numRecords": 0,
@@ -512,6 +524,73 @@ def prune_adds(
         return True
 
     return [a for a in adds if _keep(a)]
+
+
+def metadata_summary(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Metadata-only aggregation: per-column (n_rows, n_nulls,
+    min_value, max_value) computed ENTIRELY from the committed
+    ``add.stats`` — zero data files opened, the query cost is the log
+    replay. This is the lakehouse trick that answers COUNT(*) / MIN /
+    MAX dashboards instantly on a 100 TB table.
+
+    Exactness: stats are written by this engine's one-pass aggregate
+    (write/optimize/merge all recompute them), so the folded values are
+    exact, not estimates. Raises if any live file lacks stats for a
+    requested column — a silent partial answer would be a wrong answer.
+    min/max are returned as canonical strings (ISO for temporals) so one
+    frame covers heterogeneous column types.
+    """
+    state = _resolve_log(spark, path, version)
+    adds = list(state["files"].values())
+    schema = T.StructType.fromJson(json.loads(state["meta"]["schemaString"]))
+    part_cols = list(state["meta"].get("partitionColumns") or [])
+    eligible = [
+        f.name
+        for f in schema.fields
+        if f.name not in part_cols and isinstance(f.dataType, _STATS_TYPES)
+    ]
+    columns = columns or eligible
+    unknown = [c for c in columns if c not in eligible]
+    if unknown:
+        raise ValueError(
+            f"no stats are collected for columns {unknown} "
+            f"(partition or non-atomic); eligible: {eligible}"
+        )
+    parsed = []
+    for a in adds:
+        st = a.get("stats")
+        if not st:
+            raise ValueError(
+                f"live file {a.get('path')!r} has no stats — "
+                "metadata-only aggregation would be wrong; "
+                "rewrite with collect_stats or scan the data"
+            )
+        parsed.append(json.loads(st) if isinstance(st, str) else st)
+    rows = []
+    n_rows = sum(p["numRecords"] for p in parsed)
+    for c in columns:
+        n_nulls = sum(p["nullCount"].get(c, 0) for p in parsed)
+        mins = [p["minValues"][c] for p in parsed if c in p["minValues"]]
+        maxs = [p["maxValues"][c] for p in parsed if c in p["maxValues"]]
+        rows.append(
+            (
+                c,
+                int(n_rows),
+                int(n_nulls),
+                str(min(mins)) if mins else None,
+                str(max(maxs)) if maxs else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column_name string, n_rows long, n_nulls long, "
+        "min_value string, max_value string",
+    )
 
 
 def _normalized_fields(schema: T.StructType) -> list[tuple[str, str]]:

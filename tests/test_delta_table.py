@@ -718,3 +718,27 @@ def test_optimize_and_merge_preserve_stats(spark, tmp_path):
     assert adds and all(a.get("stats") for a in adds)
     total = sum(json.loads(a["stats"])["numRecords"] for a in adds)
     assert total == 101  # 100 merged-over rows + 1 new key
+
+
+def test_partitioned_write_stats_are_per_file_exact(spark, tmp_path):
+    """Regression: with hive partitioning one task writes the SAME
+    part-file basename into several partition dirs — stats must key by
+    full path or files collapse and numRecords drifts (caught by the
+    delta_metadata_summary contract)."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "stats_hive")
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(90)], "id long, p int, v long"
+    ).repartition(4)
+    write_delta(spark, df, path, partition_by=["p"])
+    adds = _adds_at(spark, path)
+    assert len(adds) > 3  # several files across partition dirs
+    total = sum(json.loads(a["stats"])["numRecords"] for a in adds)
+    assert total == 90
+    m = {r["column_name"]: r for r in metadata_summary(spark, path).collect()}
+    assert m["id"]["n_rows"] == 90
+    assert m["id"]["min_value"] == "0" and m["id"]["max_value"] == "89"
+    assert m["v"]["max_value"] == "890"
