@@ -423,19 +423,23 @@ def _file_stats(
     )
     # key by full-path suffix, NOT basename: with hive partitioning one
     # task writes the SAME part-file basename into several partition
-    # dirs, so basenames collide across a single commit's files
-    by_path = {unquote(r["_f"]): r for r in rows}
-
-    def _lookup(rel: str):
-        suffix = "/" + unquote(rel)
-        for full, r in by_path.items():
-            if full.endswith(suffix):
-                return r
-        return None
+    # dirs, so basenames collide across a single commit's files. Index
+    # by trailing path segments (one map per distinct rel depth) so the
+    # lookup stays O(files) — a 100 TB commit can carry 10⁵ adds and a
+    # linear suffix scan per file would be quadratic.
+    depths = {unquote(r_).count("/") + 1 for r_ in rels}
+    by_suffix: dict[int, dict[str, object]] = {
+        n: {} for n in depths
+    }
+    for row in rows:
+        segs = unquote(row["_f"]).split("/")
+        for n in depths:
+            by_suffix[n]["/".join(segs[-n:])] = row
 
     out: dict[str, str] = {}
     for rel in rels:
-        r = _lookup(rel)
+        dec = unquote(rel)
+        r = by_suffix[dec.count("/") + 1].get(dec)
         if r is None:  # zero-row file — no group emitted
             stats = {
                 "numRecords": 0,
