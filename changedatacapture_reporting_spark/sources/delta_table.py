@@ -497,6 +497,10 @@ def prune_adds(
     def _keep(add: dict) -> bool:
         stats = add.get("stats")
         parsed = json.loads(stats) if isinstance(stats, str) else (stats or {})
+        if parsed.get("numRecords") == 0:
+            # an empty file can never satisfy anything — always prunable
+            # (writers emit one zero-row part per empty task)
+            return False
         mins = parsed.get("minValues") or {}
         maxs = parsed.get("maxValues") or {}
         pv = add.get("partitionValues") or {}

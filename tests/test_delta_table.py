@@ -742,3 +742,35 @@ def test_partitioned_write_stats_are_per_file_exact(spark, tmp_path):
     assert m["id"]["n_rows"] == 90
     assert m["id"]["min_value"] == "0" and m["id"]["max_value"] == "89"
     assert m["v"]["max_value"] == "890"
+
+
+def test_stats_edge_cases_all_null_and_empty(spark, tmp_path):
+    """All-null columns carry no min/max (metadata_summary returns NULL
+    strings, n_nulls exact); an empty write commits zero-record stats
+    and read/skip still work."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "edge")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, None), (2, None)], schema)
+    write_delta(spark, df, path)
+    m = {r["column_name"]: r for r in metadata_summary(spark, path).collect()}
+    assert m["v"]["n_nulls"] == 2
+    assert m["v"]["min_value"] is None and m["v"]["max_value"] is None
+    assert m["id"]["min_value"] == "1" and m["id"]["max_value"] == "2"
+
+    # empty append: stats exist with numRecords 0; reads unaffected
+    write_delta(spark, spark.createDataFrame([], schema), path)
+    m2 = {r["column_name"]: r for r in metadata_summary(spark, path).collect()}
+    assert m2["id"]["n_rows"] == 2
+    assert _rows(read_delta(spark, path, skip=[("id", ">=", 2)])) == {
+        (2, None)
+    }
