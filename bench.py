@@ -164,7 +164,23 @@ def _overrides() -> dict:
         ).write.parquet(
             f"{tmp}/emb_idx"
         )
-        cache[sf_dir] = (tmp, books, centroids)
+        # residual (IVFADC) index: books trained on v − centroid[cluster]
+        from changedatacapture_reporting_spark.operators.similarity import (
+            _residual_udf,
+            ivfpq_encode,
+        )
+
+        res = indexed.withColumn(
+            "_r", _residual_udf(centroids)(F.col("embedding"), F.col("cluster"))
+        )
+        _, res_books = pq_index(
+            res.select("vec_id", F.col("_r").alias("embedding")),
+            m=16, k_codes=32,
+        )
+        ivfpq_encode(e, centroids, res_books, residual=True).select(
+            "vec_id", "cluster", "codes"
+        ).write.parquet(f"{tmp}/ivfpq_res")
+        cache[sf_dir] = (tmp, books, centroids, res_books)
         return cache[sf_dir]
 
     def ann_pq_steady(spark, sf_dir):
@@ -172,7 +188,7 @@ def _overrides() -> dict:
             pq_topk,
         )
 
-        tmp, books, _ = _indexes(spark, sf_dir)
+        tmp, books, _, _ = _indexes(spark, sf_dir)
         e = load_table(spark, sf_dir, "embeddings")
         q = e.filter(F.col("vec_id") < 10)
         return pq_topk(
@@ -185,7 +201,7 @@ def _overrides() -> dict:
             ivfpq_topk,
         )
 
-        tmp, books, centroids = _indexes(spark, sf_dir)
+        tmp, books, centroids, _ = _indexes(spark, sf_dir)
         e = load_table(spark, sf_dir, "embeddings")
         q = e.filter(F.col("vec_id") < 10)
         return ivfpq_topk(
@@ -199,13 +215,28 @@ def _overrides() -> dict:
             incremental_embedding_dedup,
         )
 
-        tmp, _, _ = _indexes(spark, sf_dir)
+        tmp, _, _, _ = _indexes(spark, sf_dir)
         e = load_table(spark, sf_dir, "embeddings")
         new = e.filter(F.col("vec_id") % 3 == 0)
         corpus = e.filter(F.col("vec_id") % 3 != 0)
         return incremental_embedding_dedup(
             new, corpus, threshold=0.45,
             corpus_index=spark.read.parquet(f"{tmp}/emb_idx"),
+        )
+
+    def ann_ivfpq_residual_steady(spark, sf_dir):
+        from changedatacapture_reporting_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+
+        tmp, _, centroids, res_books = _indexes(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 10)
+        return ivfpq_topk(
+            e, q, k=10, n_centroids=16, nprobe=6, m=16, k_codes=32,
+            rerank_factor=3, residual=True,
+            index=(spark.read.parquet(f"{tmp}/ivfpq_res"),
+                   centroids, res_books),
         )
 
     lm_cache: dict = {}
@@ -240,6 +271,7 @@ def _overrides() -> dict:
         "ann_topk_lsh": ann_lsh_production,
         "ann_topk_pq_steady": ann_pq_steady,
         "ann_topk_ivfpq_steady": ann_ivfpq_steady,
+        "ann_topk_ivfpq_residual_steady": ann_ivfpq_residual_steady,
         "dedup_embedding_steady": dedup_embedding_steady,
         "corpus_lm_surprisal_steady": lm_steady,
     }
@@ -363,6 +395,7 @@ HEADLINE = [
     "corpus_lm_surprisal",
     "corpus_lm_surprisal_steady",
     "ann_topk_ivfpq_residual",
+    "ann_topk_ivfpq_residual_steady",
 ]
 
 # The headline total sums only these 17 — the list benched every round
