@@ -166,20 +166,15 @@ def _overrides() -> dict:
         )
         # residual (IVFADC) index: books trained on v − centroid[cluster]
         from changedatacapture_reporting_spark.operators.similarity import (
-            _residual_udf,
-            ivfpq_encode,
+            ivfpq_index,
         )
 
-        res = indexed.withColumn(
-            "_r", _residual_udf(centroids)(F.col("embedding"), F.col("cluster"))
+        res_codes, _, res_books = ivfpq_index(
+            e, n_centroids=16, m=16, k_codes=32, residual=True
         )
-        _, res_books = pq_index(
-            res.select("vec_id", F.col("_r").alias("embedding")),
-            m=16, k_codes=32,
+        res_codes.select("vec_id", "cluster", "codes").write.parquet(
+            f"{tmp}/ivfpq_res"
         )
-        ivfpq_encode(e, centroids, res_books, residual=True).select(
-            "vec_id", "cluster", "codes"
-        ).write.parquet(f"{tmp}/ivfpq_res")
         cache[sf_dir] = (tmp, books, centroids, res_books)
         return cache[sf_dir]
 

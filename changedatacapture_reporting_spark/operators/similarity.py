@@ -464,6 +464,43 @@ def pq_encode(
     return df.withColumn("codes", _pq_encode_udf(books)(F.col(vec_col)))
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    residual: bool = False,
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """Build the full IVF-PQ index triple ``(with_codes, centroids,
+    books)`` — exactly what :func:`ivfpq_topk`'s ``index=`` steady entry
+    point consumes after a parquet round trip of ``with_codes``
+    (columns: id, cluster, codes). One call per ingestion epoch; append
+    later batches with :func:`ivfpq_encode` against the same centroids
+    and books. ``residual=True`` trains the codebooks on
+    ``v − centroid[cluster]`` (IVFADC)."""
+    indexed, centroids = ivf_index(corpus, vec_col, id_col, n_centroids, iters)
+    if residual:
+        res = indexed.withColumn(
+            "_res", _residual_udf(centroids)(F.col(vec_col), F.col("cluster"))
+        )
+        _, books = pq_index(
+            res.select(F.col(id_col), F.col("_res").alias(vec_col)),
+            vec_col, id_col, m, k_codes, iters,
+        )
+        with_codes = res.withColumn(
+            "codes", _pq_encode_udf(books)(F.col("_res"))
+        ).drop("_res")
+    else:
+        _, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
+        with_codes = indexed.withColumn(
+            "codes", _pq_encode_udf(books)(F.col(vec_col))
+        )
+    return with_codes, centroids, books
+
+
 def ivfpq_encode(
     df: DataFrame,
     centroids: "np.ndarray",
@@ -667,32 +704,10 @@ def ivfpq_topk(
     if index is not None:
         with_codes, centroids, books = index
     else:
-        indexed, centroids = ivf_index(
-            corpus, vec_col, id_col, n_centroids, iters
+        with_codes, centroids, books = ivfpq_index(
+            corpus, vec_col, id_col, n_centroids, m, k_codes, iters,
+            residual,
         )
-        if residual:
-            res_udf = _residual_udf(centroids)
-            res_frame = indexed.withColumn(
-                "_res", res_udf(F.col(vec_col), F.col("cluster"))
-            )
-            _, books = pq_index(
-                res_frame.select(
-                    F.col(id_col), F.col("_res").alias(vec_col)
-                ),
-                vec_col,
-                id_col,
-                m,
-                k_codes,
-                iters,
-            )
-            with_codes = res_frame.withColumn(
-                "codes", _pq_encode_udf(books)(F.col("_res"))
-            ).drop("_res")
-        else:
-            _, books = pq_index(corpus, vec_col, id_col, m, k_codes, iters)
-            with_codes = indexed.withColumn(
-                "codes", _pq_encode_udf(books)(F.col(vec_col))
-            )
 
     q_rows = (
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col))

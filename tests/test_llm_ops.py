@@ -1291,11 +1291,9 @@ def test_ivfpq_encode_residual_steady_roundtrip(spark, embeddings, tmp_path):
     train-in-call residual=True (the raw-encoding twin of the r9 steady
     test)."""
     from changedatacapture_reporting_spark.operators.similarity import (
-        _residual_udf,
-        ivf_index,
         ivfpq_encode,
+        ivfpq_index,
         ivfpq_topk,
-        pq_index,
     )
 
     q = embeddings.filter(F.col("vec_id") < 10)
@@ -1304,13 +1302,8 @@ def test_ivfpq_encode_residual_steady_roundtrip(spark, embeddings, tmp_path):
 
     trained = ivfpq_topk(embeddings, q, residual=True, **kw)
 
-    indexed, centroids = ivf_index(embeddings)
-    res = indexed.withColumn(
-        "_r", _residual_udf(centroids)(F.col("embedding"), F.col("cluster"))
-    )
-    _, books = pq_index(
-        res.select("vec_id", F.col("_r").alias("embedding")),
-        m=16, k_codes=32,
+    _, centroids, books = ivfpq_index(
+        embeddings, n_centroids=16, m=16, k_codes=32, residual=True
     )
     ivfpq_encode(embeddings, centroids, books, residual=True).select(
         "vec_id", "cluster", "codes"
