@@ -109,6 +109,26 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver's permanent record keeps only the last ~2000 chars of
+    # output; the full line above leads with the headline value, so a tail
+    # capture preserves per-query timings but LOSES the headline (BENCH_r09
+    # and BENCH_r10 both recorded parsed:null). Re-emit a compact headline
+    # line LAST — guaranteed well under any tail window — so every capture
+    # contains the number the bench exists to prove.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": out["sf"],
+                "steal_pct": out["env"]["steal_pct_during_run"],
+                "n_queries_timed": len(timings),
+                "n_errors": len(errors),
+                "rc_hint": 0 if not errors else 1,
+            }
+        )
+    )
 
 
 def _overrides() -> dict:

@@ -2152,94 +2152,80 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
-# entries. r10 rotation (VERDICT r9 item 4): the window LEADS with the
-# 13 entries whose last driver check was round 6 — the stalest cohort
-# in the registry, displaced from the r9 window and re-proved locally
-# both rounds since (judge re-verified all 13 in r9 too). Note
-# customers_without_orders re-proves in its r10 HARDENED form
-# (anti-join vs urgent orders — fixture-guaranteed non-empty; the old
-# form was green-but-vacuous at 0 rows, VERDICT r9 item 8). Next: the
-# 1 NEW r10 entry (delta_optimize_roundtrip — OPTIMIZE bin-packing
-# compaction; every new entry ships with a slot) and the 4 entries
-# whose IMPLEMENTATION changed this round and must re-prove on the
-# driver (corpus_bpe_merges — the merge loop is now incremental
-# pair-delta, same committed golden table; delta_table_roundtrip +
-# cdc_from_delta_snapshots — the Delta writer gained schema-checked
-# appends, percent-encoded paths, checkpoint-folded versions and
-# optimistic concurrent commits; cdc_snapshot_diff —
-# snapshots_to_events' changed-fold now starts from lit(False) for
-# pk-only support). The remaining 32 slots take the r7-last-verified
-# cohort (47 entries, now the stalest) minus 15 displaced static
-# shapes whose code hasn't changed since they went green
-# (q1_pricing_summary, q3_top_unshipped, q18_large_volume_customers,
-# above_customer_avg_orders, customers_with_urgent_orders,
-# grouping_sets_revenue, nation_presence_setops,
-# pivot_status_by_priority, rollup_order_revenue,
-# running_total_per_customer, scalar_functions_showcase,
-# profile_orders, approx_distinct_stats, deterministic_sample,
-# embedding_centroids_by_label — q1/q3 additionally run in every
-# round's pinned-17 bench; text_fingerprints and
-# text_top_terms_per_lang displaced late-round to make room for the
-# two NEW r10 entries cdc_pk_change_events + corpus_lm_surprisal);
-# the 17 displaced lead the r11 window.
+# entries. r11 rotation (VERDICT r10 #2, derived by
+# tools/window_rotation.py from the CORRECTNESS_r*.json ledger): lead
+# with the FULL 21-entry cohort whose last driver check was round 7 —
+# after this round nothing in the 163-entry registry is staler than
+# r8. Then the 8 entries whose implementation changed in r11 (each
+# annotated inline below), then the next-stalest (r8) cohort fills the
+# remaining slots alphabetically.
 _CHECK_WINDOW: list[str] = [
-    # stalest cohort — last driver-checked r6 (leads per VERDICT r9 #4)
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_shipping_latency",
-    "q16_supplier_count_by_part",
-    "q20_excess_suppliers",
-    "order_priority_stats",
-    "part_price_ranks",
-    "percentile_spend",
-    "customers_without_orders",
-    "events_tumbling_5min",
-    "order_gaps",
-    # new in r10 — first driver round
-    "delta_optimize_roundtrip",
-    "delta_merge_upsert",
+    # the full r7-last-verified stale cohort (21 — VERDICT r10 #2: the
+    # driver record must show nothing staler than 3 rounds; all 21 were
+    # judge-re-proved locally in r10 and re-prove on the driver here)
+    "above_customer_avg_orders",
+    "ann_topk_ivf",
+    "approx_distinct_stats",
+    "cdc_watermark_bounds",
+    "corpus_pack_sequences",
+    "corpus_prepare",
+    "customers_with_urgent_orders",
+    "deterministic_sample",
+    "embedding_centroids_by_label",
+    "grouping_sets_revenue",
+    "nation_presence_setops",
+    "pivot_status_by_priority",
+    "profile_orders",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "rollup_order_revenue",
+    "running_total_per_customer",
+    "scalar_functions_showcase",
+    "text_fingerprints",
+    "text_top_terms_per_lang",
+    # implementation changed in r11 — must re-prove on the driver:
+    # fuse_pk_change_events joins on a struct value-image key (was
+    # separator-concat, VERDICT r10 #3); lm._clean_tokens zero-fills
+    # NULL text (ADVICE r10) — surprisal + the streaming gate share it;
+    # the Delta writer serializes decimal stats as canonical strings,
+    # parses boolean partition values explicitly (ADVICE r10) and
+    # commits through the pluggable logstore seam (VERDICT r10 #5) —
+    # every delta contract re-proves
     "cdc_pk_change_events",
     "corpus_lm_surprisal",
-    "ann_topk_ivfpq_residual",
     "streaming_quality_gate",
-    "delta_metadata_summary",
-    # implementation changed in r10 — re-prove on the driver
-    "corpus_bpe_merges",
     "delta_table_roundtrip",
+    "delta_optimize_roundtrip",
+    "delta_merge_upsert",
+    "delta_metadata_summary",
     "cdc_from_delta_snapshots",
-    "cdc_snapshot_diff",
-    # r7-last-verified cohort (the next-stalest), 28 of 47
-    # (ann_topk_ivf, corpus_prepare and corpus_pack_sequences also displaced late-round for the
-    # NEW r10 entries ann_topk_ivfpq_residual + streaming_quality_gate;
-    # they lead r11 with the other displaced shapes)
-    "ann_topk_lsh",
-    "ann_topk_pq",
-    "cdc_backfill_gap",
-    "cdc_changelog_compacted",
-    "cdc_changelog_join_path",
-    "cdc_freshness",
-    "cdc_query_window",
-    "cdc_scd2_history",
-    "cdc_scd2_incremental",
-    "cdc_schema_evolution",
-    "corpus_shard_stats",
-    "corpus_tfidf_terms",
-    "dedup_clusters",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_quantization",
-    "multimodal_blob_metadata",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "streaming_apply_state",
-    "streaming_current_state",
-    "text_langid",
-    "text_quality_scores",
-    "text_token_stats",
+    # next-stalest (r8-last-verified) cohort, alphabetical, 21 of 29 —
+    # cdc_reconstruct_series additionally re-proves the r11 batched-cuts
+    # parameter (VERDICT r10 #4); the 8 displaced r8 shapes
+    # (fuzzy_match_customers, json_props_stats, like_filter_parts,
+    # q10/q13/q14/q15/q17) lead the r12 window
+    "ann_topk_bruteforce",
+    "asof_signup_attribution",
+    "cdc_changelog_full",
+    "cdc_daily_series",
+    "cdc_drift_report",
+    "cdc_forget_keys",
+    "cdc_incremental_agg",
+    "cdc_incremental_resume",
+    "cdc_kafka_roundtrip",
+    "cdc_reconstruct_series",
+    "cdc_reconstruct_state",
+    "corpus_boilerplate_scores",
+    "corpus_pack_bfd",
+    "corpus_pps_sample",
+    "cube_lineitem_counts",
+    "dedup_embedding_neardup",
+    "dq_orders_expectations",
+    "embedding_random_projection",
+    "events_heavy_hitters",
+    "events_sessionization",
+    "events_value_histogram",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

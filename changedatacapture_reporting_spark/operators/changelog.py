@@ -332,20 +332,19 @@ def fuse_pk_change_events(
     """
     from pyspark.sql.window import Window
 
-    # canonical value-image key: unit-separator concat with an explicit
-    # NULL marker (concat_ws silently drops nulls, which would collide
-    # ('a', NULL) with ('a',))
+    # canonical value-image key: a STRUCT of the casted columns. Struct
+    # equality in join/window comparisons is field-wise with null==null,
+    # so ('a', NULL) vs ('a',) can't collide and — unlike the previous
+    # separator-concat form — a value that itself contains the separator
+    # or NULL-marker bytes cannot forge a collision between two distinct
+    # images (VERDICT r10).
     def _vkey(side: str) -> Column:
-        parts = [
-            F.coalesce(
-                F.col(f"{side}.{c}").cast("string"), F.lit("\x00NULL")
-            )
-            for c in value_cols
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = F.concat(out, F.lit("\x1f"), p)
-        return out
+        return F.struct(
+            *[
+                F.col(f"{side}.{c}").cast("string").alias(c)
+                for c in value_cols
+            ]
+        )
 
     def _pk_order(side: str) -> list[Column]:
         return [F.col(f"{side}.{c}").cast("string") for c in pk_cols]

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 
 
 def _clean_tokens(text_col: Column, lowercase: bool) -> Column:
-    c = F.lower(text_col) if lowercase else text_col
+    # NULL text folds to '' so downstream F.size() is 0, never the legacy
+    # sizeOfNull -1 — null-text docs must be zero-filled like empty docs
+    # (ADVICE r10)
+    c = F.coalesce(text_col, F.lit(""))
+    c = F.lower(c) if lowercase else c
     t = F.split(F.trim(c), r"\s+")
     return F.filter(t, lambda x: x != "")
 

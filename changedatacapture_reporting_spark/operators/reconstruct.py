@@ -180,25 +180,49 @@ def reconstruct_series(
     value_cols: list[str],
     cuts: list[int],
     order_cols: tuple[str, ...] = ("commit_time", "lsn", "seq"),
+    max_cuts_per_pass: int = 8,
 ) -> DataFrame:
-    """State of every live row at EACH of several LSN cuts, in ONE pass
-    over the changelog — the backtesting/"state at every month end"
-    series a consumer otherwise gets by running ``reconstruct_state``
-    per cut (C scans, C shuffles) or materializing every snapshot.
+    """State of every live row at EACH of several LSN cuts, in
+    ⌈C/K⌉ passes over the changelog — the backtesting/"state at every
+    month end" series a consumer otherwise gets by running
+    ``reconstruct_state`` per cut (C scans, C shuffles) or
+    materializing every snapshot.
 
     Same dataflow as :func:`reconstruct_state` evaluated at C boundaries
     via bounded conditional aggregates (the generalization
-    ``operators.diff.snapshot_diff`` applies at C=2): two hash
-    aggregations, ZERO joins, C× the aggregate-buffer width, one
+    ``operators.diff.snapshot_diff`` applies at C=2): per pass, two hash
+    aggregations, ZERO joins, K× the aggregate-buffer width, one
     explode; epoch correctness (delete → re-insert between cuts) holds
-    at every boundary independently. The changelog scan prunes to
-    ``lsn <= max(cuts)``. Output: ``cut`` + pk cols + value cols
-    (string-typed), one row per (cut, live row at that cut) —
-    output size is the series' own size, the irreducible cost.
+    at every boundary independently. Cuts are processed in batches of
+    ``max_cuts_per_pass`` (K) and the per-batch results unioned: an
+    unbounded C inflates whole-stage-codegen size superlinearly and a
+    fresh JVM pays 2-4× the query's own runtime in JIT (measured
+    NOTES_r10: 6.8-12.3 s cold vs 3.2-3.9 s warmed at C=12) — K=8
+    keeps each generated aggregate small while each batch still scans
+    the changelog once, pruned to lsn <= max(batch). Output: ``cut`` +
+    pk cols + value cols (string-typed), one row per (cut, live row at
+    that cut) — output size is the series' own size, the irreducible
+    cost.
     """
     if not cuts:
         raise ValueError("need at least one cut")
-    cut_list = sorted({int(c) for c in cuts})
+    if max_cuts_per_pass < 1:
+        raise ValueError("max_cuts_per_pass must be >= 1")
+    all_cuts = sorted({int(c) for c in cuts})
+    if len(all_cuts) > max_cuts_per_pass:
+        out = None
+        for i in range(0, len(all_cuts), max_cuts_per_pass):
+            part = reconstruct_series(
+                changelog,
+                pk_cols,
+                value_cols,
+                all_cuts[i : i + max_cuts_per_pass],
+                order_cols,
+                max_cuts_per_pass,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+    cut_list = all_cuts
     log = changelog.filter(F.col("lsn") <= F.lit(cut_list[-1]))
     avail = [c for c in order_cols if c in log.columns]
     ord_key = F.struct(*[F.col(c) for c in avail])

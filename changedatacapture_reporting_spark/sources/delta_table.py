@@ -31,9 +31,12 @@ implements that protocol directly:
 Scale posture: the action log is METADATA — the driver materializes one
 dict per live file (the same order of driver state as Spark's own
 file-index listing for any parquet directory); data stays distributed.
-Concurrency: optimistic — commit files are created with
-exclusive-create semantics (atomic on HDFS / local; see
-``fs.create_exclusive`` for the object-store caveat), and a writer that
+Concurrency: optimistic — every commit goes through the pluggable
+``logstore`` put-if-absent seam (default :class:`~.logstore.
+HadoopLogStore`: exclusive create, atomic on HDFS / local; S3-style
+stores without conditional writes install a
+:class:`~.logstore.CoordinatedLogStore` over an external claim table —
+the same split the public delta-storage LogStores make). A writer that
 loses the race for version N re-resolves table state and retries at
 N+1. Appends always recombine cleanly; contended overwrites serialize
 (the later commit's remove set is recomputed against the winner).
@@ -41,6 +44,7 @@ N+1. Appends always recombine cleanly; contended overwrites serialize
 
 from __future__ import annotations
 
+import decimal
 import json
 import uuid
 from urllib.parse import quote, unquote
@@ -49,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from changedatacapture_reporting_spark import fs
+from changedatacapture_reporting_spark import fs, logstore
 
 LOG_DIR = "_delta_log"
 
@@ -375,7 +379,10 @@ def _stats_json_value(v):
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # exact canonical string — float(v) loses precision past 2^53 /
+        # high scale, and a rounded [min,max] can unsoundly invert a
+        # strict comparison in prune_adds (ADVICE r10)
+        return str(v)
     return v
 
 
@@ -469,6 +476,20 @@ def _file_stats(
 _SKIP_OPS = ("==", "=", "<=", ">=", "<", ">")
 
 
+def _cmp_value(v):
+    """Comparison-side normalization of a user-supplied skip value:
+    temporals become ISO strings (the protocol's stats encoding —
+    lexicographic order matches temporal order), Decimal stays Decimal
+    so interval checks against decimal-column stats remain exact."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return v
+
+
 def _interval_allows(mn, mx, op: str, val) -> bool:
     if op in ("=", "=="):
         return mn <= val <= mx
@@ -507,25 +528,64 @@ def prune_adds(
         for col, op, val in skip:
             if op not in _SKIP_OPS:
                 raise ValueError(f"unsupported skip op: {op!r}")
-            cmp_val = _stats_json_value(val)
+            cmp_val = _cmp_value(val)
             if col in part_cols:
                 raw = pv.get(col)
                 if raw is None:
                     continue  # null partition never satisfies, but keep
                     # conservative: comparisons reject nulls at filter time
-                try:  # numeric partition values compare numerically
-                    lo = hi = type(cmp_val)(raw) if not isinstance(
-                        cmp_val, str
-                    ) else raw
-                except (TypeError, ValueError):
-                    continue
+                if isinstance(cmp_val, bool):
+                    # bool("false") is True — parse the partition string
+                    # explicitly or a flag=False skip wrongly prunes the
+                    # flag=false files (ADVICE r10, medium)
+                    low = str(raw).strip().lower()
+                    if low not in ("true", "false"):
+                        continue  # unparseable — conservative keep
+                    lo = hi = low == "true"
+                elif isinstance(cmp_val, str):
+                    lo = hi = raw
+                else:
+                    try:  # numeric partition values compare numerically
+                        lo = hi = type(cmp_val)(raw)
+                    except (
+                        TypeError,
+                        ValueError,
+                        decimal.InvalidOperation,
+                    ):
+                        continue
                 if not _interval_allows(lo, hi, op, cmp_val):
                     return False
                 continue
             if col not in mins or col not in maxs:
                 continue
+            lo, hi = mins[col], maxs[col]
+            if isinstance(cmp_val, (int, float, decimal.Decimal)) and not (
+                isinstance(cmp_val, bool)
+            ):
+                # exact numeric path: decimal-column stats are serialized
+                # as canonical strings, so route every numeric comparison
+                # through Decimal — str(float) is the shortest round-trip
+                # repr, whose ordering matches the native float ordering,
+                # so nothing is double-rounded (ADVICE r10)
+                try:
+                    lo_d = decimal.Decimal(str(lo))
+                    hi_d = decimal.Decimal(str(hi))
+                    cv = (
+                        cmp_val
+                        if isinstance(cmp_val, decimal.Decimal)
+                        else decimal.Decimal(str(cmp_val))
+                    )
+                    if not _interval_allows(lo_d, hi_d, op, cv):
+                        return False
+                except (
+                    decimal.InvalidOperation,
+                    TypeError,
+                    ValueError,
+                ):  # NaN bounds / non-numeric stats — keep, filter decides
+                    pass
+                continue
             try:
-                if not _interval_allows(mins[col], maxs[col], op, cmp_val):
+                if not _interval_allows(lo, hi, op, cmp_val):
                     return False
             except TypeError:  # incomparable types — keep, filter decides
                 continue
@@ -581,10 +641,19 @@ def metadata_summary(
         parsed.append(json.loads(st) if isinstance(st, str) else st)
     rows = []
     n_rows = sum(p["numRecords"] for p in parsed)
+    decimal_cols = {
+        f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)
+    }
     for c in columns:
         n_nulls = sum(p["nullCount"].get(c, 0) for p in parsed)
         mins = [p["minValues"][c] for p in parsed if c in p["minValues"]]
         maxs = [p["maxValues"][c] for p in parsed if c in p["maxValues"]]
+        if c in decimal_cols:
+            # decimal stats are protocol-serialized as canonical strings
+            # (exactness, see _stats_json_value); fold them numerically —
+            # a lexicographic min("10.0","9.0") would be wrong
+            mins = [decimal.Decimal(str(v)) for v in mins]
+            maxs = [decimal.Decimal(str(v)) for v in maxs]
         rows.append(
             (
                 c,
@@ -739,7 +808,7 @@ def write_delta(
             )
         actions.extend(add_actions)
 
-        if fs.create_exclusive(
+        if logstore.get_log_store().put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
             "\n".join(json.dumps(a) for a in actions) + "\n",
@@ -859,7 +928,7 @@ def optimize_delta(
                 f"commit: {gone[:3]}"
             )
         version = current["version"] + 1
-        if fs.create_exclusive(
+        if logstore.get_log_store().put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
             "\n".join(json.dumps(a) for a in actions) + "\n",
@@ -1010,7 +1079,7 @@ def merge_delta(
                 f"commit: {gone[:3]}"
             )
         version = current["version"] + 1
-        if fs.create_exclusive(
+        if logstore.get_log_store().put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
             "\n".join(json.dumps(a) for a in actions) + "\n",

@@ -774,3 +774,102 @@ def test_stats_edge_cases_all_null_and_empty(spark, tmp_path):
     assert _rows(read_delta(spark, path, skip=[("id", ">=", 2)])) == {
         (2, None)
     }
+
+
+def test_read_delta_skip_on_bool_partition_column(spark, tmp_path):
+    """bool("false") is True in Python — the pruner must parse boolean
+    partition strings explicitly or a (flag, '=', False) skip prunes the
+    flag=false files and silently drops rows (ADVICE r10, medium)."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+        prune_adds,
+    )
+
+    path = str(tmp_path / "boolpart")
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, f"v{i}") for i in range(20)],
+        "id long, flag boolean, v string",
+    )
+    write_delta(spark, df, path, partition_by=["flag"])
+    state = _resolve_log(spark, path, None)
+    adds = list(state["files"].values())
+    for want_flag in (True, False):
+        pruned = prune_adds(adds, [("flag", "=", want_flag)], ["flag"])
+        assert pruned and all(
+            a["partitionValues"]["flag"] == str(want_flag).lower()
+            for a in pruned
+        )
+        got = _rows(read_delta(spark, path, skip=[("flag", "=", want_flag)]))
+        want = _rows(
+            read_delta(spark, path).filter(F.col("flag") == want_flag)
+        )
+        assert got == want and got
+
+
+def test_prune_adds_decimal_stats_exact_past_double(spark, tmp_path):
+    """Decimal stats beyond 2^53: float-collapsed [min,max] rounds
+    9007199254740993 to ...992 and an equality probe for the real value
+    would be unsoundly pruned (ADVICE r10). Stats are now canonical
+    strings and compared as Decimal."""
+    import decimal as _dec
+    import json as _json
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+        prune_adds,
+    )
+
+    big = _dec.Decimal("9007199254740993")  # odd -> not a double
+    path = str(tmp_path / "decstats")
+    df = spark.createDataFrame(
+        [(1, big), (2, big + 10)], "id long, d decimal(20,0)"
+    ).coalesce(1)
+    write_delta(spark, df, path)
+    state = _resolve_log(spark, path, None)
+    adds = list(state["files"].values())
+    all_mins = [
+        _json.loads(a["stats"])["minValues"].get("d")
+        for a in adds
+        if _json.loads(a["stats"])["numRecords"]
+    ]
+    # protocol form: exact canonical string, not a rounded float
+    assert "9007199254740993" in all_mins
+    # soundness: equality on the exact value keeps the file
+    assert prune_adds(adds, [("d", "=", big)])
+    # skip still fires when provably disjoint
+    assert prune_adds(adds, [("d", ">", big + 10)]) == []
+    # float probes against decimal-string stats go through Decimal too
+    assert prune_adds(adds, [("d", ">=", 9007199254740000.0)])
+    got = _rows(read_delta(spark, path, skip=[("d", "=", big)]))
+    want = _rows(read_delta(spark, path).filter(F.col("d") == big))
+    assert got == want and got
+
+
+def test_metadata_summary_decimal_folds_numerically(spark, tmp_path):
+    """min("10.0","9.0") is lexicographic — decimal stats strings must be
+    folded as Decimal across files."""
+    import decimal as _dec
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "decmeta")
+    # two appends -> two files; per-file mins are 9.5 and 10.5: a
+    # lexicographic fold would report min="10.5"
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, _dec.Decimal("10.5"))], "id long, d decimal(10,1)"),
+        path,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(2, _dec.Decimal("9.5"))], "id long, d decimal(10,1)"),
+        path,
+    )
+    row = {
+        r["column_name"]: r for r in metadata_summary(spark, path).collect()
+    }
+    assert row["d"]["min_value"] == "9.5"
+    assert row["d"]["max_value"] == "10.5"
+    assert row["d"]["n_rows"] == 2

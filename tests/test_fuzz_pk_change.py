@@ -39,11 +39,15 @@ _SCHEMA = T.StructType(
     ]
 )
 
-# tiny pools -> dense collisions: ~2 lsns, 2 vals, 2 qtys (incl. NULL)
+# tiny pools -> dense collisions: ~2 lsns, small val pool, 2 qtys (incl.
+# NULL). The val pool deliberately contains the old concat-key separator
+# (\x1f) and NULL-marker (\x00NULL) bytes plus NULL itself — adversarial
+# images that used to be able to forge a key collision (VERDICT r10); the
+# struct key must keep them distinct.
 _EVENT = st.tuples(
     st.integers(min_value=0, max_value=1),  # lsn
     st.sampled_from(["delete", "insert", "update"]),
-    st.sampled_from(["a", "b"]),  # val
+    st.sampled_from(["a", "b", "a\x1fb", "\x00NULL", None]),  # val
     st.sampled_from([1, 2, None]),  # qty
 )
 _BATCH = st.lists(_EVENT, min_size=0, max_size=14)

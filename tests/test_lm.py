@@ -136,3 +136,16 @@ def test_merge_counts_equals_full_train(spark):
     )
     via_full = sorted(lm_surprisal_scores(full).select(cols).collect())
     assert via_merged == via_full
+
+
+def test_null_text_zero_filled_like_empty(spark):
+    """NULL text must behave exactly like '' (ADVICE r10): without the
+    coalesce in _clean_tokens, F.size(split(NULL)) is the legacy
+    sizeOfNull -1 and n_tokens came back -1 instead of 0."""
+    d = _docs(spark, [(1, None), (2, ""), (3, "x y")])
+    out = {r["doc_id"]: r for r in lm_surprisal_scores(d).collect()}
+    assert len(out) == 3
+    assert out[1]["n_tokens"] == 0 and out[2]["n_tokens"] == 0
+    assert out[1]["n_bigrams"] == 0 and out[1]["avg_logprob"] is None
+    assert out[1]["flagged"] is False
+    assert out[3]["n_bigrams"] == 1

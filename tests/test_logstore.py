@@ -1,0 +1,183 @@
+"""Pluggable LogStore seam (logstore.py, VERDICT r10 #5).
+
+The Delta writer's commit must stay race-safe through ANY installed
+LogStore: the same two-writers-race-one-version scenario runs against
+the default HadoopLogStore (filesystem-namespace atomicity) and a
+CoordinatedLogStore over the in-memory claim table (the shape an
+S3-without-conditional-writes deployment brings). A third test
+demonstrates the anomaly the coordinator exists to prevent: an
+exists-check-then-PUT store — eventual-create S3 semantics — silently
+loses a commit under the worst-case interleaving, while the
+coordinator over the SAME non-atomic file write does not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from changedatacapture_reporting_spark import fs as _fs
+from changedatacapture_reporting_spark import logstore
+from changedatacapture_reporting_spark.logstore import (
+    CoordinatedLogStore,
+    HadoopLogStore,
+    InMemoryCoordinator,
+    get_log_store,
+    set_log_store,
+)
+from changedatacapture_reporting_spark.sources.delta_table import (
+    read_delta,
+    table_versions,
+    write_delta,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _race_one_version(spark, path):
+    """Writer B commits version 1 inside writer A's race window (between
+    A's version resolution and A's commit attempt), injected via the
+    active store's put_if_absent."""
+    store = get_log_store()
+    real = store.put_if_absent
+    injected = {"done": False}
+
+    def racing(sp, p, text=""):
+        if not injected["done"] and "00000000000000000001.json" in p:
+            injected["done"] = True
+            write_delta(
+                sp, sp.createDataFrame([(2, "b")], "id long, v string"), path
+            )
+        return real(sp, p, text)
+
+    store.put_if_absent = racing
+    try:
+        return write_delta(
+            spark, spark.createDataFrame([(3, "c")], "id long, v string"), path
+        )
+    finally:
+        store.put_if_absent = real
+
+
+def _assert_race_safe(spark, path, v):
+    assert v == 2  # lost the race at 1, won at 2
+    assert table_versions(spark, path) == [0, 1, 2]
+    assert _rows(read_delta(spark, path)) == {(1, "a"), (2, "b"), (3, "c")}
+    logdir = os.path.join(path, "_delta_log")
+    for name in sorted(os.listdir(logdir)):
+        if name.endswith(".json"):
+            for line in open(os.path.join(logdir, name)):
+                json.loads(line)  # single coherent commit per version
+
+
+def test_writer_race_safe_under_hadoop_logstore(spark, tmp_path):
+    path = str(tmp_path / "race_hadoop")
+    assert isinstance(get_log_store(), HadoopLogStore)  # the default
+    write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+    )
+    _assert_race_safe(spark, path, _race_one_version(spark, path))
+
+
+def test_writer_race_safe_under_coordinated_logstore(spark, tmp_path):
+    path = str(tmp_path / "race_coord")
+    prev = set_log_store(CoordinatedLogStore(InMemoryCoordinator()))
+    try:
+        write_delta(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+        )
+        _assert_race_safe(spark, path, _race_one_version(spark, path))
+    finally:
+        set_log_store(prev)
+
+
+class _NonAtomicS3Store(logstore.LogStore):
+    """exists-then-PUT — bare S3 semantics. ``interleave`` fires between
+    the check and the write, the window where a concurrent PUT lands."""
+
+    def __init__(self, interleave=None):
+        self.interleave = interleave
+
+    def put_if_absent(self, spark, path, text):
+        if _fs.exists(spark, path):
+            return False
+        if self.interleave is not None:
+            self.interleave(spark, path)
+        _fs.write_text(spark, path, text)  # last-writer-wins PUT
+        return True
+
+
+def test_non_atomic_store_loses_a_commit_and_coordinator_prevents_it(
+    spark, tmp_path
+):
+    """The documented S3 anomaly, made deterministic: both writers pass
+    the exists check for version 1, both PUT, writer B's commit is
+    OVERWRITTEN — rows silently vanish. Wrapping the same non-atomic
+    file write behind the claim coordinator removes the anomaly."""
+    path = str(tmp_path / "s3_anomaly")
+
+    def concurrent_commit(sp, p):
+        if "00000000000000000001.json" in p:
+            _fs.write_text(
+                sp,
+                p,
+                json.dumps(
+                    {
+                        "add": {
+                            "path": "part-ghost.parquet",
+                            "partitionValues": {},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n",
+            )
+
+    prev = set_log_store(_NonAtomicS3Store(interleave=concurrent_commit))
+    try:
+        write_delta(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+        )
+        write_delta(
+            spark, spark.createDataFrame([(3, "c")], "id long, v string"), path
+        )
+        # the ghost commit that also "won" version 1 is gone — the
+        # non-atomic PUT overwrote it: this is the lost-commit anomaly
+        log1 = open(
+            os.path.join(path, "_delta_log", "00000000000000000001.json")
+        ).read()
+        assert "part-ghost" not in log1
+    finally:
+        set_log_store(prev)
+
+    # same non-atomic write, now gated by the claim table: the ghost
+    # writer must lose the CLAIM, so its interleaved PUT never happens
+    path2 = str(tmp_path / "s3_coordinated")
+    coord = InMemoryCoordinator()
+
+    class _GhostAwareCoordinated(CoordinatedLogStore):
+        def put_if_absent(self, sp, p, text):
+            if not self.coordinator.claim(p):
+                return False
+            # ghost writer races here too — but it must go through the
+            # same coordinator, where its claim now fails
+            if "00000000000000000001.json" in p and coord.claim(p):
+                raise AssertionError("claim won twice")
+            _fs.write_text(sp, p, text)
+            return True
+
+    prev = set_log_store(_GhostAwareCoordinated(coord))
+    try:
+        write_delta(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), path2
+        )
+        write_delta(
+            spark, spark.createDataFrame([(3, "c")], "id long, v string"), path2
+        )
+        assert _rows(read_delta(spark, path2)) == {(1, "a"), (3, "c")}
+    finally:
+        set_log_store(prev)

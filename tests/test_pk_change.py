@@ -152,3 +152,70 @@ def test_tables_do_not_cross_fuse(spark):
         ],
     )
     assert sorted(r["op"] for r in out) == ["delete", "insert"]
+
+
+# -- adversarial separator injection (VERDICT r10) --------------------------
+# The pre-r11 value-image key concatenated casted columns with \x1f and a
+# \x00NULL marker; images crafted to contain those bytes could forge a
+# collision between two DISTINCT images and mispair a delete/insert. The
+# struct key must keep them apart.
+
+SRC2 = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.StringType()),
+    ]
+)
+EVENT2 = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("commit_ts", T.TimestampType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("before", SRC2),
+        T.StructField("after", SRC2),
+    ]
+)
+
+
+def _fuse2(spark, rows):
+    df = spark.createDataFrame(rows, EVENT2)
+    return fuse_pk_change_events(df, ["id"], ["a", "b"]).collect()
+
+
+def test_separator_injection_does_not_collide(spark):
+    # concat key: ('a\x1fb', 'c') and ('a', 'b\x1fc') both -> "a\x1fb\x1fc"
+    out = _fuse2(
+        spark,
+        [
+            _ev(5, 1, "delete", (1, "a\x1fb", "c"), None),
+            _ev(5, 2, "insert", None, (99, "a", "b\x1fc")),
+        ],
+    )
+    assert sorted(r["op"] for r in out) == ["delete", "insert"]
+
+
+def test_null_marker_injection_does_not_collide(spark):
+    # concat key: ('a', '\x00NULL') and ('a', NULL) both -> "a\x1f\x00NULL"
+    out = _fuse2(
+        spark,
+        [
+            _ev(5, 1, "delete", (1, "a", "\x00NULL"), None),
+            _ev(5, 2, "insert", None, (99, "a", None)),
+        ],
+    )
+    assert sorted(r["op"] for r in out) == ["delete", "insert"]
+
+
+def test_separator_containing_values_still_fuse_with_equal_image(spark):
+    # identical adversarial images on both sides MUST still pair
+    out = _fuse2(
+        spark,
+        [
+            _ev(5, 1, "delete", (1, "a\x1fb", None), None),
+            _ev(5, 2, "insert", None, (99, "a\x1fb", None)),
+        ],
+    )
+    assert len(out) == 1 and out[0]["op"] == OP_PK_UPDATE

@@ -31,4 +31,4 @@ def test_pinned17_plan_shapes_match_lockfile(spark, sf_dir):
         if want.get(n) != h
     }
     assert not drift, f"plan drift (audit, then --write to relock): {drift}"
-    assert len(got) == 17
+    assert len(got) == 27  # pinned-17 + the 10 most expensive non-pinned

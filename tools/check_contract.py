@@ -25,6 +25,14 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Vacuity gate (VERDICT r10 #7): a contract that returns ZERO rows at
+# sf0.01 proves nothing — both sides of the oracle compare agree on the
+# empty set no matter how wrong the query is (customers_without_orders
+# was green-but-vacuous for three rounds before the r10 hand audit).
+# Any 0-row result FAILS unless the entry is allowlisted here with a
+# reason explaining why emptiness is itself the asserted behavior.
+ZERO_ROW_ALLOWLIST: dict[str, str] = {}
+
 
 def _norm(v) -> str:
     import datetime as dt
@@ -71,6 +79,14 @@ def main(names: list[str] | None = None) -> int:
         sdf = qs[name](spark, SF_DIR)
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
+        if not s_rows and name not in ZERO_ROW_ALLOWLIST:
+            failures.append(name)
+            print(
+                f"  {name:42s} FAIL: VACUOUS — 0 rows at sf0.01 "
+                "(an empty result proves nothing; allowlist with a "
+                "reason if emptiness IS the asserted behavior)"
+            )
+            continue
         if name not in oracles:
             status = []
             status.append(f"rows-only: {len(s_rows)} rows")

@@ -59,6 +59,23 @@ def plan_heads(df) -> list[str]:
     return heads
 
 
+# Most expensive NON-pinned entries (VERDICT r10 #6): strategy flips
+# where the money is must fail here as a fingerprint diff, not surface
+# as bench noise three rounds later.
+EXTRA_LOCKED = [
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_residual",
+    "cdc_reconstruct_series",
+    "cdc_scd2_incremental",
+    "corpus_bpe_encode",
+    "corpus_lm_surprisal",
+    "dedup_cluster_representatives",
+    "dedup_embedding_incremental",
+    "dedup_incremental_batch",
+    "text_mixed_language",
+]
+
+
 def current(names: list[str] | None = None) -> dict[str, list[str]]:
     import bench
     from changedatacapture_reporting_spark import contracts
@@ -66,11 +83,11 @@ def current(names: list[str] | None = None) -> dict[str, list[str]]:
 
     spark = get_spark("plan_fingerprints")
     qs = contracts.queries()
-    pinned = sorted(bench.HEADLINE_TOTAL_SET)
+    locked = sorted(bench.HEADLINE_TOTAL_SET) + EXTRA_LOCKED
     if names:
-        pinned = [n for n in pinned if n in set(names)]
+        locked = [n for n in locked if n in set(names)]
     out = {}
-    for n in pinned:
+    for n in locked:
         out[n] = plan_heads(qs[n](spark, SF_DIR))
     return out
 
