@@ -64,42 +64,82 @@ class HadoopLogStore(LogStore):
 class CoordinatedLogStore(LogStore):
     """put-if-absent for stores whose file create is NOT atomic.
 
-    The atomicity is borrowed from ``coordinator.claim(key)`` — any
-    backend offering an atomic put-if-absent on a small record (a
-    DynamoDB conditional put, a SQL unique-key insert, ZooKeeper).
-    Protocol per commit attempt:
+    The atomicity is borrowed from ``coordinator.claim(key, payload)`` —
+    any backend offering an atomic put-if-absent on a small record (a
+    DynamoDB conditional put, a SQL unique-key insert, ZooKeeper). The
+    full protocol per commit attempt (the public external-LogStore
+    design: stage a durable temp copy BEFORE claiming, so a crashed
+    winner is recoverable by anyone):
 
-    1. ``claim(path)`` — atomic. Loser returns False immediately:
-       someone else owns this version, retry at the next one.
-    2. Winner (and ONLY the winner) writes the log file with a plain
-       overwrite-tolerant write. No concurrent writer exists for this
-       path, so the non-atomic PUT is safe.
+    1. Write the commit content to a unique TEMP object next to the log
+       (``_delta_log/.tmp/<uuid>``). Non-atomic PUT is fine — the name
+       is unique, nobody races for it.
+    2. ``claim(path, temp_rel)`` — atomic, records where the content
+       lives. Loser: run :meth:`ensure_complete` on the existing claim
+       (finishing a dead winner's publish if needed — otherwise the
+       table would be wedged at a claimed-but-missing version forever),
+       then return False so the writer retries at the next version.
+    3. Winner copies temp → final (sole writer for this path; the
+       non-atomic PUT is safe) and marks the claim complete.
 
-    Crash caveat (same as the public external-LogStore designs): a
-    winner that dies between 1 and 2 leaves a claimed-but-missing
-    version; recovery is coordinator-side (claim records carry owner +
-    expiry and a recovering writer re-completes or releases them).
-    The in-repo test double models the happy path and the race; expiry
-    needs a real clock and belongs to the backend.
+    A winner that dies between 2 and 3 leaves (claim, temp) behind;
+    the NEXT writer to lose a claim race on that path — or any reader
+    calling :meth:`ensure_complete` — re-publishes from the temp copy.
+    Completed claims' temp objects are droppable garbage (backend TTL).
     """
 
     def __init__(self, coordinator: "Coordinator"):
         self.coordinator = coordinator
 
+    @staticmethod
+    def _temp_path(path: str) -> str:
+        import uuid
+
+        base, name = path.rsplit("/", 1)
+        return f"{base}/.tmp/{name}.{uuid.uuid4().hex}"
+
+    def ensure_complete(self, spark: SparkSession, path: str) -> None:
+        """Finish a dead claim winner's publish: if ``path`` is claimed
+        but not marked complete, copy the claim's temp object to the
+        final path and mark it. Idempotent — re-copying the same bytes
+        over a published file is harmless; marking twice is harmless."""
+        rec = self.coordinator.get(path)
+        if rec is None or rec.get("complete"):
+            return
+        temp = rec["temp"]
+        if not fs.exists(spark, path):
+            fs.write_text(spark, path, fs.read_text(spark, temp))
+        self.coordinator.mark_complete(path)
+
     def put_if_absent(
         self, spark: SparkSession, path: str, text: str
     ) -> bool:
-        if not self.coordinator.claim(path):
+        temp = self._temp_path(path)
+        fs.write_text(spark, temp, text)
+        if not self.coordinator.claim(path, temp):
+            # loser: before retrying at the next version, make sure the
+            # version that beat us is actually readable (its writer may
+            # have died pre-publish)
+            self.ensure_complete(spark, path)
             return False
         fs.write_text(spark, path, text)
+        self.coordinator.mark_complete(path)
         return True
 
 
 class Coordinator:
-    """Atomic claim table: ``claim(key)`` returns True exactly once per
-    key across all concurrent callers."""
+    """Atomic claim table. ``claim(key, payload)`` returns True exactly
+    once per key across all concurrent callers and durably records the
+    payload (the temp object location); ``get``/``mark_complete`` read
+    and finalize the record."""
 
-    def claim(self, key: str) -> bool:
+    def claim(self, key: str, temp: str) -> bool:
+        raise NotImplementedError
+
+    def get(self, key: str) -> dict | None:
+        raise NotImplementedError
+
+    def mark_complete(self, key: str) -> None:
         raise NotImplementedError
 
 
@@ -108,15 +148,25 @@ class InMemoryCoordinator(Coordinator):
     correct for tests and single-process multi-threaded writers."""
 
     def __init__(self) -> None:
-        self._claimed: set[str] = set()
+        self._claims: dict[str, dict] = {}
         self._lock = threading.Lock()
 
-    def claim(self, key: str) -> bool:
+    def claim(self, key: str, temp: str) -> bool:
         with self._lock:
-            if key in self._claimed:
+            if key in self._claims:
                 return False
-            self._claimed.add(key)
+            self._claims[key] = {"temp": temp, "complete": False}
             return True
+
+    def get(self, key: str) -> dict | None:
+        with self._lock:
+            rec = self._claims.get(key)
+            return dict(rec) if rec else None
+
+    def mark_complete(self, key: str) -> None:
+        with self._lock:
+            if key in self._claims:
+                self._claims[key]["complete"] = True
 
 
 _active: LogStore = HadoopLogStore()

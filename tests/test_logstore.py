@@ -154,30 +154,82 @@ def test_non_atomic_store_loses_a_commit_and_coordinator_prevents_it(
     finally:
         set_log_store(prev)
 
-    # same non-atomic write, now gated by the claim table: the ghost
-    # writer must lose the CLAIM, so its interleaved PUT never happens
+    # same non-atomic file write, now gated by the claim table: a ghost
+    # writer racing the same version must lose the CLAIM (atomic), so
+    # its PUT never happens — no overwrite is possible by construction
     path2 = str(tmp_path / "s3_coordinated")
     coord = InMemoryCoordinator()
-
-    class _GhostAwareCoordinated(CoordinatedLogStore):
-        def put_if_absent(self, sp, p, text):
-            if not self.coordinator.claim(p):
-                return False
-            # ghost writer races here too — but it must go through the
-            # same coordinator, where its claim now fails
-            if "00000000000000000001.json" in p and coord.claim(p):
-                raise AssertionError("claim won twice")
-            _fs.write_text(sp, p, text)
-            return True
-
-    prev = set_log_store(_GhostAwareCoordinated(coord))
+    prev = set_log_store(CoordinatedLogStore(coord))
     try:
         write_delta(
             spark, spark.createDataFrame([(1, "a")], "id long, v string"), path2
         )
-        write_delta(
+        # ghost races for version 1 and claims first — the real writer
+        # must observe the lost claim and land at version 2
+        ghost_key = os.path.join(
+            path2, "_delta_log", "00000000000000000001.json"
+        )
+        _fs.write_text(spark, ghost_key + ".ghosttmp", "")
+        assert coord.claim(ghost_key, ghost_key + ".ghosttmp")
+        _fs.write_text(spark, ghost_key, json.dumps({"add": None}) + "\n")
+        coord.mark_complete(ghost_key)
+        v = write_delta(
             spark, spark.createDataFrame([(3, "c")], "id long, v string"), path2
         )
+        assert v == 2
         assert _rows(read_delta(spark, path2)) == {(1, "a"), (3, "c")}
+    finally:
+        set_log_store(prev)
+
+
+def test_coordinated_store_recovers_dead_winners_publish(spark, tmp_path):
+    """The external-LogStore crash case: a writer CLAIMS version N, then
+    dies before publishing the log file. Without recovery the table is
+    wedged — every later writer loses the claim for N forever and N
+    never becomes readable. The loser's ensure_complete must re-publish
+    N from the dead winner's temp object so the table heals and the
+    loser lands at N+1."""
+    path = str(tmp_path / "crash_recover")
+    coord = InMemoryCoordinator()
+    store = CoordinatedLogStore(coord)
+    prev = set_log_store(store)
+    try:
+        write_delta(
+            spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+        )
+        # simulate a winner that dies between claim and publish: stage
+        # the temp + claim exactly as put_if_absent does, then vanish
+        key = os.path.join(path, "_delta_log", "00000000000000000001.json")
+        dead_commit = (
+            json.dumps(
+                {
+                    "add": {
+                        "path": "part-dead.parquet",
+                        "partitionValues": {},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+        temp = store._temp_path(key)
+        _fs.write_text(spark, temp, dead_commit)
+        assert coord.claim(key, temp)
+        assert not _fs.exists(spark, key)  # died pre-publish
+
+        # next writer: loses the claim race at 1, HEALS it from the
+        # temp copy, retries and lands at 2
+        v = write_delta(
+            spark, spark.createDataFrame([(3, "c")], "id long, v string"), path
+        )
+        assert v == 2
+        assert _fs.exists(spark, key)
+        assert _fs.read_text(spark, key) == dead_commit
+        assert coord.get(key)["complete"]
+        # version 1 (the recovered dead commit) is part of history;
+        # its ghost data file doesn't exist, so only assert log shape
+        assert table_versions(spark, path) == [0, 1, 2]
     finally:
         set_log_store(prev)

@@ -88,6 +88,12 @@ def current(names: list[str] | None = None) -> dict[str, list[str]]:
         locked = [n for n in locked if n in set(names)]
     out = {}
     for n in locked:
+        # cached/persisted frames (dedup band indexes etc.) left by a
+        # previous entry — or by earlier tests sharing the session —
+        # get substituted into matching plan subtrees as
+        # InMemoryRelation, making the fingerprint depend on session
+        # history; capture every plan from a clean cache slate
+        spark.catalog.clearCache()
         out[n] = plan_heads(qs[n](spark, SF_DIR))
     return out
 
