@@ -130,6 +130,18 @@ def main() -> None:
         rows = metadata_summary(spark, path).collect()
         t_meta = time.perf_counter() - t0
 
+        from changedatacapture_reporting_spark.sources.delta_table import (
+            write_checkpoint,
+        )
+
+        t0 = time.perf_counter()
+        cp_version = write_checkpoint(spark, path)
+        t_cp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state2 = _resolve_log(spark, path, None)
+        t_resolve_cp = time.perf_counter() - t0
+        assert len(state2["files"]) == len(adds)
+
         print(
             json.dumps(
                 {
@@ -140,6 +152,9 @@ def main() -> None:
                     "pruned_to": len(kept),
                     "metadata_summary_s": round(t_meta, 3),
                     "summary_rows": len(rows),
+                    "write_checkpoint_s": round(t_cp, 3),
+                    "cp_version": cp_version,
+                    "resolve_after_checkpoint_s": round(t_resolve_cp, 3),
                 }
             )
         )
