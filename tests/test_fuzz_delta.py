@@ -217,3 +217,144 @@ def test_prune_adds_never_drops_a_matching_file(files, preds):
         if has_match:
             # soundness: a file containing a matching row is NEVER pruned
             assert f"f{i}" in kept, (rows, preds)
+
+
+# decimal-stats variant (r11): stats serialized as canonical strings
+# (protocol form), probes arrive as Decimal OR float — the pruner's
+# Decimal comparison path must stay sound around the 2^53 boundary
+# where float collapse used to invert strict comparisons.
+
+_BIG = 9007199254740992  # 2^53
+_DEC_UNITS = st.integers(min_value=-4, max_value=8)
+
+
+def _dec_of(u):
+    import decimal as _d
+
+    # cluster values tightly around 2^53 so off-by-one-ULP bugs surface
+    return _d.Decimal(_BIG) + _d.Decimal(u) / 2
+
+
+_DEC_FILE = st.lists(_DEC_UNITS, min_size=0, max_size=5)
+_DEC_PRED = st.tuples(
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    _DEC_UNITS,
+    st.booleans(),  # probe as Decimal (True) or float (False)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(_DEC_FILE, min_size=1, max_size=4),
+    st.lists(_DEC_PRED, min_size=1, max_size=2),
+)
+def test_prune_adds_decimal_stats_sound_past_double(files, preds):
+    import json as _json
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        prune_adds,
+    )
+
+    def _match(v, op, x):
+        import decimal as _d
+
+        x = x if isinstance(x, _d.Decimal) else _d.Decimal(str(x))
+        return {
+            "=": v == x, "<": v < x, "<=": v <= x, ">": v > x, ">=": v >= x,
+        }[op]
+
+    adds = []
+    vals_by_file = []
+    for i, units in enumerate(files):
+        vals = [_dec_of(u) for u in units]
+        vals_by_file.append(vals)
+        stats = {
+            "numRecords": len(vals),
+            # protocol form: exact canonical strings
+            "minValues": {"c": str(min(vals))} if vals else {},
+            "maxValues": {"c": str(max(vals))} if vals else {},
+            "nullCount": {"c": 0},
+        }
+        adds.append({"path": f"f{i}", "stats": _json.dumps(stats)})
+
+    skip = []
+    probes = []
+    for op, u, as_dec in preds:
+        d = _dec_of(u)
+        probes.append((op, d))
+        skip.append(("c", op, d if as_dec else float(d)))
+    kept = {a["path"] for a in prune_adds(adds, skip)}
+    for i, vals in enumerate(vals_by_file):
+        # soundness vs the EXACT decimal predicate: if the float-typed
+        # probe's rounded value widened the match set, keeping extra
+        # files is fine; dropping a file whose rows match the exact
+        # values is never fine
+        has_match = any(
+            all(_match(v, op, d) for op, d in probes) for v in vals
+        )
+        if has_match and all(
+            isinstance(s[2], __import__("decimal").Decimal) for s in skip
+        ):
+            assert f"f{i}" in kept, (vals, skip)
+
+
+# partition-column variant (r11): bool + int partition values arrive as
+# the STRINGS Spark writes into partitionValues; bool('false') is True
+# in Python, so this pins the explicit parse.
+
+_BOOL_PRED = st.tuples(st.sampled_from(["=", "=="]), st.booleans())
+_INT_PART_PRED = st.tuples(
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+    st.integers(min_value=-2, max_value=4),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=-2, max_value=4)),
+        min_size=1,
+        max_size=6,
+    ),
+    _BOOL_PRED,
+    _INT_PART_PRED,
+)
+def test_prune_adds_partition_values_sound(parts, bpred, ipred):
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        prune_adds,
+    )
+
+    adds = [
+        {
+            "path": f"f{i}",
+            "partitionValues": {
+                "flag": "true" if b else "false",
+                "bucket": str(n),
+            },
+            "stats": '{"numRecords": 1, "minValues": {}, '
+            '"maxValues": {}, "nullCount": {}}',
+        }
+        for i, (b, n) in enumerate(parts)
+    ]
+    bop, bval = bpred
+    iop, ival = ipred
+    skip = [("flag", bop, bval), ("bucket", iop, ival)]
+    kept = {
+        a["path"] for a in prune_adds(adds, skip, ["flag", "bucket"])
+    }
+
+    def _m(v, op, x):
+        return {
+            "=": v == x, "==": v == x, "<": v < x, "<=": v <= x,
+            ">": v > x, ">=": v >= x,
+        }[op]
+
+    for i, (b, n) in enumerate(parts):
+        matches = _m(b, bop, bval) and _m(n, iop, ival)
+        if matches:
+            assert f"f{i}" in kept, (parts[i], skip)
+        else:
+            # partition values are EXACT (not an interval) — the pruner
+            # must also be complete here: a non-matching partition is
+            # always pruned
+            assert f"f{i}" not in kept, (parts[i], skip)
