@@ -211,7 +211,11 @@ def test_reconstruct_series_equals_per_cut_states(spark, corpus, ncuts):
     got = {
         (r.cut, r.id): (r.name, r.qty)
         for r in reconstruct_series(
-            log, ["id"], VALUE_COLS, cuts=cuts
+            # K=2 forces the r11 multi-pass batching for any ncuts ≥ 3,
+            # so the fuzz exercises batch boundaries (incl. delete →
+            # re-insert epochs straddling them) against the per-cut
+            # oracle, not just the single-pass fold
+            log, ["id"], VALUE_COLS, cuts=cuts, max_cuts_per_pass=2
         ).collect()
     }
     want = {}
