@@ -86,6 +86,27 @@ def main() -> None:
         F.count("*").alias("n_changes")
     ).orderBy("column_name").show()
 
+    # object-store deployments: commits go through the pluggable
+    # put-if-absent seam. Local/HDFS use the default exclusive-create
+    # store; on S3-style stores WITHOUT conditional writes, install a
+    # CoordinatedLogStore over any backend with an atomic claim
+    # (DynamoDB conditional put, a SQL unique-key insert…) — shown here
+    # with the in-memory coordinator:
+    from changedatacapture_reporting_spark.logstore import (
+        CoordinatedLogStore,
+        InMemoryCoordinator,
+        set_log_store,
+    )
+
+    prev = set_log_store(CoordinatedLogStore(InMemoryCoordinator()))
+    try:
+        v = write_delta(
+            spark, c.filter(k % 3 == 0), table, timestamp_ms=4_000
+        )
+        print(f"coordinated commit landed at version {v}")
+    finally:
+        set_log_store(prev)
+
 
 if __name__ == "__main__":
     main()
