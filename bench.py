@@ -282,6 +282,52 @@ def _overrides() -> dict:
             ),
         )
 
+    scd2_cache: dict = {}
+
+    def scd2_steady(spark, sf_dir):
+        # the registry entry rebuilds the EXISTING history per rep (full
+        # scd2_history fold + localCheckpoint) — right for cross-round
+        # continuity, wrong for capacity planning: in steady state the
+        # dimension is a materialized table and each refresh pays only
+        # the batch fold. Persist the history on rep 1, time the merge.
+        from changedatacapture_reporting_spark.operators.changelog import (
+            build_changelog,
+        )
+        from changedatacapture_reporting_spark.operators.scd import (
+            scd2_history,
+            scd2_merge,
+        )
+        from changedatacapture_reporting_spark.sources.cdc_simulator import (
+            MULTI_OFF_UPDATE,
+            SIM_PK,
+            simulate_cdc_events_multi,
+        )
+
+        value_cols = ["status", "priority", "total", "note"]
+        ev = simulate_cdc_events_multi(spark, sf_dir)
+
+        def log_of(e):
+            return build_changelog(
+                e, SIM_PK, with_audit_cols=False,
+                record_insert_images=True, carry_cols=["lsn", "seq"],
+            )
+
+        if sf_dir not in scd2_cache:
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="bench_scd2_hist_")
+            scd2_history(
+                log_of(ev.filter(F.col("lsn") < MULTI_OFF_UPDATE)),
+                SIM_PK, value_cols,
+            ).write.parquet(f"{tmp}/hist")
+            scd2_cache[sf_dir] = tmp
+        existing = spark.read.parquet(f"{scd2_cache[sf_dir]}/hist")
+        return scd2_merge(
+            existing,
+            log_of(ev.filter(F.col("lsn") >= MULTI_OFF_UPDATE)),
+            SIM_PK, value_cols,  # materialize="auto": plain scan, as-is
+        )
+
     return {
         "ann_topk_lsh": ann_lsh_production,
         "ann_topk_pq_steady": ann_pq_steady,
@@ -289,6 +335,7 @@ def _overrides() -> dict:
         "ann_topk_ivfpq_residual_steady": ann_ivfpq_residual_steady,
         "dedup_embedding_steady": dedup_embedding_steady,
         "corpus_lm_surprisal_steady": lm_steady,
+        "cdc_scd2_steady": scd2_steady,
     }
 
 
@@ -411,6 +458,10 @@ HEADLINE = [
     "corpus_lm_surprisal_steady",
     "ann_topk_ivfpq_residual",
     "ann_topk_ivfpq_residual_steady",
+    # r11 addition (first trend point): steady-state SCD2 refresh —
+    # history persisted once (rep 1), min-of-reps times only the
+    # batch-fold merge against the materialized dimension.
+    "cdc_scd2_steady",
 ]
 
 # The headline total sums only these 17 — the list benched every round
