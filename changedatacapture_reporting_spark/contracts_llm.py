@@ -19,6 +19,7 @@ from changedatacapture_reporting_spark.functions.text import (
     langid_scores,
     quality_columns,
     rolling_fingerprints,
+    tokens,
     word_tokens,
 )
 from changedatacapture_reporting_spark.operators.dedup import (
@@ -50,9 +51,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
         F.size(word_tokens("text")).cast("long").alias("n_word_tokens"),
-        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+")))
+        F.size(F.array_distinct(tokens("text")))
         .cast("long")
         .alias("n_unique_tokens"),
     )
@@ -165,7 +166,7 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
     )
     terms = d.select(
-        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+        "lang", F.explode(tokens("text")).alias("term")
     ).filter(~F.lower(F.col("term")).isin(*stop))
     counts = terms.groupBy("lang", "term").agg(F.count("*").alias("n"))
     w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))

@@ -16,17 +16,28 @@ DEFAULT_STOPWORDS = (
 )
 
 
-def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization."""
+def _nn(text: Column | str) -> Column:
+    """NULL text folds to '' at the tokenization boundary, so every
+    downstream F.size() is 0 — never the legacy sizeOfNull -1 — and a
+    NULL-text document behaves exactly like an empty one everywhere
+    (token counts, sampling weights, packing, shingles). Same policy as
+    lm._clean_tokens (ADVICE r10), applied at the shared primitives."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    return F.coalesce(c, F.lit(""))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (null text ≡ empty text)."""
+    return F.split(F.trim(_nn(text)), r"\s+")
 
 
 def word_tokens(text: Column | str) -> Column:
     """BPE-ish regex tokenization: word pieces OR digit runs OR single
-    punctuation — closer to how LLM tokenizers pre-split."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(c, F.lit(r"([a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9])"), 1)
+    punctuation — closer to how LLM tokenizers pre-split. Null text ≡
+    empty text."""
+    return F.regexp_extract_all(
+        _nn(text), F.lit(r"([a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9])"), 1
+    )
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from changedatacapture_reporting_spark.functions.text import tokens
+
 from changedatacapture_reporting_spark import fs
 
 
@@ -57,7 +59,7 @@ def shard_stats(
     return (
         df.select(
             shard_assignment(F.col(id_col), n_shards).alias("shard"),
-            F.size(F.split(F.trim(text_col), r"\s+")).cast("long").alias("_t"),
+            F.size(tokens(text_col)).cast("long").alias("_t"),
             F.octet_length(text_col).cast("long").alias("_b"),
         )
         .groupBy("shard")

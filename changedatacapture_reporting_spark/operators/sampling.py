@@ -29,6 +29,8 @@ from itertools import chain
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from changedatacapture_reporting_spark.functions.text import tokens
+
 
 def fraction_to_hex_threshold(fraction: float) -> str:
     """fraction ∈ [0, 1] → threshold over the first 4 md5 chars: a row
@@ -127,7 +129,7 @@ def budget_mix(
             (F.lit(s), F.lit(w / total_w)) for s, w in weights.items()
         )
     )
-    toks = F.size(F.split(F.trim(text_col), r"\s+")).cast("long")
+    toks = F.size(tokens(text_col)).cast("long")
     per_stratum = (
         df.select(F.col(strata_col).alias("_st"), toks.alias("_t"))
         .groupBy("_st")

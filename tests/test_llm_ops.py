@@ -1317,3 +1317,44 @@ def test_ivfpq_encode_residual_steady_roundtrip(spark, embeddings, tmp_path):
     assert sorted(map(tuple, trained.collect())) == sorted(
         map(tuple, steady.collect())
     )
+
+
+def test_null_text_equals_empty_text_at_the_primitives(spark):
+    """NULL ≡ '' policy at the tokenization boundary (r11, extending the
+    lm ADVICE fix to the shared primitives): token counts, shingles,
+    fingerprints, sampling weights and shard stats must all treat a
+    NULL-text document exactly like an empty one — never a legacy
+    sizeOfNull -1 count or a NULL-poisoned aggregate."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_reporting_spark.functions.text import (
+        rolling_fingerprints,
+        shingles,
+        tokens,
+        word_tokens,
+    )
+    from changedatacapture_reporting_spark.operators.export import shard_stats
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            F.size(tokens("text")).alias("nt"),
+            F.size(word_tokens("text")).alias("nw"),
+            F.size(shingles("text", 2)).alias("ns"),
+            F.size(rolling_fingerprints("text", 2)).alias("nf"),
+        ).collect()
+    }
+    metrics = lambda r: (r["nt"], r["nw"], r["ns"], r["nf"])  # noqa: E731
+    assert metrics(out[1]) == metrics(out[2]) != metrics(out[3])
+    assert out[1]["nw"] == 0 and out[1]["ns"] == 0 and out[1]["nf"] >= 0
+
+    # shard_stats: a NULL-text doc contributes 0 tokens, not -1
+    st = shard_stats(d, n_shards=1).collect()[0]
+    assert st["n_docs"] == 3
+    # null doc counts exactly like the empty doc (split('') = [''] → 1),
+    # never -1: 3 real tokens + 1 + 1
+    assert st["n_tokens"] == out[3]["nt"] + 2
