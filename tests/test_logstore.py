@@ -233,3 +233,93 @@ def test_coordinated_store_recovers_dead_winners_publish(spark, tmp_path):
         assert table_versions(spark, path) == [0, 1, 2]
     finally:
         set_log_store(prev)
+
+
+# ---------------------------------------------------------------------------
+# randomized crash-point fuzz for the coordinated commit protocol (r11):
+# writers die at every stage — after staging the temp, after winning the
+# claim, after the final PUT but before marking complete — in random
+# sequences. Invariants: one owner per key, the published content is
+# ALWAYS the owner's (healed by any later loser or an explicit
+# ensure_complete), published bytes never change once readable, and a
+# True return only ever goes to the owner.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+class _Crash(RuntimeError):
+    pass
+
+
+class _CrashingCoordinated(CoordinatedLogStore):
+    def __init__(self, coordinator, stage):
+        super().__init__(coordinator)
+        self.stage = stage
+
+    def put_if_absent(self, spark, path, text):
+        temp = self._temp_path(path)
+        _fs.write_text(spark, temp, text)
+        if self.stage == "after_temp":
+            raise _Crash()
+        if not self.coordinator.claim(path, temp):
+            self.ensure_complete(spark, path)
+            return False
+        if self.stage == "after_claim":
+            raise _Crash()
+        _fs.write_text(spark, path, text)
+        if self.stage == "after_final":
+            raise _Crash()
+        self.coordinator.mark_complete(path)
+        return True
+
+
+_STAGES = st.sampled_from(["none", "after_temp", "after_claim", "after_final"])
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_STAGES, min_size=1, max_size=6))
+def test_coordinated_commit_survives_any_crash_sequence(
+    spark, tmp_path_factory, stages
+):
+    import uuid as _uuid
+
+    base = str(tmp_path_factory.mktemp("crashfuzz") / _uuid.uuid4().hex)
+    key = f"{base}/_delta_log/00000000000000000001.json"
+    coord = InMemoryCoordinator()
+
+    owner_content = None  # content of the writer whose CLAIM succeeded
+    winners = []
+    for i, stage in enumerate(stages):
+        content = f"commit-by-writer-{i}\n"
+        store = _CrashingCoordinated(coord, stage)
+        claimed_before = coord.get(key) is not None
+        try:
+            won = store.put_if_absent(spark, key, content)
+        except _Crash:
+            # did this writer's claim land before it died?
+            if not claimed_before and coord.get(key) is not None:
+                owner_content = content
+            continue
+        if won:
+            winners.append(i)
+            owner_content = content
+        # published-content stability: once readable, always the owner's
+        if _fs.exists(spark, key):
+            assert _fs.read_text(spark, key) == owner_content
+
+    assert len(winners) <= 1  # at most one True per key, ever
+    rec = coord.get(key)
+    if rec is not None:
+        # someone owns the version; a healer must be able to finish it
+        CoordinatedLogStore(coord).ensure_complete(spark, key)
+        assert _fs.read_text(spark, key) == owner_content
+        assert coord.get(key)["complete"]
+    else:
+        # nobody ever claimed — nothing may have been published
+        assert not _fs.exists(spark, key)
