@@ -244,6 +244,7 @@ def _q_state_snapshot_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from changedatacapture_reporting_spark.operators.serving import (
         build_state_snapshot,
+        read_state_snapshot,
         refresh_state_snapshot,
     )
 
@@ -267,7 +268,7 @@ def _q_state_snapshot_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=16,
     )
     refresh_state_snapshot(spark, log, path, SIM_PK, value_cols)
-    return spark.read.parquet(path).select(*SIM_PK, *value_cols)
+    return read_state_snapshot(spark, path).select(*SIM_PK, *value_cols)
 
 
 # each key has exactly one simulated event, so final state per key is that

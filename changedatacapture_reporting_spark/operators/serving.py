@@ -39,6 +39,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from changedatacapture_reporting_spark import fs
 from changedatacapture_reporting_spark.schema import DELETED_RECORD, NEW_RECORD
@@ -128,13 +129,42 @@ def _read_meta(spark: SparkSession, snapshot_path: str) -> dict:
 
 
 def _write_meta(
-    spark: SparkSession, snapshot_path: str, watermark_lsn: int, n_buckets: int
+    spark: SparkSession,
+    snapshot_path: str,
+    watermark_lsn: int,
+    n_buckets: int,
+    schema_json: str | None = None,
 ) -> None:
+    meta = {"watermark_lsn": watermark_lsn, "n_buckets": n_buckets}
+    if schema_json is not None:
+        meta["schema"] = schema_json
     fs.write_text(
-        spark,
-        fs.join(snapshot_path, META_FILE),
-        json.dumps({"watermark_lsn": watermark_lsn, "n_buckets": n_buckets}),
+        spark, fs.join(snapshot_path, META_FILE), json.dumps(meta)
     )
+
+
+def read_state_snapshot(spark: SparkSession, snapshot_path: str) -> DataFrame:
+    """Read the snapshot with the EXPLICIT schema persisted in
+    ``_state_meta.json``. This is the only safe read path: a legal
+    refresh can leave the survivor set empty, and a ``partitionBy``
+    write of an empty frame produces ZERO schema-bearing files — a
+    plain ``spark.read.parquet`` on that directory dies with
+    ``UNABLE_TO_INFER_SCHEMA``. With the schema pinned in the meta, an
+    emptied snapshot reads back as a 0-row typed frame and the next
+    refresh proceeds normally. Falls back to inference only for
+    pre-schema metas (heals forward: the next refresh rewrites the
+    meta with the schema)."""
+    meta = _read_meta(spark, snapshot_path)
+    schema_json = meta.get("schema")
+    if schema_json is None:
+        return spark.read.parquet(snapshot_path)
+    raw = T.StructType.fromJson(json.loads(schema_json))
+    # parquet never enforces declared non-nullability; relax it so the
+    # stored schema can't reject a file written by an older build
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in raw.fields]
+    )
+    return spark.read.schema(schema).parquet(snapshot_path)
 
 
 def build_state_snapshot(
@@ -163,8 +193,10 @@ def build_state_snapshot(
         .parquet(snapshot_path)
     )
     wm = changelog.agg(F.max("lsn")).head()[0] or 0
-    _write_meta(spark, snapshot_path, int(wm), n_buckets)
-    return spark.read.parquet(snapshot_path).count()
+    # the schema rides in the meta so an all-dead changelog (zero data
+    # files written above) still yields a READABLE snapshot
+    _write_meta(spark, snapshot_path, int(wm), n_buckets, out.schema.json())
+    return read_state_snapshot(spark, snapshot_path).count()
 
 
 def refresh_state_snapshot(
@@ -213,7 +245,7 @@ def refresh_state_snapshot(
                 "watermark_lsn": wm,
             }
 
-        old = spark.read.parquet(snapshot_path).filter(
+        old = read_state_snapshot(spark, snapshot_path).filter(
             F.col(BUCKET_COL).isin(buckets)
         )
         o = old.alias("o")
@@ -266,7 +298,15 @@ def refresh_state_snapshot(
             "\n".join(old_generation),
         )
         _publish_replace(spark, staging, snapshot_path)
-        _write_meta(spark, snapshot_path, int(agg.max_lsn), n_buckets)
+        # carry the stored schema forward; heal a pre-schema meta from
+        # the merged frame (its shape IS the snapshot shape)
+        _write_meta(
+            spark,
+            snapshot_path,
+            int(agg.max_lsn),
+            n_buckets,
+            meta.get("schema") or out.schema.json(),
+        )
         return {
             "rows_applied": int(agg.n),
             "buckets_rewritten": len(buckets),

@@ -213,13 +213,18 @@ def read_state_bucketed(
 ) -> DataFrame:
     """The served table of a :func:`stream_apply_bucketed` target (pk +
     string-typed value cols), or an empty typed frame before bootstrap."""
-    from changedatacapture_reporting_spark.operators.serving import META_FILE
+    from changedatacapture_reporting_spark.operators.serving import (
+        META_FILE,
+        read_state_snapshot,
+    )
 
     if not fs_exists(spark, fs_join(snapshot_path, META_FILE)):
         fields = [T.StructField(c, T.StringType()) for c in pk_cols]
         fields += [T.StructField(c, T.StringType()) for c in value_cols]
         return spark.createDataFrame([], T.StructType(fields))
-    return spark.read.parquet(snapshot_path).select(*pk_cols, *value_cols)
+    return read_state_snapshot(spark, snapshot_path).select(
+        *pk_cols, *value_cols
+    )
 
 
 def read_aggregate(
