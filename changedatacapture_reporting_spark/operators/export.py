@@ -101,6 +101,23 @@ def export_shards(
         data_format
     ).save(path)
 
+    if not any(
+        e.startswith("shard=") for e in fs.listdir(spark, path)
+    ):
+        # an EMPTY corpus (everything filtered/deduped away) must still
+        # leave a readable export: the partitioned write above lands
+        # zero data files, so place one schema-bearing empty part file
+        # under shard=0 — a 1-partition empty frame always writes one
+        # file, and partition discovery restores the shard column
+        (
+            data.drop("shard")
+            .limit(0)
+            .repartition(1)
+            .write.mode("overwrite")
+            .format(data_format)
+            .save(fs.join(path, "shard=0"))
+        )
+
     # count files per shard from what actually landed (crash evidence
     # would show up here as a missing manifest, not a wrong one) — via
     # fs.* so scheme-qualified sinks (s3a://, hdfs://) work, not just
