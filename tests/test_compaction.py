@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -86,7 +86,7 @@ def _state(log, as_of_lsn=None):
     }
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     draws=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
@@ -94,6 +94,14 @@ def _state(log, as_of_lsn=None):
         max_size=14,
     ),
     cut=st.floats(0.0, 1.0),
+)
+# history ends with every row deleted (VERDICT r11 task 6: pin the
+# low-probability shape classes instead of waiting for a draw)
+@example(draws=[(1, 0, 1), (1, 1, 2), (0, 0, 0), (0, 1, 0)], cut=0.5)
+# all events churn ONE pk across a delete/re-insert epoch boundary
+@example(
+    draws=[(1, 0, 1), (2, 0, 2), (0, 0, 0), (1, 0, 3), (0, 0, 0)],
+    cut=0.6,
 )
 def test_compaction_preserves_forward_consumers(spark, draws, cut):
     events = _hist(draws)

@@ -261,7 +261,7 @@ def test_scd2_merge_reinsert_crossing_the_batch_boundary(spark):
 # property: merge == full rebuild for ANY valid history and ANY split
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings  # noqa: E402
+from hypothesis import example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
@@ -309,7 +309,7 @@ def _hist(draws):
     return events
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(
     draws=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
@@ -317,6 +317,14 @@ def _hist(draws):
         max_size=14,
     ),
     split=st.floats(0.0, 1.0),
+)
+# history ends with every row deleted (the class VERDICT r11's serving
+# counterexample lived in — max_examples=5 took three rounds to draw it)
+@example(draws=[(1, 0, 1), (1, 1, 2), (0, 0, 0), (0, 1, 0)], split=0.5)
+# all events churn ONE pk: insert → update → delete → re-insert → delete
+@example(
+    draws=[(1, 0, 1), (2, 0, 2), (0, 0, 0), (1, 0, 3), (0, 0, 0)],
+    split=0.4,
 )
 def test_scd2_merge_matches_full_rebuild_any_history(spark, draws, split):
     from changedatacapture_reporting_spark.operators.scd import scd2_merge
