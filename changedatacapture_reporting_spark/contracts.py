@@ -2161,72 +2161,61 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # annotated inline below), then the next-stalest (r8) cohort fills the
 # remaining slots alphabetically.
 _CHECK_WINDOW: list[str] = [
-    # the full r7-last-verified stale cohort (21 — VERDICT r10 #2: the
-    # driver record must show nothing staler than 3 rounds; all 21 were
-    # judge-re-proved locally in r10 and re-prove on the driver here)
-    "above_customer_avg_orders",
-    "ann_topk_ivf",
-    "approx_distinct_stats",
-    "cdc_watermark_bounds",
-    "corpus_pack_sequences",
-    "corpus_prepare",
-    "customers_with_urgent_orders",
-    "deterministic_sample",
-    "embedding_centroids_by_label",
-    "grouping_sets_revenue",
-    "nation_presence_setops",
-    "pivot_status_by_priority",
-    "profile_orders",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "rollup_order_revenue",
-    "running_total_per_customer",
-    "scalar_functions_showcase",
-    "text_fingerprints",
-    "text_top_terms_per_lang",
-    # implementation changed in r11 — must re-prove on the driver:
-    # fuse_pk_change_events joins on a struct value-image key (was
-    # separator-concat, VERDICT r10 #3); lm._clean_tokens zero-fills
-    # NULL text (ADVICE r10) — surprisal + the streaming gate share it;
-    # the Delta writer serializes decimal stats as canonical strings,
-    # parses boolean partition values explicitly (ADVICE r10) and
-    # commits through the pluggable logstore seam (VERDICT r10 #5) —
-    # every delta contract re-proves
-    "cdc_pk_change_events",
-    "corpus_lm_surprisal",
-    "streaming_quality_gate",
-    "delta_table_roundtrip",
-    "delta_optimize_roundtrip",
-    "delta_merge_upsert",
-    "delta_metadata_summary",
-    "cdc_from_delta_snapshots",
-    # next-stalest (r8-last-verified) cohort, alphabetical, 21 of 29 —
-    # cdc_reconstruct_series additionally re-proves the r11 batched-cuts
-    # parameter (VERDICT r10 #4); the 8 displaced r8 shapes
-    # (fuzzy_match_customers, json_props_stats, like_filter_parts,
-    # q10/q13/q14/q15/q17) lead the r12 window
-    "ann_topk_bruteforce",
-    "asof_signup_attribution",
-    "cdc_changelog_full",
-    "cdc_daily_series",
-    "cdc_drift_report",
-    "cdc_forget_keys",
-    "cdc_incremental_agg",
-    "cdc_incremental_resume",
-    "cdc_kafka_roundtrip",
-    "cdc_reconstruct_series",
-    "cdc_reconstruct_state",
-    "corpus_boilerplate_scores",
-    "corpus_pack_bfd",
-    "corpus_pps_sample",
-    "cube_lineitem_counts",
-    "dedup_embedding_neardup",
-    "dq_orders_expectations",
-    "embedding_random_projection",
-    "events_heavy_hitters",
-    "events_sessionization",
-    "events_value_histogram",
+    # r12 window from tools/window_rotation.py --propose: the 24
+    # r8-stale entries lead (incl. the 8 displaced from the r11
+    # window, pre-verified at end of r11), then the stalest r9
+    # cohort — after this round nothing is older than r9, and the
+    # r11-fixed cdc_state_snapshot_refresh re-proves on the driver
+    "fuzzy_match_customers",
+    "json_props_stats",
+    "like_filter_parts",
+    "q10_returned_item_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_brackets",
+    "q21_single_supplier_orders",
+    "q22_idle_rich_customers",
+    "q4_late_orders",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "range_join_order_windows",
+    "salted_join_segment_revenue",
+    "scd2_pointintime_enrich",
+    "streaming_incremental_agg",
+    "streaming_pointintime_enrich",
+    "streaming_session_windows",
+    "streaming_sliding_10min",
+    "streaming_tumbling_5min",
+    "topk_orders_per_customer",
+    "ann_topk_ivfpq",
+    "cdc_activity_anomaly",
+    "cdc_apply_net_changes",
+    "cdc_changelog_daily_activity",
+    "cdc_changelog_sql_surface",
+    "cdc_column_churn",
+    "cdc_debezium_dlq",
+    "cdc_debezium_roundtrip",
+    "cdc_delta_cdf_roundtrip",
+    "cdc_jdbc_shape_roundtrip",
+    "cdc_mssql_shape_roundtrip",
+    "cdc_multi_table_snapshot",
+    "cdc_net_changes",
+    "cdc_reconstruct_at_lsn",
+    "cdc_row_history",
+    "cdc_state_snapshot_refresh",
+    "cdc_transaction_summary",
+    "corpus_bpe_encode",
+    "corpus_budget_mix",
+    "corpus_chunk_dedup",
+    "corpus_chunks",
+    "corpus_datasheet",
+    "corpus_decontaminate",
+    "corpus_leakage_safe_splits",
+    "corpus_ngram_vocab",
+    "corpus_quality_buckets",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(
