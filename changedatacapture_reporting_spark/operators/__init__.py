@@ -17,6 +17,7 @@ from changedatacapture_reporting_spark.operators.populate import (
 from changedatacapture_reporting_spark.operators.profile import profile_table
 from changedatacapture_reporting_spark.operators.serving import (
     build_state_snapshot,
+    read_state_snapshot,
     refresh_state_snapshot,
 )
 from changedatacapture_reporting_spark.operators.range_join import (
@@ -57,6 +58,7 @@ __all__ = [
     "retain_changelog",
     "profile_table",
     "build_state_snapshot",
+    "read_state_snapshot",
     "refresh_state_snapshot",
     "point_in_interval_join",
     "interval_overlap_join",
