@@ -43,10 +43,16 @@ COPY_TABLES = [
     "customer",
     "supplier",
     "part",
-    "orders",
     "lineitem",
     "events",
 ]
+
+# orders feeds the CDC simulator (lsn = o_orderkey, one event per key),
+# so the serving/refresh rehearsal (wave 4) needs it REPLICATED, not
+# copied: 10 key-offset bands give 10× state AND 10× delta with the
+# op mix preserved (the offset is ≡ 0 mod 10, so k % 10 — the
+# insert/delete/update selector — is unchanged per replica).
+ORDERS_OFFSET = 10_000_000
 
 
 def main() -> None:
@@ -92,6 +98,17 @@ def main() -> None:
         os.path.join(args.out, "documents.parquet")
     )
 
+    orders = spark.read.parquet(os.path.join(args.src, "orders.parquet"))
+    replicated = orders.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("_r") * ORDERS_OFFSET).alias(
+            "o_orderkey"
+        ),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    replicated.write.mode("overwrite").parquet(
+        os.path.join(args.out, "orders.parquet")
+    )
+
     emb = spark.read.parquet(os.path.join(args.src, "embeddings.parquet"))
     dim = len(emb.select("embedding").head()[0])
     tilted = emb.crossJoin(F.broadcast(reps)).select(
@@ -108,7 +125,10 @@ def main() -> None:
     tilted.write.mode("overwrite").parquet(
         os.path.join(args.out, "embeddings.parquet")
     )
-    print(f"wrote {args.out}: documents x{REPLICAS}, embeddings x{REPLICAS}")
+    print(
+        f"wrote {args.out}: documents x{REPLICAS}, embeddings "
+        f"x{REPLICAS}, orders x{REPLICAS}"
+    )
 
 
 if __name__ == "__main__":

@@ -216,6 +216,13 @@ def main() -> None:
     reps = int(os.environ.get("REHEARSAL_REPS", "3"))
     spark = get_spark("wave4")
 
+    # warm the JVM/codegen on the small scale, untimed — the first
+    # wave-4 run measured base COLD vs big WARM and read nonsense
+    # ratios (<1 at 10×); the build number stays single-shot and is
+    # reported as informational only
+    log, pk = _log_of(spark, base)
+    log.limit(100).groupBy(pk[0]).count().count()
+
     rows = []
     for name, fn in [
         ("serving_refresh", refresh_timings),
