@@ -333,6 +333,69 @@ def _overrides() -> dict:
             SIM_PK, value_cols,  # materialize="auto": plain scan, as-is
         )
 
+    serving_cache: dict = {}
+
+    def serving_refresh_steady(spark, sf_dir):
+        # r12 (the round's headline fix lives here): snapshot built from
+        # the first half of the LSN range ONCE per process; each rep
+        # RESETS the watermark meta and re-applies the same second-half
+        # delta — the refresh merge is an idempotent fixpoint, so every
+        # rep does the full delta-reduction + touched-bucket rewrite and
+        # min-of-reps reports the steady refresh cost, not the build.
+        import atexit
+        import shutil
+        import tempfile
+
+        from changedatacapture_reporting_spark import fs as _fs
+        from changedatacapture_reporting_spark.operators.changelog import (
+            build_changelog,
+        )
+        from changedatacapture_reporting_spark.operators.serving import (
+            META_FILE,
+            build_state_snapshot,
+            read_state_snapshot,
+            refresh_state_snapshot,
+        )
+        from changedatacapture_reporting_spark.sources.cdc_simulator import (
+            SIM_PK,
+            simulate_cdc_events,
+        )
+
+        value_cols = ["status", "priority", "total", "note"]
+        if sf_dir not in serving_cache:
+            tmp = tempfile.mkdtemp(prefix="bench_serving_")
+            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+            log = build_changelog(
+                simulate_cdc_events(spark, sf_dir),
+                SIM_PK,
+                with_audit_cols=False,
+                carry_cols=["lsn", "seq"],
+                record_insert_images=True,
+            )
+            log.write.parquet(f"{tmp}/log")
+            log = spark.read.parquet(f"{tmp}/log")
+            mid = int(log.agg(F.expr("percentile(lsn, 0.5)")).head()[0])
+            build_state_snapshot(
+                spark,
+                log.filter(F.col("lsn") <= mid),
+                f"{tmp}/state",
+                SIM_PK,
+                value_cols,
+                n_buckets=16,
+            )
+            meta0 = _fs.read_text(
+                spark, _fs.join(f"{tmp}/state", META_FILE)
+            )
+            serving_cache[sf_dir] = (tmp, meta0)
+        tmp, meta0 = serving_cache[sf_dir]
+        # rewind the watermark so the same delta re-applies (idempotent)
+        _fs.write_text(spark, _fs.join(f"{tmp}/state", META_FILE), meta0)
+        log = spark.read.parquet(f"{tmp}/log")
+        refresh_state_snapshot(
+            spark, log, f"{tmp}/state", SIM_PK, value_cols
+        )
+        return read_state_snapshot(spark, f"{tmp}/state")
+
     return {
         "ann_topk_lsh": ann_lsh_production,
         "ann_topk_pq_steady": ann_pq_steady,
@@ -341,6 +404,7 @@ def _overrides() -> dict:
         "dedup_embedding_steady": dedup_embedding_steady,
         "corpus_lm_surprisal_steady": lm_steady,
         "cdc_scd2_steady": scd2_steady,
+        "cdc_serving_refresh_steady": serving_refresh_steady,
     }
 
 
@@ -467,6 +531,10 @@ HEADLINE = [
     # history persisted once (rep 1), min-of-reps times only the
     # batch-fold merge against the materialized dimension.
     "cdc_scd2_steady",
+    # r12 addition (first trend point): steady serving-snapshot refresh
+    # — snapshot persisted once, watermark rewound per rep so min-of-
+    # reps times the idempotent delta re-apply + bucket rewrite.
+    "cdc_serving_refresh_steady",
 ]
 
 # The headline total sums only these 17 — the list benched every round
