@@ -205,12 +205,25 @@ def refresh_state_snapshot(
     snapshot_path: str,
     pk_cols: list[str],
     value_cols: list[str],
+    broadcast_delta_rows: int = 1_000_000,
 ) -> dict[str, int]:
     """Incremental refresh from changelog rows past the snapshot
     watermark. Rewrites only the bucket partitions containing changed
     pks; all other buckets are untouched (verified by file listing in
     tests). Idempotent: re-running after a crash between publish and
     meta advance re-applies the same delta to the same result.
+
+    Join strategy (r12): the per-pk delta row count is known BEFORE the
+    merge is planned (the same aggregate that finds the touched
+    buckets), so when it is at most ``broadcast_delta_rows`` the
+    full-outer merge — which Spark can only run as a both-sides-shuffle
+    sort-merge join — is decomposed into (a) a BROADCAST left-outer of
+    the touched buckets against the delta (the state side, full-width,
+    never shuffles) plus (b) a pk-only anti-join for brand-new keys
+    (shuffles just the key column of the touched buckets). At 100 TB
+    with wide value columns this removes the dominant shuffle of the
+    steady path; a bulk backfill past the threshold keeps the
+    full-outer shape.
 
     Returns ``{"rows_applied": …, "buckets_rewritten": …,
     "watermark_lsn": …}``.
@@ -251,7 +264,12 @@ def refresh_state_snapshot(
         o = old.alias("o")
         d = delta.alias("d")
         cond = [o[c].eqNullSafe(d[c]) for c in pk_cols]
-        j = o.join(d, cond, "full_outer")
+        small = int(agg.n) <= broadcast_delta_rows
+        j = (
+            o.join(F.broadcast(d), cond, "left_outer")
+            if small
+            else o.join(d, cond, "full_outer")
+        )
 
         in_new = d["__lsn"].isNotNull()
         dropped = in_new & (d["__marker"] == "dead")
@@ -274,6 +292,30 @@ def refresh_state_snapshot(
                 F.coalesce(o[BUCKET_COL], d[BUCKET_COL]).alias(BUCKET_COL),
             )
         )
+        if small:
+            # brand-new pks (absent from the snapshot): the full-outer's
+            # right-only rows, recovered via a pk-only anti-join — the
+            # state side contributes just its key column to the shuffle
+            anti_cond = [
+                delta[c].eqNullSafe(old[c]) for c in pk_cols
+            ]
+            fresh = delta.join(
+                old.select(*pk_cols), anti_cond, "left_anti"
+            ).filter(
+                F.col("__marker").isNull() | (F.col("__marker") != "dead")
+            )
+            fresh_rows = fresh.select(
+                *pk_cols,
+                *[
+                    F.when(
+                        F.col(f"_s_{c}").isNotNull(), F.col(f"_s_{c}")["v"]
+                    ).alias(c)
+                    for c in value_cols
+                ],
+                F.col("__lsn"),
+                F.col(BUCKET_COL),
+            )
+            out = out.unionByName(fresh_rows)
 
         run_id = "refresh-" + uuid.uuid4().hex
         staging = fs.join(snapshot_path, STAGING_ROOT, run_id)
