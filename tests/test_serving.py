@@ -325,3 +325,77 @@ def test_split_refresh_equals_full_reconstruct(spark, tmp_path_factory,
         for r in reconstruct_state(full, ["id"], VALUE_COLS).collect()
     }
     assert got == expect
+
+def test_composite_pk_with_null_component(spark, tmp_path):
+    """Composite pk where one component is NULL: the eqNullSafe merge
+    (both the broadcast left-outer path and the pk-only anti-join for
+    new keys) and the xxhash64 bucket assignment must treat NULL as a
+    stable key value — build + refresh + delete + re-insert, compared
+    against one-shot reconstruction."""
+    src = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("tenant", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("commit_ts", T.TimestampType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("before", src, True),
+            T.StructField("after", src, True),
+        ]
+    )
+    pk = ["id", "tenant"]
+
+    def log_of(rows):
+        ev = spark.createDataFrame(rows, schema)
+        return build_changelog(ev, pk, carry_cols=["lsn", "seq"])
+
+    base = [
+        (1, 0, _ts(1), "insert", "t", None, (1, "a", "x", 1)),
+        (2, 0, _ts(2), "insert", "t", None, (1, None, "y", 2)),  # NULL pk
+        (3, 0, _ts(3), "update", "t", (1, "a", "x", 1), (1, "a", "x2", 1)),
+        (4, 0, _ts(4), "update", "t",
+         (1, None, "y", 2), (1, None, "y2", 2)),
+    ]
+    path = str(tmp_path / "state")
+    n = build_state_snapshot(
+        spark, log_of(base), path, pk, VALUE_COLS, n_buckets=4
+    )
+    assert n == 2
+
+    more = base + [
+        # update the NULL-tenant row (existing key -> broadcast branch),
+        # delete+re-insert the (1, 'a') row, and a brand-new NULL-pk
+        # key (new key -> pk-only anti-join branch)
+        (5, 0, _ts(5), "update", "t",
+         (1, None, "y2", 2), (1, None, "y3", 9)),
+        (6, 0, _ts(6), "delete", "t", (1, "a", "x2", 1), None),
+        (7, 0, _ts(7), "insert", "t", None, (1, "a", "z", 0)),
+        (8, 0, _ts(8), "update", "t", (1, "a", "z", 0), (1, "a", "z2", 5)),
+        (9, 0, _ts(9), "insert", "t", None, (2, None, "w", 3)),
+        (10, 0, _ts(10), "update", "t",
+         (2, None, "w", 3), (2, None, "w2", 4)),
+    ]
+    refresh_state_snapshot(spark, log_of(more), path, pk, VALUE_COLS)
+
+    got = {
+        (r.id, r.tenant): (r.name, r.qty)
+        for r in read_state_snapshot(spark, path)
+        .select("id", "tenant", "name", "qty")
+        .collect()
+    }
+    expect = {
+        (r.id, r.tenant): (r.name, r.qty)
+        for r in reconstruct_state(log_of(more), pk, VALUE_COLS).collect()
+    }
+    assert got == expect
+    assert got[(1, None)] == ("y3", "9")     # NULL-pk update merged
+    assert got[(1, "a")] == ("z2", "5")      # re-insert epoch, no leak
+    assert got[(2, None)] == ("w2", "4")     # brand-new NULL-pk key
