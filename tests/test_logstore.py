@@ -283,6 +283,11 @@ class _Crash(RuntimeError):
 
 
 class _CrashingCoordinated(CoordinatedLogStore):
+    """Crash-point model of put_if_absent, kept in lockstep with the
+    REAL protocol (r12 added the eager temp deletes — the loser drops
+    its own temp before healing, the winner after mark_complete — so
+    the model crashes around those too)."""
+
     def __init__(self, coordinator, stage):
         super().__init__(coordinator)
         self.stage = stage
@@ -293,6 +298,9 @@ class _CrashingCoordinated(CoordinatedLogStore):
         if self.stage == "after_temp":
             raise _Crash()
         if not self.coordinator.claim(path, temp):
+            _fs.delete(spark, temp)
+            if self.stage == "after_loser_delete":
+                raise _Crash()  # died before healing the winner
             self.ensure_complete(spark, path)
             return False
         if self.stage == "after_claim":
@@ -301,10 +309,22 @@ class _CrashingCoordinated(CoordinatedLogStore):
         if self.stage == "after_final":
             raise _Crash()
         self.coordinator.mark_complete(path)
+        if self.stage == "after_mark":
+            raise _Crash()  # complete but temp left behind — garbage only
+        _fs.delete(spark, temp)
         return True
 
 
-_STAGES = st.sampled_from(["none", "after_temp", "after_claim", "after_final"])
+_STAGES = st.sampled_from(
+    [
+        "none",
+        "after_temp",
+        "after_claim",
+        "after_final",
+        "after_mark",
+        "after_loser_delete",
+    ]
+)
 
 
 @pytest.mark.parametrize("coord_kind", ["memory", "sqlite"])
@@ -419,3 +439,50 @@ def test_per_call_log_store_override(spark, tmp_path):
         spark, spark.createDataFrame([(3, "c")], "id long, v string"), path
     )
     assert mine.commits == 4
+
+def test_ensure_complete_tolerates_winner_dropping_temp_mid_heal(
+    spark, tmp_path
+):
+    """r12's eager temp delete opened a benign race: a healer reads an
+    INCOMPLETE claim record, then the live winner publishes, marks
+    complete and deletes its temp before the healer's copy step.
+    ensure_complete must fall back to the published path (deletion
+    strictly follows publish) instead of failing on the missing temp —
+    and must still raise when the claim is GENUINELY broken (temp gone,
+    nothing published)."""
+
+    class _StaleGetCoordinator(InMemoryCoordinator):
+        """get() replays a stale incomplete record once — the snapshot a
+        healer would hold just before the winner finishes."""
+
+        def __init__(self):
+            super().__init__()
+            self.stale_once = None
+
+        def get(self, key):
+            if self.stale_once is not None:
+                rec, self.stale_once = self.stale_once, None
+                return rec
+            return super().get(key)
+
+    coord = _StaleGetCoordinator()
+    store = CoordinatedLogStore(coord)
+    key = str(tmp_path / "_delta_log" / "00000000000000000001.json")
+    temp = store._temp_path(key)
+
+    # winner completed: path published, claim marked, temp deleted
+    _fs.write_text(spark, key, "the-winners-commit\n")
+    coord._claims[key] = {"temp": temp, "complete": True}
+    # the healer still holds the stale pre-completion view
+    coord.stale_once = {"temp": temp, "complete": False}
+    store.ensure_complete(spark, key)  # must not raise
+    assert _fs.read_text(spark, key) == "the-winners-commit\n"
+
+    # genuinely broken claim: temp vanished AND nothing was published
+    key2 = str(tmp_path / "_delta_log" / "00000000000000000002.json")
+    coord._claims[key2] = {
+        "temp": store._temp_path(key2),
+        "complete": False,
+    }
+    with pytest.raises(Exception):
+        store.ensure_complete(spark, key2)
