@@ -29,6 +29,7 @@ been captured (verified against the oracle in the contract).
 from __future__ import annotations
 
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,9 +97,13 @@ def purge_keys_from_sink(
                 "partitions_touched": 0,
             }
 
+        # input_file_name is URI-encoded once over the filesystem names;
+        # decode once so hive-escaped partition dirs (``t=a%3Ab``) map
+        # back to real paths — re-reading the raw URI form would miss
+        # the file and the purge would silently skip those keys
         base = sink_path.rstrip("/")
         rels = []
-        for f in affected:
+        for f in (unquote(x) for x in affected):
             i = f.find(base)
             rels.append(f[i + len(base) + 1 :] if i >= 0 else f)
         by_part: dict[str, list[str]] = {}

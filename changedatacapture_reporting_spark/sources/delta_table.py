@@ -441,7 +441,16 @@ def _file_stats(
     # by trailing path segments (one map per distinct rel depth) so the
     # lookup stays O(files) — a 100 TB commit can carry 10⁵ adds and a
     # linear suffix scan per file would be quadratic.
-    depths = {unquote(r_).count("/") + 1 for r_ in rels}
+    #
+    # Encoding invariant: ``rels`` are FILESYSTEM names (hive-escaped,
+    # e.g. dir ``p=c%3Ad`` for value ``c:d``); input_file_name returns
+    # the path URI-ENCODED once over those names (``p=c%253Ad``), so
+    # the scan side decodes exactly once and the driver side must NOT
+    # decode at all — unquoting the FS rel over-decodes every
+    # hive-escaped value, misses the lookup, and stamps the file with
+    # numRecords=0 stats that prune_adds treats as "always prunable":
+    # a silent wrong answer for any skip-read touching that partition.
+    depths = {r_.count("/") + 1 for r_ in rels}
     by_suffix: dict[int, dict[str, object]] = {
         n: {} for n in depths
     }
@@ -452,8 +461,7 @@ def _file_stats(
 
     out: dict[str, str] = {}
     for rel in rels:
-        dec = unquote(rel)
-        r = by_suffix[dec.count("/") + 1].get(dec)
+        r = by_suffix[rel.count("/") + 1].get(rel)
         if r is None:  # zero-row file — no group emitted
             stats = {
                 "numRecords": 0,
@@ -1082,10 +1090,15 @@ def merge_delta(
     n_deleted = deletes.count() if deletes is not None else 0
     n_upserts = data_source.count()
 
-    # discovery: column-pruned pk+provenance scan, broadcast semi-join
+    # discovery: column-pruned pk+provenance scan, broadcast semi-join.
+    # input_file_name is URI-encoded once over the filesystem names —
+    # decode once so the suffix match hits hive-escaped partition dirs
+    # (``p=c%3Ad`` reads back as ``p=c%253Ad``); matching the raw URI
+    # against the FS rel silently skips those files and the merge
+    # resurrects their old rows next to the upserts
     adds = list(state["files"].values())
     touched_full = {
-        r._file
+        unquote(r._file)
         for r in _scan_adds(spark, path, meta, adds, with_file=True)
         .select(*pk_cols, "_file")
         .join(F.broadcast(all_keys), pk_cols, "left_semi")

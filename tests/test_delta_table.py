@@ -1029,3 +1029,67 @@ def test_metadata_summary_all_types_fold_parity(spark, tmp_path):
     assert got["dec"][3] == "900719925474099.3"
     assert got["ts"][2] == "2024-01-01 00:00:00.123456"
     assert got["i"][0] == 4 and got["i"][1] == 1
+
+
+def test_hive_escaped_partition_values_stats_and_skip(spark, tmp_path):
+    """Partition values containing hive-escaped chars (``:``, ``%``):
+    the filesystem dir is ``p=c%3Ad`` and input_file_name URI-encodes
+    it ONCE MORE (``p=c%253Ad``) — the stats pass must decode exactly
+    once on the scan side and not at all on the driver side. The r12
+    regression: over-decoding the FS rel missed the lookup, stamped
+    numRecords=0 stats, and prune_adds then dropped every row of the
+    partition from any skip-read (and metadata_summary undercounted)."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, 10, "c:d"), (2, 20, "c:d"), (3, 30, "plain"),
+         (4, 40, "x%y"), (5, 50, "a b")],
+        "id int, v int, p string",
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+    state = _resolve_log(spark, path, None)
+    per_file = [
+        json.loads(a["stats"])["numRecords"]
+        for a in state["files"].values()
+    ]
+    assert sum(per_file) == 5 and 0 not in per_file, per_file
+    # skip-read must equal the plain filter — no pruned-away partitions
+    assert read_delta(spark, path, skip=[("v", ">=", 10)]).count() == 5
+    assert read_delta(spark, path, skip=[("v", ">", 45)]).count() == 1
+    ms = {r["column_name"]: r["n_rows"] for r in
+          metadata_summary(spark, path).collect()}
+    assert ms == {"id": 5, "v": 5}
+    # logical partition values decode once from the FS dir name
+    pvs = {a["partitionValues"]["p"] for a in state["files"].values()}
+    assert pvs == {"c:d", "plain", "x%y", "a b"}
+
+
+def test_merge_touches_hive_escaped_partition_files(spark, tmp_path):
+    """MERGE discovery matches touched files through the URI-encoded
+    scan paths: a matched key living in a hive-escaped partition dir
+    must have its file rewritten — the r12 regression left the old row
+    in place next to the upsert (a duplicate-key wrong answer) because
+    the endswith match compared the raw URI against the FS rel."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+    )
+
+    path = str(tmp_path / "escm")
+    df = spark.createDataFrame(
+        [(1, 10, "c:d"), (2, 20, "c:d"), (3, 30, "plain"), (4, 40, "x%y")],
+        "id int, v int, p string",
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+    src = spark.createDataFrame(
+        [(1, 999, "c:d", False), (3, 888, "plain", False),
+         (4, 0, "x%y", True)],
+        "id int, v int, p string, _del boolean",
+    )
+    res = merge_delta(spark, src, path, ["id"], delete_col="_del")
+    assert res["files_rewritten"] >= 3, res  # all three touched parts
+    rows = sorted((r["id"], r["v"]) for r in read_delta(spark, path).collect())
+    assert rows == [(1, 999), (2, 20), (3, 888)], rows

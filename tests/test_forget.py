@@ -125,3 +125,24 @@ def test_purge_keys_logical_null_safe(spark):
     keys = spark.createDataFrame([(2,), (None,)], "id int")
     got = {r.v for r in purge_keys(frame, keys, ["id"]).collect()}
     assert got == {"x"}  # null key matches null row (null-safe equality)
+
+
+def test_purge_hits_hive_escaped_partition_dirs(spark, tmp_path):
+    """A ``table_name`` with a hive-escaped char (``:``) lands in a
+    ``table_name=sch%3Atbl`` dir that input_file_name URI-encodes once
+    more — the purge's affected-file paths must decode exactly once
+    before being re-read or the rewrite silently skips the partition
+    (keys survive a "successful" purge: the r12 regression)."""
+    sink = str(tmp_path / "sink_esc")
+    ev = [
+        _ev(1, "sch:tbl", 7, 1),
+        _ev(2, "sch:tbl", 8, 1),
+        _ev(3, "plain", 7, 1),
+    ]
+    populate_changelog(spark, spark.createDataFrame(ev, SCHEMA), sink, ["id"])
+    keys = spark.createDataFrame([(7,)], "id int")
+    res = purge_keys_from_sink(spark, sink, keys, ["id"])
+    assert res["rows_purged"] == 2 and res["partitions_touched"] == 2, res
+    log = spark.read.parquet(sink)
+    assert log.filter(F.col("id") == 7).count() == 0
+    assert log.count() == 1
