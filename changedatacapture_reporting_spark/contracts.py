@@ -823,6 +823,97 @@ WHERE o_orderkey % 11 = 0
 """
 
 
+def _q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors (sources.delta_table, public Delta protocol DV
+    feature): the same MERGE transaction as delta_merge_upsert but in
+    vector mode — matched rows are marked dead in a per-commit vector,
+    touched files are never read in full or rewritten (write
+    amplification ∝ matched rows, the 100 TB update/GDPR shape) — then
+    a vector DELETE on a second key set, then a checkpoint, and the
+    table is read back THROUGH the checkpoint replay. The hash check
+    proves: vectors delete exactly the matched rows, upserts land, the
+    carry-over across two vector commits is complete, and checkpointing
+    preserves the vectors (a dropped vector would resurrect rows).
+    Lifecycle edges (OPTIMIZE purge, VACUUM reclaim, conflicts,
+    fully-dead files) live in tests/test_deletion_vectors.py."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        merge_delta,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="delta_dv_") + "/orders_delta"
+    write_delta(
+        spark, orders.filter(k % 2 == 0), path,
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(
+        spark, orders.filter(k % 2 == 1), path,
+        partition_by=["o_orderstatus"],
+    )
+    updates = (
+        orders.filter((k % 5 == 0) & (k % 7 != 3))
+        .withColumn("o_orderpriority", F.lit("X-MERGED"))
+        .withColumn("_delete", F.lit(False))
+    )
+    inserts = orders.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("X-NEW").alias("o_orderpriority"),
+        "o_orderstatus",
+    ).withColumn("_delete", F.lit(False))
+    deletes = orders.filter(k % 7 == 3).withColumn(
+        "_delete", F.lit(True)
+    )
+    res = merge_delta(
+        spark,
+        updates.unionByName(inserts).unionByName(deletes),
+        path,
+        ["o_orderkey"],
+        delete_col="_delete",
+        deletion_vectors=True,
+    )
+    assert res["files_rewritten"] == 0 and res["files_dv_updated"] > 0, res
+    res2 = delete_delta(
+        spark, path, orders.filter(k % 13 == 1).select("o_orderkey")
+    )
+    assert res2["files_rewritten"] == 0 and res2["rows_deleted"] > 0, res2
+    write_checkpoint(spark, path)
+    return read_delta(spark, path)
+
+
+_SQL_DELTA_DELETION_VECTORS = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+), merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 3
+              THEN 'X-MERGED' ELSE o_orderpriority END AS o_orderpriority,
+         o_orderstatus
+  FROM base
+  WHERE o_orderkey % 7 <> 3
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         'X-NEW' AS o_orderpriority,
+         o_orderstatus
+  FROM base
+  WHERE o_orderkey % 11 = 0
+)
+-- the vector DELETE keys are base o_orderkey values (k % 13 = 1);
+-- inserted keys live 10M above the base range and never match them
+SELECT o_orderkey, o_orderpriority, o_orderstatus
+FROM merged
+WHERE o_orderkey >= 10000000 OR o_orderkey % 13 <> 1
+"""
+
+
 def _q_cdc_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC WITHOUT CDC (operators.diff.snapshots_to_events over
     sources.delta_table): two versions of a Delta table — v1 drops the
@@ -2123,6 +2214,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "delta_table_roundtrip": (_q_delta_table_roundtrip, _SQL_DELTA_TABLE),
     "delta_optimize_roundtrip": (_q_delta_optimize, _SQL_DELTA_OPTIMIZE),
     "delta_merge_upsert": (_q_delta_merge, _SQL_DELTA_MERGE),
+    "delta_deletion_vectors": (
+        _q_delta_deletion_vectors,
+        _SQL_DELTA_DELETION_VECTORS,
+    ),
     "cdc_from_delta_snapshots": (_q_cdc_from_snapshots, _SQL_CDC_FROM_SNAPSHOTS),
     "cdc_kafka_roundtrip": (_q_kafka_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_schema_evolution": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
@@ -2153,13 +2248,13 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
-# entries. r11 rotation (VERDICT r10 #2, derived by
-# tools/window_rotation.py from the CORRECTNESS_r*.json ledger): lead
-# with the FULL 21-entry cohort whose last driver check was round 7 —
-# after this round nothing in the 163-entry registry is staler than
-# r8. Then the 8 entries whose implementation changed in r11 (each
-# annotated inline below), then the next-stalest (r8) cohort fills the
-# remaining slots alphabetically.
+# entries; rotation is derived by tools/window_rotation.py from the
+# CORRECTNESS_r*.json ledger. r12: the 24 r8-stale entries lead, then
+# the stalest r9 cohort; the new delta_deletion_vectors entry takes
+# the final slot (never driver-checked beats one more r9 refresh) —
+# after this round nothing in the 164-entry registry is staler than
+# r9 except corpus_quality_buckets' displaced slot, which rotates
+# first in r13.
 _CHECK_WINDOW: list[str] = [
     # r12 window from tools/window_rotation.py --propose: the 24
     # r8-stale entries lead (incl. the 8 displaced from the r11
@@ -2215,7 +2310,9 @@ _CHECK_WINDOW: list[str] = [
     "corpus_decontaminate",
     "corpus_leakage_safe_splits",
     "corpus_ngram_vocab",
-    "corpus_quality_buckets",
+    # new this round — takes the slot corpus_quality_buckets (r9 cohort)
+    # would have held; it rotates back in r13
+    "delta_deletion_vectors",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

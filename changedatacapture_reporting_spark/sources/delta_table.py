@@ -116,6 +116,23 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField("size", T.LongType()),
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
+                    # stats + deletionVector survive checkpointing: a
+                    # checkpoint that dropped the vector would RESURRECT
+                    # its deleted rows once the json commits expire
+                    # (dropping stats only costs skipping — but keep
+                    # them too). Checkpoints written before these fields
+                    # existed read back as nulls (parquet fills missing
+                    # nested fields), i.e. plain stat-less adds.
+                    T.StructField("stats", T.StringType()),
+                    T.StructField(
+                        "deletionVector",
+                        T.StructType(
+                            [
+                                T.StructField("path", T.StringType()),
+                                T.StructField("cardinality", T.LongType()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -215,25 +232,98 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
     return state
 
 
-def _scan_adds(
+DV_DIR = "_deletion_vectors"
+
+
+def _dv_of(add: dict) -> dict | None:
+    return add.get("deletionVector") or None
+
+
+def _canon_key(add: dict) -> str:
+    """Driver-side deletion-vector coordinate of an add: its FILESYSTEM
+    relative path (add.path is percent-encoded per the PROTOCOL; one
+    decode yields the FS name — never decode further, see _file_stats'
+    encoding invariant)."""
+    return unquote(add["path"])
+
+
+def _pos_key_expr(n_segments: int):
+    """Scan-side deletion-vector coordinate: the last ``n_segments``
+    path segments of ``_metadata.file_path``, percent-decoded exactly
+    once (file_path is URI-encoded once over the FS names; pre-escaping
+    ``+`` makes url_decode a pure percent-decoder, since URLDecoder
+    would otherwise turn a literal ``+`` into a space)."""
+    segs = F.split(F.col("_metadata.file_path"), "/")
+    raw = F.concat_ws("/", F.slice(segs, -n_segments, n_segments))
+    return F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
+
+
+def _dv_entries(
+    spark: SparkSession, path: str, adds: list[dict]
+) -> DataFrame:
+    """(path, row_index) pairs deleted from ``adds``'s files, read from
+    the DV parquet directories their descriptors name. A DV directory
+    written by a later commit can carry CURRENT entries for file A next
+    to STALE entries for file B (B has since been re-pointed at a newer
+    DV), so entries are validated per (dv directory, data file) against
+    the descriptors — never taken on path match alone."""
+    pairs: dict[str, set[str]] = {}
+    for a in adds:
+        dv = _dv_of(a)
+        if dv:
+            pairs.setdefault(dv["path"], set()).add(_canon_key(a))
+    if not pairs:
+        return spark.createDataFrame([], "path string, row_index long")
+    df = spark.read.schema("path string, row_index long").parquet(
+        *[fs.join(path, d) for d in sorted(pairs)]
+    )
+    # dv identity = the DV directory's basename (uuid — plain chars,
+    # so the raw URI segment needs no decoding)
+    df = df.withColumn(
+        "_dv_id",
+        F.element_at(F.split(F.input_file_name(), "/"), -2),
+    )
+    valid = spark.createDataFrame(
+        [(d.split("/")[-1], k) for d, ks in pairs.items() for k in ks],
+        "_dv_id string, path string",
+    )
+    return df.join(F.broadcast(valid), ["_dv_id", "path"], "left_semi").select(
+        "path", "row_index"
+    )
+
+
+def _scan_adds_raw(
     spark: SparkSession,
     path: str,
     meta: dict,
     adds: list[dict],
     with_file: bool = False,
+    pos_depth: int | None = None,
 ) -> DataFrame:
     """One parquet scan of exactly ``adds`` with the COMMITTED schema
-    (no inference drift); ``with_file=True`` appends a ``_file``
-    provenance column (the scan-side half of file-targeted rewrites)."""
+    (no inference drift), deletion vectors NOT applied;
+    ``with_file=True`` appends a ``_file`` provenance column,
+    ``pos_depth=n`` appends ``_pos_key``/``_pos_idx`` (the DV
+    coordinates: canonical file key over the last n path segments +
+    parquet row index)."""
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    out_cols = [f.name for f in schema.fields] + (
-        ["_file"] if with_file else []
+    extras = (["_file"] if with_file else []) + (
+        ["_pos_key", "_pos_idx"] if pos_depth is not None else []
     )
+    out_cols = [f.name for f in schema.fields] + extras
     if not adds:
         empty = T.StructType(
             schema.fields
             + ([T.StructField("_file", T.StringType())] if with_file else [])
+            + (
+                [
+                    T.StructField("_pos_key", T.StringType()),
+                    T.StructField("_pos_idx", T.LongType()),
+                ]
+                if pos_depth is not None
+                else []
+            )
         )
         return spark.createDataFrame([], empty)
 
@@ -245,9 +335,13 @@ def _scan_adds(
     paths = [fs.join(path, r) for r in rels]
 
     def _tag(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("_file", F.input_file_name()) if with_file else df
-        )
+        if with_file:
+            df = df.withColumn("_file", F.input_file_name())
+        if pos_depth is not None:
+            df = df.withColumn(
+                "_pos_key", _pos_key_expr(pos_depth)
+            ).withColumn("_pos_idx", F.col("_metadata.row_index"))
+        return df
 
     if not part_cols:
         return _tag(spark.read.schema(schema).parquet(*paths)).select(
@@ -285,6 +379,70 @@ def _scan_adds(
             df = df.withColumn(c, F.lit(v).cast(types[c]))
         df = df.select(*out_cols)
         out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _scan_adds(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    adds: list[dict],
+    with_file: bool = False,
+    with_rowpos: bool = False,
+) -> DataFrame:
+    """One parquet scan of exactly ``adds`` with the COMMITTED schema,
+    deletion vectors APPLIED: rows whose (file, row_index) appear in a
+    live add's DV are filtered out before any downstream operator sees
+    them, so read_delta / MERGE discovery / OPTIMIZE / snapshot-diff
+    CDC all observe the logical table (public Delta protocol,
+    deletion-vector section). ``with_file`` appends ``_file``
+    provenance; ``with_rowpos`` appends ``_pos_key``/``_pos_idx``
+    (the DV coordinates of each surviving row — what a DV writer
+    unions into the next vector)."""
+    plain = [a for a in adds if not _dv_of(a)]
+    dvd = [a for a in adds if _dv_of(a)]
+    if not dvd and not with_rowpos:
+        return _scan_adds_raw(spark, path, meta, adds, with_file)
+
+    def _pos_scan(group: list[dict]) -> DataFrame:
+        by_depth: dict[int, list[dict]] = {}
+        for a in group:
+            by_depth.setdefault(
+                _canon_key(a).count("/") + 1, []
+            ).append(a)
+        out = None
+        for n, g in sorted(by_depth.items()):
+            df = _scan_adds_raw(spark, path, meta, g, with_file, n)
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    pieces: list[DataFrame] = []
+    if plain:
+        pieces.append(
+            _pos_scan(plain)
+            if with_rowpos
+            else _scan_adds_raw(spark, path, meta, plain, with_file)
+        )
+    if dvd:
+        df = _pos_scan(dvd)
+        entries = _dv_entries(spark, path, dvd).select(
+            F.col("path").alias("_dv_key"),
+            F.col("row_index").alias("_dv_idx"),
+        )
+        df = df.join(
+            entries,
+            (df["_pos_key"] == entries["_dv_key"])
+            & (df["_pos_idx"] == entries["_dv_idx"]),
+            "left_anti",
+        )
+        if not with_rowpos:
+            df = df.drop("_pos_key", "_pos_idx")
+        pieces.append(df)
+    if not pieces:  # adds empty but rowpos requested — typed empty
+        return _scan_adds_raw(spark, path, meta, [], with_file, 1)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
     return out
 
 
@@ -710,6 +868,14 @@ def metadata_summary(
             f"no stats are collected for columns {unknown} "
             f"(partition or non-atomic); eligible: {eligible}"
         )
+    dvd = [a for a in adds if a.get("deletionVector")]
+    if dvd:
+        raise ValueError(
+            "metadata-only aggregation is unsound while deletion "
+            f"vectors are live ({len(dvd)} files carry vectors — their "
+            "stats over-count deleted rows); run optimize_delta to "
+            "purge the vectors, or scan the data"
+        )
     parsed = []
     for a in adds:
         st = a.get("stats")
@@ -904,6 +1070,128 @@ def write_delta(
     )
 
 
+def _add_identity(a: dict) -> tuple:
+    """What makes two add actions for the same path interchangeable for
+    conflict detection: the file bytes (immutable once written, so size
+    suffices) and its deletion vector. Representation noise (json log
+    vs checkpoint replay: missing vs None fields) normalizes away."""
+    return (
+        a["path"],
+        int(a.get("size") or 0),
+        json.dumps(_dv_of(a) or {}, sort_keys=True),
+    )
+
+
+def _commit_swap(
+    spark: SparkSession,
+    path: str,
+    actions: list[dict],
+    touched_adds: list[dict],
+    log_store,
+    op: str,
+) -> int:
+    """Optimistic remove+add commit shared by OPTIMIZE / MERGE /
+    DELETE: retries lost version races, aborts when any touched file's
+    CURRENT add differs from the snapshot add the plan was built
+    against. Path presence alone stopped being a sound check once
+    deletion vectors exist — a concurrent commit re-adds the same path
+    with a different vector, and committing over it would resurrect
+    its deleted rows."""
+    planned = {a["path"]: _add_identity(a) for a in touched_adds}
+    for _ in range(10):
+        current = _resolve_log(spark, path, None)
+        changed = [
+            p
+            for p, ident in planned.items()
+            if p not in current["files"]
+            or _add_identity(current["files"][p]) != ident
+        ]
+        if changed:
+            raise ValueError(
+                f"{op} conflict: touched files changed or removed by a "
+                f"concurrent commit: {changed[:3]}"
+            )
+        version = current["version"] + 1
+        if (log_store or logstore.get_log_store()).put_if_absent(
+            spark,
+            fs.join(_log_path(path), _commit_name(version)),
+            "\n".join(json.dumps(a) for a in actions) + "\n",
+        ):
+            return version
+    raise RuntimeError(f"{op} lost 10 consecutive commit races: {path}")
+
+
+def _stage_dv(
+    spark: SparkSession,
+    path: str,
+    new_pairs: DataFrame,
+    carry_adds: list[dict],
+) -> tuple[str, dict]:
+    """Stage ONE deletion-vector directory for a commit: the new
+    (path, row_index) deletions plus the carried-over entries of every
+    touched file's existing vector (a descriptor always names its
+    COMPLETE vector — readers never chain). Returns
+    (dv_rel, {file_key: cardinality}). Written BEFORE the commit claims
+    its version: a lost race leaves an unreferenced directory that
+    vacuum_delta reclaims, same staging discipline as the data files."""
+    entries = new_pairs.select("path", "row_index")
+    old = [a for a in carry_adds if _dv_of(a)]
+    if old:
+        entries = entries.unionByName(_dv_entries(spark, path, old))
+    entries = entries.distinct().persist()
+    try:
+        counts = {
+            r["path"]: r["n"]
+            for r in entries.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        dv_rel = f"{DV_DIR}/dv-{uuid.uuid4().hex}"
+        # one directory per commit, entries ∝ deleted rows; coalesce(1)
+        # keeps it a single file — a purge so large the vector itself is
+        # big can drop the coalesce and shard it
+        entries.coalesce(1).write.parquet(fs.join(path, dv_rel))
+    finally:
+        entries.unpersist()
+    return dv_rel, counts
+
+
+def _dv_swap_actions(
+    touched_adds: list[dict], counts: dict, dv_rel: str, timestamp_ms: int
+) -> tuple[list[dict], int]:
+    """remove+add actions re-pointing each touched file at its new
+    vector; a file whose vector covers every physical row becomes a
+    plain remove (the logical file is empty — keeping it would only
+    cost scan tasks). Returns (actions, n_fully_removed)."""
+    removes: list[dict] = []
+    readds: list[dict] = []
+    dead = 0
+    for a in touched_adds:
+        card = int(counts.get(_canon_key(a), 0))
+        st = a.get("stats")
+        nrec = int(
+            (json.loads(st) if isinstance(st, str) else st)["numRecords"]
+        )
+        removes.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": timestamp_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        if card >= nrec:
+            dead += 1
+            continue
+        new_add = dict(a)
+        new_add["deletionVector"] = {"path": dv_rel, "cardinality": card}
+        new_add["modificationTime"] = timestamp_ms
+        new_add["dataChange"] = True
+        readds.append({"add": new_add})
+    return removes + readds, dead
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
@@ -940,24 +1228,32 @@ def optimize_delta(
 
     groups: dict[tuple, list[dict]] = {}
     for a in state["files"].values():
-        if int(a.get("size") or 0) < target_file_bytes:
+        # deletion-vectored files are compacted REGARDLESS of size:
+        # OPTIMIZE is the purge that folds vectors back into clean
+        # files (and restores metadata-only aggregation)
+        if int(a.get("size") or 0) < target_file_bytes or _dv_of(a):
             pv = a.get("partitionValues") or {}
             groups.setdefault(
                 tuple((c, pv.get(c)) for c in part_cols), []
             ).append(a)
 
     removes: list[str] = []
+    removed_adds: list[dict] = []
     adds: list[dict] = []
     for pv_key, small in sorted(groups.items()):
-        if len(small) < 2:
-            continue  # one small file gains nothing from a rewrite
+        if len(small) < 2 and not any(_dv_of(a) for a in small):
+            continue  # one small clean file gains nothing from a rewrite
         total = sum(int(a.get("size") or 0) for a in small)
         n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-        src_paths = [fs.join(path, unquote(a["path"])) for a in small]
         # hive dir of the group (committed paths all share it)
         part_dir = "/".join(unquote(small[0]["path"]).split("/")[:-1])
         staging = fs.join(path, f"_optimize_{uuid.uuid4().hex}")
-        spark.read.schema(data_schema).parquet(*src_paths).coalesce(
+        # read through _scan_adds, NOT the raw files: it applies the
+        # group's deletion vectors, so the compacted output holds the
+        # logical survivors only
+        _scan_adds(spark, path, meta, small).select(
+            *[f.name for f in data_schema.fields]
+        ).coalesce(
             int(n_out)
         ).write.mode("overwrite").parquet(staging)
         rels = fs.list_data_files(spark, staging)
@@ -984,6 +1280,7 @@ def optimize_delta(
                 }
             )
         removes.extend(a["path"] for a in small)
+        removed_adds.extend(small)
 
     if not removes:
         return {
@@ -1002,27 +1299,15 @@ def optimize_delta(
         for p in removes
     ] + adds
 
-    for _ in range(10):
-        current = _resolve_log(spark, path, None)
-        gone = [p for p in removes if p not in current["files"]]
-        if gone:
-            raise ValueError(
-                "optimize conflict: files removed by a concurrent "
-                f"commit: {gone[:3]}"
-            )
-        version = current["version"] + 1
-        if (log_store or logstore.get_log_store()).put_if_absent(
-            spark,
-            fs.join(_log_path(path), _commit_name(version)),
-            "\n".join(json.dumps(a) for a in actions) + "\n",
-        ):
-            return {
-                "version": version,
-                "files_removed": len(removes),
-                "files_added": len(adds),
-                "bytes": sum(a["add"]["size"] for a in adds),
-            }
-    raise RuntimeError(f"optimize lost 10 consecutive commit races: {path}")
+    version = _commit_swap(
+        spark, path, actions, removed_adds, log_store, "optimize"
+    )
+    return {
+        "version": version,
+        "files_removed": len(removes),
+        "files_added": len(adds),
+        "bytes": sum(a["add"]["size"] for a in adds),
+    }
 
 
 def merge_delta(
@@ -1033,6 +1318,7 @@ def merge_delta(
     delete_col: str | None = None,
     timestamp_ms: int = 0,
     log_store: "logstore.LogStore | None" = None,
+    deletion_vectors: bool = False,
 ) -> dict:
     """MERGE INTO by primary key — matched target rows update to the
     source row, unmatched source rows insert, and rows whose
@@ -1045,15 +1331,30 @@ def merge_delta(
     are rewritten together with the upserts, every untouched file stays
     live in place, and the swap commits remove+add (dataChange: true)
     through the same exclusive-create optimistic protocol as
-    write_delta, aborting on a conflicting commit that removed a
-    touched file. The same file-targeted pattern as the engine's
-    right-to-be-forgotten purge (operators.forget.purge_keys_from_sink).
+    write_delta, aborting on a conflicting commit that changed or
+    removed a touched file. The same file-targeted pattern as the
+    engine's right-to-be-forgotten purge
+    (operators.forget.purge_keys_from_sink).
+
+    ``deletion_vectors=True`` goes one step further (public Delta
+    protocol, deletion-vector feature): matched rows are marked deleted
+    in a per-commit vector instead of rewriting their files — touched
+    files are never even READ in full (the discovery scan is pk +
+    row-position metadata only), upserted rows land in new files, and
+    write amplification is ∝ matched rows, not touched-file bytes. At
+    100 TB, updating 1000 scattered keys stops costing 1000 file
+    rewrites. The trade: scans carry the vector anti-join until
+    optimize_delta folds the vectors away, and metadata-only
+    aggregation refuses to answer while vectors are live. Requires
+    per-file numRecords stats on the touched files (this engine's
+    writers always record them).
 
     ``source`` (minus ``delete_col``) must match the committed schema;
     duplicate pks in ``source`` raise (a target row would receive two
     different updates — real MERGE engines reject this as ambiguous).
     Returns {"version", "files_rewritten", "files_added", "rows_upserted",
-    "rows_deleted"}.
+    "rows_deleted"} (+ {"files_dv_updated", "files_removed",
+    "deletion_vector"} in vector mode).
     """
     state = _resolve_log(spark, path, None)
     meta = state["meta"]
@@ -1090,13 +1391,110 @@ def merge_delta(
     n_deleted = deletes.count() if deletes is not None else 0
     n_upserts = data_source.count()
 
-    # discovery: column-pruned pk+provenance scan, broadcast semi-join.
-    # input_file_name is URI-encoded once over the filesystem names —
-    # decode once so the suffix match hits hive-escaped partition dirs
-    # (``p=c%3Ad`` reads back as ``p=c%253Ad``); matching the raw URI
-    # against the FS rel silently skips those files and the merge
-    # resurrects their old rows next to the upserts
     adds = list(state["files"].values())
+
+    def _write_new_files(frame: DataFrame) -> tuple[list[str], list[dict]]:
+        """Stage+promote ``frame`` into the table; returns (rels, add
+        actions with fresh stats)."""
+        staging = fs.join(path, f"_merge_{uuid.uuid4().hex}")
+        writer = frame.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
+        new_rels = fs.list_data_files(spark, staging)
+        fs.promote(spark, staging, path)
+        fs.delete(spark, staging)
+        new_stats = _file_stats(spark, path, new_rels, schema, part_cols)
+        return new_rels, [
+            {
+                "add": {
+                    "path": quote(rel, safe="/"),
+                    "partitionValues": _partition_values(rel, part_cols),
+                    "size": _file_size(spark, fs.join(path, rel)),
+                    "modificationTime": timestamp_ms,
+                    "dataChange": True,
+                    "stats": new_stats[rel],
+                }
+            }
+            for rel in new_rels
+        ]
+
+    if deletion_vectors:
+        # discovery doubles as the deletion set: pk + row-position
+        # metadata only — touched files are never read in full. The
+        # scan applies EXISTING vectors, so already-deleted rows are
+        # neither matched again nor double-counted.
+        matched = (
+            _scan_adds(spark, path, meta, adds, with_rowpos=True)
+            .select(*pk_cols, "_pos_key", "_pos_idx")
+            .join(F.broadcast(all_keys), pk_cols, "left_semi")
+            .select(
+                F.col("_pos_key").alias("path"),
+                F.col("_pos_idx").alias("row_index"),
+            )
+            .persist()
+        )
+        try:
+            touched_keys = {
+                r["path"]
+                for r in matched.select("path").distinct().collect()
+            }
+            touched_adds = [
+                a for a in adds if _canon_key(a) in touched_keys
+            ]
+            if not touched_adds and n_upserts == 0:
+                return {
+                    "version": None, "files_rewritten": 0,
+                    "files_added": 0, "rows_upserted": 0,
+                    "rows_deleted": 0, "files_dv_updated": 0,
+                    "files_removed": 0, "deletion_vector": None,
+                }
+            no_stats = [
+                a["path"] for a in touched_adds if not a.get("stats")
+            ]
+            if no_stats:
+                raise ValueError(
+                    "deletion_vectors=True needs per-file numRecords "
+                    f"stats on touched files; missing on {no_stats[:3]} "
+                    "— merge with deletion_vectors=False to rewrite them"
+                )
+            actions: list[dict] = []
+            dv_rel = None
+            dead = 0
+            if touched_adds:
+                dv_rel, counts = _stage_dv(
+                    spark, path, matched, touched_adds
+                )
+                actions, dead = _dv_swap_actions(
+                    touched_adds, counts, dv_rel, timestamp_ms
+                )
+        finally:
+            matched.unpersist()
+        rels: list[str] = []
+        if n_upserts:
+            rels, add_actions = _write_new_files(data_source)
+            actions = actions + add_actions
+        version = _commit_swap(
+            spark, path, actions, touched_adds, log_store, "merge"
+        )
+        return {
+            "version": version,
+            "files_rewritten": 0,
+            "files_added": len(rels),
+            "rows_upserted": n_upserts,
+            "rows_deleted": n_deleted,
+            "files_dv_updated": len(touched_adds) - dead,
+            "files_removed": dead,
+            "deletion_vector": dv_rel,
+        }
+
+    # rewrite mode — discovery: column-pruned pk+provenance scan,
+    # broadcast semi-join. input_file_name is URI-encoded once over the
+    # filesystem names — decode once so the suffix match hits
+    # hive-escaped partition dirs (``p=c%3Ad`` reads back as
+    # ``p=c%253Ad``); matching the raw URI against the FS rel silently
+    # skips those files and the merge resurrects their old rows next to
+    # the upserts
     touched_full = {
         unquote(r._file)
         for r in _scan_adds(spark, path, meta, adds, with_file=True)
@@ -1119,22 +1517,137 @@ def merge_delta(
         }
 
     # full re-read of ONLY the touched files; survivors rewritten with
-    # the upserts (new keys' rows land in their partitions' new files)
+    # the upserts (new keys' rows land in their partitions' new files).
+    # _scan_adds applies any existing deletion vectors, so a rewrite
+    # merge also purges the touched files' vectors as a side effect.
     survivors = _scan_adds(spark, path, meta, touched_adds).join(
         F.broadcast(all_keys), pk_cols, "left_anti"
     )
-    out = survivors.unionByName(data_source)
+    rels, add_actions = _write_new_files(
+        survivors.unionByName(data_source)
+    )
 
-    staging = fs.join(path, f"_merge_{uuid.uuid4().hex}")
-    writer = out.write.mode("overwrite")
+    actions = [
+        {
+            "remove": {
+                "path": a["path"],
+                "deletionTimestamp": timestamp_ms,
+                "dataChange": True,
+            }
+        }
+        for a in touched_adds
+    ] + add_actions
+
+    version = _commit_swap(
+        spark, path, actions, touched_adds, log_store, "merge"
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(touched_adds),
+        "files_added": len(rels),
+        "rows_upserted": n_upserts,
+        "rows_deleted": n_deleted,
+    }
+
+
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    deletion_vectors: bool = True,
+    timestamp_ms: int = 0,
+    log_store: "logstore.LogStore | None" = None,
+) -> dict:
+    """DELETE by key — the lakehouse right-to-be-forgotten path.
+    ``keys``'s columns name the key (every column joins null-unsafe,
+    standard DELETE semantics); duplicates are collapsed.
+
+    With ``deletion_vectors=True`` (default) matched rows are marked in
+    a per-commit vector and NO data file is read in full or rewritten:
+    the discovery scan is key + row-position metadata, and write
+    amplification is ∝ deleted rows, not touched-file bytes — at
+    100 TB, a 1-row GDPR erasure in a 1 GB file stops costing a 1 GB
+    rewrite (public Delta protocol, deletion-vector feature). Files
+    whose every physical row is dead leave the live set as plain
+    removes. Falls back to rewrite mode when a touched file lacks
+    numRecords stats. With ``deletion_vectors=False`` touched files are
+    rewritten without the matched rows; deleting every live row leaves
+    a readable zero-file table (typed empty scan).
+
+    Returns {"version", "rows_deleted", "files_dv_updated",
+    "files_removed", "files_rewritten", "files_added",
+    "deletion_vector"}; version None when nothing matched.
+    """
+    state = _resolve_log(spark, path, None)
+    meta = state["meta"]
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pk_cols = list(keys.columns)
+    unknown = [c for c in pk_cols if c not in schema.fieldNames()]
+    if unknown:
+        raise ValueError(f"key columns not in table schema: {unknown}")
+    adds = list(state["files"].values())
+    key_rows = keys.distinct()
+
+    matched = (
+        _scan_adds(spark, path, meta, adds, with_rowpos=True)
+        .select(*pk_cols, "_pos_key", "_pos_idx")
+        .join(F.broadcast(key_rows), pk_cols, "left_semi")
+        .select(
+            F.col("_pos_key").alias("path"),
+            F.col("_pos_idx").alias("row_index"),
+        )
+        .persist()
+    )
+    try:
+        n_deleted = matched.count()
+        if n_deleted == 0:
+            return {
+                "version": None, "rows_deleted": 0, "files_dv_updated": 0,
+                "files_removed": 0, "files_rewritten": 0,
+                "files_added": 0, "deletion_vector": None,
+            }
+        touched_keys = {
+            r["path"] for r in matched.select("path").distinct().collect()
+        }
+        touched_adds = [a for a in adds if _canon_key(a) in touched_keys]
+        use_dv = deletion_vectors and all(
+            a.get("stats") for a in touched_adds
+        )
+        if use_dv:
+            dv_rel, counts = _stage_dv(spark, path, matched, touched_adds)
+            actions, dead = _dv_swap_actions(
+                touched_adds, counts, dv_rel, timestamp_ms
+            )
+            version = _commit_swap(
+                spark, path, actions, touched_adds, log_store, "delete"
+            )
+            return {
+                "version": version,
+                "rows_deleted": n_deleted,
+                "files_dv_updated": len(touched_adds) - dead,
+                "files_removed": dead,
+                "files_rewritten": 0,
+                "files_added": 0,
+                "deletion_vector": dv_rel,
+            }
+    finally:
+        matched.unpersist()
+
+    # rewrite fallback: survivors of the touched files written without
+    # the matched keys (also purges any existing vectors on them)
+    survivors = _scan_adds(spark, path, meta, touched_adds).join(
+        F.broadcast(key_rows), pk_cols, "left_anti"
+    )
+    staging = fs.join(path, f"_delete_{uuid.uuid4().hex}")
+    writer = survivors.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
     rels = fs.list_data_files(spark, staging)
     fs.promote(spark, staging, path)
     fs.delete(spark, staging)
-    merge_stats = _file_stats(spark, path, rels, schema, part_cols)
-
+    del_stats = _file_stats(spark, path, rels, schema, part_cols)
     actions = [
         {
             "remove": {
@@ -1152,35 +1665,23 @@ def merge_delta(
                 "size": _file_size(spark, fs.join(path, rel)),
                 "modificationTime": timestamp_ms,
                 "dataChange": True,
-                "stats": merge_stats[rel],
+                "stats": del_stats[rel],
             }
         }
         for rel in rels
     ]
-
-    removed_paths = [a["path"] for a in touched_adds]
-    for _ in range(10):
-        current = _resolve_log(spark, path, None)
-        gone = [p for p in removed_paths if p not in current["files"]]
-        if gone:
-            raise ValueError(
-                "merge conflict: touched files removed by a concurrent "
-                f"commit: {gone[:3]}"
-            )
-        version = current["version"] + 1
-        if (log_store or logstore.get_log_store()).put_if_absent(
-            spark,
-            fs.join(_log_path(path), _commit_name(version)),
-            "\n".join(json.dumps(a) for a in actions) + "\n",
-        ):
-            return {
-                "version": version,
-                "files_rewritten": len(touched_adds),
-                "files_added": len(rels),
-                "rows_upserted": n_upserts,
-                "rows_deleted": n_deleted,
-            }
-    raise RuntimeError(f"merge lost 10 consecutive commit races: {path}")
+    version = _commit_swap(
+        spark, path, actions, touched_adds, log_store, "delete"
+    )
+    return {
+        "version": version,
+        "rows_deleted": n_deleted,
+        "files_dv_updated": 0,
+        "files_removed": 0,
+        "files_rewritten": len(touched_adds),
+        "files_added": len(rels),
+        "deletion_vector": None,
+    }
 
 
 def vacuum_delta(
@@ -1210,18 +1711,29 @@ def vacuum_delta(
         else versions[-max(1, retain_versions):]
     )
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     for v in retained:
         try:
-            referenced.update(
-                unquote(p) for p in _resolve_log(spark, path, v)["files"]
-            )
+            files = _resolve_log(spark, path, v)["files"]
         except ValueError:
             continue  # vacuumed behind a checkpoint already
+        referenced.update(unquote(p) for p in files)
+        referenced_dv.update(
+            _dv_of(a)["path"] for a in files.values() if _dv_of(a)
+        )
     deleted = []
     for rel in fs.list_data_files(spark, path):
         if rel.split("/")[0] == LOG_DIR:
             continue
         if rel not in referenced:
+            fs.delete(spark, fs.join(path, rel))
+            deleted.append(rel)
+    # deletion-vector directories live under an underscore dir (invisible
+    # to data listings by design); reclaim the ones no retained version's
+    # descriptors reference — superseded vectors and lost-race orphans
+    for name in fs.listdir(spark, fs.join(path, DV_DIR)):
+        rel = f"{DV_DIR}/{name}"
+        if rel not in referenced_dv:
             fs.delete(spark, fs.join(path, rel))
             deleted.append(rel)
     return {"files_deleted": len(deleted), "retained_versions": retained}
@@ -1255,6 +1767,15 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 int(a.get("size") or 0),
                 int(a.get("modificationTime") or 0),
                 bool(a.get("dataChange", True)),
+                a.get("stats"),
+                (
+                    (
+                        _dv_of(a)["path"],
+                        int(_dv_of(a).get("cardinality") or 0),
+                    )
+                    if _dv_of(a)
+                    else None
+                ),
             ),
             None,
             None,
