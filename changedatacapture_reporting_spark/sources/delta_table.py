@@ -1147,10 +1147,18 @@ def _stage_dv(
             .collect()
         }
         dv_rel = f"{DV_DIR}/dv-{uuid.uuid4().hex}"
-        # one directory per commit, entries ∝ deleted rows; coalesce(1)
-        # keeps it a single file — a purge so large the vector itself is
-        # big can drop the coalesce and shard it
-        entries.coalesce(1).write.parquet(fs.join(path, dv_rel))
+        # one directory per commit, entries ∝ deleted rows: a single
+        # file for ordinary commits, sharded past ~20M entries so a
+        # bulk purge's vector never funnels through one task (readers
+        # list the directory, so the file count is free to vary)
+        n_total = sum(counts.values())
+        shards = max(1, (n_total + 20_000_000 - 1) // 20_000_000)
+        writer = (
+            entries.coalesce(1) if shards == 1 else entries.repartition(
+                int(shards)
+            )
+        )
+        writer.write.parquet(fs.join(path, dv_rel))
     finally:
         entries.unpersist()
     return dv_rel, counts

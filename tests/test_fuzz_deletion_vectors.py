@@ -79,9 +79,19 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
         live = sorted(model)
         op = rng.choice(
             ["append", "merge", "merge", "delete", "delete",
-             "optimize", "checkpoint", "vacuum"]
+             "optimize", "checkpoint", "vacuum", "overwrite"]
         )
-        if op == "append":
+        if op == "overwrite":
+            # truncate-and-reload: drops every add (vectored or not)
+            ks = fresh_keys(rng.randint(2, 6))
+            rows = [(k, k * 10) for k in ks]
+            model.clear()
+            model.update(rows)
+            version = write_delta(
+                spark, _df(spark, rows), path,
+                partition_by=["p"], mode="overwrite",
+            )
+        elif op == "append":
             ks = fresh_keys(rng.randint(1, 8))
             rows = [(k, k * 10) for k in ks]
             model.update(rows)
