@@ -1200,12 +1200,55 @@ def _dv_swap_actions(
     return removes + readds, dead
 
 
+def _zorder_bucket_col(
+    col_name: str,
+    field_type: T.DataType,
+    lo,
+    hi,
+    bits: int,
+):
+    """Linear bucketing of a column into [0, 2^bits) from its committed
+    stats bounds — the scan-stage half of OPTIMIZE ZORDER. Stat-driven
+    linear buckets trade skew-tightness for ZERO extra passes (real
+    engines sample to build range IDs; the stats bounds are already in
+    the log). NULLs land in bucket 0 — they cluster together at the
+    curve's origin, same as the engines' null-first ordering."""
+    c = F.col(col_name)
+    if isinstance(field_type, (T.DateType, T.TimestampType,
+                               T.TimestampNTZType)):
+        c = c.cast("timestamp").cast("double")
+        import datetime as dt
+
+        def _epoch(v):
+            if isinstance(v, (int, float)):
+                return float(v)
+            # stats are naive ISO strings in the session's pinned UTC
+            return dt.datetime.fromisoformat(str(v)).replace(
+                tzinfo=dt.timezone.utc
+            ).timestamp()
+
+        lo_d, hi_d = _epoch(lo), _epoch(hi)
+    else:
+        c = c.cast("double")
+        lo_d, hi_d = float(decimal.Decimal(str(lo))), float(
+            decimal.Decimal(str(hi))
+        )
+    span = max(hi_d - lo_d, 1e-12)
+    n = 1 << bits
+    raw = F.floor((c - F.lit(lo_d)) / F.lit(span) * F.lit(n))
+    return F.coalesce(
+        F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)), F.lit(0)
+    ).cast("long")
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 << 20,
     timestamp_ms: int = 0,
     log_store: "logstore.LogStore | None" = None,
+    zorder_by: list[str] | tuple[str, str] | None = None,
+    zorder_bits: int = 10,
 ) -> dict:
     """Bin-packing compaction (the lakehouse ``OPTIMIZE`` command):
     rewrite each partition's small live files (< ``target_file_bytes``)
@@ -1215,13 +1258,26 @@ def optimize_delta(
     incremental ingestion creates (every micro-batch commit lands its
     own files; at 100 TB a day's commits are 10⁵ tiny files whose
     open/footer cost dominates scans) is paid down in one transaction.
+    Deletion-vectored files are compacted regardless of size (OPTIMIZE
+    is the vector purge).
+
+    ``zorder_by=(x, y)`` is ``OPTIMIZE ... ZORDER BY``: EVERY live file
+    of each partition group is rewritten range-partitioned on the
+    Morton interleave of the two columns (operators.layout), so each
+    output file is bounding-box-tight in BOTH dimensions and the
+    committed min/max stats prune either predicate — the multi-column
+    data-skipping story a 100 TB fact table filtered on (key, time)
+    needs. Bucketing is linear from the committed stats bounds (zero
+    extra passes; skew costs tightness, not correctness). Numeric,
+    date and timestamp columns only.
 
     Data stays distributed: each partition group is one ``coalesce``
-    rewrite sized from the group's committed byte total. The commit
-    uses the same exclusive-create optimistic protocol as write_delta;
-    a competing commit that removed one of the files being compacted
-    aborts the optimize with ValueError (the real engines' conflict
-    semantics) rather than resurrecting deleted rows.
+    (or one range shuffle, for ZORDER) rewrite sized from the group's
+    committed byte total. The commit uses the same exclusive-create
+    optimistic protocol as write_delta; a competing commit that changed
+    or removed one of the files being compacted aborts the optimize
+    with ValueError (the real engines' conflict semantics) rather than
+    resurrecting deleted rows.
 
     Returns {"version", "files_removed", "files_added", "bytes"}; a
     no-op (nothing to compact) returns version=None without committing.
@@ -1234,12 +1290,38 @@ def optimize_delta(
         [f for f in schema.fields if f.name not in part_cols]
     )
 
+    if zorder_by is not None:
+        zx, zy = zorder_by
+        for zc in (zx, zy):
+            if zc not in schema.fieldNames():
+                raise ValueError(f"zorder column not in schema: {zc!r}")
+            if zc in part_cols:
+                raise ValueError(
+                    f"zorder column {zc!r} is a partition column — its "
+                    "per-file range is constant; pick data columns"
+                )
+            ft = schema[zc].dataType
+            if not isinstance(
+                ft,
+                _NUMERIC_PRUNE_TYPES
+                + (T.DateType, T.TimestampType, T.TimestampNTZType),
+            ):
+                raise ValueError(
+                    f"zorder column {zc!r} has unsupported type "
+                    f"{ft.simpleString()}; numeric/date/timestamp only"
+                )
+
     groups: dict[tuple, list[dict]] = {}
     for a in state["files"].values():
         # deletion-vectored files are compacted REGARDLESS of size:
         # OPTIMIZE is the purge that folds vectors back into clean
-        # files (and restores metadata-only aggregation)
-        if int(a.get("size") or 0) < target_file_bytes or _dv_of(a):
+        # files (and restores metadata-only aggregation). ZORDER
+        # re-clusters EVERY live file.
+        if (
+            zorder_by is not None
+            or int(a.get("size") or 0) < target_file_bytes
+            or _dv_of(a)
+        ):
             pv = a.get("partitionValues") or {}
             groups.setdefault(
                 tuple((c, pv.get(c)) for c in part_cols), []
@@ -1249,7 +1331,11 @@ def optimize_delta(
     removed_adds: list[dict] = []
     adds: list[dict] = []
     for pv_key, small in sorted(groups.items()):
-        if len(small) < 2 and not any(_dv_of(a) for a in small):
+        if (
+            zorder_by is None
+            and len(small) < 2
+            and not any(_dv_of(a) for a in small)
+        ):
             continue  # one small clean file gains nothing from a rewrite
         total = sum(int(a.get("size") or 0) for a in small)
         n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
@@ -1259,11 +1345,63 @@ def optimize_delta(
         # read through _scan_adds, NOT the raw files: it applies the
         # group's deletion vectors, so the compacted output holds the
         # logical survivors only
-        _scan_adds(spark, path, meta, small).select(
+        group_df = _scan_adds(spark, path, meta, small).select(
             *[f.name for f in data_schema.fields]
-        ).coalesce(
-            int(n_out)
-        ).write.mode("overwrite").parquet(staging)
+        )
+        if zorder_by is not None:
+            from changedatacapture_reporting_spark.operators.layout import (
+                morton_interleave,
+            )
+
+            # dimension bounds folded from the group's committed stats
+            # (zero extra passes); ZORDER needs them on every file
+            bounds = {}
+            for zc in zorder_by:
+                los, his = [], []
+                for a in small:
+                    st = a.get("stats")
+                    parsed = (
+                        json.loads(st) if isinstance(st, str) else (st or {})
+                    )
+                    if zc in (parsed.get("minValues") or {}):
+                        los.append(parsed["minValues"][zc])
+                        his.append(parsed["maxValues"][zc])
+                    elif parsed.get("numRecords") != 0:
+                        raise ValueError(
+                            f"zorder needs {zc!r} stats on every live "
+                            f"file; missing on {a['path']!r}"
+                        )
+                if not los:  # all-null / empty group: constant bucket
+                    bounds[zc] = (0, 0)
+                    continue
+                dec = isinstance(schema[zc].dataType, _NUMERIC_PRUNE_TYPES)
+                key = (
+                    (lambda v: decimal.Decimal(str(v))) if dec else str
+                )
+                bounds[zc] = (min(los, key=key), max(his, key=key))
+            zval = morton_interleave(
+                _zorder_bucket_col(
+                    zorder_by[0], schema[zorder_by[0]].dataType,
+                    *bounds[zorder_by[0]], zorder_bits,
+                ),
+                _zorder_bucket_col(
+                    zorder_by[1], schema[zorder_by[1]].dataType,
+                    *bounds[zorder_by[1]], zorder_bits,
+                ),
+                zorder_bits,
+            )
+            (
+                group_df.select("*", zval.alias("__z"))
+                .repartitionByRange(int(n_out), F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+        else:
+            group_df.coalesce(
+                int(n_out)
+            ).write.mode("overwrite").parquet(staging)
         rels = fs.list_data_files(spark, staging)
         dest_dir = fs.join(path, part_dir) if part_dir else path
         fs.promote(spark, staging, dest_dir)

@@ -133,3 +133,86 @@ def test_join_cardinality_exact(spark):
     empty = spark.createDataFrame([], "k long")
     r2 = join_cardinality(left, "k", empty, "k").head()
     assert (r2.d_matched, r2.out_rows, r2.max_key_out) == (0, 0, 0)
+
+
+def test_optimize_delta_zorder_two_dimensional_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY over a Delta table: rows identical, live
+    deletion vectors purged, and the committed stats become tight
+    enough that BOTH dimensions' skip predicates prune files — the
+    property a single-column sort cannot deliver."""
+    import datetime
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+        delete_delta,
+        optimize_delta,
+        prune_adds,
+        read_delta,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.01/orders.parquet"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    path = str(tmp_path / "zt")
+    write_delta(spark, orders.repartition(8), path)
+    delete_delta(
+        spark, path,
+        orders.filter(F.col("o_orderkey") % 777 == 3).select("o_orderkey"),
+    )
+    before = read_delta(spark, path).count()
+
+    res = optimize_delta(
+        spark, path, target_file_bytes=32 << 10,
+        zorder_by=("o_custkey", "o_orderdate"),
+    )
+    assert res["version"] is not None and res["files_added"] >= 4
+
+    state = _resolve_log(spark, path, None)
+    adds = list(state["files"].values())
+    assert not any(a.get("deletionVector") for a in adds)  # purged
+    assert read_delta(spark, path).count() == before
+
+    schema = T.StructType.fromJson(
+        _json.loads(state["meta"]["schemaString"])
+    )
+    for skip in (
+        [("o_custkey", "<", 100)],
+        [("o_orderdate", ">=", datetime.date(1998, 6, 1))],
+    ):
+        kept = len(prune_adds(adds, skip, [], schema))
+        assert kept < len(adds), (skip, kept, len(adds))
+        # and the skip-read equals the plain filter on the new layout
+        got = read_delta(spark, path, skip=skip).count()
+        c, op, v = skip[0]
+        want = read_delta(spark, path).filter(
+            F.col(c) < v if op == "<" else F.col(c) >= v
+        ).count()
+        assert got == want
+
+
+def test_optimize_delta_zorder_rejects_bad_columns(spark, tmp_path):
+    """ZORDER validation: unknown columns, partition columns (constant
+    per file) and non-orderable types fail loudly before any rewrite."""
+    import pytest as _pytest
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        optimize_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "zv")
+    df = spark.createDataFrame(
+        [(1, 1.0, "a", "x"), (2, 2.0, "b", "y")],
+        "id int, v double, s string, p string",
+    )
+    write_delta(spark, df, path, partition_by=["p"])
+    with _pytest.raises(ValueError, match="not in schema"):
+        optimize_delta(spark, path, zorder_by=("id", "nope"))
+    with _pytest.raises(ValueError, match="partition column"):
+        optimize_delta(spark, path, zorder_by=("id", "p"))
+    with _pytest.raises(ValueError, match="unsupported type"):
+        optimize_delta(spark, path, zorder_by=("id", "s"))
