@@ -184,8 +184,14 @@ def kafka_debezium_events(
     )
     op = op_to_engine(F.col("op"))
     reason = (
-        F.when(
-            F.col("_corrupt").isNotNull() | F.col("raw_value").isNull(),
+        # a NULL value is a Debezium TOMBSTONE (emitted after every
+        # delete so compacted topics drop the key) — a protocol marker,
+        # not a poison record: classify it separately so the DLQ isn't
+        # one false positive per delete in steady state; consumers drop
+        # it (kafka_events / kafka_dead_letters both exclude it)
+        F.when(F.col("raw_value").isNull(), F.lit("tombstone"))
+        .when(
+            F.col("_corrupt").isNotNull(),
             F.lit("unparseable"),
         )
         .when(op.isNull(), F.lit("unknown-op"))
@@ -211,3 +217,22 @@ def kafka_debezium_events(
         "raw_value",
         reason.alias("reject_reason"),
     )
+
+
+def kafka_events(tagged: DataFrame) -> DataFrame:
+    """Well-formed engine events from :func:`kafka_debezium_events`
+    output (tombstones and rejects excluded)."""
+    return tagged.filter(F.col("reject_reason").isNull()).select(
+        "lsn", "seq", "commit_ts", "op", "table_name", "before", "after"
+    )
+
+
+def kafka_dead_letters(tagged: DataFrame) -> DataFrame:
+    """Dead-letter side with replay addresses. Tombstones are NOT dead
+    letters — they are the compaction protocol working as designed (one
+    per delete in steady state); routing them here would bury real
+    poison records under false positives."""
+    return tagged.filter(
+        F.col("reject_reason").isNotNull()
+        & (F.col("reject_reason") != "tombstone")
+    ).select("topic", "partition", "offset", "raw_value", "reject_reason")

@@ -409,3 +409,43 @@ def test_debezium_tagged_dlq_classification(spark):
     # permissive form: good + update-without-before + the two
     # missing-image docs (historic behavior)
     assert parse_debezium(df, "value", src).count() == 4
+
+
+def test_kafka_tombstones_are_dropped_not_dead_lettered(spark):
+    """A NULL-value Kafka record is a Debezium tombstone (one follows
+    every delete on a compacted topic): it must appear in NEITHER the
+    event stream NOR the dead-letter queue — a DLQ with one false
+    positive per delete buries real poison records."""
+    from changedatacapture_reporting_spark.sources.kafka import (
+        KAFKA_RECORD_SCHEMA,
+        kafka_dead_letters,
+        kafka_debezium_events,
+        kafka_events,
+    )
+
+    good = (
+        b'{"op":"d","ts_ms":1,"before":{"id":1,"v":"a"},"after":null,'
+        b'"source":{"lsn":7,"sequence":0,"table":"t","ts_ms":1}}'
+    )
+    rows = [
+        (b"k1", good, "cdc.t", 0, 100, None, 0),
+        (b"k1", None, "cdc.t", 0, 101, None, 0),   # tombstone after delete
+        (b"k2", b"not json {", "cdc.t", 0, 102, None, 0),  # real poison
+    ]
+    records = spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+    src = T.StructType(
+        [T.StructField("id", T.IntegerType()),
+         T.StructField("v", T.StringType())]
+    )
+    tagged = kafka_debezium_events(records, src)
+    by_reason = {
+        r["reject_reason"]: r["n"]
+        for r in tagged.groupBy("reject_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_reason == {None: 1, "tombstone": 1, "unparseable": 1}
+    assert kafka_events(tagged).count() == 1
+    dlq = kafka_dead_letters(tagged).collect()
+    assert len(dlq) == 1 and dlq[0]["reject_reason"] == "unparseable"
+    assert dlq[0]["offset"] == 102  # the replay address survives
