@@ -60,6 +60,20 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(jpath)
 
 
+def mtime_ms(spark: SparkSession, path: str) -> int:
+    """Modification time in epoch millis (0 if the path is absent)."""
+    h = _hadoop(spark, path)
+    if h is None:
+        try:
+            return int(os.path.getmtime(path) * 1000)
+        except OSError:
+            return 0
+    fs, jpath = h
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getFileStatus(jpath).getModificationTime())
+
+
 def delete(spark: SparkSession, path: str) -> bool:
     """Recursive delete; False if the path didn't exist."""
     h = _hadoop(spark, path)

@@ -1831,7 +1831,10 @@ def delete_delta(
 
 
 def vacuum_delta(
-    spark: SparkSession, path: str, retain_versions: int | None = None
+    spark: SparkSession,
+    path: str,
+    retain_versions: int | None = None,
+    orphan_min_age_minutes: float = 30.0,
 ) -> dict:
     """Delete data files referenced by NO retained snapshot — the
     storage-reclaim half of the compaction story (optimize_delta swaps
@@ -1844,10 +1847,22 @@ def vacuum_delta(
     documented trade every Delta deployment makes via its retention
     window).
 
+    ``orphan_min_age_minutes`` is the concurrent-writer guard: an
+    in-flight MERGE/DELETE/OPTIMIZE promotes its data files (and stages
+    its deletion vector) BEFORE claiming a commit version, so for that
+    window they are indistinguishable from crashed-writer orphans — a
+    vacuum that deleted them would corrupt the commit that is about to
+    land. Unreferenced files younger than the threshold are skipped
+    (reclaimed by the next vacuum once they age past it); real engines
+    make the same trade with their retention-hours floor. Pass 0 only
+    when no writer can be live.
+
     Driver work is metadata-only (log replay per retained version +
     one recursive file listing); deletes go through the Hadoop
     FileSystem so any Spark-readable store works.
     """
+    import time as _time
+
     versions = table_versions(spark, path)
     if not versions:
         raise ValueError(f"not a Delta table (no commits): {path}")
@@ -1867,12 +1882,18 @@ def vacuum_delta(
         referenced_dv.update(
             _dv_of(a)["path"] for a in files.values() if _dv_of(a)
         )
+    cutoff_ms = (_time.time() - orphan_min_age_minutes * 60) * 1000
     deleted = []
+    skipped_young = 0
     for rel in fs.list_data_files(spark, path):
         if rel.split("/")[0] == LOG_DIR:
             continue
         if rel not in referenced:
-            fs.delete(spark, fs.join(path, rel))
+            full = fs.join(path, rel)
+            if fs.mtime_ms(spark, full) > cutoff_ms:
+                skipped_young += 1
+                continue
+            fs.delete(spark, full)
             deleted.append(rel)
     # deletion-vector directories live under an underscore dir (invisible
     # to data listings by design); reclaim the ones no retained version's
@@ -1880,9 +1901,17 @@ def vacuum_delta(
     for name in fs.listdir(spark, fs.join(path, DV_DIR)):
         rel = f"{DV_DIR}/{name}"
         if rel not in referenced_dv:
-            fs.delete(spark, fs.join(path, rel))
+            full = fs.join(path, rel)
+            if fs.mtime_ms(spark, full) > cutoff_ms:
+                skipped_young += 1
+                continue
+            fs.delete(spark, full)
             deleted.append(rel)
-    return {"files_deleted": len(deleted), "retained_versions": retained}
+    return {
+        "files_deleted": len(deleted),
+        "retained_versions": retained,
+        "skipped_young": skipped_young,
+    }
 
 
 def write_checkpoint(spark: SparkSession, path: str) -> int:

@@ -261,11 +261,12 @@ def test_vacuum_reclaims_superseded_vectors_only(spark, tmp_path):
     vacuum_delta(spark, path)  # full retention: both versions referenced
     assert len(fs.listdir(spark, dv_root)) == 2
     assert _rows(read_delta(spark, path)) == before
-    vacuum_delta(spark, path, retain_versions=1)  # v1's vector drops
+    vacuum_delta(spark, path, retain_versions=1,
+                 orphan_min_age_minutes=0)  # v1's vector drops
     assert len(fs.listdir(spark, dv_root)) == 1
     assert _rows(read_delta(spark, path)) == before
     optimize_delta(spark, path)
-    vacuum_delta(spark, path, retain_versions=1)
+    vacuum_delta(spark, path, retain_versions=1, orphan_min_age_minutes=0)
     assert len(fs.listdir(spark, dv_root)) == 0
     assert _rows(read_delta(spark, path)) == before
 

@@ -489,7 +489,9 @@ def test_vacuum_deletes_unreferenced_files_only(spark, tmp_path):
         for v in (0, 1, 2)
     }
     expect_gone = (live[0] | live[1]) - live[2]
-    res = vacuum_delta(spark, path, retain_versions=1)
+    res = vacuum_delta(
+        spark, path, retain_versions=1, orphan_min_age_minutes=0
+    )
     assert res["files_deleted"] == len(expect_gone) > 0
     assert _rows(read_delta(spark, path)) == before
     # pre-optimize versions can no longer materialize their files
@@ -1093,3 +1095,36 @@ def test_merge_touches_hive_escaped_partition_files(spark, tmp_path):
     assert res["files_rewritten"] >= 3, res  # all three touched parts
     rows = sorted((r["id"], r["v"]) for r in read_delta(spark, path).collect())
     assert rows == [(1, 999), (2, 20), (3, 888)], rows
+
+
+def test_vacuum_age_guard_protects_inflight_writers(spark, tmp_path):
+    """An in-flight MERGE promotes its files BEFORE claiming a commit
+    version; for that window they look exactly like crashed-writer
+    orphans. Vacuum must skip unreferenced files younger than the age
+    threshold (the concurrent-writer guard) and reclaim them once aged
+    — simulated here by backdating the orphan's mtime."""
+    import os
+    import time
+
+    from changedatacapture_reporting_spark import fs as _fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        vacuum_delta,
+    )
+
+    path = str(tmp_path / "t_age")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_delta(spark, df, path)
+    # a just-promoted, not-yet-committed file (what a live merge stages)
+    orphan = os.path.join(path, "part-inflight-00000.parquet")
+    df.toPandas().to_parquet(orphan)
+
+    res = vacuum_delta(spark, path)  # default guard: too young to touch
+    assert res["files_deleted"] == 0 and res["skipped_young"] == 1
+    assert _fs.exists(spark, orphan)
+
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))  # the writer crashed an hour ago
+    res = vacuum_delta(spark, path)
+    assert res["files_deleted"] == 1 and res["skipped_young"] == 0
+    assert not _fs.exists(spark, orphan)
+    assert _rows(read_delta(spark, path)) == {(1, "a")}
