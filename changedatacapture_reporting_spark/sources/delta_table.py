@@ -1360,17 +1360,18 @@ def optimize_delta(
                 los, his = [], []
                 for a in small:
                     st = a.get("stats")
-                    parsed = (
-                        json.loads(st) if isinstance(st, str) else (st or {})
-                    )
+                    if not st:
+                        raise ValueError(
+                            f"zorder needs stats on every live file; "
+                            f"missing on {a['path']!r}"
+                        )
+                    parsed = json.loads(st) if isinstance(st, str) else st
                     if zc in (parsed.get("minValues") or {}):
                         los.append(parsed["minValues"][zc])
                         his.append(parsed["maxValues"][zc])
-                    elif parsed.get("numRecords") != 0:
-                        raise ValueError(
-                            f"zorder needs {zc!r} stats on every live "
-                            f"file; missing on {a['path']!r}"
-                        )
+                    # else: the column is all-NULL in this file (stats
+                    # exist, bounds don't) — it contributes nothing to
+                    # the bucketing range; its rows land in bucket 0
                 if not los:  # all-null / empty group: constant bucket
                     bounds[zc] = (0, 0)
                     continue

@@ -216,3 +216,28 @@ def test_optimize_delta_zorder_rejects_bad_columns(spark, tmp_path):
         optimize_delta(spark, path, zorder_by=("id", "p"))
     with _pytest.raises(ValueError, match="unsupported type"):
         optimize_delta(spark, path, zorder_by=("id", "s"))
+
+
+def test_optimize_delta_zorder_tolerates_all_null_files(spark, tmp_path):
+    """A file whose z-column is entirely NULL has stats but no min/max
+    entry for it — that is data, not missing stats: ZORDER must proceed
+    (those rows cluster in bucket 0) and keep every row, NULLs included."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "zn")
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "id int, v double"
+    )
+    b = spark.createDataFrame(  # v all-NULL in this file
+        [(4, None), (5, None)], "id int, v double"
+    )
+    write_delta(spark, a.repartition(1), path)
+    write_delta(spark, b.repartition(1), path)
+    res = optimize_delta(spark, path, zorder_by=("id", "v"))
+    assert res["version"] is not None
+    rows = {(r["id"], r["v"]) for r in read_delta(spark, path).collect()}
+    assert rows == {(1, 10.0), (2, 20.0), (3, None), (4, None), (5, None)}
