@@ -1635,27 +1635,24 @@ def merge_delta(
             "deletion_vector": dv_rel,
         }
 
-    # rewrite mode — discovery: column-pruned pk+provenance scan,
-    # broadcast semi-join. input_file_name is URI-encoded once over the
-    # filesystem names — decode once so the suffix match hits
-    # hive-escaped partition dirs (``p=c%3Ad`` reads back as
-    # ``p=c%253Ad``); matching the raw URI against the FS rel silently
-    # skips those files and the merge resurrects their old rows next to
-    # the upserts
-    touched_full = {
-        unquote(r._file)
-        for r in _scan_adds(spark, path, meta, adds, with_file=True)
-        .select(*pk_cols, "_file")
+    # rewrite mode — discovery: column-pruned pk + row-position scan,
+    # broadcast semi-join. ``_pos_key`` is the canonical file key (the
+    # decoded path suffix — immune to the URI-vs-filesystem encoding
+    # trap hive-escaped partition dirs set for raw input_file_name
+    # matching), so touched adds resolve by exact set lookup instead of
+    # an O(touched × adds) suffix scan; the scan also applies any live
+    # deletion vectors, so rows a vector already deleted can't re-mark
+    # their files as touched.
+    touched_keys = {
+        r["path"]
+        for r in _scan_adds(spark, path, meta, adds, with_rowpos=True)
+        .select(*pk_cols, "_pos_key")
         .join(F.broadcast(all_keys), pk_cols, "left_semi")
-        .select("_file")
+        .select(F.col("_pos_key").alias("path"))
         .distinct()
         .collect()
     }
-    touched_adds = [
-        a
-        for a in adds
-        if any(f.endswith("/" + unquote(a["path"])) for f in touched_full)
-    ]
+    touched_adds = [a for a in adds if _canon_key(a) in touched_keys]
 
     if not touched_adds and n_upserts == 0:
         return {
