@@ -892,7 +892,13 @@ def metadata_summary(
         f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)
     }
     for c in columns:
-        n_nulls = sum(p["nullCount"].get(c, 0) for p in parsed)
+        # a stats-bearing file with NO nullCount entry for an eligible
+        # column predates that column (mergeSchema evolution): every
+        # one of its rows reads back NULL for it — counting 0 would
+        # silently under-report
+        n_nulls = sum(
+            p["nullCount"].get(c, p["numRecords"]) for p in parsed
+        )
         mins = [p["minValues"][c] for p in parsed if c in p["minValues"]]
         maxs = [p["maxValues"][c] for p in parsed if c in p["maxValues"]]
         if c in decimal_cols:
@@ -919,6 +925,40 @@ def metadata_summary(
 
 def _normalized_fields(schema: T.StructType) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.json()) for f in schema.fields]
+
+
+def _evolve_schema(
+    df_schema: T.StructType, committed: T.StructType
+) -> tuple[T.StructType, bool]:
+    """Union of the committed schema and an appending DataFrame's
+    schema — mergeSchema evolution. Committed columns keep their order
+    and type (same-named columns must type-match exactly; widening is
+    an explicit-migration decision, not an append side effect); new
+    columns append in first-seen order as NULLABLE (files written
+    before the column existed read back NULL for it). Nullability may
+    loosen (that IS evolution: the new files carry nulls). Returns
+    (union, changed)."""
+    by_name = {f.name: f for f in df_schema.fields}
+    out: list[T.StructField] = []
+    changed = False
+    for cf in committed.fields:
+        nf = by_name.pop(cf.name, None)
+        if nf is not None and nf.dataType != cf.dataType:
+            raise TypeError(
+                f"column {cf.name!r} type change "
+                f"{cf.dataType.simpleString()} -> "
+                f"{nf.dataType.simpleString()} is not mergeable; cast "
+                "the DataFrame or migrate the table explicitly"
+            )
+        nullable = cf.nullable or (nf is not None and nf.nullable)
+        if nullable != cf.nullable:
+            changed = True
+        out.append(T.StructField(cf.name, cf.dataType, nullable))
+    for f in df_schema.fields:  # new columns, first-seen order
+        if f.name in by_name:
+            out.append(T.StructField(f.name, f.dataType, True))
+            changed = True
+    return T.StructType(out), changed
 
 
 def _check_append_schema(df: DataFrame, meta: dict) -> None:
@@ -953,6 +993,7 @@ def write_delta(
     max_commit_retries: int = 10,
     collect_stats: bool = True,
     log_store: "logstore.LogStore | None" = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` to a Delta table at ``path``; returns the committed
     version. ``mode``: ``append`` or ``overwrite`` (overwrite removes
@@ -960,6 +1001,17 @@ def write_delta(
     replace). ``timestamp_ms`` stamps createdTime/modificationTime;
     callers pass a real clock in production (the engine's contracts pin
     it for determinism).
+
+    ``merge_schema=True`` is mergeSchema evolution: new columns in
+    ``df`` append to the committed schema (NULLABLE — files written
+    before the column existed read back NULL for it, because every
+    scan uses the committed schema explicitly), ``df`` may omit
+    existing columns (its rows read back NULL there), and the commit
+    carries the updated metaData action so evolution is itself
+    versioned — time travel to an older version reads with THAT
+    version's schema. Type changes never merge (cast or migrate
+    explicitly). Without the flag, any schema drift fails the commit
+    as before.
 
     ``collect_stats`` (default on) embeds per-file
     {numRecords, minValues, maxValues, nullCount} in each ``add.stats``
@@ -1015,6 +1067,7 @@ def write_delta(
         versions = table_versions(spark, path)
         version = (versions[-1] + 1) if versions else 0
         prior_files: list[str] = []
+        evolved_meta: dict | None = None
         if versions:
             prior = _resolve_log(spark, path, None)
             meta = prior["meta"]
@@ -1023,10 +1076,37 @@ def write_delta(
                     "partition_by does not match the table's "
                     "partitionColumns"
                 )
-            _check_append_schema(df, meta)
+            if merge_schema:
+                committed = T.StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                )
+                union, schema_changed = _evolve_schema(df.schema, committed)
+                if schema_changed:
+                    # evolution rides in the SAME commit as the data, so
+                    # it is atomic and versioned with it; rebuild the
+                    # metaData dict field-by-field (a checkpoint-replayed
+                    # meta lacks format/createdTime)
+                    evolved_meta = {
+                        "id": meta["id"],
+                        "format": meta.get("format")
+                        or {"provider": "parquet", "options": {}},
+                        "schemaString": union.json(),
+                        "partitionColumns": list(
+                            meta.get("partitionColumns") or []
+                        ),
+                        "configuration": dict(
+                            meta.get("configuration") or {}
+                        ),
+                        "createdTime": meta.get("createdTime")
+                        or timestamp_ms,
+                    }
+            else:
+                _check_append_schema(df, meta)
             prior_files = list(prior["files"])
 
         actions: list[dict] = []
+        if evolved_meta is not None:
+            actions.append({"metaData": evolved_meta})
         if version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

@@ -1128,3 +1128,106 @@ def test_vacuum_age_guard_protects_inflight_writers(spark, tmp_path):
     assert res["files_deleted"] == 1 and res["skipped_young"] == 0
     assert not _fs.exists(spark, orphan)
     assert _rows(read_delta(spark, path)) == {(1, "a")}
+
+
+def test_merge_schema_evolution_append(spark, tmp_path):
+    """mergeSchema append: a new column lands NULLABLE, files written
+    before it read back NULL, evolution is versioned (time travel to
+    the old version reads the OLD schema), a later append may omit
+    existing columns, and metadata_summary counts pre-evolution rows
+    as NULL for the new column — not zero."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "evo")
+    v0 = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    write_delta(spark, v0, path)
+
+    v1 = spark.createDataFrame(
+        [(3, 30, "fr")], "id long, v long, lang string"
+    )
+    assert write_delta(spark, v1, path, merge_schema=True) == 1
+
+    latest = read_delta(spark, path)
+    assert latest.schema.fieldNames() == ["id", "v", "lang"]
+    rows = {(r["id"], r["v"], r["lang"]) for r in latest.collect()}
+    assert rows == {(1, 10, None), (2, 20, None), (3, 30, "fr")}
+    # evolution is versioned: v0 reads with the pre-evolution schema
+    assert read_delta(spark, path, version=0).schema.fieldNames() == [
+        "id", "v",
+    ]
+    # a subsequent append may omit an existing column entirely
+    v2 = spark.createDataFrame([(4, "de")], "id long, lang string")
+    write_delta(spark, v2, path, merge_schema=True)
+    rows = {
+        (r["id"], r["v"], r["lang"])
+        for r in read_delta(spark, path).collect()
+    }
+    assert rows == {
+        (1, 10, None), (2, 20, None), (3, 30, "fr"), (4, None, "de"),
+    }
+    # skip-read equality on the evolved column (old files have no
+    # stats for it -> conservatively scanned)
+    assert read_delta(spark, path, skip=[("lang", "=", "fr")]).count() == 1
+    ms = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"])
+        for r in metadata_summary(spark, path).collect()
+    }
+    # lang: rows 1,2 predate the column (their file's stats have no
+    # nullCount entry for it — counted as all-null); v: row 4 omitted it
+    assert ms["lang"] == (4, 2) and ms["v"] == (4, 1)
+
+
+def test_merge_schema_rejects_type_change_and_plain_append_drift(
+    spark, tmp_path
+):
+    """Type changes never merge; without the flag any drift still fails
+    the commit (the pre-evolution contract is unchanged)."""
+    path = str(tmp_path / "evo2")
+    write_delta(
+        spark, spark.createDataFrame([(1, 10)], "id long, v long"), path
+    )
+    drift = spark.createDataFrame([(2, 20, "x")], "id long, v long, s string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(spark, drift, path)
+    retyped = spark.createDataFrame([(2, "oops")], "id long, v string")
+    with pytest.raises(TypeError, match="not mergeable"):
+        write_delta(spark, retyped, path, merge_schema=True)
+
+
+def test_merge_and_dv_delete_on_evolved_table(spark, tmp_path):
+    """MERGE (rewrite) and vector DELETE against a table whose older
+    files predate a column: every scan path fills the missing column
+    with NULLs through the committed schema, so survivors rewrite and
+    vectors mark correctly across the evolution boundary."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        merge_delta,
+    )
+
+    path = str(tmp_path / "evo3")
+    write_delta(
+        spark, spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        path,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, 30, "fr")], "id long, v long, lang string"),
+        path,
+        merge_schema=True,
+    )
+    # vector delete of a pre-evolution row
+    res = delete_delta(
+        spark, path, spark.createDataFrame([(1,)], "id long")
+    )
+    assert res["files_rewritten"] == 0 and res["rows_deleted"] == 1
+    # merge updates a pre-evolution row (source must carry the full
+    # evolved schema)
+    src = spark.createDataFrame([(2, 99, "en")], "id long, v long, lang string")
+    merge_delta(spark, src, path, ["id"])
+    rows = {
+        (r["id"], r["v"], r["lang"])
+        for r in read_delta(spark, path).collect()
+    }
+    assert rows == {(2, 99, "en"), (3, 30, "fr")}
