@@ -176,6 +176,8 @@ _CHECKPOINT_SCHEMA = T.StructType(
 
 
 def _apply_action(state: dict, action: dict) -> None:
+    if "protocol" in action and action["protocol"]:
+        state["protocol"] = action["protocol"]
     if "metaData" in action and action["metaData"]:
         state["meta"] = action["metaData"]
     if "add" in action and action["add"]:
@@ -183,6 +185,72 @@ def _apply_action(state: dict, action: dict) -> None:
         state["files"][a["path"]] = a
     if "remove" in action and action["remove"]:
         state["files"].pop(action["remove"]["path"], None)
+
+
+# Protocol enforcement (spec rule, and it is hard): a client that does
+# not implement a table's protocol version / table features MUST refuse
+# it. Reading on is not a degraded mode but a silent wrong answer —
+# column mapping makes every logical column read back NULL (physical
+# parquet names differ), foreign binary-bitmap deletion vectors would
+# silently resurrect deleted rows. Writing on can corrupt invariants
+# the table's real writers rely on (appendOnly, CHECK constraints,
+# generated/identity columns).
+_SUPPORTED_READER_FEATURES: set[str] = set()
+_SUPPORTED_WRITER_FEATURES: set[str] = set()
+
+
+def _check_read_protocol(state: dict, path: str) -> None:
+    proto = state.get("protocol") or {}
+    v = int(proto.get("minReaderVersion") or 1)
+    feats = set(proto.get("readerFeatures") or [])
+    conf = (state.get("meta") or {}).get("configuration") or {}
+    cmode = conf.get("delta.columnMapping.mode", "none")
+    if v == 3:
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"table {path!r} requires reader features "
+                f"{sorted(unsupported)} this implementation does not "
+                "support — refusing to read rather than return wrong "
+                "rows"
+            )
+    elif v > 3:
+        raise ValueError(
+            f"table {path!r} requires minReaderVersion={v}; refusing "
+            "to read rather than return wrong rows"
+        )
+    elif cmode != "none":
+        raise ValueError(
+            f"table {path!r} uses column mapping mode {cmode!r}, "
+            "which this implementation does not support — its logical "
+            "column names do not match the physical parquet names, so "
+            "reading on would return NULL for every mapped column"
+        )
+
+
+def _check_write_protocol(state: dict, path: str) -> None:
+    """Writers must additionally honor the WRITER protocol: a foreign
+    table demanding writer features (appendOnly, invariants, CHECK
+    constraints, generated/identity columns, …) cannot be safely
+    committed to by a client that does not implement them."""
+    proto = state.get("protocol") or {}
+    v = int(proto.get("minWriterVersion") or 1)
+    feats = set(proto.get("writerFeatures") or [])
+    if v == 7:
+        unsupported = feats - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise ValueError(
+                f"table {path!r} requires writer features "
+                f"{sorted(unsupported)} this implementation does not "
+                "support — refusing to write rather than break its "
+                "invariants"
+            )
+    elif v > 2:
+        raise ValueError(
+            f"table {path!r} requires minWriterVersion={v}; this "
+            "implementation writes protocol 2 — refusing to write "
+            "rather than break invariants its real writers enforce"
+        )
 
 
 def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
@@ -199,7 +267,9 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
             f"version {target} not in table (have 0..{versions[-1]})"
         )
 
-    state: dict = {"meta": None, "files": {}, "version": target}
+    state: dict = {
+        "meta": None, "files": {}, "version": target, "protocol": None,
+    }
     # newest checkpoint ≤ target (not just _last_checkpoint: time travel
     # to a version older than the latest checkpoint can still replay
     # from an earlier retained checkpoint)
@@ -229,6 +299,7 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
                 _apply_action(state, json.loads(line))
     if state["meta"] is None:
         raise ValueError(f"no metaData action found in log: {path}")
+    _check_read_protocol(state, path)
     return state
 
 
@@ -1070,6 +1141,7 @@ def write_delta(
         evolved_meta: dict | None = None
         if versions:
             prior = _resolve_log(spark, path, None)
+            _check_write_protocol(prior, path)
             meta = prior["meta"]
             if list(meta.get("partitionColumns") or []) != partition_by:
                 raise ValueError(
@@ -1180,6 +1252,7 @@ def _commit_swap(
     planned = {a["path"]: _add_identity(a) for a in touched_adds}
     for _ in range(10):
         current = _resolve_log(spark, path, None)
+        _check_write_protocol(current, path)
         changed = [
             p
             for p, ident in planned.items()

@@ -1231,3 +1231,69 @@ def test_merge_and_dv_delete_on_evolved_table(spark, tmp_path):
         for r in read_delta(spark, path).collect()
     }
     assert rows == {(2, 99, "en"), (3, 30, "fr")}
+
+
+def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
+    """Spec rule: a client that does not implement a table's protocol
+    MUST refuse it. Column mapping read on would return NULL for every
+    mapped column; foreign binary deletion vectors would resurrect
+    rows; writing past the writer protocol breaks invariants the real
+    writers enforce. Reads of writer-advanced tables stay allowed."""
+    import json as _json
+
+    from changedatacapture_reporting_spark import fs as _fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+    )
+
+    def rewrite_v0(path, protocol=None, config=None):
+        log = os.path.join(path, "_delta_log")
+        cname = "00000000000000000000.json"
+        out = []
+        for line in _fs.read_text(spark, os.path.join(log, cname)).splitlines():
+            d = _json.loads(line)
+            if "protocol" in d and protocol is not None:
+                d["protocol"] = protocol
+            if "metaData" in d and config is not None:
+                d["metaData"]["configuration"] = config
+            out.append(_json.dumps(d))
+        os.remove(os.path.join(log, cname))
+        crc = os.path.join(log, f".{cname}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        _fs.write_text(spark, os.path.join(log, cname), "\n".join(out) + "\n")
+
+    mk = lambda: spark.createDataFrame([(1, "a")], "id long, v string")
+
+    # reader-version-3 feature table: read refused
+    p1 = str(tmp_path / "p1")
+    write_delta(spark, mk(), p1)
+    rewrite_v0(p1, protocol={
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    })
+    with pytest.raises(ValueError, match="reader features"):
+        read_delta(spark, p1)
+
+    # column mapping at reader version 2: read refused with the reason
+    p2 = str(tmp_path / "p2")
+    write_delta(spark, mk(), p2)
+    rewrite_v0(
+        p2,
+        protocol={"minReaderVersion": 2, "minWriterVersion": 5},
+        config={"delta.columnMapping.mode": "name"},
+    )
+    with pytest.raises(ValueError, match="column mapping"):
+        read_delta(spark, p2)
+
+    # writer-advanced table: READ is fine, any WRITE is refused
+    p3 = str(tmp_path / "p3")
+    write_delta(spark, mk(), p3)
+    rewrite_v0(p3, protocol={"minReaderVersion": 1, "minWriterVersion": 4})
+    assert _rows(read_delta(spark, p3)) == {(1, "a")}
+    with pytest.raises(ValueError, match="minWriterVersion"):
+        write_delta(spark, mk(), p3)
+    src = spark.createDataFrame([(1, "z")], "id long, v string")
+    with pytest.raises(ValueError, match="minWriterVersion"):
+        merge_delta(spark, src, p3, ["id"])
