@@ -171,6 +171,19 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # streaming exactly-once watermarks (the PROTOCOL's txn action):
+        # a checkpoint that dropped them would let a replayed micro-batch
+        # double-commit once the json commits expire
+        T.StructField(
+            "txn",
+            T.StructType(
+                [
+                    T.StructField("appId", T.StringType()),
+                    T.StructField("version", T.LongType()),
+                    T.StructField("lastUpdated", T.LongType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -180,6 +193,11 @@ def _apply_action(state: dict, action: dict) -> None:
         state["protocol"] = action["protocol"]
     if "metaData" in action and action["metaData"]:
         state["meta"] = action["metaData"]
+    if "txn" in action and action["txn"]:
+        t = action["txn"]
+        if t.get("appId") is not None:
+            prev = state["txns"].get(t["appId"], -1)
+            state["txns"][t["appId"]] = max(prev, int(t["version"]))
     if "add" in action and action["add"]:
         a = action["add"]
         state["files"][a["path"]] = a
@@ -269,6 +287,7 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
 
     state: dict = {
         "meta": None, "files": {}, "version": target, "protocol": None,
+        "txns": {},
     }
     # newest checkpoint ≤ target (not just _last_checkpoint: time travel
     # to a version older than the latest checkpoint can still replay
@@ -1065,7 +1084,8 @@ def write_delta(
     collect_stats: bool = True,
     log_store: "logstore.LogStore | None" = None,
     merge_schema: bool = False,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Commit ``df`` to a Delta table at ``path``; returns the committed
     version. ``mode``: ``append`` or ``overwrite`` (overwrite removes
     every previously-live file in the SAME commit — the atomic
@@ -1083,6 +1103,15 @@ def write_delta(
     version's schema. Type changes never merge (cast or migrate
     explicitly). Without the flag, any schema drift fails the commit
     as before.
+
+    ``txn=(app_id, version)`` is the PROTOCOL's transaction action —
+    streaming exactly-once: the commit records the application's
+    monotonically increasing version (a micro-batch id), and a write
+    whose version is ≤ the app's recorded watermark is SKIPPED
+    (returns None, nothing lands) — a foreachBatch replay after a
+    crash cannot double-append. The watermark survives checkpoints
+    and is re-checked inside the commit loop, so two racing instances
+    of the same app cannot both land one batch.
 
     ``collect_stats`` (default on) embeds per-file
     {numRecords, minValues, maxValues, nullCount} in each ``add.stats``
@@ -1103,6 +1132,11 @@ def write_delta(
     partition_by = partition_by or []
 
     versions = table_versions(spark, path)
+    if txn is not None and versions:
+        # replay fast path: skip before staging any data
+        state0 = _resolve_log(spark, path, None)
+        if state0["txns"].get(txn[0], -1) >= int(txn[1]):
+            return None
     staging = fs.join(path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -1142,6 +1176,15 @@ def write_delta(
         if versions:
             prior = _resolve_log(spark, path, None)
             _check_write_protocol(prior, path)
+            if txn is not None and prior["txns"].get(
+                txn[0], -1
+            ) >= int(txn[1]):
+                # a racing instance of the same app landed this batch
+                # between our staging and this attempt: withdraw — the
+                # staged files are ours alone, so deleting them is safe
+                for rel in rels:
+                    fs.delete(spark, fs.join(path, rel))
+                return None
             meta = prior["meta"]
             if list(meta.get("partitionColumns") or []) != partition_by:
                 raise ValueError(
@@ -1192,6 +1235,16 @@ def write_delta(
                         "partitionColumns": partition_by,
                         "configuration": {},
                         "createdTime": timestamp_ms,
+                    }
+                }
+            )
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": txn[0],
+                        "version": int(txn[1]),
+                        "lastUpdated": timestamp_ms,
                     }
                 }
             )
@@ -2083,8 +2136,12 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 dict(meta.get("configuration") or {}),
             ),
             None,
+            None,
         ),
-        (None, None, None, (1, 2)),
+        (None, None, None, (1, 2), None),
+    ] + [
+        (None, None, None, None, (app_id, int(ver), 0))
+        for app_id, ver in sorted(state["txns"].items())
     ] + [
         (
             (
@@ -2103,6 +2160,7 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                     else None
                 ),
             ),
+            None,
             None,
             None,
             None,
@@ -2212,3 +2270,46 @@ def delta_version_events(
             value_cols=value_cols, table_name=table_name,
         )
     return out
+
+
+def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
+    """The application's recorded transaction watermark (PROTOCOL txn
+    action): the highest ``version`` this app has committed, -1 if none
+    (or the table does not exist yet). A streaming writer resuming from
+    a checkpoint compares its next batch id against this to decide
+    whether the batch already landed."""
+    if not table_versions(spark, path):
+        return -1
+    return _resolve_log(spark, path, None)["txns"].get(app_id, -1)
+
+
+def delta_stream_writer(
+    path: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+    log_store: "logstore.LogStore | None" = None,
+):
+    """foreachBatch sink with exactly-once semantics onto a Delta table:
+    each micro-batch appends under ``txn=(app_id, batch_id)``, so a
+    batch replayed after a crash (Structured Streaming's at-least-once
+    redelivery) is recognized by its recorded watermark and skipped —
+    the append is idempotent per batch id.
+
+    Usage::
+
+        q = (events.writeStream
+             .foreachBatch(delta_stream_writer(path, "orders-ingest"))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_delta(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            partition_by=partition_by,
+            log_store=log_store,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return _write

@@ -1297,3 +1297,91 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
     src = spark.createDataFrame([(1, "z")], "id long, v string")
     with pytest.raises(ValueError, match="minWriterVersion"):
         merge_delta(spark, src, p3, ["id"])
+
+
+def test_txn_exactly_once_append(spark, tmp_path):
+    """The PROTOCOL's txn action: a write replayed with a version at or
+    below the app's recorded watermark is skipped entirely (returns
+    None, nothing lands), the watermark survives checkpoints, and
+    different app ids are independent."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        last_txn_version,
+    )
+
+    path = str(tmp_path / "txn")
+    mk = lambda i: spark.createDataFrame([(i, f"b{i}")], "id long, v string")
+    assert last_txn_version(spark, path, "app") == -1
+    assert write_delta(spark, mk(0), path, txn=("app", 0)) == 0
+    assert write_delta(spark, mk(1), path, txn=("app", 1)) == 1
+    # crash-replay of both batches: skipped, no duplicates
+    assert write_delta(spark, mk(0), path, txn=("app", 0)) is None
+    assert write_delta(spark, mk(1), path, txn=("app", 1)) is None
+    assert read_delta(spark, path).count() == 2
+    assert last_txn_version(spark, path, "app") == 1
+    # another app's versions are independent
+    assert write_delta(spark, mk(7), path, txn=("other", 0)) == 2
+    # the watermark survives log compaction
+    write_checkpoint(spark, path)
+    assert last_txn_version(spark, path, "app") == 1
+    assert write_delta(spark, mk(1), path, txn=("app", 1)) is None
+    assert write_delta(spark, mk(2), path, txn=("app", 2)) is not None
+    assert read_delta(spark, path).count() == 4
+
+
+def test_txn_race_between_instances_lands_batch_once(spark, tmp_path):
+    """Two instances of the same app racing one batch id: the loser
+    detects the winner's watermark inside its commit loop, withdraws
+    its staged files and returns None — the batch lands exactly once."""
+    from changedatacapture_reporting_spark import fs as _fs
+
+    path = str(tmp_path / "txnrace")
+    mk = lambda v: spark.createDataFrame([(v, "x")], "id long, v string")
+    write_delta(spark, mk(0), path, txn=("app", 0))
+
+    real_create = _fs.create_exclusive
+    injected = {"done": False}
+
+    def racing_create(sp, p, text=""):
+        if not injected["done"] and p.endswith(
+            "00000000000000000001.json"
+        ):
+            injected["done"] = True
+            write_delta(spark, mk(100), path, txn=("app", 1))
+        return real_create(sp, p, text)
+
+    _fs.create_exclusive = racing_create
+    try:
+        res = write_delta(spark, mk(200), path, txn=("app", 1))
+    finally:
+        _fs.create_exclusive = real_create
+    assert res is None  # the loser withdrew
+    ids = sorted(r["id"] for r in read_delta(spark, path).collect())
+    assert ids == [0, 100]  # exactly one batch-1 payload landed
+    # and the loser's staged files did not linger as orphans
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+    )
+    from urllib.parse import unquote as _uq
+
+    live = {_uq(p) for p in _resolve_log(spark, path, None)["files"]}
+    on_disk = set(_fs.list_data_files(spark, path))
+    assert on_disk == live
+
+
+def test_delta_stream_writer_foreachbatch_replay(spark, tmp_path):
+    """The foreachBatch factory: calling the writer with the same
+    (batch_df, batch_id) twice — Structured Streaming's at-least-once
+    redelivery — appends once."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delta_stream_writer,
+    )
+
+    path = str(tmp_path / "sink")
+    w = delta_stream_writer(path, "ingest")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    w(b0, 0)
+    w(b1, 1)
+    w(b1, 1)  # redelivery
+    w(b0, 0)  # late redelivery
+    assert read_delta(spark, path).count() == 3
