@@ -1294,18 +1294,39 @@ def _commit_swap(
     touched_adds: list[dict],
     log_store,
     op: str,
-) -> int:
+    txn: tuple[str, int] | None = None,
+    timestamp_ms: int = 0,
+) -> int | None:
     """Optimistic remove+add commit shared by OPTIMIZE / MERGE /
     DELETE: retries lost version races, aborts when any touched file's
     CURRENT add differs from the snapshot add the plan was built
     against. Path presence alone stopped being a sound check once
     deletion vectors exist — a concurrent commit re-adds the same path
     with a different vector, and committing over it would resurrect
-    its deleted rows."""
+    its deleted rows.
+
+    ``txn=(app_id, version)`` rides the PROTOCOL's transaction action
+    along with the swap; a replay detected inside the loop (a racing
+    instance of the same app landed this batch first) returns None —
+    the caller withdraws its staged artifacts."""
     planned = {a["path"]: _add_identity(a) for a in touched_adds}
+    if txn is not None:
+        actions = actions + [
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": timestamp_ms,
+                }
+            }
+        ]
     for _ in range(10):
         current = _resolve_log(spark, path, None)
         _check_write_protocol(current, path)
+        if txn is not None and current["txns"].get(
+            txn[0], -1
+        ) >= int(txn[1]):
+            return None
         changed = [
             p
             for p, ident in planned.items()
@@ -1672,6 +1693,7 @@ def merge_delta(
     timestamp_ms: int = 0,
     log_store: "logstore.LogStore | None" = None,
     deletion_vectors: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """MERGE INTO by primary key — matched target rows update to the
     source row, unmatched source rows insert, and rows whose
@@ -1705,11 +1727,23 @@ def merge_delta(
     ``source`` (minus ``delete_col``) must match the committed schema;
     duplicate pks in ``source`` raise (a target row would receive two
     different updates — real MERGE engines reject this as ambiguous).
+    ``txn=(app_id, batch_id)`` gives the merge streaming exactly-once
+    semantics (the PROTOCOL's transaction action, same contract as
+    write_delta's): a replayed batch returns
+    {"version": None, "skipped_txn": True, ...} without touching the
+    table, and a racing instance of the same app withdraws inside the
+    commit loop.
+
     Returns {"version", "files_rewritten", "files_added", "rows_upserted",
     "rows_deleted"} (+ {"files_dv_updated", "files_removed",
     "deletion_vector"} in vector mode).
     """
     state = _resolve_log(spark, path, None)
+    if txn is not None and state["txns"].get(txn[0], -1) >= int(txn[1]):
+        return {
+            "version": None, "files_rewritten": 0, "files_added": 0,
+            "rows_upserted": 0, "rows_deleted": 0, "skipped_txn": True,
+        }
     meta = state["meta"]
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1828,8 +1862,20 @@ def merge_delta(
             rels, add_actions = _write_new_files(data_source)
             actions = actions + add_actions
         version = _commit_swap(
-            spark, path, actions, touched_adds, log_store, "merge"
+            spark, path, actions, touched_adds, log_store, "merge",
+            txn=txn, timestamp_ms=timestamp_ms,
         )
+        if version is None:  # txn replay raced us — withdraw
+            for rel in rels:
+                fs.delete(spark, fs.join(path, rel))
+            if dv_rel:
+                fs.delete(spark, fs.join(path, dv_rel))
+            return {
+                "version": None, "files_rewritten": 0, "files_added": 0,
+                "rows_upserted": 0, "rows_deleted": 0,
+                "files_dv_updated": 0, "files_removed": 0,
+                "deletion_vector": None, "skipped_txn": True,
+            }
         return {
             "version": version,
             "files_rewritten": 0,
@@ -1889,8 +1935,16 @@ def merge_delta(
     ] + add_actions
 
     version = _commit_swap(
-        spark, path, actions, touched_adds, log_store, "merge"
+        spark, path, actions, touched_adds, log_store, "merge",
+        txn=txn, timestamp_ms=timestamp_ms,
     )
+    if version is None:  # txn replay raced us — withdraw staged files
+        for rel in rels:
+            fs.delete(spark, fs.join(path, rel))
+        return {
+            "version": None, "files_rewritten": 0, "files_added": 0,
+            "rows_upserted": 0, "rows_deleted": 0, "skipped_txn": True,
+        }
     return {
         "version": version,
         "files_rewritten": len(touched_adds),
@@ -1907,6 +1961,7 @@ def delete_delta(
     deletion_vectors: bool = True,
     timestamp_ms: int = 0,
     log_store: "logstore.LogStore | None" = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """DELETE by key — the lakehouse right-to-be-forgotten path.
     ``keys``'s columns name the key (every column joins null-unsafe,
@@ -1924,11 +1979,21 @@ def delete_delta(
     rewritten without the matched rows; deleting every live row leaves
     a readable zero-file table (typed empty scan).
 
+    ``txn=(app_id, batch_id)``: exactly-once semantics for streamed
+    deletes, same contract as merge_delta's (replay skipped, racer
+    withdraws).
+
     Returns {"version", "rows_deleted", "files_dv_updated",
     "files_removed", "files_rewritten", "files_added",
     "deletion_vector"}; version None when nothing matched.
     """
     state = _resolve_log(spark, path, None)
+    if txn is not None and state["txns"].get(txn[0], -1) >= int(txn[1]):
+        return {
+            "version": None, "rows_deleted": 0, "files_dv_updated": 0,
+            "files_removed": 0, "files_rewritten": 0, "files_added": 0,
+            "deletion_vector": None, "skipped_txn": True,
+        }
     meta = state["meta"]
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1970,8 +2035,17 @@ def delete_delta(
                 touched_adds, counts, dv_rel, timestamp_ms
             )
             version = _commit_swap(
-                spark, path, actions, touched_adds, log_store, "delete"
+                spark, path, actions, touched_adds, log_store, "delete",
+                txn=txn, timestamp_ms=timestamp_ms,
             )
+            if version is None:  # txn replay raced us — withdraw
+                fs.delete(spark, fs.join(path, dv_rel))
+                return {
+                    "version": None, "rows_deleted": 0,
+                    "files_dv_updated": 0, "files_removed": 0,
+                    "files_rewritten": 0, "files_added": 0,
+                    "deletion_vector": None, "skipped_txn": True,
+                }
             return {
                 "version": version,
                 "rows_deleted": n_deleted,
@@ -2021,8 +2095,17 @@ def delete_delta(
         for rel in rels
     ]
     version = _commit_swap(
-        spark, path, actions, touched_adds, log_store, "delete"
+        spark, path, actions, touched_adds, log_store, "delete",
+        txn=txn, timestamp_ms=timestamp_ms,
     )
+    if version is None:  # txn replay raced us — withdraw staged files
+        for rel in rels:
+            fs.delete(spark, fs.join(path, rel))
+        return {
+            "version": None, "rows_deleted": 0, "files_dv_updated": 0,
+            "files_removed": 0, "files_rewritten": 0, "files_added": 0,
+            "deletion_vector": None, "skipped_txn": True,
+        }
     return {
         "version": version,
         "rows_deleted": n_deleted,
@@ -2313,3 +2396,42 @@ def delta_stream_writer(
         )
 
     return _write
+
+
+def delta_stream_merger(
+    path: str,
+    pk_cols: list[str],
+    app_id: str,
+    delete_col: str | None = None,
+    deletion_vectors: bool = False,
+    log_store: "logstore.LogStore | None" = None,
+):
+    """foreachBatch MERGE sink with exactly-once semantics — the
+    streaming CDC apply: each micro-batch upserts (and deletes, via
+    ``delete_col``) into the Delta table under
+    ``txn=(app_id, batch_id)``, so a replayed batch is recognized and
+    skipped instead of double-applying. ``deletion_vectors=True`` makes
+    the steady-state apply rewrite nothing (vector marks + new files
+    for the upserts).
+
+    Usage::
+
+        q = (net_changes_stream.writeStream
+             .foreachBatch(delta_stream_merger(path, ["id"], "apply",
+                                               delete_col="_del"))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_delta(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            pk_cols,
+            delete_col=delete_col,
+            deletion_vectors=deletion_vectors,
+            log_store=log_store,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return _apply

@@ -1385,3 +1385,54 @@ def test_delta_stream_writer_foreachbatch_replay(spark, tmp_path):
     w(b1, 1)  # redelivery
     w(b0, 0)  # late redelivery
     assert read_delta(spark, path).count() == 3
+
+
+def test_txn_merge_and_delete_exactly_once(spark, tmp_path):
+    """txn on MERGE/DELETE: replayed batches skip without touching the
+    table (both vector and rewrite modes), and the foreachBatch merger
+    factory applies each batch id once."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        delta_stream_merger,
+        merge_delta,
+    )
+
+    path = str(tmp_path / "txnm")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "id long, v long"
+    )
+    write_delta(spark, base.repartition(1), path)
+
+    apply_batch = delta_stream_merger(
+        path, ["id"], "apply", delete_col="_del", deletion_vectors=True
+    )
+    b0 = spark.createDataFrame(
+        [(1, 111, False), (2, 0, True), (99, 990, False)],
+        "id long, v long, _del boolean",
+    )
+    apply_batch(b0, 0)
+    after0 = {(r["id"], r["v"]) for r in read_delta(spark, path).collect()}
+    apply_batch(b0, 0)  # redelivery: must be a no-op
+    assert {
+        (r["id"], r["v"]) for r in read_delta(spark, path).collect()
+    } == after0
+    assert (1, 111) in after0 and (99, 990) in after0
+    assert not any(i == 2 for i, _ in after0)
+
+    # explicit replay returns the skipped shape without side effects
+    res = merge_delta(
+        spark, b0, path, ["id"], delete_col="_del",
+        deletion_vectors=True, txn=("apply", 0),
+    )
+    assert res == {
+        "version": None, "files_rewritten": 0, "files_added": 0,
+        "rows_upserted": 0, "rows_deleted": 0, "skipped_txn": True,
+    }
+
+    # txn delete: batch 1 lands, its replay skips
+    keys = spark.createDataFrame([(3,)], "id long")
+    r1 = delete_delta(spark, path, keys, txn=("apply", 1))
+    assert r1["rows_deleted"] == 1 and r1["version"] is not None
+    r2 = delete_delta(spark, path, keys, txn=("apply", 1))
+    assert r2["skipped_txn"] is True and r2["rows_deleted"] == 0
+    assert read_delta(spark, path).filter("id = 3").count() == 0
