@@ -114,15 +114,23 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
                 [(k, v, ["a", "b", "c:d"][k % 3], d) for k, v, d in src_rows],
                 "id int, v int, p string, _del boolean",
             )
+            txn = ("walk", step) if rng.random() < 0.5 else None
             res = merge_delta(
                 spark, src, path, ["id"], delete_col="_del",
-                deletion_vectors=dv,
+                deletion_vectors=dv, txn=txn,
             )
             for k, v, d in src_rows:
                 if d:
                     model.pop(k, None)
                 else:
                     model[k] = v
+            if txn is not None and res["version"] is not None:
+                # immediate redelivery: exact no-op
+                replay = merge_delta(
+                    spark, src, path, ["id"], delete_col="_del",
+                    deletion_vectors=dv, txn=txn,
+                )
+                assert replay.get("skipped_txn") is True, replay
             if res["version"] is None:
                 continue
             version = res["version"]
@@ -131,14 +139,20 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
         elif op == "delete" and live:
             dv = rng.random() < 0.6
             dels = rng.sample(live, min(len(live), rng.randint(1, 6)))
+            keys_df = spark.createDataFrame(
+                [(k,) for k in dels], "id int"
+            )
+            txn = ("walk", step) if rng.random() < 0.5 else None
             res = delete_delta(
-                spark,
-                path,
-                spark.createDataFrame([(k,) for k in dels], "id int"),
-                deletion_vectors=dv,
+                spark, path, keys_df, deletion_vectors=dv, txn=txn,
             )
             for k in dels:
                 model.pop(k, None)
+            if txn is not None and res["version"] is not None:
+                replay = delete_delta(
+                    spark, path, keys_df, deletion_vectors=dv, txn=txn,
+                )
+                assert replay.get("skipped_txn") is True, replay
             if res["version"] is None:
                 continue
             version = res["version"]
