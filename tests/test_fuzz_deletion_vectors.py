@@ -1,11 +1,16 @@
 """Differential fuzz for the deletion-vector lifecycle: a seeded random
 walk over append / vector-merge / rewrite-merge / vector-delete /
-rewrite-delete / OPTIMIZE / checkpoint / VACUUM, checked after every
-step against a driver-side model of the logical table, plus time-travel
-spot checks against recorded version snapshots. The walk interleaves
-vector and rewrite commits on the SAME table, so carried-over vectors,
-vector purges, and checkpoint replay of vectored adds all get exercised
-in combination rather than one edge per test.
+rewrite-delete / OPTIMIZE / checkpoint / VACUUM / truncate-overwrite /
+mergeSchema-EVOLVE, checked after every step against a driver-side
+model of the logical table, plus time-travel spot checks against
+recorded version snapshots (each compared with the schema of ITS OWN
+version — evolution is itself versioned). Half the merges/deletes
+carry txn=(app, step) and are immediately redelivered, asserting the
+replay skips. The walk interleaves vector and rewrite commits on the
+SAME table, so carried-over vectors, vector purges, checkpoint replay
+of vectored adds, evolved schemas over vectored files and exactly-once
+markers all get exercised in combination rather than one edge per
+test.
 
 Committed power is 4 seeds x 10 steps (seconds); raise with
 DV_FUZZ_SEEDS=n for a soak.
@@ -17,7 +22,6 @@ import os
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from changedatacapture_reporting_spark.sources.delta_table import (
     delete_delta,
@@ -33,29 +37,44 @@ N_SEEDS = int(os.environ.get("DV_FUZZ_SEEDS", "4"))
 N_STEPS = 10
 
 
-def _df(spark, rows):
+def _p(k):
+    return ["a", "b", "c:d"][k % 3]
+
+
+def _lang(k):
+    return f"l{k % 2}"
+
+
+def _df(spark, rows, evolved):
+    """rows: list of (k, v, lang)."""
+    if evolved:
+        return spark.createDataFrame(
+            [(k, v, _p(k), lang) for k, v, lang in rows],
+            "id int, v int, p string, lang string",
+        )
     return spark.createDataFrame(
-        [(k, v, ["a", "b", "c:d"][k % 3]) for k, v in rows],
-        "id int, v int, p string",
+        [(k, v, _p(k)) for k, v, _ in rows], "id int, v int, p string"
     )
 
 
 def _read(spark, path, version=None):
     return {
-        (r["id"], r["v"], r["p"])
-        for r in read_delta(spark, path, version=version).collect()
+        tuple(r) for r in read_delta(spark, path, version=version).collect()
     }
 
 
-def _model_rows(model):
-    return {(k, v, ["a", "b", "c:d"][k % 3]) for k, v in model.items()}
+def _expect(model, evolved):
+    if evolved:
+        return {(k, v, _p(k), lang) for k, (v, lang) in model.items()}
+    return {(k, v, _p(k)) for k, (v, _) in model.items()}
 
 
 @pytest.mark.parametrize("seed", range(N_SEEDS))
 def test_dv_random_walk_matches_model(spark, tmp_path, seed):
     rng = random.Random(1234 + seed)
     path = str(tmp_path / f"t{seed}")
-    model: dict[int, int] = {}
+    model: dict[int, tuple] = {}  # k -> (v, lang)
+    evolved = False
     next_key = 0
     snapshots: list[tuple[int, set]] = []  # (version, expected rows)
     version = -1
@@ -67,36 +86,48 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
         return ks
 
     # initial population: two files per partition value
-    ks = fresh_keys(30)
-    rows = [(k, k * 10) for k in ks]
-    model.update(rows)
+    rows = [(k, k * 10, None) for k in fresh_keys(30)]
+    model.update({k: (v, lang) for k, v, lang in rows})
     version = write_delta(
-        spark, _df(spark, rows).repartition(2), path, partition_by=["p"]
+        spark, _df(spark, rows, False).repartition(2), path,
+        partition_by=["p"],
     )
-    snapshots.append((version, _model_rows(model)))
+    snapshots.append((version, _expect(model, evolved)))
 
     for step in range(N_STEPS):
         live = sorted(model)
         op = rng.choice(
             ["append", "merge", "merge", "delete", "delete",
-             "optimize", "checkpoint", "vacuum", "overwrite"]
+             "optimize", "checkpoint", "vacuum", "overwrite", "evolve"]
         )
-        if op == "overwrite":
-            # truncate-and-reload: drops every add (vectored or not)
-            ks = fresh_keys(rng.randint(2, 6))
-            rows = [(k, k * 10) for k in ks]
-            model.clear()
-            model.update(rows)
+        if op == "evolve" and not evolved:
+            # mergeSchema: the lang column arrives WITH a data batch;
+            # every pre-existing row reads back NULL for it
+            rows = [(k, k * 10, _lang(k)) for k in fresh_keys(3)]
+            model.update({k: (v, lang) for k, v, lang in rows})
             version = write_delta(
-                spark, _df(spark, rows), path,
+                spark, _df(spark, rows, True), path,
+                partition_by=["p"], merge_schema=True,
+            )
+            evolved = True
+        elif op == "overwrite":
+            # truncate-and-reload: drops every add (vectored or not);
+            # the committed schema stays evolved once evolved
+            rows = [(k, k * 10, _lang(k) if evolved else None)
+                    for k in fresh_keys(rng.randint(2, 6))]
+            model.clear()
+            model.update({k: (v, lang) for k, v, lang in rows})
+            version = write_delta(
+                spark, _df(spark, rows, evolved), path,
                 partition_by=["p"], mode="overwrite",
             )
         elif op == "append":
-            ks = fresh_keys(rng.randint(1, 8))
-            rows = [(k, k * 10) for k in ks]
-            model.update(rows)
+            rows = [(k, k * 10, _lang(k) if evolved else None)
+                    for k in fresh_keys(rng.randint(1, 8))]
+            model.update({k: (v, lang) for k, v, lang in rows})
             version = write_delta(
-                spark, _df(spark, rows), path, partition_by=["p"]
+                spark, _df(spark, rows, evolved), path,
+                partition_by=["p"],
             )
         elif op == "merge" and live:
             dv = rng.random() < 0.5
@@ -104,26 +135,35 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
             dels = rng.sample(live, min(len(live), rng.randint(0, 4)))
             ins = fresh_keys(rng.randint(0, 3))
             src_rows = (
-                [(k, model[k] + 1, False) for k in upd if k not in dels]
-                + [(k, 0, True) for k in dels]
-                + [(k, k * 10, False) for k in ins]
+                [(k, model[k][0] + 1,
+                  _lang(k) if evolved else None, False)
+                 for k in upd if k not in dels]
+                + [(k, 0, None, True) for k in dels]
+                + [(k, k * 10, _lang(k) if evolved else None, False)
+                   for k in ins]
             )
             if not src_rows:
                 continue
-            src = spark.createDataFrame(
-                [(k, v, ["a", "b", "c:d"][k % 3], d) for k, v, d in src_rows],
-                "id int, v int, p string, _del boolean",
-            )
+            if evolved:
+                src = spark.createDataFrame(
+                    [(k, v, _p(k), lang, d) for k, v, lang, d in src_rows],
+                    "id int, v int, p string, lang string, _del boolean",
+                )
+            else:
+                src = spark.createDataFrame(
+                    [(k, v, _p(k), d) for k, v, _, d in src_rows],
+                    "id int, v int, p string, _del boolean",
+                )
             txn = ("walk", step) if rng.random() < 0.5 else None
             res = merge_delta(
                 spark, src, path, ["id"], delete_col="_del",
                 deletion_vectors=dv, txn=txn,
             )
-            for k, v, d in src_rows:
+            for k, v, lang, d in src_rows:
                 if d:
                     model.pop(k, None)
                 else:
-                    model[k] = v
+                    model[k] = (v, lang)
             if txn is not None and res["version"] is not None:
                 # immediate redelivery: exact no-op
                 replay = merge_delta(
@@ -168,13 +208,15 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
         else:
             continue
         got = _read(spark, path)
-        assert got == _model_rows(model), (
+        want = _expect(model, evolved)
+        assert got == want, (
             f"seed {seed} step {step} op {op}: "
-            f"missing {_model_rows(model) - got}, extra {got - _model_rows(model)}"
+            f"missing {want - got}, extra {got - want}"
         )
-        snapshots.append((version, _model_rows(model)))
+        snapshots.append((version, want))
 
     # time travel: every recorded version still reads its exact snapshot
-    # (full-retention vacuum must not have broken any of them)
+    # with ITS OWN schema (full-retention vacuum must not have broken
+    # any of them; evolution must not leak backward)
     for v, expect in snapshots[-6:]:
         assert _read(spark, path, version=v) == expect, f"version {v}"
