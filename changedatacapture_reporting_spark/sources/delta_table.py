@@ -2221,7 +2221,24 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
             None,
             None,
         ),
-        (None, None, None, (1, 2), None),
+        # preserve the table's ACTUAL protocol: checkpointing a
+        # writer-advanced table (readable here, not writable) must not
+        # downgrade it to 1/2 — that would license writers the table
+        # forbids once the json commits expire
+        (
+            None,
+            None,
+            None,
+            (
+                int((state.get("protocol") or {}).get(
+                    "minReaderVersion"
+                ) or 1),
+                int((state.get("protocol") or {}).get(
+                    "minWriterVersion"
+                ) or 2),
+            ),
+            None,
+        ),
     ] + [
         (None, None, None, None, (app_id, int(ver), 0))
         for app_id, ver in sorted(state["txns"].items())

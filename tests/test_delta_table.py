@@ -1436,3 +1436,48 @@ def test_txn_merge_and_delete_exactly_once(spark, tmp_path):
     r2 = delete_delta(spark, path, keys, txn=("apply", 1))
     assert r2["skipped_txn"] is True and r2["rows_deleted"] == 0
     assert read_delta(spark, path).filter("id = 3").count() == 0
+
+
+def test_checkpoint_preserves_writer_advanced_protocol(spark, tmp_path):
+    """Checkpointing a writer-advanced table (readable, not writable)
+    must not downgrade its protocol: after the json commits expire the
+    checkpoint is the only protocol source, and a downgraded one would
+    license writers the table forbids."""
+    import json as _json
+
+    from changedatacapture_reporting_spark import fs as _fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+    )
+
+    path = str(tmp_path / "pcp")
+    write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, v string"), path
+    )
+    log = os.path.join(path, "_delta_log")
+    cname = "00000000000000000000.json"
+    out = []
+    for line in _fs.read_text(spark, os.path.join(log, cname)).splitlines():
+        d = _json.loads(line)
+        if "protocol" in d:
+            d["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+        out.append(_json.dumps(d))
+    os.remove(os.path.join(log, cname))
+    crc = os.path.join(log, f".{cname}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _fs.write_text(spark, os.path.join(log, cname), "\n".join(out) + "\n")
+
+    write_checkpoint(spark, path)
+    # drop the json commit: the checkpoint is now the only source
+    os.remove(os.path.join(log, cname))
+    if os.path.exists(crc):
+        os.remove(crc)
+    state = _resolve_log(spark, path, None)
+    assert state["protocol"]["minWriterVersion"] == 4
+    with pytest.raises(ValueError, match="minWriterVersion"):
+        write_delta(
+            spark, spark.createDataFrame([(2, "b")], "id long, v string"),
+            path,
+        )
+    assert _rows(read_delta(spark, path)) == {(1, "a")}
