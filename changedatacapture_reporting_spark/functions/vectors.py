@@ -50,7 +50,10 @@ def l2_norm_sq(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity in double."""
+    """Cosine similarity in double. A zero vector yields NaN (0/0 in
+    IEEE double — Spark and DuckDB agree, so oracle parity holds);
+    filter empty embeddings upstream if NaN ordering (greatest in
+    Spark's sort) would pollute a top-k."""
     return dot_double(a, b) / F.sqrt(l2_norm_sq(a) * l2_norm_sq(b))
 
 
