@@ -34,7 +34,7 @@ from changedatacapture_reporting_spark.sources.delta_table import (
 )
 
 N_SEEDS = int(os.environ.get("DV_FUZZ_SEEDS", "4"))
-N_STEPS = 10
+N_STEPS = int(os.environ.get("DV_FUZZ_STEPS", "10"))
 
 
 def _p(k):
