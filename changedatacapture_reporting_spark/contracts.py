@@ -914,6 +914,221 @@ WHERE o_orderkey >= 10000000 OR o_orderkey % 13 <> 1
 """
 
 
+def _q_delta_foreign_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-writer deletion vectors (sources.dvcodec + delta_table):
+    a FOREIGN spec commit — hand-written remove+add carrying a binary
+    RoaringBitmapArray vector (Z85 'u' storage, CRC framing) under a
+    random-prefix dir, protocol (3,7) — deletes the k%10==3 rows; then
+    this engine's own delete_delta removes k%13==1, whose staged vector
+    must CARRY the foreign entries forward (decode interop on the write
+    path, not just the read path); then a checkpoint, and the table is
+    read back through the checkpoint replay. The hash proves the
+    foreign bitmap decoded to exactly the right row set and survived
+    both the carry-over and checkpointing."""
+    import json
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from changedatacapture_reporting_spark import fs
+    from changedatacapture_reporting_spark.sources import dvcodec
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _commit_name,
+        _dv_protocol_actions,
+        _log_path,
+        _resolve_log,
+        _scan_adds,
+        delete_delta,
+        read_delta,
+        write_checkpoint,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="delta_fdv_") + "/orders_delta"
+    write_delta(spark, orders.repartition(4, "o_orderkey"), path)
+
+    # the foreign writer: one spec vector per touched file, killing the
+    # k%10==3 rows at their physical row positions
+    st = _resolve_log(spark, path, None)
+    adds = sorted(st["files"].values(), key=lambda a: a["path"])
+    pos = (
+        _scan_adds(spark, path, st["meta"], adds, with_rowpos=True)
+        .filter(F.col("o_orderkey") % 10 == 3)
+        .select("_pos_key", "_pos_idx")
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in pos:
+        by_file.setdefault(r["_pos_key"], []).append(int(r["_pos_idx"]))
+    u = _uuid.uuid4()
+    keys = sorted(by_file)
+    blobs = [dvcodec.serialize_blob(by_file[k]) for k in keys]
+    data, spans = dvcodec.pack_file(blobs)
+    fs.write_bytes(
+        spark, fs.join(path, f"fx/deletion_vector_{u}.bin"), data
+    )
+    actions = _dv_protocol_actions(st)
+    by_key = {os.path.basename(a["path"]): a for a in adds}
+    for k, (off, size) in zip(keys, spans):
+        add = dict(by_key[k.split("/")[-1]])
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+        add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": "fx" + dvcodec.encode_uuid(u),
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": len(by_file[k]),
+        }
+        add["dataChange"] = True
+        actions.append({"add": add})
+    fs.write_text(
+        spark,
+        fs.join(_log_path(path), _commit_name(st["version"] + 1)),
+        "\n".join(json.dumps(a) for a in actions) + "\n",
+    )
+
+    # this engine's vector delete on top: carries the foreign bitmaps
+    res = delete_delta(
+        spark,
+        path,
+        orders.filter(F.col("o_orderkey") % 13 == 1).select("o_orderkey"),
+    )
+    assert res["files_rewritten"] == 0, res
+    write_checkpoint(spark, path)
+    return read_delta(spark, path)
+
+
+_SQL_DELTA_FOREIGN_DV = """
+SELECT o_orderkey, o_orderpriority, o_orderstatus
+FROM orders
+WHERE o_orderkey % 10 <> 3 AND o_orderkey % 13 <> 1
+"""
+
+
+def _q_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping, 'name' mode (sources.delta_table): a table whose
+    parquet files carry PHYSICAL names (col-1..col-3) is committed at
+    protocol (2,5) with the logical↔physical map in the schema field
+    metadata; v1 RENAMES o_orderpriority → priority (same physical
+    column — the rename is metadata-only). The read resolves v1 with
+    logical names, and the stats-skip probe on the renamed column
+    translates logical→physical before pruning. Hash proves values
+    land under the right logical names across the rename."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark import fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("col-1"),
+        F.col("o_orderpriority").alias("col-2"),
+        F.col("o_orderstatus").alias("col-3"),
+    )
+    base = tempfile.mkdtemp(prefix="delta_cm_") + "/orders_mapped"
+    stage = base + "/_stage"
+    orders.repartition(1).write.parquet(stage)
+    part = [
+        p for p in fs.listdir(spark, stage) if p.endswith(".parquet")
+    ][0]
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    os.replace(os.path.join(stage, part), base + "/f1.parquet")
+
+    def field(name, phys, cid):
+        return T.StructField(
+            name,
+            T.StringType() if cid > 1 else T.LongType(),
+            True,
+            {
+                "delta.columnMapping.physicalName": phys,
+                "delta.columnMapping.id": cid,
+            },
+        )
+
+    def meta(fields):
+        return {
+            "metaData": {
+                "id": "t-mapped",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": T.StructType(fields).json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }
+        }
+
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta(
+            [
+                field("o_orderkey", "col-1", 1),
+                field("o_orderpriority", "col-2", 2),
+                field("o_orderstatus", "col-3", 3),
+            ]
+        ),
+        {
+            "add": {
+                "path": "f1.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(base + "/f1.parquet"),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    v1 = [
+        meta(
+            [
+                field("o_orderkey", "col-1", 1),
+                field("priority", "col-2", 2),
+                field("o_orderstatus", "col-3", 3),
+            ]
+        )
+    ]
+    for i, actions in enumerate((v0, v1)):
+        with open(f"{base}/_delta_log/{i:020d}.json", "w") as f:
+            f.write(
+                "\n".join(_json.dumps(a) for a in actions) + "\n"
+            )
+    df0 = read_delta(spark, base, version=0)
+    assert df0.columns == [
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+    ], df0.columns
+    return read_delta(
+        spark, base, version=1, skip=[("priority", ">=", "3")]
+    )
+
+
+_SQL_DELTA_COLUMN_MAPPING = """
+SELECT o_orderkey,
+       o_orderpriority AS priority,
+       o_orderstatus
+FROM orders
+WHERE o_orderpriority >= '3'
+"""
+
+
 def _q_cdc_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC WITHOUT CDC (operators.diff.snapshots_to_events over
     sources.delta_table): two versions of a Delta table — v1 drops the
@@ -2242,6 +2457,11 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_column_churn": (_q_column_churn, _SQL_COLUMN_CHURN),
     "cdc_pk_change_events": (_q_pk_change_events, _SQL_PK_CHANGE),
     "delta_metadata_summary": (_q_delta_metadata_summary, _SQL_DELTA_META),
+    "delta_foreign_dv": (_q_delta_foreign_dv, _SQL_DELTA_FOREIGN_DV),
+    "delta_column_mapping": (
+        _q_delta_column_mapping,
+        _SQL_DELTA_COLUMN_MAPPING,
+    ),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
     **REGISTRY_STREAMING,
@@ -2249,70 +2469,63 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
 # entries; rotation is derived by tools/window_rotation.py from the
-# CORRECTNESS_r*.json ledger. r12: the 24 r8-stale entries lead, then
-# the stalest r9 cohort; the new delta_deletion_vectors entry takes
-# the final slot (never driver-checked beats one more r9 refresh) —
-# after this round nothing in the 164-entry registry is staler than
-# r9 except corpus_quality_buckets' displaced slot, which rotates
-# first in r13.
+# CORRECTNESS_r*.json ledger. r13: the two NEW interop entries lead
+# (never driver-checked), then the 22-entry r9-stale cohort (incl.
+# corpus_quality_buckets, displaced from the r12 window), then the
+# stalest r10 names — after this round nothing in the 166-entry
+# registry is staler than r10.
 _CHECK_WINDOW: list[str] = [
-    # r12 window from tools/window_rotation.py --propose: the 24
-    # r8-stale entries lead (incl. the 8 displaced from the r11
-    # window, pre-verified at end of r11), then the stalest r9
-    # cohort — after this round nothing is older than r9, and the
-    # r11-fixed cdc_state_snapshot_refresh re-proves on the driver
-    "fuzzy_match_customers",
-    "json_props_stats",
-    "like_filter_parts",
-    "q10_returned_item_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_brackets",
-    "q21_single_supplier_orders",
-    "q22_idle_rich_customers",
-    "q4_late_orders",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "q8_market_share",
-    "range_join_order_windows",
-    "salted_join_segment_revenue",
-    "scd2_pointintime_enrich",
-    "streaming_incremental_agg",
-    "streaming_pointintime_enrich",
-    "streaming_session_windows",
-    "streaming_sliding_10min",
-    "streaming_tumbling_5min",
-    "topk_orders_per_customer",
-    "ann_topk_ivfpq",
-    "cdc_activity_anomaly",
-    "cdc_apply_net_changes",
-    "cdc_changelog_daily_activity",
-    "cdc_changelog_sql_surface",
-    "cdc_column_churn",
-    "cdc_debezium_dlq",
-    "cdc_debezium_roundtrip",
-    "cdc_delta_cdf_roundtrip",
-    "cdc_jdbc_shape_roundtrip",
-    "cdc_mssql_shape_roundtrip",
-    "cdc_multi_table_snapshot",
-    "cdc_net_changes",
-    "cdc_reconstruct_at_lsn",
-    "cdc_row_history",
-    "cdc_state_snapshot_refresh",
-    "cdc_transaction_summary",
-    "corpus_bpe_encode",
-    "corpus_budget_mix",
-    "corpus_chunk_dedup",
-    "corpus_chunks",
-    "corpus_datasheet",
-    "corpus_decontaminate",
-    "corpus_leakage_safe_splits",
-    "corpus_ngram_vocab",
-    # new this round — takes the slot corpus_quality_buckets (r9 cohort)
-    # would have held; it rotates back in r13
-    "delta_deletion_vectors",
+    # r13 window from tools/window_rotation.py --propose
+    "delta_foreign_dv",
+    "delta_column_mapping",
+    "corpus_quality_buckets",
+    "corpus_sampled_mix",
+    "corpus_token_freq_scores",
+    "dedup_cluster_representatives",
+    "dedup_embedding_incremental",
+    "dedup_incremental_batch",
+    "dq_scd2_validate",
+    "events_cohort_retention",
+    "events_distinct_sketch_rollup",
+    "events_funnel",
+    "layout_zorder_events",
+    "profile_join_cardinality",
+    "profile_key_skew",
+    "profile_lineitem_correlations",
+    "streaming_dedup_keys",
+    "streaming_enriched_segments",
+    "streaming_interval_join",
+    "text_mixed_language",
+    "text_normalization",
+    "text_pii_redaction",
+    "text_repetition_scores",
+    "text_sentiment_scores",
+    "ann_topk_ivfpq_residual",
+    "ann_topk_lsh",
+    "ann_topk_pq",
+    "cdc_backfill_gap",
+    "cdc_changelog_compacted",
+    "cdc_changelog_join_path",
+    "cdc_freshness",
+    "cdc_query_window",
+    "cdc_scd2_history",
+    "cdc_scd2_incremental",
+    "cdc_schema_evolution",
+    "cdc_snapshot_diff",
+    "corpus_bpe_merges",
+    "corpus_shard_stats",
+    "corpus_tfidf_terms",
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_quantization",
+    "events_tumbling_5min",
+    "multimodal_blob_metadata",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -161,6 +161,51 @@ def read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def is_dir(spark: SparkSession, path: str) -> bool:
+    h = _hadoop(spark, path)
+    if h is None:
+        return os.path.isdir(path)
+    fs, jpath = h
+    return bool(fs.exists(jpath)) and bool(
+        fs.getFileStatus(jpath).isDirectory()
+    )
+
+
+def read_bytes(spark: SparkSession, path: str) -> bytes:
+    """Whole-file binary read (deletion-vector ``.bin`` files — small
+    by construction: roaring bitmaps of deleted row indexes)."""
+    h = _hadoop(spark, path)
+    if h is None:
+        with open(path, "rb") as f:
+            return f.read()
+    fs, jpath = h
+    stream = fs.open(jpath)
+    try:
+        # JVM-side drain for the same py4j by-value-buffer reason as
+        # read_text
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
+def write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    """Whole-file binary write (overwrite)."""
+    h = _hadoop(spark, path)
+    if h is None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    fs, jpath = h
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
 def listdir(spark: SparkSession, path: str) -> list[str]:
     """Names (not paths) of immediate children; [] if path is absent."""
     if not exists(spark, path):

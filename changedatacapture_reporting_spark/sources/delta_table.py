@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from changedatacapture_reporting_spark import fs, logstore
+from changedatacapture_reporting_spark.sources import dvcodec
 
 LOG_DIR = "_delta_log"
 
@@ -128,8 +129,20 @@ _CHECKPOINT_SCHEMA = T.StructType(
                         "deletionVector",
                         T.StructType(
                             [
+                                # r12 parquet-dialect fields
                                 T.StructField("path", T.StringType()),
                                 T.StructField("cardinality", T.LongType()),
+                                # public-spec binary descriptor fields
+                                T.StructField(
+                                    "storageType", T.StringType()
+                                ),
+                                T.StructField(
+                                    "pathOrInlineDv", T.StringType()
+                                ),
+                                T.StructField("offset", T.IntegerType()),
+                                T.StructField(
+                                    "sizeInBytes", T.IntegerType()
+                                ),
                             ]
                         ),
                     ),
@@ -168,6 +181,16 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    # feature lists must survive checkpointing: dropping
+                    # them would downgrade a (3,7) deletionVectors table
+                    # to "v3, no features" once the json commits expire —
+                    # licensing readers/writers the table forbids
+                    T.StructField(
+                        "readerFeatures", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "writerFeatures", T.ArrayType(T.StringType())
+                    ),
                 ]
             ),
         ),
@@ -208,21 +231,41 @@ def _apply_action(state: dict, action: dict) -> None:
 # Protocol enforcement (spec rule, and it is hard): a client that does
 # not implement a table's protocol version / table features MUST refuse
 # it. Reading on is not a degraded mode but a silent wrong answer —
-# column mapping makes every logical column read back NULL (physical
-# parquet names differ), foreign binary-bitmap deletion vectors would
-# silently resurrect deleted rows. Writing on can corrupt invariants
-# the table's real writers rely on (appendOnly, CHECK constraints,
+# unsupported column-mapping modes make every logical column read back
+# NULL (physical parquet names differ). Writing on can corrupt
+# invariants the table's real writers rely on (CHECK constraints,
 # generated/identity columns).
-_SUPPORTED_READER_FEATURES: set[str] = set()
-_SUPPORTED_WRITER_FEATURES: set[str] = set()
+#
+# deletionVectors: read AND write — sources.dvcodec implements the
+# spec's binary RoaringBitmapArray format, so vectors from current
+# Delta writers apply on read and this engine's own DV commits are
+# spec-encoded and protocol-marked (3,7).
+# columnMapping ('name' mode): read-only — scans resolve physical
+# parquet names back to logical ones; writes to mapped tables refuse
+# (this writer emits logical-named files, which would corrupt the
+# mapping).
+# appendOnly / invariants: honored in their legacy (v2) meaning —
+# remove-bearing commits refuse on delta.appendOnly tables, and writes
+# refuse when any schema field declares delta.invariants (this writer
+# cannot evaluate them, so refusing beats silently skipping the check).
+_SUPPORTED_READER_FEATURES: set[str] = {"deletionVectors", "columnMapping"}
+_SUPPORTED_WRITER_FEATURES: set[str] = {
+    "deletionVectors",
+    "appendOnly",
+    "invariants",
+}
+_READABLE_MAPPING_MODES = {"none", "name"}
+
+
+def _mapping_mode(meta: dict | None) -> str:
+    conf = (meta or {}).get("configuration") or {}
+    return conf.get("delta.columnMapping.mode", "none")
 
 
 def _check_read_protocol(state: dict, path: str) -> None:
     proto = state.get("protocol") or {}
     v = int(proto.get("minReaderVersion") or 1)
     feats = set(proto.get("readerFeatures") or [])
-    conf = (state.get("meta") or {}).get("configuration") or {}
-    cmode = conf.get("delta.columnMapping.mode", "none")
     if v == 3:
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if unsupported:
@@ -237,7 +280,13 @@ def _check_read_protocol(state: dict, path: str) -> None:
             f"table {path!r} requires minReaderVersion={v}; refusing "
             "to read rather than return wrong rows"
         )
-    elif cmode != "none":
+    # column mapping is checked UNCONDITIONALLY: it ships at legacy
+    # protocol (2,5) with no feature flag, and a v3 table can list a
+    # supported feature set while still configuring an unsupported
+    # mapping mode (ADVICE r12) — gating this behind the version
+    # branches would read every mapped column as NULL
+    cmode = _mapping_mode(state.get("meta"))
+    if cmode not in _READABLE_MAPPING_MODES:
         raise ValueError(
             f"table {path!r} uses column mapping mode {cmode!r}, "
             "which this implementation does not support — its logical "
@@ -248,9 +297,9 @@ def _check_read_protocol(state: dict, path: str) -> None:
 
 def _check_write_protocol(state: dict, path: str) -> None:
     """Writers must additionally honor the WRITER protocol: a foreign
-    table demanding writer features (appendOnly, invariants, CHECK
-    constraints, generated/identity columns, …) cannot be safely
-    committed to by a client that does not implement them."""
+    table demanding writer features (CHECK constraints,
+    generated/identity columns, …) cannot be safely committed to by a
+    client that does not implement them."""
     proto = state.get("protocol") or {}
     v = int(proto.get("minWriterVersion") or 1)
     feats = set(proto.get("writerFeatures") or [])
@@ -268,6 +317,34 @@ def _check_write_protocol(state: dict, path: str) -> None:
             f"table {path!r} requires minWriterVersion={v}; this "
             "implementation writes protocol 2 — refusing to write "
             "rather than break invariants its real writers enforce"
+        )
+    # column-mapped tables are READ-only here, regardless of protocol
+    # shape: this writer emits logical-named parquet files and
+    # partitionValues, which a mapped table's readers would not resolve
+    if _mapping_mode(state.get("meta")) != "none":
+        raise ValueError(
+            f"table {path!r} uses column mapping; this implementation "
+            "reads mapped tables but writes only unmapped ones — a "
+            "logical-named data file would corrupt the mapping"
+        )
+    # legacy appendOnly config (minWriterVersion 2 semantics): enforced
+    # by the remove-bearing paths via _check_append_only
+    schema_str = ((state.get("meta") or {}).get("schemaString")) or ""
+    if "delta.invariants" in schema_str:
+        raise ValueError(
+            f"table {path!r} declares column invariants this writer "
+            "cannot evaluate — refusing to write rather than bypass them"
+        )
+
+
+def _check_append_only(state: dict, path: str) -> None:
+    """Refuse remove-bearing commits (overwrite/MERGE/DELETE/OPTIMIZE)
+    on tables configured delta.appendOnly=true."""
+    conf = ((state.get("meta") or {}).get("configuration")) or {}
+    if str(conf.get("delta.appendOnly", "false")).lower() == "true":
+        raise ValueError(
+            f"table {path!r} is configured delta.appendOnly=true; "
+            "refusing a commit that removes or rewrites rows"
         )
 
 
@@ -329,6 +406,42 @@ def _dv_of(add: dict) -> dict | None:
     return add.get("deletionVector") or None
 
 
+def _dv_is_spec(dv: dict) -> bool:
+    """True for a spec-shaped descriptor (storageType u/i/p — what
+    current Delta writers emit and what this engine writes since r13);
+    False for the r12-era parquet-dialect {path, cardinality} form,
+    which stays readable. Checkpoint replay materializes BOTH field
+    sets with None for the absent one, hence the None-check."""
+    return dv.get("storageType") is not None
+
+
+def _num_records(add: dict) -> int | None:
+    """numRecords from an add's stats, or None when stats are absent OR
+    present without the key (foreign writers may emit partial stats —
+    ADVICE r12: treat both the same, never KeyError)."""
+    st = add.get("stats")
+    if not st:
+        return None
+    try:
+        parsed = json.loads(st) if isinstance(st, str) else st
+        n = parsed.get("numRecords")
+    except (ValueError, AttributeError):
+        return None
+    return None if n is None else int(n)
+
+
+def _dv_disk_rel(dv: dict) -> str | None:
+    """Table-relative on-disk path of a descriptor's vector file, or
+    None when nothing lives inside the table (inline vectors; absolute
+    'p' paths are foreign-managed storage this table's vacuum must not
+    touch)."""
+    if _dv_is_spec(dv):
+        if dv.get("storageType") == "u":
+            return dvcodec.dv_relative_path(dv["pathOrInlineDv"])
+        return None
+    return dv.get("path")
+
+
 def _canon_key(add: dict) -> str:
     """Driver-side deletion-vector coordinate of an add: its FILESYSTEM
     relative path (add.path is percent-encoded per the PROTOCOL; one
@@ -348,22 +461,15 @@ def _pos_key_expr(n_segments: int):
     return F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
 
 
-def _dv_entries(
-    spark: SparkSession, path: str, adds: list[dict]
+def _legacy_dv_entries(
+    spark: SparkSession, path: str, pairs: dict[str, set[str]]
 ) -> DataFrame:
-    """(path, row_index) pairs deleted from ``adds``'s files, read from
-    the DV parquet directories their descriptors name. A DV directory
-    written by a later commit can carry CURRENT entries for file A next
-    to STALE entries for file B (B has since been re-pointed at a newer
-    DV), so entries are validated per (dv directory, data file) against
-    the descriptors — never taken on path match alone."""
-    pairs: dict[str, set[str]] = {}
-    for a in adds:
-        dv = _dv_of(a)
-        if dv:
-            pairs.setdefault(dv["path"], set()).add(_canon_key(a))
-    if not pairs:
-        return spark.createDataFrame([], "path string, row_index long")
+    """(path, row_index) pairs from r12-era parquet-dialect DV
+    directories. A DV directory written by a later commit can carry
+    CURRENT entries for file A next to STALE entries for file B (B has
+    since been re-pointed at a newer DV), so entries are validated per
+    (dv directory, data file) against the descriptors — never taken on
+    path match alone."""
     df = spark.read.schema("path string, row_index long").parquet(
         *[fs.join(path, d) for d in sorted(pairs)]
     )
@@ -382,6 +488,120 @@ def _dv_entries(
     )
 
 
+def _spec_dv_entries(
+    spark: SparkSession, path: str, items: list[tuple[str, dict]]
+) -> DataFrame:
+    """(path, row_index) pairs decoded from spec binary descriptors
+    (``items`` = [(canonical file key, descriptor)]). Decode happens
+    driver-side: a descriptor's bitmap is ∝ its file's DELETED rows (a
+    few compact MB even for a fully-dead 10M-row file), each ``.bin``
+    is read once across descriptors, and the pairs ship to executors as
+    one Arrow batch — the same magnitude the legacy path broadcast as
+    its validity table."""
+    import pandas as pd
+
+    cache: dict[str, bytes] = {}
+    keys: list = []
+    idxs: list = []
+    for key, dv in items:
+        st = dv.get("storageType")
+        data = None
+        if st in ("u", "p"):
+            full = (
+                fs.join(path, dvcodec.dv_relative_path(dv["pathOrInlineDv"]))
+                if st == "u"
+                else dv["pathOrInlineDv"]
+            )
+            if full not in cache:
+                cache[full] = fs.read_bytes(spark, full)
+            data = cache[full]
+        decoded = dvcodec.descriptor_indexes(dv, data)
+        card = dv.get("cardinality")
+        if card is not None and int(card) != len(decoded):
+            raise ValueError(
+                f"deletion vector for {key!r} decodes to {len(decoded)} "
+                f"rows but its descriptor claims {card} — refusing a "
+                "vector that would delete the wrong rows"
+            )
+        keys.extend([key] * len(decoded))
+        idxs.extend(decoded)
+    pdf = pd.DataFrame({"path": pd.Series(keys, dtype="object")})
+    pdf["row_index"] = pd.Series(idxs, dtype="int64")
+    return spark.createDataFrame(
+        pdf, schema="path string, row_index long"
+    )
+
+
+def _dv_entries(
+    spark: SparkSession, path: str, adds: list[dict]
+) -> DataFrame:
+    """(path, row_index) pairs deleted from ``adds``'s files — the
+    union over both descriptor dialects this reader accepts: the public
+    spec's binary RoaringBitmapArray form (u/i/p storage) and the
+    engine's r12-era parquet form."""
+    legacy: dict[str, set[str]] = {}
+    spec: list[tuple[str, dict]] = []
+    for a in adds:
+        dv = _dv_of(a)
+        if not dv:
+            continue
+        if _dv_is_spec(dv):
+            spec.append((_canon_key(a), dv))
+        else:
+            legacy.setdefault(dv["path"], set()).add(_canon_key(a))
+    pieces = []
+    if legacy:
+        pieces.append(_legacy_dv_entries(spark, path, legacy))
+    if spec:
+        pieces.append(_spec_dv_entries(spark, path, spec))
+    if not pieces:
+        return spark.createDataFrame([], "path string, row_index long")
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _phys_field_name(f: T.StructField) -> str:
+    """A field's PHYSICAL parquet name under column mapping ('name'
+    mode stores it in the field metadata; unmapped fields keep their
+    logical name)."""
+    return (f.metadata or {}).get(
+        "delta.columnMapping.physicalName", f.name
+    )
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Recursively rename struct fields to their physical names — the
+    schema the parquet FILES of a column-mapped table actually carry."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    _phys_field_name(f),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _logical_to_physical(schema: T.StructType) -> dict:
+    """Top-level logical → physical column-name map."""
+    return {f.name: _phys_field_name(f) for f in schema.fields}
+
+
 def _scan_adds_raw(
     spark: SparkSession,
     path: str,
@@ -395,16 +615,47 @@ def _scan_adds_raw(
     ``with_file=True`` appends a ``_file`` provenance column,
     ``pos_depth=n`` appends ``_pos_key``/``_pos_idx`` (the DV
     coordinates: canonical file key over the last n path segments +
-    parquet row index)."""
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
+    parquet row index).
+
+    Column mapping ('name' mode, public Delta spec): the files carry
+    PHYSICAL column names (stable across renames), the committed
+    schema's field metadata carries the logical↔physical map, and
+    add.partitionValues / partition dirs use physical names. The scan
+    reads with the physical schema, then renames back to logical — a
+    positional struct cast for nested fields, a plain alias at the top
+    level — so every caller sees logical names only. Time travel across
+    a rename works for free: each version resolves with ITS metaData."""
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    mapped = _mapping_mode(meta) == "name"
+    schema = _physical_type(logical) if mapped else logical
+    l2p = _logical_to_physical(logical) if mapped else {}
+    logical_part = list(meta.get("partitionColumns") or [])
+    # partitionColumns names schema columns, i.e. logical names; map to
+    # the physical names the dirs/partitionValues use (tolerate a
+    # foreign log that already stored physical names)
+    part_cols = [l2p.get(c, c) for c in logical_part] if mapped else (
+        logical_part
+    )
     extras = (["_file"] if with_file else []) + (
         ["_pos_key", "_pos_idx"] if pos_depth is not None else []
     )
-    out_cols = [f.name for f in schema.fields] + extras
+
+    def _unmap(df: DataFrame) -> DataFrame:
+        if not mapped:
+            return df.select(
+                *([f.name for f in logical.fields] + extras)
+            )
+        sel = []
+        for lf, pf in zip(logical.fields, schema.fields):
+            c = F.col(pf.name)
+            if pf.dataType != lf.dataType:  # nested renames → positional
+                c = c.cast(lf.dataType)  # struct cast rebuilds the names
+            sel.append(c.alias(lf.name))
+        return df.select(*(sel + [F.col(e) for e in extras]))
+
     if not adds:
         empty = T.StructType(
-            schema.fields
+            logical.fields
             + ([T.StructField("_file", T.StringType())] if with_file else [])
             + (
                 [
@@ -434,9 +685,7 @@ def _scan_adds_raw(
         return df
 
     if not part_cols:
-        return _tag(spark.read.schema(schema).parquet(*paths)).select(
-            *out_cols
-        )
+        return _unmap(_tag(spark.read.schema(schema).parquet(*paths)))
 
     hive_style = all(
         any("=" in seg for seg in r.split("/")[:-1]) for r in rels
@@ -444,13 +693,16 @@ def _scan_adds_raw(
     if hive_style:
         # partition dirs resolve through basePath; committed schema
         # types the partition columns (no inference)
-        return _tag(
-            spark.read.schema(schema).option("basePath", path).parquet(
-                *paths
+        return _unmap(
+            _tag(
+                spark.read.schema(schema)
+                .option("basePath", path)
+                .parquet(*paths)
             )
-        ).select(*out_cols)
+        )
 
     # non-hive layout: attach partitionValues literals per value-group
+    # (keys are physical names under mapping, per the spec)
     by_pv: dict[tuple, list] = {}
     for a in adds:
         pv = a.get("partitionValues") or {}
@@ -467,7 +719,7 @@ def _scan_adds_raw(
         )
         for c, v in zip(part_cols, pv):
             df = df.withColumn(c, F.lit(v).cast(types[c]))
-        df = df.select(*out_cols)
+        df = _unmap(df)
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -557,13 +809,26 @@ def read_delta(
     adds = list(state["files"].values())
     part_cols = list(state["meta"].get("partitionColumns") or [])
     if skip:
+        schema = T.StructType.fromJson(
+            json.loads(state["meta"]["schemaString"])
+        )
+        prune_skip, prune_parts = skip, part_cols
+        if _mapping_mode(state["meta"]) == "name":
+            # stats keys and partitionValues use PHYSICAL names under
+            # column mapping — translate the probes (and the partition
+            # column list) before pruning; the row-level filter below
+            # stays on logical names, which the scan has restored
+            l2p = _logical_to_physical(schema)
+            prune_skip = [
+                (l2p.get(c, c), op, v) for c, op, v in skip
+            ]
+            prune_parts = [l2p.get(c, c) for c in part_cols]
+            schema = _physical_type(schema)
         adds = prune_adds(
             adds,
-            skip,
-            part_cols,
-            schema=T.StructType.fromJson(
-                json.loads(state["meta"]["schemaString"])
-            ),
+            prune_skip,
+            prune_parts,
+            schema=schema,
         )
     df = _scan_adds(spark, path, state["meta"], adds)
     for col, op, val in skip or []:
@@ -969,28 +1234,46 @@ def metadata_summary(
     parsed = []
     for a in adds:
         st = a.get("stats")
-        if not st:
+        if _num_records(a) is None:
+            # absent stats AND stats-without-numRecords both refuse
+            # (foreign writers may emit partial stats — ADVICE r12)
             raise ValueError(
-                f"live file {a.get('path')!r} has no stats — "
+                f"live file {a.get('path')!r} has no numRecords stats — "
                 "metadata-only aggregation would be wrong; "
                 "rewrite with collect_stats or scan the data"
             )
         parsed.append(json.loads(st) if isinstance(st, str) else st)
+    # stats keys are PHYSICAL names under column mapping
+    l2p = (
+        _logical_to_physical(schema)
+        if _mapping_mode(state["meta"]) == "name"
+        else {}
+    )
     rows = []
     n_rows = sum(p["numRecords"] for p in parsed)
     decimal_cols = {
         f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)
     }
     for c in columns:
+        k = l2p.get(c, c)
         # a stats-bearing file with NO nullCount entry for an eligible
         # column predates that column (mergeSchema evolution): every
         # one of its rows reads back NULL for it — counting 0 would
         # silently under-report
         n_nulls = sum(
-            p["nullCount"].get(c, p["numRecords"]) for p in parsed
+            (p.get("nullCount") or {}).get(k, p["numRecords"])
+            for p in parsed
         )
-        mins = [p["minValues"][c] for p in parsed if c in p["minValues"]]
-        maxs = [p["maxValues"][c] for p in parsed if c in p["maxValues"]]
+        mins = [
+            (p.get("minValues") or {})[k]
+            for p in parsed
+            if k in (p.get("minValues") or {})
+        ]
+        maxs = [
+            (p.get("maxValues") or {})[k]
+            for p in parsed
+            if k in (p.get("maxValues") or {})
+        ]
         if c in decimal_cols:
             # decimal stats are protocol-serialized as canonical strings
             # (exactness, see _stats_json_value); fold them numerically —
@@ -1176,6 +1459,8 @@ def write_delta(
         if versions:
             prior = _resolve_log(spark, path, None)
             _check_write_protocol(prior, path)
+            if mode == "overwrite":
+                _check_append_only(prior, path)
             if txn is not None and prior["txns"].get(
                 txn[0], -1
             ) >= int(txn[1]):
@@ -1280,10 +1565,15 @@ def _add_identity(a: dict) -> tuple:
     conflict detection: the file bytes (immutable once written, so size
     suffices) and its deletion vector. Representation noise (json log
     vs checkpoint replay: missing vs None fields) normalizes away."""
+    dv = {
+        k: v for k, v in (_dv_of(a) or {}).items() if v is not None
+    }  # checkpoint replay materializes BOTH descriptor dialects' fields
+    # with None for the absent ones — normalize or a post-checkpoint
+    # OPTIMIZE would see a phantom conflict on every vectored file
     return (
         a["path"],
         int(a.get("size") or 0),
-        json.dumps(_dv_of(a) or {}, sort_keys=True),
+        json.dumps(dv, sort_keys=True),
     )
 
 
@@ -1323,6 +1613,8 @@ def _commit_swap(
     for _ in range(10):
         current = _resolve_log(spark, path, None)
         _check_write_protocol(current, path)
+        if any("remove" in a for a in actions):
+            _check_append_only(current, path)
         if txn is not None and current["txns"].get(
             txn[0], -1
         ) >= int(txn[1]):
@@ -1354,59 +1646,90 @@ def _stage_dv(
     new_pairs: DataFrame,
     carry_adds: list[dict],
 ) -> tuple[str, dict]:
-    """Stage ONE deletion-vector directory for a commit: the new
+    """Stage ONE deletion-vector ``.bin`` file for a commit in the
+    PUBLIC Delta binary format (sources.dvcodec): the new
     (path, row_index) deletions plus the carried-over entries of every
     touched file's existing vector (a descriptor always names its
     COMPLETE vector — readers never chain). Returns
-    (dv_rel, {file_key: cardinality}). Written BEFORE the commit claims
-    its version: a lost race leaves an unreferenced directory that
-    vacuum_delta reclaims, same staging discipline as the data files."""
+    (bin_rel, {file_key: spec descriptor dict}).
+
+    Each touched file's indexes collapse to a roaring bitmap inside an
+    Arrow-batched ``applyInPandas`` — per-row work stays on executors;
+    only (file key, compact bitmap bytes) return to the driver, which
+    frames them into one multi-DV file per the spec. Written BEFORE the
+    commit claims its version: a lost race leaves an unreferenced file
+    that vacuum_delta reclaims, same staging discipline as the data
+    files."""
     entries = new_pairs.select("path", "row_index")
     old = [a for a in carry_adds if _dv_of(a)]
     if old:
         entries = entries.unionByName(_dv_entries(spark, path, old))
-    entries = entries.distinct().persist()
-    try:
-        counts = {
-            r["path"]: r["n"]
-            for r in entries.groupBy("path")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        dv_rel = f"{DV_DIR}/dv-{uuid.uuid4().hex}"
-        # one directory per commit, entries ∝ deleted rows: a single
-        # file for ordinary commits, sharded past ~20M entries so a
-        # bulk purge's vector never funnels through one task (readers
-        # list the directory, so the file count is free to vary)
-        n_total = sum(counts.values())
-        shards = max(1, (n_total + 20_000_000 - 1) // 20_000_000)
-        writer = (
-            entries.coalesce(1) if shards == 1 else entries.repartition(
-                int(shards)
-            )
+
+    def _ser(pdf):
+        import pandas as pd
+
+        from changedatacapture_reporting_spark.sources import (
+            dvcodec as _dvc,
         )
-        writer.write.parquet(fs.join(path, dv_rel))
-    finally:
-        entries.unpersist()
-    return dv_rel, counts
+
+        blob = _dvc.serialize_blob(pdf["row_index"].to_numpy())
+        return pd.DataFrame(
+            {
+                "path": [pdf["path"].iloc[0]],
+                "blob": [blob],
+                # serialize_blob dedups; recount so cardinality is the
+                # DISTINCT row count even if an upstream distinct is
+                # ever dropped
+                "card": [int(pdf["row_index"].nunique())],
+            }
+        )
+
+    rows = sorted(
+        entries.distinct()
+        .groupBy("path")
+        .applyInPandas(_ser, "path string, blob binary, card long")
+        .collect(),
+        key=lambda r: r["path"],
+    )
+    u = uuid.uuid4()
+    bin_rel = f"{DV_DIR}/deletion_vector_{u}.bin"
+    file_bytes, spans = dvcodec.pack_file([bytes(r["blob"]) for r in rows])
+    fs.write_bytes(spark, fs.join(path, bin_rel), file_bytes)
+    path_or_inline = DV_DIR + dvcodec.encode_uuid(u)
+    descs = {
+        r["path"]: {
+            "storageType": "u",
+            "pathOrInlineDv": path_or_inline,
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": int(r["card"]),
+        }
+        for r, (off, size) in zip(rows, spans)
+    }
+    return bin_rel, descs
 
 
 def _dv_swap_actions(
-    touched_adds: list[dict], counts: dict, dv_rel: str, timestamp_ms: int
+    touched_adds: list[dict], descs: dict, timestamp_ms: int
 ) -> tuple[list[dict], int]:
     """remove+add actions re-pointing each touched file at its new
-    vector; a file whose vector covers every physical row becomes a
-    plain remove (the logical file is empty — keeping it would only
-    cost scan tasks). Returns (actions, n_fully_removed)."""
+    vector descriptor; a file whose vector covers every physical row
+    becomes a plain remove (the logical file is empty — keeping it
+    would only cost scan tasks). Returns (actions, n_fully_removed)."""
     removes: list[dict] = []
     readds: list[dict] = []
     dead = 0
     for a in touched_adds:
-        card = int(counts.get(_canon_key(a), 0))
-        st = a.get("stats")
-        nrec = int(
-            (json.loads(st) if isinstance(st, str) else st)["numRecords"]
-        )
+        desc = descs.get(_canon_key(a))
+        card = int(desc["cardinality"]) if desc else 0
+        nrec = _num_records(a)
+        if nrec is None:
+            # callers guard this (merge refuses / delete falls back to
+            # rewrite); defensive for any future caller
+            raise ValueError(
+                f"file {a['path']!r} lacks numRecords stats — cannot "
+                "decide whether its vector covers every row"
+            )
         removes.append(
             {
                 "remove": {
@@ -1420,11 +1743,42 @@ def _dv_swap_actions(
             dead += 1
             continue
         new_add = dict(a)
-        new_add["deletionVector"] = {"path": dv_rel, "cardinality": card}
+        new_add["deletionVector"] = desc
         new_add["modificationTime"] = timestamp_ms
         new_add["dataChange"] = True
         readds.append({"add": new_add})
     return removes + readds, dead
+
+
+def _dv_protocol_actions(state: dict) -> list[dict]:
+    """Protocol action for a commit that introduces deletion vectors
+    into a table not yet marked for them (spec rule, ADVICE r12): bump
+    to (3,7) with ``deletionVectors`` in both feature sets so a
+    non-supporting reader REFUSES instead of silently resurrecting the
+    deleted rows. Upgrading a legacy protocol to table features must
+    also list the features the old writer version implied (appendOnly,
+    invariants at v2) — dropping them would un-enforce constraints the
+    table's other writers rely on. No-op once the feature is marked."""
+    proto = state.get("protocol") or {}
+    r_feats = set(proto.get("readerFeatures") or [])
+    if (
+        int(proto.get("minReaderVersion") or 1) >= 3
+        and "deletionVectors" in r_feats
+    ):
+        return []
+    w_feats = set(proto.get("writerFeatures") or [])
+    if int(proto.get("minWriterVersion") or 1) >= 2:
+        w_feats |= {"appendOnly", "invariants"}
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(r_feats | {"deletionVectors"}),
+                "writerFeatures": sorted(w_feats | {"deletionVectors"}),
+            }
+        }
+    ]
 
 
 def _zorder_bucket_col(
@@ -1468,6 +1822,79 @@ def _zorder_bucket_col(
     ).cast("long")
 
 
+def _zorder_numeric_col(col_name: str, field_type: T.DataType):
+    """The z column as a double (temporals → epoch seconds) — shared by
+    both bucketing strategies."""
+    c = F.col(col_name)
+    if isinstance(
+        field_type, (T.DateType, T.TimestampType, T.TimestampNTZType)
+    ):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def _sampled_bucket_col(
+    col_name: str, field_type: T.DataType, bounds: list[float]
+):
+    """Equal-FREQUENCY bucketing from sampled quantile boundaries — the
+    skew-tight half of OPTIMIZE ZORDER (the upgrade path NOTES_r12
+    recorded): where the linear stats-bounds curve collapses (one hot
+    region absorbs every bucket), quantile cuts keep per-bucket row
+    counts balanced, so file bounding boxes stay tight and skipping
+    survives
+    skew. ``bounds[i]`` is the inclusive lower edge of bucket i+1; the
+    expression is a binary WHEN-tree (depth log2(n) comparisons per
+    row, whole-stage-codegen-friendly — never an O(n) array walk).
+    NULLs land in bucket 0, same as the linear path."""
+    c = _zorder_numeric_col(col_name, field_type)
+
+    def tree(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(
+            c >= F.lit(bounds[mid - 1]), tree(mid, hi)
+        ).otherwise(tree(lo, mid - 1))
+
+    n = len(bounds) + 1
+    return F.coalesce(tree(0, n - 1), F.lit(0)).cast("long")
+
+
+def _sample_zorder_bounds(
+    group_df: DataFrame,
+    zorder_by,
+    schema: T.StructType,
+    bits: int,
+    relative_error: float = 0.001,
+) -> dict:
+    """One sampling pass (both columns together) → per-column strictly
+    increasing quantile boundaries. Heavy repeated values collapse
+    duplicate cuts, leaving fewer, coarser buckets exactly where the
+    data is constant — which costs nothing (identical values cannot be
+    separated by any bucketing). Returns {} when the group is all-NULL
+    in either column (callers fall back to the linear path)."""
+    n = 1 << min(int(bits), 8)  # 2^8 cuts: depth-8 WHEN-tree per row
+    cols = list(zorder_by)
+    probe = group_df.select(
+        *[
+            _zorder_numeric_col(zc, schema[zc].dataType).alias(zc)
+            for zc in cols
+        ]
+    )
+    probs = [i / n for i in range(1, n)]
+    quantiles = probe.stat.approxQuantile(cols, probs, relative_error)
+    out: dict = {}
+    for zc, qs in zip(cols, quantiles):
+        if not qs:  # all-NULL column in this group
+            return {}
+        bnds: list[float] = []
+        for q in qs:
+            if not bnds or q > bnds[-1]:
+                bnds.append(float(q))
+        out[zc] = bnds
+    return out
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
@@ -1476,6 +1903,7 @@ def optimize_delta(
     log_store: "logstore.LogStore | None" = None,
     zorder_by: list[str] | tuple[str, str] | None = None,
     zorder_bits: int = 10,
+    zorder_sampling: bool = True,
 ) -> dict:
     """Bin-packing compaction (the lakehouse ``OPTIMIZE`` command):
     rewrite each partition's small live files (< ``target_file_bytes``)
@@ -1494,9 +1922,13 @@ def optimize_delta(
     output file is bounding-box-tight in BOTH dimensions and the
     committed min/max stats prune either predicate — the multi-column
     data-skipping story a 100 TB fact table filtered on (key, time)
-    needs. Bucketing is linear from the committed stats bounds (zero
-    extra passes; skew costs tightness, not correctness). Numeric,
-    date and timestamp columns only.
+    needs. Bucketing (``zorder_sampling``, default on) is equal-
+    FREQUENCY from one sampled-quantile pass per partition group, so
+    heavy skew cannot collapse the curve into one hot bucket;
+    ``zorder_sampling=False`` keeps the r12 zero-extra-pass linear
+    bucketing from the committed stats bounds (skew costs tightness,
+    never correctness — also the automatic fallback when a z column is
+    all-NULL in a group). Numeric, date and timestamp columns only.
 
     Data stays distributed: each partition group is one ``coalesce``
     (or one range shuffle, for ZORDER) rewrite sized from the group's
@@ -1580,44 +2012,76 @@ def optimize_delta(
                 morton_interleave,
             )
 
-            # dimension bounds folded from the group's committed stats
-            # (zero extra passes); ZORDER needs them on every file
-            bounds = {}
-            for zc in zorder_by:
-                los, his = [], []
-                for a in small:
-                    st = a.get("stats")
-                    if not st:
-                        raise ValueError(
-                            f"zorder needs stats on every live file; "
-                            f"missing on {a['path']!r}"
-                        )
-                    parsed = json.loads(st) if isinstance(st, str) else st
-                    if zc in (parsed.get("minValues") or {}):
-                        los.append(parsed["minValues"][zc])
-                        his.append(parsed["maxValues"][zc])
-                    # else: the column is all-NULL in this file (stats
-                    # exist, bounds don't) — it contributes nothing to
-                    # the bucketing range; its rows land in bucket 0
-                if not los:  # all-null / empty group: constant bucket
-                    bounds[zc] = (0, 0)
-                    continue
-                dec = isinstance(schema[zc].dataType, _NUMERIC_PRUNE_TYPES)
-                key = (
-                    (lambda v: decimal.Decimal(str(v))) if dec else str
+            # skew-tight default: one sampling pass builds equal-
+            # frequency quantile cuts per z column; falls back to the
+            # zero-extra-pass linear stats-bounds curve when disabled
+            # or when a z column is all-NULL in this group
+            sampled = (
+                _sample_zorder_bounds(
+                    group_df, zorder_by, schema, zorder_bits
                 )
-                bounds[zc] = (min(los, key=key), max(his, key=key))
-            zval = morton_interleave(
-                _zorder_bucket_col(
-                    zorder_by[0], schema[zorder_by[0]].dataType,
-                    *bounds[zorder_by[0]], zorder_bits,
-                ),
-                _zorder_bucket_col(
-                    zorder_by[1], schema[zorder_by[1]].dataType,
-                    *bounds[zorder_by[1]], zorder_bits,
-                ),
-                zorder_bits,
+                if zorder_sampling
+                else {}
             )
+            if sampled:
+                zval = morton_interleave(
+                    _sampled_bucket_col(
+                        zorder_by[0],
+                        schema[zorder_by[0]].dataType,
+                        sampled[zorder_by[0]],
+                    ),
+                    _sampled_bucket_col(
+                        zorder_by[1],
+                        schema[zorder_by[1]].dataType,
+                        sampled[zorder_by[1]],
+                    ),
+                    min(int(zorder_bits), 8),
+                )
+            else:
+                # dimension bounds folded from the group's committed
+                # stats (zero extra passes); ZORDER needs them on
+                # every file
+                bounds = {}
+                for zc in zorder_by:
+                    los, his = [], []
+                    for a in small:
+                        st = a.get("stats")
+                        if not st:
+                            raise ValueError(
+                                f"zorder needs stats on every live "
+                                f"file; missing on {a['path']!r}"
+                            )
+                        parsed = (
+                            json.loads(st) if isinstance(st, str) else st
+                        )
+                        if zc in (parsed.get("minValues") or {}):
+                            los.append(parsed["minValues"][zc])
+                            his.append(parsed["maxValues"][zc])
+                        # else: the column is all-NULL in this file
+                        # (stats exist, bounds don't) — it contributes
+                        # nothing to the bucketing range; its rows land
+                        # in bucket 0
+                    if not los:  # all-null / empty group: constant
+                        bounds[zc] = (0, 0)
+                        continue
+                    dec = isinstance(
+                        schema[zc].dataType, _NUMERIC_PRUNE_TYPES
+                    )
+                    key = (
+                        (lambda v: decimal.Decimal(str(v))) if dec else str
+                    )
+                    bounds[zc] = (min(los, key=key), max(his, key=key))
+                zval = morton_interleave(
+                    _zorder_bucket_col(
+                        zorder_by[0], schema[zorder_by[0]].dataType,
+                        *bounds[zorder_by[0]], zorder_bits,
+                    ),
+                    _zorder_bucket_col(
+                        zorder_by[1], schema[zorder_by[1]].dataType,
+                        *bounds[zorder_by[1]], zorder_bits,
+                    ),
+                    zorder_bits,
+                )
             (
                 group_df.select("*", zval.alias("__z"))
                 .repartitionByRange(int(n_out), F.col("__z"))
@@ -1837,7 +2301,9 @@ def merge_delta(
                     "files_removed": 0, "deletion_vector": None,
                 }
             no_stats = [
-                a["path"] for a in touched_adds if not a.get("stats")
+                a["path"]
+                for a in touched_adds
+                if _num_records(a) is None
             ]
             if no_stats:
                 raise ValueError(
@@ -1845,16 +2311,17 @@ def merge_delta(
                     f"stats on touched files; missing on {no_stats[:3]} "
                     "— merge with deletion_vectors=False to rewrite them"
                 )
-            actions: list[dict] = []
+            actions: list[dict] = _dv_protocol_actions(state)
             dv_rel = None
             dead = 0
             if touched_adds:
-                dv_rel, counts = _stage_dv(
+                dv_rel, descs = _stage_dv(
                     spark, path, matched, touched_adds
                 )
-                actions, dead = _dv_swap_actions(
-                    touched_adds, counts, dv_rel, timestamp_ms
+                swap, dead = _dv_swap_actions(
+                    touched_adds, descs, timestamp_ms
                 )
+                actions = actions + swap
         finally:
             matched.unpersist()
         rels: list[str] = []
@@ -2027,13 +2494,14 @@ def delete_delta(
         }
         touched_adds = [a for a in adds if _canon_key(a) in touched_keys]
         use_dv = deletion_vectors and all(
-            a.get("stats") for a in touched_adds
+            _num_records(a) is not None for a in touched_adds
         )
         if use_dv:
-            dv_rel, counts = _stage_dv(spark, path, matched, touched_adds)
-            actions, dead = _dv_swap_actions(
-                touched_adds, counts, dv_rel, timestamp_ms
+            dv_rel, descs = _stage_dv(spark, path, matched, touched_adds)
+            swap, dead = _dv_swap_actions(
+                touched_adds, descs, timestamp_ms
             )
+            actions = _dv_protocol_actions(state) + swap
             version = _commit_swap(
                 spark, path, actions, touched_adds, log_store, "delete",
                 txn=txn, timestamp_ms=timestamp_ms,
@@ -2167,13 +2635,24 @@ def vacuum_delta(
             continue  # vacuumed behind a checkpoint already
         referenced.update(unquote(p) for p in files)
         referenced_dv.update(
-            _dv_of(a)["path"] for a in files.values() if _dv_of(a)
+            rel
+            for rel in (
+                _dv_disk_rel(_dv_of(a))
+                for a in files.values()
+                if _dv_of(a)
+            )
+            if rel is not None
         )
     cutoff_ms = (_time.time() - orphan_min_age_minutes * 60) * 1000
     deleted = []
     skipped_young = 0
     for rel in fs.list_data_files(spark, path):
         if rel.split("/")[0] == LOG_DIR:
+            continue
+        # a FOREIGN writer's deletion vectors live under a visible
+        # random-prefix dir (only this engine's own use the underscore
+        # DV_DIR) — a referenced vector file is not an orphan
+        if rel in referenced_dv:
             continue
         if rel not in referenced:
             full = fs.join(path, rel)
@@ -2182,14 +2661,30 @@ def vacuum_delta(
                 continue
             fs.delete(spark, full)
             deleted.append(rel)
-    # deletion-vector directories live under an underscore dir (invisible
-    # to data listings by design); reclaim the ones no retained version's
-    # descriptors reference — superseded vectors and lost-race orphans
+    # deletion-vector artifacts live under an underscore dir (invisible
+    # to data listings by design): spec ``.bin`` files since r13, r12
+    # parquet-dialect directories before. Reclaim the ones no retained
+    # version's descriptors reference — superseded vectors and
+    # lost-race orphans. The age guard for a DIRECTORY uses the newest
+    # mtime of its child FILES, not the directory entry: object-store
+    # "directories" report mtime 0, which would make a just-staged
+    # in-flight vector look aged and reclaim it mid-commit (ADVICE r12)
     for name in fs.listdir(spark, fs.join(path, DV_DIR)):
         rel = f"{DV_DIR}/{name}"
         if rel not in referenced_dv:
             full = fs.join(path, rel)
-            if fs.mtime_ms(spark, full) > cutoff_ms:
+            if fs.is_dir(spark, full):
+                kids = fs.list_data_files(spark, full)
+                age_ms = (
+                    max(
+                        fs.mtime_ms(spark, fs.join(full, k)) for k in kids
+                    )
+                    if kids
+                    else fs.mtime_ms(spark, full)
+                )
+            else:
+                age_ms = fs.mtime_ms(spark, full)
+            if age_ms > cutoff_ms:
                 skipped_young += 1
                 continue
             fs.delete(spark, full)
@@ -2236,6 +2731,8 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 int((state.get("protocol") or {}).get(
                     "minWriterVersion"
                 ) or 2),
+                (state.get("protocol") or {}).get("readerFeatures"),
+                (state.get("protocol") or {}).get("writerFeatures"),
             ),
             None,
         ),
@@ -2253,8 +2750,12 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
                 a.get("stats"),
                 (
                     (
-                        _dv_of(a)["path"],
+                        _dv_of(a).get("path"),
                         int(_dv_of(a).get("cardinality") or 0),
+                        _dv_of(a).get("storageType"),
+                        _dv_of(a).get("pathOrInlineDv"),
+                        _dv_of(a).get("offset"),
+                        _dv_of(a).get("sizeInBytes"),
                     )
                     if _dv_of(a)
                     else None

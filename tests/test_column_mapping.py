@@ -1,0 +1,276 @@
+"""Column mapping, 'name' mode (public Delta protocol, "Column
+Mapping"): the parquet files carry stable PHYSICAL column names; the
+committed schema's field metadata maps them to logical names. Reads
+resolve physical→logical (including nested fields and partition
+columns), stats-based skipping translates its probes, time travel
+across a RENAME resolves each version with its own metaData, and
+writes refuse (this writer emits logical-named files, which would
+corrupt the mapping). 'id' mode stays refused — pinned in
+test_delta_table's protocol-enforcement test."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark.sources.delta_table import (
+    merge_delta,
+    metadata_summary,
+    read_delta,
+    write_delta,
+)
+
+
+def _field(name, dtype, phys, cid):
+    return T.StructField(
+        name,
+        dtype,
+        True,
+        {
+            "delta.columnMapping.physicalName": phys,
+            "delta.columnMapping.id": cid,
+        },
+    )
+
+
+def _write_log(base, commits):
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    for v, actions in enumerate(commits):
+        with open(f"{base}/_delta_log/{v:020d}.json", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def _meta(schema, part_cols=()):
+    return {
+        "metaData": {
+            "id": "t-mapped",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": list(part_cols),
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "9",
+            },
+            "createdTime": 0,
+        }
+    }
+
+
+_PROTO_25 = {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+_PROTO_37 = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping"],
+    }
+}
+
+
+def _stage_file(spark, base, df, rel):
+    df.repartition(1).write.parquet(base + "/_stage")
+    part = [
+        p for p in os.listdir(base + "/_stage") if p.endswith(".parquet")
+    ][0]
+    os.replace(base + "/_stage/" + part, os.path.join(base, rel))
+    import shutil
+
+    shutil.rmtree(base + "/_stage")
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(base, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def _mapped_schema():
+    return T.StructType(
+        [
+            _field("id", T.LongType(), "col-aaa", 1),
+            _field("name", T.StringType(), "col-bbb", 2),
+            _field(
+                "nested",
+                T.StructType(
+                    [
+                        _field("p", T.LongType(), "p-phys", 4),
+                        _field("q", T.StringType(), "q-phys", 5),
+                    ]
+                ),
+                "col-ccc",
+                3,
+            ),
+        ]
+    )
+
+
+def _physical_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", (10, "x")), (2, "b", (20, "y"))],
+        "`col-aaa` long, `col-bbb` string, "
+        "`col-ccc` struct<`p-phys`:long, `q-phys`:string>",
+    )
+
+
+def test_mapped_read_logical_names(spark, tmp_path):
+    """Physical parquet names (incl. nested) resolve back to logical
+    names with the right values, at legacy protocol (2,5)."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
+    _write_log(base, [[_PROTO_25, _meta(_mapped_schema()), add]])
+    df = read_delta(spark, base)
+    assert df.columns == ["id", "name", "nested"]
+    assert df.schema["nested"].dataType.fieldNames() == ["p", "q"]
+    rows = sorted(
+        (r["id"], r["name"], r["nested"]["p"], r["nested"]["q"])
+        for r in df.collect()
+    )
+    assert rows == [(1, "a", 10, "x"), (2, "b", 20, "y")]
+
+
+def test_mapped_read_v3_feature_protocol(spark, tmp_path):
+    """The same table marked via the v3 columnMapping reader feature."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
+    _write_log(base, [[_PROTO_37, _meta(_mapped_schema()), add]])
+    assert sorted(r["id"] for r in read_delta(spark, base).collect()) == [
+        1,
+        2,
+    ]
+
+
+def test_time_travel_across_rename(spark, tmp_path):
+    """v0 names a column 'v'; v1 renames it to 'amount' (same physical
+    name, the whole point of column mapping). Each version reads with
+    ITS schema over the SAME files."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    s0 = T.StructType(
+        [
+            _field("id", T.LongType(), "col-aaa", 1),
+            _field("v", T.LongType(), "col-bbb", 2),
+        ]
+    )
+    s1 = T.StructType(
+        [
+            _field("id", T.LongType(), "col-aaa", 1),
+            _field("amount", T.LongType(), "col-bbb", 2),
+        ]
+    )
+    pdf = spark.createDataFrame(
+        [(1, 100), (2, 200)], "`col-aaa` long, `col-bbb` long"
+    )
+    add = _stage_file(spark, base, pdf, "f1.parquet")
+    _write_log(
+        base,
+        [[_PROTO_25, _meta(s0), add], [_PROTO_25, _meta(s1)]],
+    )
+    v0 = read_delta(spark, base, version=0)
+    v1 = read_delta(spark, base, version=1)
+    assert v0.columns == ["id", "v"]
+    assert v1.columns == ["id", "amount"]
+    assert sorted((r["id"], r["amount"]) for r in v1.collect()) == [
+        (1, 100),
+        (2, 200),
+    ]
+
+
+def test_mapped_partitioned_hive_dirs(spark, tmp_path):
+    """Partition dirs and add.partitionValues carry PHYSICAL names per
+    the spec; the read restores the logical partition column."""
+    base = str(tmp_path / "t")
+    os.makedirs(base + "/col-ppp=us", exist_ok=True)
+    os.makedirs(base + "/col-ppp=eu", exist_ok=True)
+    schema = T.StructType(
+        [
+            _field("id", T.LongType(), "col-aaa", 1),
+            _field("region", T.StringType(), "col-ppp", 2),
+        ]
+    )
+    adds = []
+    for region, ids in (("us", [1, 2]), ("eu", [3])):
+        pdf = spark.createDataFrame([(i,) for i in ids], "`col-aaa` long")
+        a = _stage_file(
+            spark, base, pdf, f"col-ppp={region}/f-{region}.parquet"
+        )
+        a["add"]["partitionValues"] = {"col-ppp": region}
+        adds.append(a)
+    _write_log(
+        base, [[_PROTO_25, _meta(schema, part_cols=["region"])] + adds]
+    )
+    df = read_delta(spark, base)
+    assert sorted(df.columns) == ["id", "region"]
+    rows = sorted((r["id"], r["region"]) for r in df.collect())
+    assert rows == [(1, "us"), (2, "us"), (3, "eu")]
+    # partition-probe skipping equals filtering
+    got = sorted(
+        r["id"]
+        for r in read_delta(
+            spark, base, skip=[("region", "=", "us")]
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_mapped_skip_equals_filter(spark, tmp_path):
+    """Stats keys are physical; a logical skip probe must translate —
+    and the result must equal the plain filter exactly."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    schema = T.StructType(
+        [
+            _field("id", T.LongType(), "col-aaa", 1),
+            _field("v", T.LongType(), "col-bbb", 2),
+        ]
+    )
+    adds = []
+    for lo in (0, 100):
+        pdf = spark.createDataFrame(
+            [(lo + i, (lo + i) * 2) for i in range(5)],
+            "`col-aaa` long, `col-bbb` long",
+        )
+        a = _stage_file(spark, base, pdf, f"f{lo}.parquet")
+        a["add"]["stats"] = json.dumps(
+            {
+                "numRecords": 5,
+                "minValues": {"col-aaa": lo},
+                "maxValues": {"col-aaa": lo + 4},
+                "nullCount": {"col-aaa": 0},
+            }
+        )
+        adds.append(a)
+    _write_log(base, [[_PROTO_25, _meta(schema)] + adds])
+    skipped = read_delta(spark, base, skip=[("id", ">=", 100)])
+    plain = read_delta(spark, base).filter(F.col("id") >= 100)
+    assert sorted(r["id"] for r in skipped.collect()) == sorted(
+        r["id"] for r in plain.collect()
+    )
+    # and the prune actually dropped the low file: only 5 rows scanned
+    assert skipped.count() == 5
+    # metadata_summary maps its lookups too
+    ms = {
+        r["column_name"]: (r["n_rows"], r["min_value"], r["max_value"])
+        for r in metadata_summary(spark, base, columns=["id"]).collect()
+    }
+    assert ms["id"] == (10, "0", "104")
+
+
+def test_mapped_table_writes_refuse(spark, tmp_path):
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
+    _write_log(base, [[_PROTO_25, _meta(_mapped_schema()), add]])
+    logical_df = read_delta(spark, base)
+    with pytest.raises(ValueError, match="column mapping|minWriterVersion"):
+        write_delta(spark, logical_df, base)
+    with pytest.raises(ValueError, match="column mapping|minWriterVersion"):
+        merge_delta(spark, logical_df, base, ["id"])

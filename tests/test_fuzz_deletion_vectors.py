@@ -18,12 +18,20 @@ DV_FUZZ_SEEDS=n for a soak.
 
 from __future__ import annotations
 
+import json
 import os
 import random
 
 import pytest
 
+from changedatacapture_reporting_spark import fs
+from changedatacapture_reporting_spark.sources import dvcodec
 from changedatacapture_reporting_spark.sources.delta_table import (
+    _commit_name,
+    _dv_protocol_actions,
+    _log_path,
+    _resolve_log,
+    _scan_adds,
     delete_delta,
     merge_delta,
     optimize_delta,
@@ -98,7 +106,8 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
         live = sorted(model)
         op = rng.choice(
             ["append", "merge", "merge", "delete", "delete",
-             "optimize", "checkpoint", "vacuum", "overwrite", "evolve"]
+             "optimize", "checkpoint", "vacuum", "overwrite", "evolve",
+             "foreign_dv", "foreign_dv"]
         )
         if op == "evolve" and not evolved:
             # mergeSchema: the lang column arrives WITH a data batch;
@@ -196,6 +205,70 @@ def test_dv_random_walk_matches_model(spark, tmp_path, seed):
             if res["version"] is None:
                 continue
             version = res["version"]
+        elif op == "foreign_dv":
+            # a FOREIGN spec writer deletes rows from one un-vectored
+            # file: hand-written commit (remove + re-add) carrying a
+            # binary RoaringBitmapArray vector under a random-prefix
+            # dir — the read path must apply it like our own vectors,
+            # OPTIMIZE must purge it, vacuum must not reclaim it while
+            # referenced
+            import uuid as _uuid
+
+            st = _resolve_log(spark, path, None)
+            cands = sorted(
+                (
+                    a
+                    for a in st["files"].values()
+                    if not a.get("deletionVector")
+                ),
+                key=lambda a: a["path"],
+            )
+            if not cands:
+                continue
+            add = rng.choice(cands)
+            frows = _scan_adds(
+                spark, path, st["meta"], [add], with_rowpos=True
+            ).select("id", "_pos_idx").collect()
+            if not frows:
+                continue
+            kill = rng.sample(frows, min(len(frows), rng.randint(1, 3)))
+            u = _uuid.uuid4()
+            blob = dvcodec.serialize_blob(
+                [int(r["_pos_idx"]) for r in kill]
+            )
+            data, spans = dvcodec.pack_file([blob])
+            fs.write_bytes(
+                spark,
+                fs.join(path, f"fx/deletion_vector_{u}.bin"),
+                data,
+            )
+            new_add = dict(add)
+            new_add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": "fx" + dvcodec.encode_uuid(u),
+                "offset": spans[0][0],
+                "sizeInBytes": spans[0][1],
+                "cardinality": len(kill),
+            }
+            new_add["dataChange"] = True
+            actions = _dv_protocol_actions(st) + [
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                },
+                {"add": new_add},
+            ]
+            version = st["version"] + 1
+            fs.write_text(
+                spark,
+                fs.join(_log_path(path), _commit_name(version)),
+                "\n".join(json.dumps(a) for a in actions) + "\n",
+            )
+            for r in kill:
+                model.pop(r["id"], None)
         elif op == "optimize":
             res = optimize_delta(spark, path)
             if res["version"] is None:
