@@ -531,6 +531,34 @@ def _q_backfill_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select(*CHANGELOG_OUT)
 
 
+def _q_populate_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog populate with a Delta-format sink (VERDICT r12 #6 —
+    the sink unification): two windowed runs (resume across the split)
+    plus an exact-replay third run that must load NOTHING, all through
+    ONE commit protocol — the per-table watermark txn actions land in
+    the same atomic Delta commit as the data. Reading the table back
+    must equal the full-changelog oracle bit for bit, proving the
+    split/resume/idempotence semantics match the parquet sink's (whose
+    own contracts remain separate)."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.operators.populate import (
+        populate_changelog,
+    )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    sink = tempfile.mkdtemp(prefix="popdelta_") + "/sink"
+    kw = dict(maintain_rollup=False, sink_format="delta")
+    populate_changelog(spark, ev, sink, SIM_PK, to_lsn=3000, **kw)
+    populate_changelog(spark, ev, sink, SIM_PK, **kw)
+    replay = populate_changelog(spark, ev, sink, SIM_PK, **kw)
+    assert replay.rows_changed == 0, replay
+    return read_delta(spark, sink).select(*CHANGELOG_OUT)
+
+
 def _q_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten (operators.forget.purge_keys_from_sink):
     populate a real changelog sink, then erase keys ``k % 50 == 3`` in
@@ -2462,6 +2490,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
         _q_delta_column_mapping,
         _SQL_DELTA_COLUMN_MAPPING,
     ),
+    "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
     **REGISTRY_STREAMING,
@@ -2478,6 +2507,7 @@ _CHECK_WINDOW: list[str] = [
     # r13 window from tools/window_rotation.py --propose
     "delta_foreign_dv",
     "delta_column_mapping",
+    "cdc_populate_delta_sink",
     "corpus_quality_buckets",
     "corpus_sampled_mix",
     "corpus_token_freq_scores",
@@ -2525,7 +2555,6 @@ _CHECK_WINDOW: list[str] = [
     "events_tumbling_5min",
     "multimodal_blob_metadata",
     "multimodal_features",
-    "multimodal_frame_sample",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -45,11 +45,28 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _decode_png_features(payload: bytes) -> list[float]:
+    """REAL decode for PNG payloads (stdlib codec, operators.pngcodec):
+    pixels → luminance → nearest-resample to a FEATURE_DIM strip →
+    [0,1] floats. Raises on anything the codec refuses; callers fall
+    through to the stand-in."""
+    import numpy as np
+
+    from changedatacapture_reporting_spark.operators import pngcodec
+
+    grey = pngcodec.to_grey(pngcodec.decode(payload))
+    strip = pngcodec.resize_nearest(grey, FEATURE_DIM, 1)
+    return (
+        strip.reshape(-1).astype("float32") / np.float32(255.0)
+    ).tolist()
+
+
 def _make_decoder():
-    """Capability probe: the real PIL decoder when the lib is importable,
-    the deterministic stand-in otherwise (import-try per the environment
-    contract). Returned as a closure so the probe runs once per Python
-    worker, not once per batch."""
+    """Capability probe, best-real-decoder-first: PIL when importable
+    (every format), else the stdlib PNG codec for PNG payloads
+    (operators.pngcodec — real pixels, no external lib), else the
+    deterministic byte-histogram stand-in. Returned as a closure so the
+    probe runs once per Python worker, not once per batch."""
     try:
         import io
 
@@ -70,7 +87,19 @@ def _make_decoder():
 
         return _decode_pil
     except ImportError:
-        return _decode_fake
+        pass
+
+    from changedatacapture_reporting_spark.operators import pngcodec
+
+    def _decode_stdlib(payload: bytes) -> list[float]:
+        if pngcodec.is_png(payload):
+            try:
+                return _decode_png_features(payload)
+            except Exception:
+                return _decode_fake(payload)  # corrupt/out-of-scope PNG
+        return _decode_fake(payload)
+
+    return _decode_stdlib
 
 
 def _decode_fake(payload: bytes) -> list[float]:
@@ -136,12 +165,13 @@ def resize_images(
 ) -> DataFrame:
     """Image resize over Arrow batches.
 
-    Real path (when PIL is importable) decodes → resizes → re-encodes
-    PNG; the deterministic stand-in strided-samples the payload bytes
-    down to exactly ``width*height`` bytes, and also catches payloads
-    PIL can't decode. Either way the production contract holds:
-    fixed-size output per row, one row per input row, no shuffle,
-    partition-local.
+    Real path: PIL when importable (every format); else the stdlib PNG
+    codec (operators.pngcodec) decodes → nearest-neighbor resizes →
+    re-encodes PNG payloads with REAL pixels. The deterministic
+    stand-in strided-samples the payload bytes down to exactly
+    ``width*height`` bytes, and also catches payloads no decoder
+    handles. Either way the production contract holds: fixed-size
+    output per row, one row per input row, no shuffle, partition-local.
     """
     n_out = width * height
 
@@ -171,7 +201,22 @@ def resize_images(
                 return out.getvalue()
 
         except ImportError:
-            _resize = _resize_sample
+            from changedatacapture_reporting_spark.operators import (
+                pngcodec,
+            )
+
+            def _resize(payload: bytes) -> bytes:
+                if pngcodec.is_png(payload):
+                    try:
+                        px = pngcodec.decode(payload)
+                        if px.shape[2] in (2, 4):  # drop alpha plane
+                            px = px[:, :, : px.shape[2] - 1]
+                        return pngcodec.encode(
+                            pngcodec.resize_nearest(px, width, height)
+                        )
+                    except Exception:
+                        return _resize_sample(payload)
+                return _resize_sample(payload)
 
         for pdf in batches:
             yield pd.DataFrame(

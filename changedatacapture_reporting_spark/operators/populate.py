@@ -290,6 +290,86 @@ def commit_batch(
     return rows_changed
 
 
+_DELTA_WM_PREFIX = "populate/"
+
+
+def _sink_watermarks_delta(
+    spark: SparkSession, sink_path: str
+) -> dict[str, int] | None:
+    """Per-table watermarks of a Delta-format sink: the PROTOCOL's txn
+    actions (appId ``populate/<table>``) recorded by the SAME commit as
+    each batch's data — the log replay is metadata-only, so resume cost
+    is independent of history size, same contract as the sidecar."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+        table_versions,
+    )
+
+    if not table_versions(spark, sink_path):
+        return None
+    txns = _resolve_log(spark, sink_path, None)["txns"]
+    out = {
+        app[len(_DELTA_WM_PREFIX):]: int(v)
+        for app, v in txns.items()
+        if app.startswith(_DELTA_WM_PREFIX)
+    }
+    return out or None
+
+
+def commit_batch_delta(
+    spark: SparkSession,
+    changelog: DataFrame,
+    sink_path: str,
+    pk_cols: list[str],
+    salt_buckets: int | None = None,
+) -> int:
+    """Delta-format twin of :func:`commit_batch` — ONE protocol instead
+    of two (VERDICT r12 #6): the append commit atomically carries the
+    data files AND the per-table watermark txn actions, so the two can
+    never disagree and no sidecar/recovery pass exists to maintain. A
+    crash mid-run leaves staged orphans (vacuum_delta reclaims) with
+    the watermark unmoved — the batch re-selects next run, the same
+    at-least-once-stage / exactly-once-commit shape as the parquet
+    protocol. Multi-writer safety comes from the Delta writer's
+    optimistic commit loop (logstore put-if-absent) for free."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        write_delta,
+    )
+
+    if salt_buckets and salt_buckets > 1:
+        from changedatacapture_reporting_spark.plans.skew import (
+            salted_aggregate,
+        )
+
+        per_table = salted_aggregate(
+            changelog,
+            ["table_name"],
+            {"lsn": ("max", "lsn"), "n_rows": ("count", "*")},
+            salt_buckets=salt_buckets,
+        ).collect()
+    else:
+        per_table = (
+            changelog.groupBy("table_name")
+            .agg(F.max("lsn").alias("lsn"), F.count("*").alias("n_rows"))
+            .collect()
+        )
+    rows_changed = sum(r.n_rows for r in per_table)
+    if not rows_changed:
+        return 0
+    write_delta(
+        spark,
+        _partition_layout(changelog, pk_cols, salt_buckets),
+        sink_path,
+        partition_by=["table_name", "commit_month"],
+        extra_txns=[
+            (_DELTA_WM_PREFIX + r.table_name, int(r.lsn))
+            for r in per_table
+        ],
+        parquet_options=sink_write_options(),
+    )
+    return rows_changed
+
+
 BLOOM_NDV_DEFAULT = 100_000
 
 
@@ -310,9 +390,9 @@ def sink_write_options(bloom_ndv: int | None = BLOOM_NDV_DEFAULT) -> dict:
     }
 
 
-def _partition_writer(
+def _partition_layout(
     changelog: DataFrame, pk_cols: list[str], salt_buckets: int | None
-):
+) -> DataFrame:
     """Sink-layout shuffle: one task per (table, month) by default; with
     ``salt_buckets=n`` a hot partition fans out over n tasks/files keyed
     by a pk hash, so a batch where one table dominates a month still
@@ -330,12 +410,16 @@ def _partition_writer(
             F.col("commit_month"),
             F.pmod(F.xxhash64(*pk_cols), F.lit(salt_buckets)),
         )
-        return salted.sortWithinPartitions(*sort_cols).write
-    return (
-        changelog.repartition("table_name", "commit_month")
-        .sortWithinPartitions(*sort_cols)
-        .write
-    )
+        return salted.sortWithinPartitions(*sort_cols)
+    return changelog.repartition(
+        "table_name", "commit_month"
+    ).sortWithinPartitions(*sort_cols)
+
+
+def _partition_writer(
+    changelog: DataFrame, pk_cols: list[str], salt_buckets: int | None
+):
+    return _partition_layout(changelog, pk_cols, salt_buckets).write
 
 
 def populate_changelog(
@@ -347,6 +431,7 @@ def populate_changelog(
     flags: CompatFlags | None = None,
     maintain_rollup: bool = True,
     salt_buckets: int | None = None,
+    sink_format: str = "parquet",
 ) -> PopulateResult:
     """One incremental run: filter new events per table, build changelog,
     append.
@@ -358,8 +443,26 @@ def populate_changelog(
     416–422). ``CompatFlags.swallow_errors`` reproduces the reference's
     TRY/CATCH that reports any failure as "No changes were detected"
     (populate:401–409) — default False: failures surface.
+
+    ``sink_format="delta"`` routes the sink through the hardened Delta
+    writer (sources.delta_table): ONE commit protocol — the per-table
+    watermark txn actions land atomically WITH the data, replacing the
+    parquet sidecar/recovery machinery, and the sink gains OCC
+    multi-writer safety, time travel, OPTIMIZE/VACUUM and deletion-
+    vector purges for free. Read it back with ``read_delta``. Rollup
+    partials are a parquet-sink artifact — pass
+    ``maintain_rollup=False`` (aggregate the Delta sink directly, with
+    stats skipping, instead).
     """
     flags = flags or CompatFlags()
+    if sink_format not in ("parquet", "delta"):
+        raise ValueError(f"unsupported sink_format: {sink_format!r}")
+    if sink_format == "delta" and maintain_rollup:
+        raise ValueError(
+            "rollup partials are a parquet-sink artifact; pass "
+            "maintain_rollup=False with sink_format='delta' and "
+            "aggregate the Delta sink directly"
+        )
     try:
         return _populate(
             spark,
@@ -370,6 +473,7 @@ def populate_changelog(
             flags,
             maintain_rollup,
             salt_buckets,
+            sink_format,
         )
     except Exception:
         if flags.swallow_errors:
@@ -387,15 +491,31 @@ def _populate(
     flags: CompatFlags,
     maintain_rollup: bool = True,
     salt_buckets: int | None = None,
+    sink_format: str = "parquet",
 ) -> PopulateResult:
-    recover_sink(spark, sink_path)  # heal any crashed previous run first
-    wm = _sink_watermarks(spark, sink_path)
+    delta_sink = sink_format == "delta"
+    if delta_sink:
+        # no sidecar/staging protocol to heal: the Delta commit is the
+        # single atomic point; crashed-run debris is unreferenced files
+        # vacuum_delta reclaims
+        wm = _sink_watermarks_delta(spark, sink_path)
+    else:
+        recover_sink(spark, sink_path)  # heal any crashed run first
+        wm = _sink_watermarks(spark, sink_path)
     max_wm: int | None = max(wm.values()) if wm else None
 
     if flags.legacy_minute_skip and wm is not None:
         # reference-faithful: resume from MAX(commit_time)+1min (global —
         # the reference is single-table per invocation)
-        prev = spark.read.parquet(sink_path).agg(F.max("commit_time")).head()[0]
+        if delta_sink:
+            from changedatacapture_reporting_spark.sources.delta_table import (
+                read_delta,
+            )
+
+            sink_df = read_delta(spark, sink_path)
+        else:
+            sink_df = spark.read.parquet(sink_path)
+        prev = sink_df.agg(F.max("commit_time")).head()[0]
         batch = events.filter(
             F.col("commit_ts") >= F.lit(prev) + F.expr("INTERVAL 1 MINUTE")
         )
@@ -431,15 +551,24 @@ def _populate(
     # watermark" would scan all history
     changelog.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        rows_changed = commit_batch(
-            spark,
-            changelog,
-            sink_path,
-            pk_cols,
-            run_id=uuid.uuid4().hex,
-            maintain_rollup=maintain_rollup,
-            salt_buckets=salt_buckets,
-        )
+        if delta_sink:
+            rows_changed = commit_batch_delta(
+                spark,
+                changelog,
+                sink_path,
+                pk_cols,
+                salt_buckets=salt_buckets,
+            )
+        else:
+            rows_changed = commit_batch(
+                spark,
+                changelog,
+                sink_path,
+                pk_cols,
+                run_id=uuid.uuid4().hex,
+                maintain_rollup=maintain_rollup,
+                salt_buckets=salt_buckets,
+            )
     finally:
         changelog.unpersist()
     return PopulateResult(

@@ -1368,6 +1368,8 @@ def write_delta(
     log_store: "logstore.LogStore | None" = None,
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    extra_txns: list[tuple[str, int]] | None = None,
+    parquet_options: dict | None = None,
 ) -> int | None:
     """Commit ``df`` to a Delta table at ``path``; returns the committed
     version. ``mode``: ``append`` or ``overwrite`` (overwrite removes
@@ -1422,6 +1424,11 @@ def write_delta(
             return None
     staging = fs.join(path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
+    if parquet_options:
+        # caller-tuned parquet knobs (e.g. per-column bloom filters for
+        # point-lookup row-group skipping) ride the staged write; the
+        # protocol is indifferent to them
+        writer = writer.options(**parquet_options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -1529,6 +1536,20 @@ def write_delta(
                     "txn": {
                         "appId": txn[0],
                         "version": int(txn[1]),
+                        "lastUpdated": timestamp_ms,
+                    }
+                }
+            )
+        # extra_txns are RECORDED watermarks (no replay gating): e.g.
+        # the changelog populate's per-table resume points ride the
+        # same atomic commit as the data, replacing the parquet sink's
+        # sidecar protocol — they can never disagree with the data
+        for app_id, ver in extra_txns or []:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": app_id,
+                        "version": int(ver),
                         "lastUpdated": timestamp_ms,
                     }
                 }

@@ -176,6 +176,7 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
     assert raw[5] == 3 * 3  # "the" -> t, h, e</w>
 
 
+@pytest.mark.soak  # heaviest property test - pre-commit gate only
 def test_bpe_distributed_path_bit_identical(spark, sf_dir):
     """VERDICT r09 item 1: the distributed incremental pair-delta loop
     (driver_vocab_limit=0) and the in-memory incremental loop produce

@@ -5,6 +5,8 @@ random op histories at random boundaries."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import example, given, settings
@@ -103,6 +105,7 @@ def _state(log, as_of_lsn=None):
     draws=[(1, 0, 1), (2, 0, 2), (0, 0, 0), (1, 0, 3), (0, 0, 0)],
     cut=0.6,
 )
+@pytest.mark.soak  # heaviest property test - pre-commit gate only
 def test_compaction_preserves_forward_consumers(spark, draws, cut):
     events = _hist(draws)
     n = len(events)

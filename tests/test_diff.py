@@ -7,6 +7,8 @@ reconstruction or the join, so the reference is the semantics oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -189,6 +191,7 @@ def test_snapshot_diff_delete_reinsert_between_cuts(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_reconstruct_series_equals_per_cut_states(spark, corpus, ncuts):
     """reconstruct_series at N random cuts == reconstruct_state run once
     per cut — the one-pass fold must agree with the trusted per-cut

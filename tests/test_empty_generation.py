@@ -88,6 +88,7 @@ def test_full_purge_leaves_sink_readable(spark, tmp_path):
     assert spark.read.parquet(sink).filter(F.col("id") == 11).count() == 1
 
 
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_compaction_of_all_empty_files_survives(spark, tmp_path):
     """compact_sink_files over a partition whose files are ALL empty
     (the post-full-purge residue): the staged rewrite is empty but

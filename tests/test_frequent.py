@@ -53,6 +53,7 @@ def test_prune_counts_is_mg_merge():
     assert _prune_counts(c, 5).to_dict() == c.to_dict()  # no prune needed
 
 
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_heavy_hitters_exact_under_skew(spark, tiny_batches):
     """Zipf-ish skew + a long singleton tail, 4 partitions, 50-row Arrow
     batches → every batch prunes; the result must still equal the naive
@@ -114,6 +115,7 @@ from hypothesis import strategies as st
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_heavy_hitters_random_distributions(spark, tiny_batches, counts, frac):
     """Random multiplicity profiles under forced 50-row Arrow batches:
     the two-pass result equals the naive HAVING query for every drawn

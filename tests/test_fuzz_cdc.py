@@ -21,6 +21,13 @@ from changedatacapture_reporting_spark.operators.reconstruct import (
 )
 from changedatacapture_reporting_spark.schema import DELETED_RECORD, NEW_RECORD
 
+
+import pytest
+
+# full differential power is the pre-commit gate's job;
+# the fast lane (-m 'not soak') skips it
+pytestmark = pytest.mark.soak
+
 PK = ["id"]
 VALUE_COLS = ["id", "v1", "v2"]
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)

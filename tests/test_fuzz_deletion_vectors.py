@@ -77,7 +77,16 @@ def _expect(model, evolved):
     return {(k, v, _p(k)) for k, (v, _) in model.items()}
 
 
-@pytest.mark.parametrize("seed", range(N_SEEDS))
+# seed 0 stays in the fast lane (one walk keeps the lifecycle covered
+# in-round); the remaining seeds are pre-commit-gate soak power
+@pytest.mark.parametrize(
+    "seed",
+    [0]
+    + [
+        pytest.param(i, marks=pytest.mark.soak)
+        for i in range(1, N_SEEDS)
+    ],
+)
 def test_dv_random_walk_matches_model(spark, tmp_path, seed):
     rng = random.Random(1234 + seed)
     path = str(tmp_path / f"t{seed}")

@@ -26,6 +26,11 @@ from changedatacapture_reporting_spark.sources.delta_table import (
     write_delta,
 )
 
+
+# full differential power is the pre-commit gate's job;
+# the fast lane (-m 'not soak') skips it
+pytestmark = pytest.mark.soak
+
 N_OPS = int(os.environ.get("FUZZ_DELTA_OPS", "12"))
 SEEDS = [0, 1, 2]
 

@@ -18,6 +18,13 @@ from changedatacapture_reporting_spark.operators.changelog import (
     fuse_pk_change_events,
 )
 
+
+import pytest
+
+# full differential power is the pre-commit gate's job;
+# the fast lane (-m 'not soak') skips it
+pytestmark = pytest.mark.soak
+
 TS = dt.datetime(2024, 1, 1)
 
 _SRC = T.StructType(

@@ -220,16 +220,22 @@ def test_langid_on_real_sentences(spark):
 
 def test_decoder_capability_probe(monkeypatch):
     """The decode path selects by capability, not by raise: PIL absent →
-    deterministic stand-in; PIL present but payload undecodable → per-row
+    the stdlib decoder (REAL for PNG payloads, byte-histogram stand-in
+    for everything else); PIL present but payload undecodable → per-row
     fallback to the stand-in (VERDICT r01 item 4: no NotImplementedError
     in the lib-present branch)."""
     import sys
 
     from changedatacapture_reporting_spark.operators import multimodal as mm
 
-    # PIL absent: probe must hand back the stand-in itself
+    # PIL absent: probe hands back the stdlib tier — non-PNG payloads
+    # behave exactly like the stand-in (PNG behavior is pinned in
+    # tests/test_pngcodec.py)
     monkeypatch.setitem(sys.modules, "PIL", None)
-    assert mm._make_decoder() is mm._decode_fake
+    decode_no_pil = mm._make_decoder()
+    assert decode_no_pil is not mm._decode_fake
+    payload = b"definitely not an image"
+    assert decode_no_pil(payload) == mm._decode_fake(payload)
 
     # PIL "present" but the payload isn't an image: decoder must fall
     # back per-row instead of raising
@@ -616,6 +622,7 @@ def test_incremental_embedding_dedup_matches_definition(embeddings):
     # all-pairs oracle every round)
 
 
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_incremental_dedup_multi_batch_pipeline(documents):
     """Two ingestion batches processed in sequence, appending ONLY
     survivors (and their band entries) to the corpus/index — the
@@ -887,6 +894,7 @@ def test_pq_topk_recall_and_compression(spark, sf_dir):
     assert np.array_equal(books, books2)
 
 
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_random_projection_exact_and_recall(embeddings):
     """Fixed-point sign projection: output is integer-exact and stable
     under repartition (pure expression, md5-derived literal matrix);

@@ -3,6 +3,8 @@ fn_cdc_get_net_changes analog — one net row per key per window."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import types as T
@@ -279,6 +281,7 @@ def test_apply_composition_matches_reference(spark, draws, split):
     ),
     cuts=st.lists(st.floats(0.0, 1.0), min_size=0, max_size=4),
 )
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_apply_any_window_partition_matches_replay(spark, draws, cuts):
     """apply(net(window)) folded over ANY partition of the history into
     consecutive LSN windows (not just one split point — 1 to 5 windows,

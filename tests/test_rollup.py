@@ -3,6 +3,8 @@ exactly the full recompute, across split incremental runs."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from changedatacapture_reporting_spark.operators.populate import populate_changelog
@@ -13,6 +15,7 @@ from changedatacapture_reporting_spark.sources.cdc_simulator import (
 )
 
 
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_rollup_matches_full_recompute_across_batches(spark, sf_dir, tmp_path):
     events = simulate_cdc_events(spark, sf_dir)
     sink = str(tmp_path / "sink")

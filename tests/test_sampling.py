@@ -103,6 +103,7 @@ def test_budget_mix_hits_budget_and_mix(spark, sf_dir):
     # threshold comes from an aggregate, which is partitioning-independent)
 
 
+@pytest.mark.soak  # randomized/exhaustive sweep - pre-commit gate only
 def test_leakage_safe_splits_no_cross_split_pairs(spark, sf_dir):
     """Every near-dup pair lands in ONE split; coverage is total and
     proportions are sane; singletons split independently."""

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from changedatacapture_reporting_spark.operators.changelog import build_changelog
@@ -326,6 +328,7 @@ def _hist(draws):
     draws=[(1, 0, 1), (2, 0, 2), (0, 0, 0), (1, 0, 3), (0, 0, 0)],
     split=0.4,
 )
+@pytest.mark.soak  # heaviest property test - pre-commit gate only
 def test_scd2_merge_matches_full_rebuild_any_history(spark, draws, split):
     from changedatacapture_reporting_spark.operators.scd import scd2_merge
 

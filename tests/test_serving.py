@@ -306,6 +306,7 @@ def _interpret(draws):
            (0, 0, 0, None), (1, 0, 0, 9)],
     split_frac=0.4,
 )
+@pytest.mark.soak  # heaviest property test - pre-commit gate only
 def test_split_refresh_equals_full_reconstruct(spark, tmp_path_factory,
                                                draws, split_frac):
     events = _interpret(draws)
