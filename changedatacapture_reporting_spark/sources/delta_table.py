@@ -240,10 +240,11 @@ def _apply_action(state: dict, action: dict) -> None:
 # spec's binary RoaringBitmapArray format, so vectors from current
 # Delta writers apply on read and this engine's own DV commits are
 # spec-encoded and protocol-marked (3,7).
-# columnMapping ('name' mode): read-only — scans resolve physical
-# parquet names back to logical ones; writes to mapped tables refuse
-# (this writer emits logical-named files, which would corrupt the
-# mapping).
+# columnMapping: read-only — 'name' mode resolves physical parquet
+# names back to logical ones; 'id' mode resolves by parquet field id
+# (Spark's field-id matcher over parquet.field.id metadata). Writes to
+# mapped tables refuse (this writer emits logical-named files, which
+# would corrupt the mapping).
 # appendOnly / invariants: honored in their legacy (v2) meaning —
 # remove-bearing commits refuse on delta.appendOnly tables, and writes
 # refuse when any schema field declares delta.invariants (this writer
@@ -254,7 +255,7 @@ _SUPPORTED_WRITER_FEATURES: set[str] = {
     "appendOnly",
     "invariants",
 }
-_READABLE_MAPPING_MODES = {"none", "name"}
+_READABLE_MAPPING_MODES = {"none", "name", "id"}
 
 
 def _mapping_mode(meta: dict | None) -> str:
@@ -571,27 +572,41 @@ def _phys_field_name(f: T.StructField) -> str:
     )
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+def _physical_type(
+    dt: T.DataType, with_field_ids: bool = False
+) -> T.DataType:
     """Recursively rename struct fields to their physical names — the
-    schema the parquet FILES of a column-mapped table actually carry."""
+    schema the parquet FILES of a column-mapped table actually carry.
+    ``with_field_ids`` ('id' mode) additionally stamps each field's
+    ``delta.columnMapping.id`` as ``parquet.field.id`` metadata, the
+    key Spark's field-id matcher resolves against the parquet footer —
+    names stop mattering entirely, which is the point of id mode."""
     if isinstance(dt, T.StructType):
-        return T.StructType(
-            [
+        fields = []
+        for f in dt.fields:
+            md = dict(f.metadata or {})
+            if with_field_ids and "delta.columnMapping.id" in md:
+                md["parquet.field.id"] = int(
+                    md["delta.columnMapping.id"]
+                )
+            fields.append(
                 T.StructField(
                     _phys_field_name(f),
-                    _physical_type(f.dataType),
+                    _physical_type(f.dataType, with_field_ids),
                     f.nullable,
-                    f.metadata,
+                    md,
                 )
-                for f in dt.fields
-            ]
-        )
+            )
+        return T.StructType(fields)
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            _physical_type(dt.elementType, with_field_ids),
+            dt.containsNull,
+        )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_type(dt.keyType),
-            _physical_type(dt.valueType),
+            _physical_type(dt.keyType, with_field_ids),
+            _physical_type(dt.valueType, with_field_ids),
             dt.valueContainsNull,
         )
     return dt
@@ -626,8 +641,19 @@ def _scan_adds_raw(
     level — so every caller sees logical names only. Time travel across
     a rename works for free: each version resolves with ITS metaData."""
     logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    mapped = _mapping_mode(meta) == "name"
-    schema = _physical_type(logical) if mapped else logical
+    cmode = _mapping_mode(meta)
+    mapped = cmode in ("name", "id")
+    if cmode == "id":
+        # id mode: columns resolve by parquet FIELD ID, not name — the
+        # physical schema carries parquet.field.id metadata and Spark's
+        # field-id matcher does the rest (a file whose footer lacks ids
+        # fails loudly instead of matching by coincidence of names)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    schema = (
+        _physical_type(logical, with_field_ids=cmode == "id")
+        if mapped
+        else logical
+    )
     l2p = _logical_to_physical(logical) if mapped else {}
     logical_part = list(meta.get("partitionColumns") or [])
     # partitionColumns names schema columns, i.e. logical names; map to
@@ -788,15 +814,57 @@ def _scan_adds(
     return out
 
 
+def version_at_timestamp(
+    spark: SparkSession, path: str, timestamp_ms: int
+) -> int:
+    """Time travel by TIMESTAMP (``timestampAsOf``): the newest version
+    whose commit landed at or before ``timestamp_ms``. Per the public
+    protocol's convention, a commit's time is its LOG FILE's
+    modification timestamp (in-commit timestamps are a newer optional
+    feature; file mtime is what every engine falls back to).
+    Checkpoint-expired commits (json gone) use the checkpoint file's
+    mtime as a floor. Raises when the timestamp precedes the earliest
+    resolvable commit — same refusal real engines make."""
+    log = _log_path(path)
+    versions = table_versions(spark, path)
+    if not versions:
+        raise ValueError(f"not a Delta table (no commits): {path}")
+    json_set = set(_json_versions(spark, path))
+    cp_set = set(_checkpoint_versions(spark, path))
+    best = None
+    earliest = None
+    for v in versions:
+        if v in json_set:
+            ts = fs.mtime_ms(spark, fs.join(log, _commit_name(v)))
+        elif v in cp_set:
+            ts = fs.mtime_ms(spark, fs.join(log, _checkpoint_name(v)))
+        else:
+            continue
+        earliest = ts if earliest is None else min(earliest, ts)
+        if ts <= timestamp_ms:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"timestamp {timestamp_ms} precedes the earliest resolvable "
+            f"commit of {path!r} ({earliest}); the requested snapshot "
+            "never existed (or was vacuumed)"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     skip: list[tuple] | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Snapshot DataFrame of a Delta table at ``version`` (None =
     latest) — pure protocol replay + one parquet scan of exactly the
     live files, with the COMMITTED schema (no inference drift).
+    ``timestamp_ms`` is time travel by wall clock (``timestampAsOf``,
+    mutually exclusive with ``version``): resolves through
+    :func:`version_at_timestamp`.
 
     ``skip``: conjunctive ``(column, op, value)`` predicates
     (op ∈ ==/=/</<=/>/>=). Files whose committed stats or partition
@@ -805,6 +873,10 @@ def read_delta(
     as row filters — so the result equals ``read_delta().filter(...)``
     exactly; skipping is purely a scan-size optimization. Files written
     without stats are conservatively scanned."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = version_at_timestamp(spark, path, timestamp_ms)
     state = _resolve_log(spark, path, version)
     adds = list(state["files"].values())
     part_cols = list(state["meta"].get("partitionColumns") or [])
@@ -813,7 +885,7 @@ def read_delta(
             json.loads(state["meta"]["schemaString"])
         )
         prune_skip, prune_parts = skip, part_cols
-        if _mapping_mode(state["meta"]) == "name":
+        if _mapping_mode(state["meta"]) in ("name", "id"):
             # stats keys and partitionValues use PHYSICAL names under
             # column mapping — translate the probes (and the partition
             # column list) before pruning; the row-level filter below
@@ -1246,7 +1318,7 @@ def metadata_summary(
     # stats keys are PHYSICAL names under column mapping
     l2p = (
         _logical_to_physical(schema)
-        if _mapping_mode(state["meta"]) == "name"
+        if _mapping_mode(state["meta"]) in ("name", "id")
         else {}
     )
     rows = []
@@ -1417,10 +1489,18 @@ def write_delta(
     partition_by = partition_by or []
 
     versions = table_versions(spark, path)
-    if txn is not None and versions:
-        # replay fast path: skip before staging any data
+    if versions:
+        # refuse BEFORE staging any data: the loop's check still guards
+        # races, but failing early avoids promoting orphan files into a
+        # table this writer must not touch (and surfaces the pointed
+        # protocol error instead of whatever the staged write hits
+        # first — e.g. a field-id scan error on a column-mapped table)
         state0 = _resolve_log(spark, path, None)
-        if state0["txns"].get(txn[0], -1) >= int(txn[1]):
+        _check_write_protocol(state0, path)
+        if txn is not None and state0["txns"].get(
+            txn[0], -1
+        ) >= int(txn[1]):
+            # replay fast path: skip before staging any data
             return None
     staging = fs.join(path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1963,6 +2043,7 @@ def optimize_delta(
     no-op (nothing to compact) returns version=None without committing.
     """
     state = _resolve_log(spark, path, None)
+    _check_write_protocol(state, path)  # refuse before any rewrite work
     meta = state["meta"]
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -2224,6 +2305,7 @@ def merge_delta(
     "deletion_vector"} in vector mode).
     """
     state = _resolve_log(spark, path, None)
+    _check_write_protocol(state, path)  # refuse before any merge work
     if txn is not None and state["txns"].get(txn[0], -1) >= int(txn[1]):
         return {
             "version": None, "files_rewritten": 0, "files_added": 0,
@@ -2476,6 +2558,7 @@ def delete_delta(
     "deletion_vector"}; version None when nothing matched.
     """
     state = _resolve_log(spark, path, None)
+    _check_write_protocol(state, path)  # refuse before any delete work
     if txn is not None and state["txns"].get(txn[0], -1) >= int(txn[1]):
         return {
             "version": None, "rows_deleted": 0, "files_dv_updated": 0,

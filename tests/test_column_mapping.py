@@ -5,8 +5,10 @@ resolve physical→logical (including nested fields and partition
 columns), stats-based skipping translates its probes, time travel
 across a RENAME resolves each version with its own metaData, and
 writes refuse (this writer emits logical-named files, which would
-corrupt the mapping). 'id' mode stays refused — pinned in
-test_delta_table's protocol-enforcement test."""
+corrupt the mapping). 'id' mode resolves by parquet FIELD ID through
+Spark's field-id matcher (names are free to be junk); unknown/future
+modes stay refused — pinned in test_delta_table's protocol-enforcement
+test."""
 
 from __future__ import annotations
 
@@ -274,3 +276,98 @@ def test_mapped_table_writes_refuse(spark, tmp_path):
         write_delta(spark, logical_df, base)
     with pytest.raises(ValueError, match="column mapping|minWriterVersion"):
         merge_delta(spark, logical_df, base, ["id"])
+
+
+def test_id_mode_resolves_by_field_id_not_name(spark, tmp_path):
+    """'id' mode: the parquet files carry ARBITRARY column names plus
+    parquet field ids; resolution goes through the ids (Spark's
+    field-id matcher), so even a file whose names match NOTHING in the
+    mapping still reads correctly. Name-based resolution would return
+    no columns here — the fixture's parquet names are junk on purpose."""
+    import shutil
+
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    write_schema = T.StructType(
+        [
+            T.StructField("junk_a", T.LongType(), True,
+                          {"parquet.field.id": 1}),
+            T.StructField("junk_b", T.StringType(), True,
+                          {"parquet.field.id": 2}),
+        ]
+    )
+    pdf = spark.createDataFrame(
+        [(1, "a"), (2, "b")], schema=write_schema
+    )
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        pdf.repartition(1).write.parquet(base + "/_stage")
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "false"
+        )
+    part = [
+        p for p in os.listdir(base + "/_stage") if p.endswith(".parquet")
+    ][0]
+    os.replace(base + "/_stage/" + part, base + "/f1.parquet")
+    shutil.rmtree(base + "/_stage")
+
+    schema = T.StructType(
+        [
+            _field("id", T.LongType(), "col-0001", 1),
+            _field("name", T.StringType(), "col-0002", 2),
+        ]
+    )
+    meta = _meta(schema)
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_log(
+        base,
+        [[
+            _PROTO_25,
+            meta,
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(base + "/f1.parquet"),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ]],
+    )
+    df = read_delta(spark, base)
+    assert df.columns == ["id", "name"]
+    assert sorted((r["id"], r["name"]) for r in df.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # writes still refuse in id mode
+    with pytest.raises(ValueError, match="column mapping|minWriterVersion"):
+        write_delta(spark, df, base)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read_delta(timestamp_ms=…) — timestampAsOf resolution by commit-
+    file mtime: newest commit at-or-before the timestamp; too-early
+    timestamps refuse; version and timestamp are mutually exclusive."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        version_at_timestamp,
+    )
+
+    base = str(tmp_path / "tt")
+    mk = lambda i: spark.createDataFrame([(i,)], "id long")  # noqa: E731
+    for i in range(3):
+        write_delta(spark, mk(i), base)
+    log = os.path.join(base, "_delta_log")
+    for v, t in enumerate((1_000, 2_000, 3_000)):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (t, t))
+    assert version_at_timestamp(spark, base, 2_500_000) == 1
+    assert version_at_timestamp(spark, base, 2_000_000) == 1
+    assert version_at_timestamp(spark, base, 99_000_000) == 2
+    got = {r["id"] for r in read_delta(spark, base, timestamp_ms=2_500_000).collect()}
+    assert got == {0, 1}
+    with pytest.raises(ValueError, match="precedes"):
+        read_delta(spark, base, timestamp_ms=500_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, base, version=1, timestamp_ms=2_500_000)

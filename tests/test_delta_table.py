@@ -1278,15 +1278,15 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
     with pytest.raises(ValueError, match="reader features"):
         read_delta(spark, p1)
 
-    # unsupported column mapping MODE ('id'): read refused with the
-    # reason — and the check fires regardless of protocol version
-    # (legacy (2,5) tables carry mapping with no feature flag)
+    # an UNKNOWN column mapping mode: read refused with the reason —
+    # and the check fires regardless of protocol version (legacy (2,5)
+    # tables carry mapping with no feature flag)
     p2 = str(tmp_path / "p2")
     write_delta(spark, mk(), p2)
     rewrite_v0(
         p2,
         protocol={"minReaderVersion": 2, "minWriterVersion": 5},
-        config={"delta.columnMapping.mode": "id"},
+        config={"delta.columnMapping.mode": "someFutureMode"},
     )
     with pytest.raises(ValueError, match="column mapping"):
         read_delta(spark, p2)
@@ -1303,7 +1303,7 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": ["deletionVectors"],
         },
-        config={"delta.columnMapping.mode": "id"},
+        config={"delta.columnMapping.mode": "someFutureMode"},
     )
     with pytest.raises(ValueError, match="column mapping"):
         read_delta(spark, p2b)
