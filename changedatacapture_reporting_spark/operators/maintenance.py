@@ -237,3 +237,65 @@ def expire_changelog_months(
         else:
             kept += 1
     return {"months_dropped": dropped, "months_kept": kept}
+
+
+def expire_delta_months(
+    spark: SparkSession, sink_path: str, keep_from: str
+) -> dict[str, int]:
+    """Partition-drop retention for the DELTA-format changelog sink
+    (populate_changelog(sink_format="delta")): one metadata-only commit
+    removing every live add whose ``commit_month`` partition value is
+    strictly older than ``keep_from`` — no data read, no files
+    rewritten, and (unlike the parquet sink's directory delete) the
+    expired months stay TIME-TRAVELABLE until vacuum_delta reclaims
+    them past the retention window. The same O(#files-metadata) shape
+    real lakehouse retention jobs use at 100 TB.
+
+    Returns {"months_dropped", "months_kept", "files_removed",
+    "version"} (version None when nothing is old enough).
+    """
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _commit_swap,
+        _resolve_log,
+    )
+
+    cutoff = dt.date.fromisoformat(keep_from).replace(day=1)
+    state = _resolve_log(spark, sink_path, None)
+    old_adds, months_old, months_kept = [], set(), set()
+    for a in state["files"].values():
+        pv = a.get("partitionValues") or {}
+        m = pv.get("commit_month")
+        if m is None:
+            continue
+        month = dt.date.fromisoformat(m)
+        if month < cutoff:
+            old_adds.append(a)
+            months_old.add(m)
+        else:
+            months_kept.add(m)
+    if not old_adds:
+        return {
+            "months_dropped": 0,
+            "months_kept": len(months_kept),
+            "files_removed": 0,
+            "version": None,
+        }
+    actions = [
+        {
+            "remove": {
+                "path": a["path"],
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        }
+        for a in old_adds
+    ]
+    version = _commit_swap(
+        spark, sink_path, actions, old_adds, None, "expire_months"
+    )
+    return {
+        "months_dropped": len(months_old),
+        "months_kept": len(months_kept),
+        "files_removed": len(old_adds),
+        "version": version,
+    }

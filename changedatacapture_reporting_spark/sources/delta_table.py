@@ -80,11 +80,61 @@ def _json_versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def _checkpoint_versions(spark: SparkSession, path: str) -> list[int]:
-    return sorted(
-        int(name.split(".")[0])
-        for name in fs.listdir(spark, _log_path(path))
-        if name.endswith(".checkpoint.parquet")
-        and name.split(".")[0].isdigit()
+    """Versions with a COMPLETE classic checkpoint: single-file
+    ``<v>.checkpoint.parquet`` (what this writer emits) or the
+    multi-part ``<v>.checkpoint.<i>.<n>.parquet`` form big foreign
+    tables checkpoint in (public protocol, "Checkpoints" — all n parts
+    must exist; a partially-written set is a crashed checkpointer's
+    debris, not a checkpoint)."""
+    singles: set[int] = set()
+    parts: dict[tuple[int, int], set[int]] = {}
+    for name in fs.listdir(spark, _log_path(path)):
+        segs = name.split(".")
+        if not (segs[0].isdigit() and name.endswith(".parquet")):
+            continue
+        if len(segs) == 3 and segs[1] == "checkpoint":
+            singles.add(int(segs[0]))
+        elif (
+            len(segs) == 5
+            and segs[1] == "checkpoint"
+            and segs[2].isdigit()
+            and segs[3].isdigit()
+        ):
+            key = (int(segs[0]), int(segs[3]))
+            parts.setdefault(key, set()).add(int(segs[2]))
+    for (v, n), have in parts.items():
+        if have == set(range(1, n + 1)):
+            singles.add(v)
+    return sorted(singles)
+
+
+def _checkpoint_files(
+    spark: SparkSession, path: str, version: int
+) -> list[str]:
+    """The checkpoint file set for ``version`` — [single file] or every
+    part of the smallest complete multi-part set."""
+    log = _log_path(path)
+    single = _checkpoint_name(version)
+    names = fs.listdir(spark, log)
+    if single in names:
+        return [fs.join(log, single)]
+    parts: dict[int, dict[int, str]] = {}
+    prefix = f"{version:020d}.checkpoint."
+    for name in names:
+        segs = name.split(".")
+        if (
+            name.startswith(prefix)
+            and len(segs) == 5
+            and segs[2].isdigit()
+            and segs[3].isdigit()
+        ):
+            parts.setdefault(int(segs[3]), {})[int(segs[2])] = name
+    for n in sorted(parts):
+        have = parts[n]
+        if set(have) == set(range(1, n + 1)):
+            return [fs.join(log, have[i]) for i in range(1, n + 1)]
+    raise ValueError(
+        f"no complete checkpoint file set for version {version}"
     )
 
 
@@ -375,7 +425,7 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
     if cps:
         cv = cps[-1]
         cp = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
-            fs.join(log, _checkpoint_name(cv))
+            *_checkpoint_files(spark, path, cv)
         )
         for row in cp.collect():
             d = row.asDict(recursive=True)
@@ -837,7 +887,10 @@ def version_at_timestamp(
         if v in json_set:
             ts = fs.mtime_ms(spark, fs.join(log, _commit_name(v)))
         elif v in cp_set:
-            ts = fs.mtime_ms(spark, fs.join(log, _checkpoint_name(v)))
+            ts = max(
+                fs.mtime_ms(spark, f)
+                for f in _checkpoint_files(spark, path, v)
+            )
         else:
             continue
         earliest = ts if earliest is None else min(earliest, ts)

@@ -1502,3 +1502,68 @@ def test_checkpoint_preserves_writer_advanced_protocol(spark, tmp_path):
             path,
         )
     assert _rows(read_delta(spark, path)) == {(1, "a")}
+
+
+def test_multipart_checkpoint_reads(spark, tmp_path):
+    """Foreign big-table interop: classic checkpoints split into
+    <v>.checkpoint.<i>.<n>.parquet parts (what real engines write past
+    a size threshold) must replay like the single-file form; an
+    INCOMPLETE part set is crashed-checkpointer debris and must be
+    ignored (the json commits still resolve the table)."""
+    import shutil
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _checkpoint_versions,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, str(i))], "id long, v string"),
+            path,
+        )
+    before = _rows(read_delta(spark, path))
+    assert write_checkpoint(spark, path) == 3
+    log = os.path.join(path, "_delta_log")
+    single = os.path.join(log, f"{3:020d}.checkpoint.parquet")
+
+    # split the checkpoint into two row-groups by parity of row index
+    rows = spark.read.parquet(single).collect()
+    schema = spark.read.parquet(single).schema
+    half = max(1, len(rows) // 2)
+    p1 = os.path.join(log, f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    p2 = os.path.join(log, f"{3:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    for dest, chunk in ((p1, rows[:half]), (p2, rows[half:])):
+        stage = str(tmp_path / "cpstage")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+    os.remove(single)
+    crc = os.path.join(log, f".{3:020d}.checkpoint.parquet.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # expire every json commit the checkpoint covers
+    for v in range(4):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+        c = os.path.join(log, f".{v:020d}.json.crc")
+        if os.path.exists(c):
+            os.remove(c)
+
+    assert _checkpoint_versions(spark, path) == [3]
+    assert _rows(read_delta(spark, path)) == before
+    # a follow-up commit applies on top of the multi-part replay
+    write_delta(
+        spark, spark.createDataFrame([(99, "n")], "id long, v string"), path
+    )
+    assert _rows(read_delta(spark, path)) == before | {(99, "n")}
+
+    # incomplete part set (part 2 of 2 missing) is NOT a checkpoint
+    os.remove(p2)
+    crc2 = os.path.join(log, "." + os.path.basename(p2) + ".crc")
+    if os.path.exists(crc2):
+        os.remove(crc2)
+    assert _checkpoint_versions(spark, path) == []

@@ -280,3 +280,57 @@ def test_delta_sink_refuses_rollup(spark, tmp_path):
             spark, events, str(tmp_path / "s"), ["id"],
             maintain_rollup=False, sink_format="orc",
         )
+
+
+def test_delta_sink_maintenance_expire_and_optimize(spark, tmp_path):
+    """The delta sink inherits the maintenance story from the table
+    format itself: expire_delta_months drops old partitions in ONE
+    metadata-only commit (still time-travelable), and optimize_delta
+    compacts the per-batch small files — no sink-specific machinery."""
+    from changedatacapture_reporting_spark.operators.maintenance import (
+        expire_delta_months,
+    )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        optimize_delta,
+        read_delta,
+    )
+
+    sink = str(tmp_path / "sink")
+    kw = dict(maintain_rollup=False, sink_format="delta")
+    # three batches across two months
+    jan = [_ev(i, "t", i, vid=i) for i in range(1, 6)]
+    feb = [
+        (i, 0, dt.datetime(2024, 2, 1, 12, i), "insert", "t",
+         None, (i, f"v{i}"))
+        for i in range(10, 14)
+    ]
+    populate_changelog(
+        spark, spark.createDataFrame(jan, SCHEMA), sink, ["id"], **kw
+    )
+    populate_changelog(
+        spark, spark.createDataFrame(jan + feb, SCHEMA), sink, ["id"], **kw
+    )
+    before = read_delta(spark, sink).count()
+    assert before == len(jan) + len(feb)
+
+    res = expire_delta_months(spark, sink, "2024-02-01")
+    assert res["months_dropped"] == 1 and res["files_removed"] >= 1
+    after = read_delta(spark, sink)
+    assert after.count() == len(feb)
+    assert {
+        r["commit_month"].isoformat() for r in after.collect()
+    } == {"2024-02-01"}
+    # expired month is still time-travelable (metadata-only removal)
+    assert read_delta(spark, sink, version=res["version"] - 1).count() == before
+
+    # physical compaction = plain optimize_delta on the sink
+    opt = optimize_delta(spark, sink, target_file_bytes=1 << 30)
+    assert opt["version"] is not None or opt["files_removed"] == 0
+    assert read_delta(spark, sink).count() == len(feb)
+
+    # a no-op expire returns version None
+    res2 = expire_delta_months(spark, sink, "2024-02-01")
+    assert res2 == {
+        "months_dropped": 0, "months_kept": 1,
+        "files_removed": 0, "version": None,
+    }
