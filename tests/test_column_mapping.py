@@ -371,3 +371,70 @@ def test_timestamp_time_travel(spark, tmp_path):
         read_delta(spark, base, timestamp_ms=500_000)
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, base, version=1, timestamp_ms=2_500_000)
+
+
+def test_mapped_table_with_foreign_deletion_vector(spark, tmp_path):
+    """The real-world composition: a current writer's table has BOTH
+    column mapping AND deletion vectors enabled. The vector's row
+    coordinates key on physical file paths (applied before the
+    logical rename), the mapping restores logical names, and a skip
+    probe on the renamed column still equals the plain filter."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from changedatacapture_reporting_spark.sources import dvcodec
+
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    schema = T.StructType(
+        [
+            _field("id", T.LongType(), "col-aaa", 1),
+            _field("v", T.LongType(), "col-bbb", 2),
+        ]
+    )
+    pdf = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "`col-aaa` long, `col-bbb` long"
+    ).sort("col-aaa")
+    add = _stage_file(spark, base, pdf.coalesce(1), "f1.parquet")
+    add["add"]["stats"] = json.dumps(
+        {
+            "numRecords": 10,
+            "minValues": {"col-aaa": 0},
+            "maxValues": {"col-aaa": 9},
+            "nullCount": {"col-aaa": 0},
+        }
+    )
+    # foreign binary DV killing row positions 2 and 5 (ids 2, 5)
+    u = _uuid.uuid4()
+    blob = dvcodec.serialize_blob([2, 5])
+    data, spans = dvcodec.pack_file([blob])
+    os.makedirs(base + "/zz", exist_ok=True)
+    with open(base + f"/zz/deletion_vector_{u}.bin", "wb") as f:
+        f.write(data)
+    add["add"]["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": "zz" + dvcodec.encode_uuid(u),
+        "offset": spans[0][0],
+        "sizeInBytes": spans[0][1],
+        "cardinality": 2,
+    }
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "deletionVectors"],
+            "writerFeatures": ["columnMapping", "deletionVectors"],
+        }
+    }
+    _write_log(base, [[proto, _meta(schema), add]])
+    df = read_delta(spark, base)
+    assert df.columns == ["id", "v"]
+    got = sorted(r["id"] for r in df.collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    # translated skip probe over the surviving rows == plain filter
+    skipped = sorted(
+        r["id"]
+        for r in read_delta(spark, base, skip=[("id", ">=", 5)]).collect()
+    )
+    assert skipped == [6, 7, 8, 9]
