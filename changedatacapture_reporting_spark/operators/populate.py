@@ -322,6 +322,7 @@ def commit_batch_delta(
     sink_path: str,
     pk_cols: list[str],
     salt_buckets: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Delta-format twin of :func:`commit_batch` — ONE protocol instead
     of two (VERDICT r12 #6): the append commit atomically carries the
@@ -356,17 +357,23 @@ def commit_batch_delta(
     rows_changed = sum(r.n_rows for r in per_table)
     if not rows_changed:
         return 0
-    write_delta(
+    version = write_delta(
         spark,
         _partition_layout(changelog, pk_cols, salt_buckets),
         sink_path,
         partition_by=["table_name", "commit_month"],
+        txn=txn,
         extra_txns=[
             (_DELTA_WM_PREFIX + r.table_name, int(r.lsn))
             for r in per_table
         ],
         parquet_options=sink_write_options(),
     )
+    # ``txn`` is the streaming path's exactly-once marker (the
+    # PROTOCOL's transaction action, appId/epoch): a replayed
+    # micro-batch returns None from write_delta — nothing landed
+    if txn is not None and version is None:
+        return 0
     return rows_changed
 
 

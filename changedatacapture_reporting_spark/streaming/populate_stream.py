@@ -60,6 +60,7 @@ def stream_populate(
     flags: CompatFlags | None = None,
     available_now: bool = True,
     salt_buckets: int | None = None,
+    sink_format: str = "parquet",
 ) -> StreamingQuery:
     """Continuously (or drain-once) populate the changelog sink from a
     parquet event-stream directory.
@@ -67,22 +68,33 @@ def stream_populate(
     At scale the source would be Kafka/Kinesis/Delta-CDF; the parquet file
     source has the same offset/commit semantics so the pipeline code is
     source-agnostic.
+
+    ``sink_format="delta"`` commits each micro-batch through the Delta
+    writer with ``txn=("stream_populate", epoch_id)`` — the PROTOCOL's
+    transaction action IS the exactly-once marker (a replayed epoch is
+    skipped inside the commit, surviving checkpoints), so the parquet
+    sink's run-id sidecar scan and recovery pass simply don't exist on
+    this path.
     """
     flags = flags or CompatFlags()
+    if sink_format not in ("parquet", "delta"):
+        raise ValueError(f"unsupported sink_format: {sink_format!r}")
     stream = spark.readStream.schema(event_schema).parquet(events_path)
 
     def write_batch(batch_df, epoch_id: int) -> None:
         from pyspark import StorageLevel
         from pyspark.sql import functions as F
 
-        run_id = epoch_run_id(epoch_id)
         session = batch_df.sparkSession
-        if run_id in _committed_run_ids(session, sink_path):
-            # engine replayed an epoch the sink already committed
-            # (crash landed between sink commit and checkpoint commit)
-            recover_sink(session, sink_path)  # finish its publish if needed
-            return
-        recover_sink(session, sink_path)
+        if sink_format == "parquet":
+            run_id = epoch_run_id(epoch_id)
+            if run_id in _committed_run_ids(session, sink_path):
+                # engine replayed an epoch the sink already committed
+                # (crash landed between sink commit and checkpoint
+                # commit)
+                recover_sink(session, sink_path)  # finish its publish
+                return
+            recover_sink(session, sink_path)
 
         # same sink layout as batch populate: (table_name, commit_month)
         changelog = build_changelog(
@@ -90,14 +102,28 @@ def stream_populate(
         ).withColumn("commit_month", F.trunc("commit_time", "month"))
         changelog.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            commit_batch(
-                session,
-                changelog,
-                sink_path,
-                pk_cols,
-                run_id=run_id,
-                salt_buckets=salt_buckets,
-            )
+            if sink_format == "delta":
+                from changedatacapture_reporting_spark.operators.populate import (  # noqa: E501
+                    commit_batch_delta,
+                )
+
+                commit_batch_delta(
+                    session,
+                    changelog,
+                    sink_path,
+                    pk_cols,
+                    salt_buckets=salt_buckets,
+                    txn=("stream_populate", int(epoch_id)),
+                )
+            else:
+                commit_batch(
+                    session,
+                    changelog,
+                    sink_path,
+                    pk_cols,
+                    run_id=run_id,
+                    salt_buckets=salt_buckets,
+                )
         finally:
             changelog.unpersist()
 

@@ -413,3 +413,48 @@ def test_append_only_config_enforced(spark, tmp_path):
         write_delta(spark, df, base, mode="overwrite")
     with pytest.raises(ValueError, match="appendOnly"):
         delete_delta(spark, base, spark.createDataFrame([(1,)], "id long"))
+
+
+def test_foreign_bin_reclaimed_after_optimize_purge(spark, tmp_path):
+    """Lifecycle of a FOREIGN-prefix vector file: while any retained
+    version references it, vacuum must keep it (it lives in a VISIBLE
+    dir, unlike our underscore DV_DIR — the data-file orphan scan must
+    exclude it); after OPTIMIZE purges the vector and retention drops
+    the referencing versions, vacuum reclaims it like any orphan."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        optimize_delta,
+    )
+
+    base = str(tmp_path / "t")
+    add = _one_file_table(spark, base)
+    u = uuid.uuid4()
+    blob = dvc.serialize_blob([1, 4])
+    data, spans = dvc.pack_file([blob])
+    os.makedirs(base + "/pfx", exist_ok=True)
+    bin_path = base + f"/pfx/deletion_vector_{u}.bin"
+    with open(bin_path, "wb") as f:
+        f.write(data)
+    add["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": "pfx" + dvc.encode_uuid(u),
+        "offset": spans[0][0],
+        "sizeInBytes": spans[0][1],
+        "cardinality": 2,
+    }
+    _commit0(base, add)
+    want = [0, 2, 3, 5, 6, 7, 8, 9]
+    assert sorted(r["id"] for r in read_delta(spark, base).collect()) == want
+
+    # full retention: the referencing version keeps the bin alive even
+    # at zero age-guard
+    out = vacuum_delta(spark, base, orphan_min_age_minutes=0)
+    assert os.path.exists(bin_path), out
+
+    # OPTIMIZE rewrites the vectored file (vector purge) — then a
+    # retention-1 vacuum drops the referencing versions and reclaims
+    # the foreign bin; the logical table is unchanged throughout
+    res = optimize_delta(spark, base)
+    assert res["version"] is not None
+    vacuum_delta(spark, base, retain_versions=1, orphan_min_age_minutes=0)
+    assert not os.path.exists(bin_path)
+    assert sorted(r["id"] for r in read_delta(spark, base).collect()) == want

@@ -1122,3 +1122,67 @@ def test_stream_quality_gate_equals_batch_and_replays_idempotent(spark, tmp_path
     assert q2.awaitTermination(300)
     again = sorted(read_scored(spark, target).select(cols).collect())
     assert again == streamed
+
+
+def test_stream_populate_delta_sink_matches_batch_and_replays(
+    spark, sf_dir, workdir
+):
+    """stream_populate(sink_format='delta'): the drained Delta sink
+    equals the batch changelog; the txn-per-epoch marker makes a
+    checkpoint-less re-drain (fresh checkpoint dir, same epochs) an
+    exact no-op — exactly-once comes from the PROTOCOL's transaction
+    action, not from a sidecar scan; and a BATCH populate resumes the
+    same sink through the shared per-table watermark txns."""
+    from changedatacapture_reporting_spark.operators.changelog import (
+        build_changelog,
+    )
+    from changedatacapture_reporting_spark.operators.populate import (
+        populate_changelog,
+    )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+    )
+
+    events = simulate_cdc_events(spark, sf_dir)
+    events_path = f"{workdir}/events"
+    events.write.parquet(events_path)
+    schema = spark.read.parquet(events_path).schema
+    sink = f"{workdir}/sink_delta"
+
+    _drain(
+        stream_populate(
+            spark, events_path, schema, sink, f"{workdir}/ckpt1", SIM_PK,
+            sink_format="delta",
+        )
+    )
+    got = read_delta(spark, sink)
+    expected = build_changelog(events, SIM_PK, with_audit_cols=False)
+    cols = [
+        "commit_time", "o_orderkey", "column_name", "old_value",
+        "new_value",
+    ]
+    n1 = got.count()
+    assert n1 == expected.count()
+    assert (
+        got.select(cols).exceptAll(expected.select(cols)).isEmpty()
+        and expected.select(cols).exceptAll(got.select(cols)).isEmpty()
+    )
+
+    # fresh checkpoint = the engine replays every epoch; the sink's txn
+    # watermarks must swallow all of them
+    _drain(
+        stream_populate(
+            spark, events_path, schema, sink, f"{workdir}/ckpt2", SIM_PK,
+            sink_format="delta",
+        )
+    )
+    assert read_delta(spark, sink).count() == n1
+
+    # batch populate over the same (already-loaded) events: resume
+    # no-op via the shared per-table watermark txns
+    res = populate_changelog(
+        spark, events, sink, SIM_PK,
+        maintain_rollup=False, sink_format="delta",
+    )
+    assert res.rows_changed == 0
+    assert read_delta(spark, sink).count() == n1
