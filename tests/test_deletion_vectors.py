@@ -395,3 +395,68 @@ def test_dv_falls_back_to_rewrite_without_stats(spark, tmp_path):
         merge_delta(
             spark, src, path, ["id"], deletion_vectors=True
         )
+
+
+def test_dv_readd_stats_marked_loose_and_optimize_restores(
+    spark, tmp_path
+):
+    """A DV re-add's stats must carry tightBounds=false (spec rule for
+    DV writers, ADVICE r13): numRecords stays physical and min/max are
+    bounds over a superset of the live rows, so a foreign engine never
+    trusts them as exact. metadata_summary refuses loose stats even if
+    the vector itself were gone; OPTIMIZE rewrites with fresh TIGHT
+    stats and metadata-only aggregation comes back."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "id long, v long"
+    )
+    write_delta(spark, df.repartition(1), path)
+    delete_delta(
+        spark, path, spark.createDataFrame([(1,), (2,)], "id long"),
+        deletion_vectors=True,
+    )
+    st = _resolve_log(spark, path, None)
+    (add,) = st["files"].values()
+    stats = json.loads(add["stats"])
+    assert stats["tightBounds"] is False
+    assert stats["numRecords"] == 10  # physical, per the spec
+    # min/max survive as (possibly wide) bounds — pruning stays sound
+    assert int(stats["minValues"]["id"]) == 1
+    with pytest.raises(ValueError, match="deletion|tightBounds"):
+        metadata_summary(spark, path)
+    optimize_delta(spark, path, timestamp_ms=1)
+    ms = {
+        r["column_name"]: (r["n_rows"], r["min_value"])
+        for r in metadata_summary(spark, path).collect()
+    }
+    assert ms["id"] == (8, "3")
+
+
+def test_insert_only_dv_merge_keeps_protocol(spark, tmp_path):
+    """An insert-only merge with deletion_vectors=True stages no vector
+    — it must NOT bump the table to (3,7)+deletionVectors (ADVICE r13:
+    that would lock out non-DV readers of a table carrying no vectors).
+    The first merge that actually marks rows bumps it."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        path,
+    )
+    res = merge_delta(
+        spark,
+        spark.createDataFrame([(3, 30), (4, 40)], "id long, v long"),
+        path, ["id"], deletion_vectors=True,
+    )
+    assert res["files_dv_updated"] == 0 and res["rows_upserted"] == 2
+    proto = _resolve_log(spark, path, None)["protocol"]
+    assert int(proto["minReaderVersion"]) == 1
+    assert not (proto.get("readerFeatures") or [])
+    # a matched merge stages a vector and bumps — unchanged behavior
+    merge_delta(
+        spark, spark.createDataFrame([(1, 11)], "id long, v long"),
+        path, ["id"], deletion_vectors=True,
+    )
+    proto = _resolve_log(spark, path, None)["protocol"]
+    assert int(proto["minReaderVersion"]) == 3
+    assert "deletionVectors" in proto["readerFeatures"]

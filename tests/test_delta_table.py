@@ -1567,3 +1567,164 @@ def test_multipart_checkpoint_reads(spark, tmp_path):
     if os.path.exists(crc2):
         os.remove(crc2)
     assert _checkpoint_versions(spark, path) == []
+
+
+def _rewrite_commit_stats(spark, path, version, edit):
+    """Edit each add action's parsed stats dict in commit ``version``
+    via ``edit(stats_dict) -> stats_dict | None`` (None drops stats) —
+    simulates foreign writers with partial/loose stats."""
+    from changedatacapture_reporting_spark import fs
+
+    name = f"{version:020d}.json"
+    log = os.path.join(path, "_delta_log")
+    lines = []
+    for line in fs.read_text(spark, os.path.join(log, name)).splitlines():
+        d = json.loads(line)
+        if d.get("add") and d["add"].get("stats"):
+            new = edit(json.loads(d["add"]["stats"]))
+            if new is None:
+                d["add"].pop("stats", None)
+            else:
+                d["add"]["stats"] = json.dumps(new)
+        lines.append(json.dumps(d))
+    os.remove(os.path.join(log, name))
+    fs.write_text(spark, os.path.join(log, name), "\n".join(lines) + "\n")
+
+
+def test_metadata_summary_foreign_truncated_stats_raise(spark, tmp_path):
+    """A foreign add whose stats omit a column the FILE physically
+    carries (dataSkippingNumIndexedCols-style truncation) must raise —
+    pre-r14 it silently counted every row as NULL (ADVICE r13). The
+    untouched columns still answer."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        path,
+    )
+
+    def truncate(st):
+        for m in ("minValues", "maxValues", "nullCount"):
+            st[m].pop("v", None)
+        return st
+
+    _rewrite_commit_stats(spark, path, 0, truncate)
+    ms = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"])
+        for r in metadata_summary(spark, path, columns=["id"]).collect()
+    }
+    assert ms["id"] == (2, 0)
+    with pytest.raises(ValueError, match="physically carries|truncated"):
+        metadata_summary(spark, path, columns=["v"]).collect()
+    # numRecords-only stats (no maps at all) refuse the same way
+    _rewrite_commit_stats(
+        spark, path, 0, lambda st: {"numRecords": st["numRecords"]}
+    )
+    with pytest.raises(ValueError, match="physically carries|truncated"):
+        metadata_summary(spark, path, columns=["id"]).collect()
+
+
+def test_metadata_summary_bounds_without_nullcount_raise(spark, tmp_path):
+    """min/max present but nullCount truncated: never evolution —
+    refuse rather than guess the null term."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.createDataFrame([(1, 10)], "id long, v long"), path
+    )
+    _rewrite_commit_stats(
+        spark, path, 0,
+        lambda st: {**st, "nullCount": {"id": st["nullCount"]["id"]}},
+    )
+    with pytest.raises(ValueError, match="no nullCount"):
+        metadata_summary(spark, path, columns=["v"]).collect()
+
+
+def test_metadata_summary_foreign_loose_bounds_raise(spark, tmp_path):
+    """tightBounds=false stats are BOUNDS, not exact values —
+    metadata-only aggregation refuses them (ADVICE r13)."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark, spark.createDataFrame([(1, 10)], "id long, v long"), path
+    )
+    _rewrite_commit_stats(
+        spark, path, 0, lambda st: {**st, "tightBounds": False}
+    )
+    with pytest.raises(ValueError, match="tightBounds"):
+        metadata_summary(spark, path).collect()
+
+
+def test_metadata_summary_evolution_behind_checkpoint(spark, tmp_path):
+    """Schema evolution folded through a checkpoint: the commit-time
+    stamp is gone (checkpoints don't preserve it), so the parquet
+    FOOTER proves the old file lacks the evolved column — all-NULL
+    folds stay exact, no refusal, after the json commits expire."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        metadata_summary,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        path,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, 30, "fr")], "id long, v long, lang string"
+        ),
+        path,
+        merge_schema=True,
+    )
+    write_checkpoint(spark, path)
+    for v in (0, 1):
+        os.remove(os.path.join(path, "_delta_log", f"{v:020d}.json"))
+    ms = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"])
+        for r in metadata_summary(spark, path).collect()
+    }
+    assert ms["lang"] == (3, 2) and ms["v"] == (3, 0)
+
+
+def test_write_delta_txn_floor_gating(spark, tmp_path):
+    """txn_floors (ADVICE r13): a write whose guarded watermark
+    advanced past its selection floor withdraws — None returned,
+    nothing lands; matching floors commit normally."""
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, 10)], "id long, v long")
+    write_delta(
+        spark, df1, path, extra_txns=[("populate/t1", 100)]
+    )
+    n0 = read_delta(spark, path).count()
+    # stale floor (a concurrent run advanced the watermark to 100)
+    v = write_delta(
+        spark,
+        spark.createDataFrame([(2, 20)], "id long, v long"),
+        path,
+        extra_txns=[("populate/t1", 100)],
+        txn_floors={"populate/t1": 50},
+    )
+    assert v is None
+    assert read_delta(spark, path).count() == n0
+    # current floor commits and advances
+    v = write_delta(
+        spark,
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+        path,
+        extra_txns=[("populate/t1", 200)],
+        txn_floors={"populate/t1": 100},
+    )
+    assert v == 1
+    assert read_delta(spark, path).count() == n0 + 1

@@ -458,3 +458,22 @@ def test_foreign_bin_reclaimed_after_optimize_purge(spark, tmp_path):
     vacuum_delta(spark, base, retain_versions=1, orphan_min_age_minutes=0)
     assert not os.path.exists(bin_path)
     assert sorted(r["id"] for r in read_delta(spark, base).collect()) == want
+
+
+def test_blob_cardinality_header_walk():
+    """blob_cardinality: O(containers) header walk matches the decoded
+    length across container kinds (array, bitset, multi-key), without
+    expanding a single row — the driver-side sanity check the
+    executor-decode path relies on (VERDICT r14 #1)."""
+    cases = [
+        [0],
+        list(range(100)),
+        list(range(0, 60000, 3)),          # bitset container
+        [1, 2, 1 << 33, (1 << 33) + 5],    # multi-key 64-bit
+        list(range(5000)) + [1 << 40],
+    ]
+    for vals in cases:
+        blob = dvc.serialize_blob(vals)
+        assert dvc.blob_cardinality(blob) == len(set(vals))
+    with pytest.raises(ValueError, match="magic"):
+        dvc.blob_cardinality(b"\x00" * 16)

@@ -334,3 +334,49 @@ def test_delta_sink_maintenance_expire_and_optimize(spark, tmp_path):
         "months_dropped": 0, "months_kept": 1,
         "files_removed": 0, "version": None,
     }
+
+
+def test_delta_sink_concurrent_populate_gated(spark, tmp_path):
+    """Two populate runs that selected the same window (same watermark
+    floor) cannot both land it (ADVICE r13): the Delta writer
+    re-verifies the per-table watermark floors inside its commit loop
+    and withdraws the loser. Simulated by replaying the loser's commit
+    step — build_changelog + commit_batch_delta with the PRE-run floor
+    — after the winner already advanced the watermark."""
+    from changedatacapture_reporting_spark.operators.changelog import (
+        build_changelog,
+    )
+    from changedatacapture_reporting_spark.operators.populate import (
+        commit_batch_delta,
+    )
+
+    sink = str(tmp_path / "sink")
+    events = spark.createDataFrame(
+        [_ev(1, "t", 0), _ev(2, "t", 1)], SCHEMA
+    )
+    # winner: a normal populate run (floor = {} on first load)
+    r1 = populate_changelog(
+        spark, events, sink, ["id"],
+        maintain_rollup=False, sink_format="delta",
+    )
+    assert r1.rows_changed == 2
+    n0 = _delta_rows(spark, sink).count()
+
+    # loser: same batch, committed against the PRE-run floor (the
+    # watermarks it read before the winner landed — first load = {})
+    changelog = build_changelog(
+        events, ["id"], flags=CompatFlags(), carry_cols=["lsn", "seq"]
+    ).withColumn("commit_month", F.trunc("commit_time", "month"))
+    assert (
+        commit_batch_delta(
+            spark, changelog, sink, ["id"], wm_floors={}
+        )
+        == 0
+    )
+    assert _delta_rows(spark, sink).count() == n0  # nothing doubled
+
+    # same call WITHOUT floors (legacy/streaming semantics) would land:
+    # proves the gate, not the txn replay, blocked it
+    assert (
+        commit_batch_delta(spark, changelog, sink, ["id"]) > 0
+    )
