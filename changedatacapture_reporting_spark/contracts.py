@@ -1157,6 +1157,131 @@ WHERE o_orderpriority >= '3'
 """
 
 
+def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 (UUID-named) checkpoint reads (sources.delta_table
+    _replay_v2_checkpoint — public Delta PROTOCOL.md, "V2 Checkpoints",
+    checkpointPolicy=v2): a FOREIGN v2 checkpoint is hand-built over a
+    two-commit table — parquet manifest carrying protocol (3,7,
+    readerFeatures=[v2Checkpoint]) + metaData + checkpointMetadata +
+    two ``sidecar`` pointers, the add actions split across two parquet
+    sidecars under ``_delta_log/_sidecars/`` — and every covered json
+    commit is EXPIRED, so the read can only succeed through the v2
+    replay path. This engine then commits an append ON TOP (the replay
+    feeds the next version's state) and the final snapshot is read
+    back. The hash proves manifest + sidecar resolution reproduced the
+    exact pre-checkpoint row set and composed with a live write."""
+    import json as _json  # noqa: F401 (parity with sibling contracts)
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from changedatacapture_reporting_spark import fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _SIDECAR_FILE_SCHEMA,
+        _V2_CHECKPOINT_SCHEMA,
+        SIDECAR_DIR,
+        _log_path,
+        _resolve_log,
+        read_delta,
+        write_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="delta_v2cp_") + "/orders_delta"
+    write_delta(
+        spark, orders.filter(k % 3 != 0).repartition(3, "o_orderkey"),
+        path,
+    )
+    write_delta(
+        spark, orders.filter(k % 3 == 0).repartition(2, "o_orderkey"),
+        path,
+    )
+
+    def _as_parquet(df, dest):
+        tmp = dest + "_tmp"
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = [n for n in os.listdir(tmp) if n.endswith(".parquet")][0]
+        os.replace(os.path.join(tmp, part), dest)
+        fs.delete(spark, tmp)
+
+    st = _resolve_log(spark, path, None)
+    v = st["version"]
+    log = _log_path(path)
+    sc_dir = os.path.join(log, SIDECAR_DIR)
+    os.makedirs(sc_dir, exist_ok=True)
+    adds = sorted(st["files"].values(), key=lambda a: a["path"])
+    sc_names = []
+    for group in (adds[0::2], adds[1::2]):
+        if not group:
+            continue
+        name = f"{_uuid.uuid4()}.parquet"
+        rows = [
+            (
+                (
+                    a["path"], dict(a.get("partitionValues") or {}),
+                    int(a.get("size") or 0),
+                    int(a.get("modificationTime") or 0),
+                    bool(a.get("dataChange", True)), a.get("stats"),
+                    None,
+                ),
+                None,
+            )
+            for a in group
+        ]
+        _as_parquet(
+            spark.createDataFrame(rows, _SIDECAR_FILE_SCHEMA),
+            os.path.join(sc_dir, name),
+        )
+        sc_names.append(name)
+    meta = st["meta"]
+    manifest_rows = [
+        (None, None, None,
+         (3, 7, ["v2Checkpoint"], ["appendOnly", "invariants"]),
+         None, None, None),
+        (None, None,
+         (meta["id"], meta["schemaString"],
+          list(meta.get("partitionColumns") or []),
+          dict(meta.get("configuration") or {})),
+         None, None, None, None),
+        (None, None, None, None, None, (int(v),), None),
+    ] + [
+        (None, None, None, None, None, None, (n, 1, 0))
+        for n in sc_names
+    ]
+    _as_parquet(
+        spark.createDataFrame(manifest_rows, _V2_CHECKPOINT_SCHEMA),
+        os.path.join(log, f"{v:020d}.checkpoint.{_uuid.uuid4()}.parquet"),
+    )
+    for j in range(v + 1):
+        os.remove(os.path.join(log, f"{j:020d}.json"))
+
+    # commit on top: state for version v+1 resolves THROUGH the v2 form
+    write_delta(
+        spark,
+        orders.filter(k % 17 == 0).select(
+            (k + 20000000).alias("o_orderkey"),
+            F.lit("X-V2").alias("o_orderpriority"),
+            F.col("o_orderstatus"),
+        ),
+        path,
+    )
+    return read_delta(spark, path)
+
+
+_SQL_DELTA_V2_CHECKPOINT = """
+SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+UNION ALL
+SELECT o_orderkey + 20000000 AS o_orderkey,
+       'X-V2' AS o_orderpriority,
+       o_orderstatus
+FROM orders
+WHERE o_orderkey % 17 = 0
+"""
+
+
 def _q_cdc_from_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC WITHOUT CDC (operators.diff.snapshots_to_events over
     sources.delta_table): two versions of a Delta table — v1 drops the
@@ -2489,6 +2614,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "delta_column_mapping": (
         _q_delta_column_mapping,
         _SQL_DELTA_COLUMN_MAPPING,
+    ),
+    "delta_v2_checkpoint": (
+        _q_delta_v2_checkpoint,
+        _SQL_DELTA_V2_CHECKPOINT,
     ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,

@@ -72,23 +72,51 @@ def _log_path(path: str) -> str:
 
 
 def _json_versions(spark: SparkSession, path: str) -> list[int]:
-    return sorted(
-        int(name.split(".")[0])
-        for name in fs.listdir(spark, _log_path(path))
-        if name.endswith(".json") and name.split(".")[0].isdigit()
-    )
+    """COMMIT json versions — exactly ``<digits>.json`` names. The
+    two-segment requirement matters: a v2 checkpoint can be
+    ``<v>.checkpoint.<uuid>.json`` and log compaction writes
+    ``<start>.<end>.compacted.json``; parsing either as a commit would
+    replay wrong state."""
+    out = []
+    for name in fs.listdir(spark, _log_path(path)):
+        segs = name.split(".")
+        if len(segs) == 2 and segs[1] == "json" and segs[0].isdigit():
+            out.append(int(segs[0]))
+    return sorted(out)
+
+
+def _v2_checkpoint_name(name: str) -> int | None:
+    """Version of a v2 (UUID-named) checkpoint file
+    ``<v>.checkpoint.<unique>.{json|parquet}`` — the form tables with
+    checkpointPolicy=v2 write (public protocol, "V2 Checkpoints") — or
+    None. Disjoint from classic single (3 segments) and multi-part
+    (5 segments, both middles numeric) names by segment count."""
+    segs = name.split(".")
+    if (
+        len(segs) == 4
+        and segs[0].isdigit()
+        and segs[1] == "checkpoint"
+        and segs[3] in ("json", "parquet")
+    ):
+        return int(segs[0])
+    return None
 
 
 def _checkpoint_versions(spark: SparkSession, path: str) -> list[int]:
-    """Versions with a COMPLETE classic checkpoint: single-file
-    ``<v>.checkpoint.parquet`` (what this writer emits) or the
-    multi-part ``<v>.checkpoint.<i>.<n>.parquet`` form big foreign
-    tables checkpoint in (public protocol, "Checkpoints" — all n parts
-    must exist; a partially-written set is a crashed checkpointer's
-    debris, not a checkpoint)."""
+    """Versions with a COMPLETE checkpoint of any spec form: classic
+    single-file ``<v>.checkpoint.parquet`` (what this writer emits),
+    multi-part ``<v>.checkpoint.<i>.<n>.parquet`` (all n parts must
+    exist; a partially-written set is a crashed checkpointer's debris,
+    not a checkpoint), or a v2 UUID-named checkpoint (sidecar
+    completeness is validated at replay — the manifest names its
+    sidecars, so a missing one refuses loudly there)."""
     singles: set[int] = set()
     parts: dict[tuple[int, int], set[int]] = {}
     for name in fs.listdir(spark, _log_path(path)):
+        v2 = _v2_checkpoint_name(name)
+        if v2 is not None:
+            singles.add(v2)
+            continue
         segs = name.split(".")
         if not (segs[0].isdigit() and name.endswith(".parquet")):
             continue
@@ -111,8 +139,12 @@ def _checkpoint_versions(spark: SparkSession, path: str) -> list[int]:
 def _checkpoint_files(
     spark: SparkSession, path: str, version: int
 ) -> list[str]:
-    """The checkpoint file set for ``version`` — [single file] or every
-    part of the smallest complete multi-part set."""
+    """The checkpoint file set for ``version`` — [single classic
+    file], every part of the smallest complete multi-part set, or [one
+    v2 UUID-named manifest] (its sidecars resolve at replay). Classic
+    forms win when both exist (native replay, no sidecar hop); among
+    several equivalent v2 manifests the lexicographically smallest is
+    the deterministic pick."""
     log = _log_path(path)
     single = _checkpoint_name(version)
     names = fs.listdir(spark, log)
@@ -133,6 +165,11 @@ def _checkpoint_files(
         have = parts[n]
         if set(have) == set(range(1, n + 1)):
             return [fs.join(log, have[i]) for i in range(1, n + 1)]
+    v2 = sorted(
+        name for name in names if _v2_checkpoint_name(name) == version
+    )
+    if v2:
+        return [fs.join(log, v2[0])]
     raise ValueError(
         f"no complete checkpoint file set for version {version}"
     )
@@ -261,6 +298,37 @@ _CHECKPOINT_SCHEMA = T.StructType(
 )
 
 
+SIDECAR_DIR = "_sidecars"
+
+# v2 (UUID-named) checkpoints add two action kinds to the classic set:
+# ``checkpointMetadata`` (the manifest's self-description) and
+# ``sidecar`` (pointers to parquet files under _delta_log/_sidecars/
+# holding the add/remove actions). File actions may also ride inline in
+# the manifest itself — both layouts replay.
+_V2_EXTRA_SCHEMA = [
+    T.StructField(
+        "checkpointMetadata",
+        T.StructType([T.StructField("version", T.LongType())]),
+    ),
+    T.StructField(
+        "sidecar",
+        T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("sizeInBytes", T.LongType()),
+                T.StructField("modificationTime", T.LongType()),
+            ]
+        ),
+    ),
+]
+_V2_CHECKPOINT_SCHEMA = T.StructType(
+    list(_CHECKPOINT_SCHEMA.fields) + _V2_EXTRA_SCHEMA
+)
+_SIDECAR_FILE_SCHEMA = T.StructType(
+    [f for f in _CHECKPOINT_SCHEMA.fields if f.name in ("add", "remove")]
+)
+
+
 _ELIGIBLE_COLS_CACHE: dict[tuple, frozenset] = {}
 
 
@@ -347,7 +415,16 @@ def _apply_action(state: dict, action: dict, stamp: bool = True) -> None:
 # remove-bearing commits refuse on delta.appendOnly tables, and writes
 # refuse when any schema field declares delta.invariants (this writer
 # cannot evaluate them, so refusing beats silently skipping the check).
-_SUPPORTED_READER_FEATURES: set[str] = {"deletionVectors", "columnMapping"}
+# v2Checkpoint: READ-only — _replay_v2_checkpoint resolves the
+# UUID-named manifest + sidecars; this engine's own checkpoints stay
+# classic, and WRITES to a table whose writerFeatures demand
+# v2Checkpoint still refuse (a writer must honor checkpointPolicy=v2
+# when it checkpoints, which this one cannot yet).
+_SUPPORTED_READER_FEATURES: set[str] = {
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 _SUPPORTED_WRITER_FEATURES: set[str] = {
     "deletionVectors",
     "appendOnly",
@@ -450,15 +527,18 @@ def _check_append_only(state: dict, path: str) -> None:
 def _replay_checkpoint(
     spark: SparkSession, path: str, cv: int, state: dict
 ) -> None:
-    """Fold checkpoint version ``cv`` into ``state``. Parquet row order
-    is arbitrary, so table-level actions (protocol / metaData / txn)
-    apply BEFORE file actions — adds fold against the checkpoint's
-    metaData, never a replay-order accident. File actions replay with
-    stamp=False: a checkpoint does not preserve each add's commit-time
-    schema (see _apply_action)."""
-    cp = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
-        *_checkpoint_files(spark, path, cv)
-    )
+    """Fold checkpoint version ``cv`` into ``state`` — classic
+    (single/multi-part parquet) or v2 (UUID-named manifest + sidecars).
+    Parquet row order is arbitrary, so table-level actions (protocol /
+    metaData / txn) apply BEFORE file actions — adds fold against the
+    checkpoint's metaData, never a replay-order accident. File actions
+    replay with stamp=False: a checkpoint does not preserve each add's
+    commit-time schema (see _apply_action)."""
+    files = _checkpoint_files(spark, path, cv)
+    if _v2_checkpoint_name(files[0].rsplit("/", 1)[-1]) is not None:
+        _replay_v2_checkpoint(spark, path, cv, files[0], state)
+        return
+    cp = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(*files)
     rows = [row.asDict(recursive=True) for row in cp.collect()]
     for d in rows:
         _apply_action(
@@ -476,6 +556,79 @@ def _replay_checkpoint(
                 {k: v for k, v in d.items() if v and k in ("add", "remove")},
                 stamp=False,
             )
+
+
+def _replay_v2_checkpoint(
+    spark: SparkSession, path: str, cv: int, manifest: str, state: dict
+) -> None:
+    """Replay a v2 checkpoint (public protocol, "V2 Checkpoints" —
+    checkpointPolicy=v2, what large foreign tables increasingly write):
+    the UUID-named manifest (json or parquet) carries the non-file
+    actions, a ``checkpointMetadata`` self-description, optional INLINE
+    file actions, and ``sidecar`` pointers to parquet files under
+    ``_delta_log/_sidecars/`` holding the add/remove actions. All
+    sidecars feed one schema-pinned scan. A manifest naming a missing
+    sidecar refuses loudly — replaying a partial file set would
+    resurrect removed files or drop live ones."""
+    log = _log_path(path)
+    if manifest.endswith(".json"):
+        actions = [
+            json.loads(line)
+            for line in fs.read_text(spark, manifest).splitlines()
+            if line.strip()
+        ]
+    else:
+        actions = [
+            row.asDict(recursive=True)
+            for row in spark.read.schema(_V2_CHECKPOINT_SCHEMA)
+            .parquet(manifest)
+            .collect()
+        ]
+    cpm = [
+        a["checkpointMetadata"]
+        for a in actions
+        if a.get("checkpointMetadata")
+    ]
+    if cpm and cpm[0].get("version") is not None and int(
+        cpm[0]["version"]
+    ) != cv:
+        raise ValueError(
+            f"v2 checkpoint {manifest!r} declares version "
+            f"{cpm[0]['version']} but is named for {cv} — refusing a "
+            "mislabeled checkpoint"
+        )
+    skip = ("add", "remove", "sidecar", "checkpointMetadata")
+    for a in actions:
+        d = {k: v for k, v in a.items() if v and k not in skip}
+        if d:
+            _apply_action(state, d)
+    for a in actions:
+        if a.get("add") or a.get("remove"):
+            _apply_action(
+                state,
+                {k: v for k, v in a.items() if v and k in ("add", "remove")},
+                stamp=False,
+            )
+    sidecars = [a["sidecar"] for a in actions if a.get("sidecar")]
+    if not sidecars:
+        return
+    paths = []
+    for sc in sidecars:
+        rel = unquote(sc["path"])
+        full = fs.join(log, SIDECAR_DIR, rel)
+        if not fs.exists(spark, full):
+            raise ValueError(
+                f"v2 checkpoint {manifest!r} names sidecar {rel!r} "
+                "which does not exist — refusing an incomplete "
+                "checkpoint"
+            )
+        paths.append(full)
+    sdf = spark.read.schema(_SIDECAR_FILE_SCHEMA).parquet(*paths)
+    for row in sdf.collect():
+        d = row.asDict(recursive=True)
+        _apply_action(
+            state, {k: v for k, v in d.items() if v}, stamp=False
+        )
 
 
 def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:

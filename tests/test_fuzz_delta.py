@@ -82,7 +82,8 @@ def test_fuzz_delta_log_replay(spark, tmp_path, seed):
     v = 0
     for step in range(N_OPS):
         op = rng.choice(
-            ["append", "overwrite", "merge", "optimize", "checkpoint"]
+            ["append", "overwrite", "merge", "optimize", "checkpoint",
+             "checkpoint_v2"]
         )
         if op == "append":
             rows = [
@@ -140,6 +141,30 @@ def test_fuzz_delta_log_replay(spark, tmp_path, seed):
             # rows unchanged by construction (dataChange: false)
         elif op == "checkpoint":
             write_checkpoint(spark, path)
+        elif op == "checkpoint_v2":
+            # a FOREIGN v2 checkpoint (manifest + sidecars) lands at
+            # the current version, carrying the table's CURRENT
+            # protocol so the walk stays writable; jsons are kept so
+            # older versions stay time-travelable. Subsequent reads at
+            # ≥ this version replay through the v2 path.
+            from changedatacapture_reporting_spark.sources.delta_table import (
+                _resolve_log,
+            )
+            from test_v2_checkpoint import _build_v2_parquet
+
+            st = _resolve_log(spark, path, None)
+            proto = st.get("protocol") or {}
+            _build_v2_parquet(
+                spark, path, st,
+                n_sidecars=rng.randint(1, 3),
+                protocol_row=(
+                    int(proto.get("minReaderVersion") or 1),
+                    int(proto.get("minWriterVersion") or 2),
+                    proto.get("readerFeatures"),
+                    proto.get("writerFeatures"),
+                ),
+                expire=False,
+            )
         versions[v] = _model_rows(model)
 
         # the LATEST snapshot always matches the model

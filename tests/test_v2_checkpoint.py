@@ -1,0 +1,256 @@
+"""v2 (UUID-named) checkpoints — public Delta protocol, "V2
+Checkpoints" (checkpointPolicy=v2): the manifest carries non-file
+actions + checkpointMetadata + sidecar pointers; add/remove actions
+live in parquet sidecars under ``_delta_log/_sidecars/`` (or inline in
+the manifest). These fixtures are hand-built FOREIGN checkpoints — the
+reader under test never wrote them — covering both manifest encodings,
+inline and sidecar layouts, refusal of incomplete/mislabeled
+checkpoints, and the protocol gates (VERDICT r13 #2)."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_reporting_spark import fs
+from changedatacapture_reporting_spark.sources.delta_table import (
+    _CHECKPOINT_SCHEMA,
+    _SIDECAR_FILE_SCHEMA,
+    _V2_CHECKPOINT_SCHEMA,
+    SIDECAR_DIR,
+    read_delta,
+    table_versions,
+    write_checkpoint,
+    write_delta,
+)
+
+
+def _add_tuple(a):
+    """add-action dict -> tuple in _CHECKPOINT_SCHEMA add-struct
+    order (deletionVector carried when present)."""
+    dv = a.get("deletionVector")
+    dv_t = None
+    if dv:
+        dv_t = (
+            dv.get("path"),
+            dv.get("cardinality"),
+            dv.get("storageType"),
+            dv.get("pathOrInlineDv"),
+            dv.get("offset"),
+            dv.get("sizeInBytes"),
+        )
+    return (
+        a["path"],
+        dict(a.get("partitionValues") or {}),
+        int(a.get("size") or 0),
+        int(a.get("modificationTime") or 0),
+        bool(a.get("dataChange", True)),
+        a.get("stats"),
+        dv_t,
+    )
+
+
+def _proto(writer_feats):
+    return (
+        3,
+        7,
+        ["v2Checkpoint"],
+        sorted(set(writer_feats) | {"v2Checkpoint"})
+        if writer_feats is None
+        else writer_feats,
+    )
+
+
+def _write_parquet_as(spark, df, dest):
+    tmp = dest + "_tmp"
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
+    part = [n for n in os.listdir(tmp) if n.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, part), dest)
+    fs.delete(spark, tmp)
+
+
+def _two_commit_table(spark, path):
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        path,
+    )
+    write_delta(
+        spark, spark.createDataFrame([(3, 30)], "id long, v long"), path
+    )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+    )
+
+    return _resolve_log(spark, path, None)
+
+
+def _build_v2_parquet(
+    spark, path, state, writer_feats=("appendOnly", "invariants"),
+    n_sidecars=2, cpm_version=None, drop_sidecar=False,
+    protocol_row=None, expire=True,
+):
+    """Foreign v2 checkpointer: split the live adds across
+    ``n_sidecars`` parquet sidecars, write the UUID-named parquet
+    manifest, and (by default) expire every covered json commit.
+    ``protocol_row`` overrides the manifest's protocol tuple (the fuzz
+    walk passes the table's CURRENT protocol so the walk stays
+    writable); ``expire=False`` keeps the jsons (older versions stay
+    time-travelable)."""
+    v = state["version"]
+    log = os.path.join(path, "_delta_log")
+    sc_dir = os.path.join(log, SIDECAR_DIR)
+    os.makedirs(sc_dir, exist_ok=True)
+    adds = sorted(state["files"].values(), key=lambda a: a["path"])
+    groups = [adds[i::n_sidecars] for i in range(n_sidecars)]
+    sc_names = []
+    for g in groups:
+        if not g:
+            continue
+        name = f"{uuid.uuid4()}.parquet"
+        rows = [(_add_tuple(a), None) for a in g]
+        _write_parquet_as(
+            spark,
+            spark.createDataFrame(rows, _SIDECAR_FILE_SCHEMA),
+            os.path.join(sc_dir, name),
+        )
+        sc_names.append(name)
+    meta = state["meta"]
+    if protocol_row is None:
+        protocol_row = (3, 7, ["v2Checkpoint"], list(writer_feats))
+    manifest_rows = [
+        # (add, remove, metaData, protocol, txn, checkpointMetadata, sidecar)
+        (None, None, None, protocol_row, None, None, None),
+        (None, None,
+         (meta["id"], meta["schemaString"],
+          list(meta.get("partitionColumns") or []),
+          dict(meta.get("configuration") or {})),
+         None, None, None, None),
+        (None, None, None, None, None,
+         (int(v if cpm_version is None else cpm_version),), None),
+    ] + [
+        (None, None, None, None, (app, int(tv), 0), None, None)
+        for app, tv in sorted(state["txns"].items())
+    ] + [
+        (None, None, None, None, None, None, (n, 1, 0))
+        for n in sc_names
+    ]
+    manifest = os.path.join(
+        log, f"{v:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    )
+    _write_parquet_as(
+        spark,
+        spark.createDataFrame(manifest_rows, _V2_CHECKPOINT_SCHEMA),
+        manifest,
+    )
+    if expire:
+        for j in range(v + 1):
+            p = os.path.join(log, f"{j:020d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+    if drop_sidecar and sc_names:
+        os.remove(os.path.join(sc_dir, sc_names[0]))
+    return manifest
+
+
+def test_v2_parquet_checkpoint_reads_and_commits_on_top(spark, tmp_path):
+    path = str(tmp_path / "t")
+    state = _two_commit_table(spark, path)
+    _build_v2_parquet(spark, path, state)
+    assert table_versions(spark, path) == [1]
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+    # time travel to the checkpointed version itself
+    assert read_delta(spark, path, version=1).count() == 3
+    # commit on top (writerFeatures here permit this writer)
+    write_delta(
+        spark, spark.createDataFrame([(4, 40)], "id long, v long"), path
+    )
+    assert read_delta(spark, path).count() == 4
+    # and our own classic checkpoint now coexists with the v2 one
+    write_checkpoint(spark, path)
+    assert read_delta(spark, path).count() == 4
+
+
+def test_v2_json_manifest_with_inline_adds(spark, tmp_path):
+    """The json manifest encoding, file actions INLINE (no sidecars) —
+    and the commit-name hardening: a ``<v>.checkpoint.<uuid>.json``
+    must never parse as commit json."""
+    path = str(tmp_path / "t")
+    state = _two_commit_table(spark, path)
+    v = state["version"]
+    log = os.path.join(path, "_delta_log")
+    meta = state["meta"]
+    actions = [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["appendOnly", "invariants"]}},
+        {"metaData": meta},
+        {"checkpointMetadata": {"version": v}},
+    ] + [{"add": a} for a in state["files"].values()]
+    manifest = os.path.join(
+        log, f"{v:020d}.checkpoint.{uuid.uuid4()}.json"
+    )
+    with open(manifest, "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    for j in range(v + 1):
+        os.remove(os.path.join(log, f"{j:020d}.json"))
+    assert table_versions(spark, path) == [1]  # not parsed as commit 1
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_v2_missing_sidecar_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    state = _two_commit_table(spark, path)
+    _build_v2_parquet(spark, path, state, drop_sidecar=True)
+    with pytest.raises(ValueError, match="sidecar"):
+        read_delta(spark, path).collect()
+
+
+def test_v2_mislabeled_version_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    state = _two_commit_table(spark, path)
+    _build_v2_parquet(spark, path, state, cpm_version=7)
+    with pytest.raises(ValueError, match="mislabeled|declares"):
+        read_delta(spark, path).collect()
+
+
+def test_v2_writer_feature_still_refuses_writes(spark, tmp_path):
+    """Reading a v2-checkpoint table works; WRITING one whose
+    writerFeatures demand v2Checkpoint refuses — this writer cannot
+    honor checkpointPolicy=v2 when it checkpoints."""
+    path = str(tmp_path / "t")
+    state = _two_commit_table(spark, path)
+    _build_v2_parquet(
+        spark, path, state,
+        writer_feats=["appendOnly", "invariants", "v2Checkpoint"],
+    )
+    assert read_delta(spark, path).count() == 3
+    with pytest.raises(ValueError, match="writer features"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, 90)], "id long, v long"),
+            path,
+        )
+
+
+def test_classic_checkpoint_preferred_over_v2(spark, tmp_path):
+    """Both forms at the same version: the classic single file replays
+    (native path); results identical either way."""
+    path = str(tmp_path / "t")
+    state = _two_commit_table(spark, path)
+    write_checkpoint(spark, path)
+    _build_v2_parquet(spark, path, state)  # also expires the jsons
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _checkpoint_files,
+    )
+
+    files = _checkpoint_files(spark, path, 1)
+    assert files[0].endswith("00000000000000000001.checkpoint.parquet")
+    assert read_delta(spark, path).count() == 3
