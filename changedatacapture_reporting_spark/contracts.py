@@ -1157,6 +1157,152 @@ WHERE o_orderpriority >= '3'
 """
 
 
+def _q_delta_mapped_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITES to a column-mapped ('name' mode) table (VERDICT r13 #3,
+    sources.delta_table): a FOREIGN mapped table (physical col-1..col-3
+    parquet names, logical names in the schema metadata, protocol
+    (2,5)) is driven through this engine's whole write surface —
+    append (write_delta), MERGE (update+insert), vector DELETE, and
+    OPTIMIZE. Every staged file must carry PHYSICAL names (asserted on
+    the appended file) and partitionValues/stats keys must translate,
+    or the table's real readers would see NULLs. The hash proves the
+    logical row set equals a plain-SQL oracle of the same operations."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark import fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="delta_mw_") + "/orders_mapped"
+    stage = base + "/_stage"
+    orders.filter(k % 4 != 1).select(
+        k.alias("col-1"),
+        F.col("o_orderpriority").alias("col-2"),
+        F.col("o_orderstatus").alias("col-3"),
+    ).repartition(2, "col-1").write.parquet(stage)
+    parts = sorted(
+        p for p in fs.listdir(spark, stage) if p.endswith(".parquet")
+    )
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    adds = []
+    for i, p in enumerate(parts):
+        rel = f"f{i}.parquet"
+        os.replace(os.path.join(stage, p), f"{base}/{rel}")
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(f"{base}/{rel}"),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+
+    def field(name, phys, cid, dtype):
+        return T.StructField(
+            name, dtype, True,
+            {
+                "delta.columnMapping.physicalName": phys,
+                "delta.columnMapping.id": cid,
+            },
+        )
+
+    schema = T.StructType(
+        [
+            field("o_orderkey", "col-1", 1, T.LongType()),
+            field("o_orderpriority", "col-2", 2, T.StringType()),
+            field("o_orderstatus", "col-3", 3, T.StringType()),
+        ]
+    )
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "t-mapped-writes",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }
+        },
+    ] + adds
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+    # 1. append through the mapped write path (logical names in)
+    v = write_delta(spark, orders.filter(k % 4 == 1), base)
+    assert v == 1
+    commit1 = [
+        _json.loads(line)
+        for line in open(f"{base}/_delta_log/{1:020d}.json")
+    ]
+    rel1 = next(a["add"]["path"] for a in commit1 if a.get("add"))
+    raw_cols = spark.read.parquet(f"{base}/{rel1}").columns
+    assert sorted(raw_cols) == ["col-1", "col-2", "col-3"], raw_cols
+
+    # 2. MERGE: priority rewrite for k%9==0, inserts 30M above
+    src = orders.filter(k % 9 == 0).select(
+        "o_orderkey",
+        F.lit("X-MAP").alias("o_orderpriority"),
+        "o_orderstatus",
+    ).unionByName(
+        orders.filter(k % 23 == 0).select(
+            (k + 30000000).alias("o_orderkey"),
+            F.lit("X-NEW").alias("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+    )
+    merge_delta(spark, src, base, ["o_orderkey"])
+
+    # 3. vector DELETE of k%13==2, then OPTIMIZE folds the vectors
+    delete_delta(
+        spark, base,
+        orders.filter(k % 13 == 2).select("o_orderkey"),
+        deletion_vectors=True,
+    )
+    optimize_delta(spark, base)
+    return read_delta(spark, base)
+
+
+_SQL_DELTA_MAPPED_WRITES = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 9 = 0 THEN 'X-MAP'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 30000000 AS o_orderkey,
+         'X-NEW' AS o_orderpriority,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderkey % 23 = 0
+)
+SELECT o_orderkey, o_orderpriority, o_orderstatus
+FROM merged
+WHERE o_orderkey >= 30000000 OR o_orderkey % 13 <> 2
+"""
+
+
 def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 (UUID-named) checkpoint reads (sources.delta_table
     _replay_v2_checkpoint — public Delta PROTOCOL.md, "V2 Checkpoints",
@@ -2618,6 +2764,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "delta_v2_checkpoint": (
         _q_delta_v2_checkpoint,
         _SQL_DELTA_V2_CHECKPOINT,
+    ),
+    "delta_mapped_writes": (
+        _q_delta_mapped_writes,
+        _SQL_DELTA_MAPPED_WRITES,
     ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,

@@ -406,11 +406,13 @@ def _apply_action(state: dict, action: dict, stamp: bool = True) -> None:
 # spec's binary RoaringBitmapArray format, so vectors from current
 # Delta writers apply on read and this engine's own DV commits are
 # spec-encoded and protocol-marked (3,7).
-# columnMapping: read-only — 'name' mode resolves physical parquet
-# names back to logical ones; 'id' mode resolves by parquet field id
-# (Spark's field-id matcher over parquet.field.id metadata). Writes to
-# mapped tables refuse (this writer emits logical-named files, which
-# would corrupt the mapping).
+# columnMapping: 'name' mode READ and WRITE — reads resolve physical
+# parquet names back to logical ones; writes translate frames,
+# partition dirs/values and stats keys to physical at the staging
+# boundary, and mergeSchema evolution allocates fresh column ids under
+# delta.columnMapping.maxColumnId (VERDICT r13 #3). 'id' mode is
+# read-only (Spark's field-id matcher over parquet.field.id metadata
+# resolves reads; writes refuse — this writer cannot stamp field ids).
 # appendOnly / invariants: honored in their legacy (v2) meaning —
 # remove-bearing commits refuse on delta.appendOnly tables, and writes
 # refuse when any schema field declares delta.invariants (this writer
@@ -429,6 +431,7 @@ _SUPPORTED_WRITER_FEATURES: set[str] = {
     "deletionVectors",
     "appendOnly",
     "invariants",
+    "columnMapping",  # name mode; id-mode writes refuse separately
 }
 _READABLE_MAPPING_MODES = {"none", "name", "id"}
 
@@ -489,19 +492,58 @@ def _check_write_protocol(state: dict, path: str) -> None:
                 "invariants"
             )
     elif v > 2:
+        # legacy writer versions imply features by NUMBER: CHECK
+        # constraints (3), change data feed + generated columns (4),
+        # column mapping (5), identity columns (6). A writer may
+        # proceed only when the table provably USES none it cannot
+        # honor — column mapping itself is honored (name mode; id mode
+        # refuses below), the rest are detectable in the metaData.
+        if v > 6:
+            raise ValueError(
+                f"table {path!r} requires minWriterVersion={v}; "
+                "refusing to write rather than break invariants its "
+                "real writers enforce"
+            )
+        conf = ((state.get("meta") or {}).get("configuration")) or {}
+        schema_str = (
+            (state.get("meta") or {}).get("schemaString")
+        ) or ""
+        if any(k.startswith("delta.constraints.") for k in conf):
+            raise ValueError(
+                f"table {path!r} declares CHECK constraints this "
+                "writer cannot evaluate — refusing to write"
+            )
+        if str(
+            conf.get("delta.enableChangeDataFeed", "false")
+        ).lower() == "true":
+            raise ValueError(
+                f"table {path!r} enables change data feed; this "
+                "writer does not emit CDC files — refusing to write"
+            )
+        if "generationExpression" in schema_str:
+            raise ValueError(
+                f"table {path!r} declares generated columns this "
+                "writer cannot compute — refusing to write"
+            )
+        if "delta.identity" in schema_str:
+            raise ValueError(
+                f"table {path!r} declares identity columns this "
+                "writer cannot allocate — refusing to write"
+            )
+    # column mapping: 'name' mode WRITES are supported (VERDICT r13
+    # #3) — every staging path translates frames to physical column
+    # names, partition dirs / partitionValues / stats keys to physical,
+    # and mergeSchema evolution allocates fresh column ids under
+    # delta.columnMapping.maxColumnId. 'id' mode stays read-only: its
+    # files must also carry parquet field ids, which Spark's writer
+    # does not stamp from metadata alone — a file without ids would be
+    # unreadable to the table's own id-mode readers.
+    if _mapping_mode(state.get("meta")) == "id":
         raise ValueError(
-            f"table {path!r} requires minWriterVersion={v}; this "
-            "implementation writes protocol 2 — refusing to write "
-            "rather than break invariants its real writers enforce"
-        )
-    # column-mapped tables are READ-only here, regardless of protocol
-    # shape: this writer emits logical-named parquet files and
-    # partitionValues, which a mapped table's readers would not resolve
-    if _mapping_mode(state.get("meta")) != "none":
-        raise ValueError(
-            f"table {path!r} uses column mapping; this implementation "
-            "reads mapped tables but writes only unmapped ones — a "
-            "logical-named data file would corrupt the mapping"
+            f"table {path!r} uses column mapping mode 'id'; this "
+            "implementation writes 'name'-mapped and unmapped tables "
+            "only — an id-mode data file without parquet field ids "
+            "would corrupt the table for its own readers"
         )
     # legacy appendOnly config (minWriterVersion 2 semantics): enforced
     # by the remove-bearing paths via _check_append_only
@@ -961,6 +1003,146 @@ def _physical_type(
 def _logical_to_physical(schema: T.StructType) -> dict:
     """Top-level logical → physical column-name map."""
     return {f.name: _phys_field_name(f) for f in schema.fields}
+
+
+def _write_mapping_ctx(meta: dict | None) -> dict | None:
+    """Write-side translation context for a column-mapped table in
+    'name' mode, or None when the table is unmapped: the logical
+    committed schema, its physical twin (what the parquet FILES must
+    carry), the top-level name map, and the PHYSICAL partition columns
+    (partition dirs and add.partitionValues keys use physical names
+    per the spec — the mirror of the read path's mapping in
+    _scan_adds_raw). id-mode writes refuse in _check_write_protocol, so
+    this never sees them."""
+    if _mapping_mode(meta) != "name":
+        return None
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    l2p = _logical_to_physical(logical)
+    return {
+        "logical": logical,
+        "l2p": l2p,
+        "phys_schema": _physical_type(logical),
+        "phys_part_cols": [
+            l2p.get(c, c) for c in (meta.get("partitionColumns") or [])
+        ],
+    }
+
+
+def _gen_physical_names(dt: T.DataType) -> T.DataType:
+    """Annotate every nested field of a NEW column's type with a fresh
+    ``delta.columnMapping.physicalName`` (``col-<uuid>``, the
+    convention real mapped writers use) — generated BEFORE staging so
+    the parquet files carry the final physical names; the matching
+    ids are allocated at commit time under maxColumnId
+    (_assign_mapping_ids)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    _gen_physical_names(f.dataType),
+                    f.nullable,
+                    {
+                        **(f.metadata or {}),
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4()}"
+                        ),
+                    },
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _gen_physical_names(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _gen_physical_names(dt.keyType),
+            _gen_physical_names(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _assign_mapping_ids(
+    dt: T.DataType, counter: list[int]
+) -> T.DataType:
+    """Stamp ``delta.columnMapping.id`` on every nested field that has
+    a physicalName but no id yet, allocating sequentially from
+    ``counter[0]`` (the table's maxColumnId at commit time)."""
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            md = dict(f.metadata or {})
+            if (
+                "delta.columnMapping.physicalName" in md
+                and "delta.columnMapping.id" not in md
+            ):
+                counter[0] += 1
+                md["delta.columnMapping.id"] = counter[0]
+            fields.append(
+                T.StructField(
+                    f.name,
+                    _assign_mapping_ids(f.dataType, counter),
+                    f.nullable,
+                    md,
+                )
+            )
+        return T.StructType(fields)
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _assign_mapping_ids(dt.elementType, counter), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _assign_mapping_ids(dt.keyType, counter),
+            _assign_mapping_ids(dt.valueType, counter),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _max_mapping_id(schema: T.StructType, cfg: dict) -> int:
+    """The table's current maxColumnId: the configuration key, floored
+    by any id actually present in the schema (defensive against a
+    foreign log whose config lags its schema)."""
+    max_id = int(cfg.get("delta.columnMapping.maxColumnId", 0) or 0)
+
+    def walk(dt):
+        nonlocal max_id
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                md = f.metadata or {}
+                if "delta.columnMapping.id" in md:
+                    max_id = max(max_id, int(md["delta.columnMapping.id"]))
+                walk(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            walk(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(dt.keyType)
+            walk(dt.valueType)
+
+    walk(schema)
+    return max_id
+
+
+def _to_physical_df(df: DataFrame, logical_schema: T.StructType) -> DataFrame:
+    """Rename a LOGICAL frame to its physical column names for staging
+    into a mapped table — a plain alias at the top level, a positional
+    struct cast for nested renames (the reverse of _scan_adds_raw's
+    _unmap). Handles frames holding any subset of the schema's columns
+    (optimize stages data columns only)."""
+    by_name = {f.name: f for f in logical_schema.fields}
+    sel = []
+    for c in df.columns:
+        lf = by_name[c]
+        pt = _physical_type(lf.dataType)
+        col = F.col(c)
+        if pt != lf.dataType:  # nested renames → positional cast
+            col = col.cast(pt)
+        sel.append(col.alias(_phys_field_name(lf)))
+    return df.select(*sel)
 
 
 def _scan_adds_raw(
@@ -1828,8 +2010,38 @@ def metadata_summary(
     )
 
 
+def _strip_type_metadata(dt: T.DataType) -> T.DataType:
+    """Structural twin of ``dt`` with all nested field metadata
+    dropped — schema compatibility is about names and types; a mapped
+    table's delta.columnMapping.* annotations (or any other metadata)
+    must not fail an append whose frame lacks them."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, _strip_type_metadata(f.dataType), f.nullable
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(
+            _strip_type_metadata(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_type_metadata(dt.keyType),
+            _strip_type_metadata(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _normalized_fields(schema: T.StructType) -> list[tuple[str, str]]:
-    return [(f.name, f.dataType.json()) for f in schema.fields]
+    return [
+        (f.name, _strip_type_metadata(f.dataType).json())
+        for f in schema.fields
+    ]
 
 
 def _evolve_schema(
@@ -1848,7 +2060,9 @@ def _evolve_schema(
     changed = False
     for cf in committed.fields:
         nf = by_name.pop(cf.name, None)
-        if nf is not None and nf.dataType != cf.dataType:
+        if nf is not None and _strip_type_metadata(
+            nf.dataType
+        ) != _strip_type_metadata(cf.dataType):
             raise TypeError(
                 f"column {cf.name!r} type change "
                 f"{cf.dataType.simpleString()} -> "
@@ -1858,7 +2072,12 @@ def _evolve_schema(
         nullable = cf.nullable or (nf is not None and nf.nullable)
         if nullable != cf.nullable:
             changed = True
-        out.append(T.StructField(cf.name, cf.dataType, nullable))
+        # committed metadata survives evolution — dropping it would
+        # strip a mapped table's delta.columnMapping annotations and
+        # orphan every physical column
+        out.append(
+            T.StructField(cf.name, cf.dataType, nullable, cf.metadata)
+        )
     for f in df_schema.fields:  # new columns, first-seen order
         if f.name in by_name:
             out.append(T.StructField(f.name, f.dataType, True))
@@ -1981,22 +2200,67 @@ def write_delta(
             # a concurrent writer already advanced a guarded watermark
             # past this batch's selection floor — skip before staging
             return None
+    # column mapping ('name' mode): files, partition dirs,
+    # partitionValues and stats keys all carry PHYSICAL names —
+    # translate at the staging boundary so everything downstream of
+    # this block is already in on-disk terms. New (mergeSchema)
+    # columns get their physical names generated BEFORE staging; their
+    # ids are allocated inside the commit loop against the CURRENT
+    # maxColumnId (names are collision-free uuids, ids must be
+    # race-fresh).
+    ctx = _write_mapping_ctx(state0["meta"]) if versions else None
+    new_fields: dict[str, T.StructField] = {}
+    stage_df, stage_part_by = df, partition_by
+    if ctx is not None:
+        committed0 = ctx["logical"]
+        have0 = set(committed0.fieldNames())
+        stage_fields = []
+        for f in df.schema.fields:
+            if f.name in have0:
+                stage_fields.append(committed0[f.name])
+            else:
+                if not merge_schema:
+                    # let the loop's schema check raise the pointed
+                    # error; stage nothing for unknown columns
+                    raise ValueError(
+                        "schema mismatch with committed table schema: "
+                        f"unknown column {f.name!r} (merge_schema=False)"
+                    )
+                nf = T.StructField(
+                    f.name,
+                    _gen_physical_names(f.dataType),
+                    True,
+                    {
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4()}"
+                        )
+                    },
+                )
+                new_fields[f.name] = nf
+                stage_fields.append(nf)
+        stage_logical = T.StructType(stage_fields)
+        stage_df = _to_physical_df(df, stage_logical)
+        stage_part_by = [ctx["l2p"].get(c, c) for c in partition_by]
+        stats_schema = _physical_type(stage_logical)
+    else:
+        stats_schema = df.schema
+
     staging = fs.join(path, f"_staging_{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
+    writer = stage_df.write.mode("overwrite")
     if parquet_options:
         # caller-tuned parquet knobs (e.g. per-column bloom filters for
         # point-lookup row-group skipping) ride the staged write; the
         # protocol is indifferent to them
         writer = writer.options(**parquet_options)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if stage_part_by:
+        writer = writer.partitionBy(*stage_part_by)
     writer.parquet(staging)
     rels = fs.list_data_files(spark, staging)
     fs.promote(spark, staging, path)
     fs.delete(spark, staging)
 
     stats = (
-        _file_stats(spark, path, rels, df.schema, partition_by)
+        _file_stats(spark, path, rels, stats_schema, stage_part_by)
         if collect_stats and rels
         else {}
     )
@@ -2006,7 +2270,7 @@ def write_delta(
                 # the PROTOCOL stores path as a percent-encoded relative
                 # URI (ADVICE r09); partitionValues stores decoded values
                 "path": quote(rel, safe="/"),
-                "partitionValues": _partition_values(rel, partition_by),
+                "partitionValues": _partition_values(rel, stage_part_by),
                 "size": _file_size(spark, fs.join(path, rel)),
                 "modificationTime": timestamp_ms,
                 "dataChange": True,
@@ -2048,7 +2312,15 @@ def write_delta(
                     fs.delete(spark, fs.join(path, rel))
                 return None
             meta = prior["meta"]
-            if list(meta.get("partitionColumns") or []) != partition_by:
+            table_parts = list(meta.get("partitionColumns") or [])
+            ok_parts = [table_parts]
+            if ctx is not None:
+                # tolerate a caller naming the physical partition cols
+                # (the form a foreign log may also store)
+                ok_parts.append(
+                    [ctx["l2p"].get(c, c) for c in table_parts]
+                )
+            if partition_by not in ok_parts:
                 raise ValueError(
                     "partition_by does not match the table's "
                     "partitionColumns"
@@ -2057,12 +2329,52 @@ def write_delta(
                 committed = T.StructType.fromJson(
                     json.loads(meta["schemaString"])
                 )
+                if ctx is not None and new_fields:
+                    clash = [
+                        n
+                        for n in new_fields
+                        if n in set(committed.fieldNames())
+                    ]
+                    if clash:
+                        # a concurrent evolve committed these columns
+                        # under ITS physical names; our staged files
+                        # carry ours — committing would orphan them
+                        # (every reader sees NULL). Refuse; the caller
+                        # re-runs against the new schema.
+                        raise ValueError(
+                            f"concurrent schema evolution added "
+                            f"{clash} to the mapped table while this "
+                            "write was staging — re-run the write"
+                        )
                 union, schema_changed = _evolve_schema(df.schema, committed)
                 if schema_changed:
                     # evolution rides in the SAME commit as the data, so
                     # it is atomic and versioned with it; rebuild the
                     # metaData dict field-by-field (a checkpoint-replayed
                     # meta lacks format/createdTime)
+                    new_cfg = dict(meta.get("configuration") or {})
+                    if ctx is not None and new_fields:
+                        # mapped evolution: new columns take their
+                        # pre-staged physical names and FRESH ids above
+                        # the table's CURRENT maxColumnId (re-derived
+                        # per retry — a racing evolve must not share
+                        # ids)
+                        have = set(committed.fieldNames())
+                        counter = [_max_mapping_id(committed, new_cfg)]
+                        union = T.StructType(
+                            [
+                                f
+                                if f.name in have
+                                else _assign_mapping_ids(
+                                    T.StructType([new_fields[f.name]]),
+                                    counter,
+                                ).fields[0]
+                                for f in union.fields
+                            ]
+                        )
+                        new_cfg["delta.columnMapping.maxColumnId"] = str(
+                            counter[0]
+                        )
                     evolved_meta = {
                         "id": meta["id"],
                         "format": meta.get("format")
@@ -2071,9 +2383,7 @@ def write_delta(
                         "partitionColumns": list(
                             meta.get("partitionColumns") or []
                         ),
-                        "configuration": dict(
-                            meta.get("configuration") or {}
-                        ),
+                        "configuration": new_cfg,
                         "createdTime": meta.get("createdTime")
                         or timestamp_ms,
                     }
@@ -2551,6 +2861,12 @@ def optimize_delta(
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
+    # column mapping: partitionValues/stats keys and staged files carry
+    # PHYSICAL names; the group scan stays logical (_scan_adds unmaps)
+    ctx = _write_mapping_ctx(meta)
+    l2p = ctx["l2p"] if ctx else {}
+    group_parts = ctx["phys_part_cols"] if ctx else part_cols
+    stats_schema = ctx["phys_schema"] if ctx else schema
 
     if zorder_by is not None:
         zx, zy = zorder_by
@@ -2586,7 +2902,7 @@ def optimize_delta(
         ):
             pv = a.get("partitionValues") or {}
             groups.setdefault(
-                tuple((c, pv.get(c)) for c in part_cols), []
+                tuple((c, pv.get(c)) for c in group_parts), []
             ).append(a)
 
     removes: list[str] = []
@@ -2646,6 +2962,7 @@ def optimize_delta(
                 # every file
                 bounds = {}
                 for zc in zorder_by:
+                    zk = l2p.get(zc, zc)  # stats keys are physical
                     los, his = [], []
                     for a in small:
                         st = a.get("stats")
@@ -2657,9 +2974,9 @@ def optimize_delta(
                         parsed = (
                             json.loads(st) if isinstance(st, str) else st
                         )
-                        if zc in (parsed.get("minValues") or {}):
-                            los.append(parsed["minValues"][zc])
-                            his.append(parsed["maxValues"][zc])
+                        if zk in (parsed.get("minValues") or {}):
+                            los.append(parsed["minValues"][zk])
+                            his.append(parsed["maxValues"][zk])
                         # else: the column is all-NULL in this file
                         # (stats exist, bounds don't) — it contributes
                         # nothing to the bucketing range; its rows land
@@ -2685,18 +3002,20 @@ def optimize_delta(
                     ),
                     zorder_bits,
                 )
-            (
+            out_df = (
                 group_df.select("*", zval.alias("__z"))
                 .repartitionByRange(int(n_out), F.col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")
-                .write.mode("overwrite")
-                .parquet(staging)
             )
+            if ctx:
+                out_df = _to_physical_df(out_df, ctx["logical"])
+            out_df.write.mode("overwrite").parquet(staging)
         else:
-            group_df.coalesce(
-                int(n_out)
-            ).write.mode("overwrite").parquet(staging)
+            out_df = group_df.coalesce(int(n_out))
+            if ctx:
+                out_df = _to_physical_df(out_df, ctx["logical"])
+            out_df.write.mode("overwrite").parquet(staging)
         rels = fs.list_data_files(spark, staging)
         dest_dir = fs.join(path, part_dir) if part_dir else path
         fs.promote(spark, staging, dest_dir)
@@ -2704,7 +3023,9 @@ def optimize_delta(
         full_rels = [f"{part_dir}/{r}" if part_dir else r for r in rels]
         # compaction must not destroy data skipping: recompute stats for
         # the rewritten files (same one-pass aggregate as write_delta)
-        group_stats = _file_stats(spark, path, full_rels, schema, part_cols)
+        group_stats = _file_stats(
+            spark, path, full_rels, stats_schema, group_parts
+        )
         for full_rel in full_rels:
             adds.append(
                 {
@@ -2848,23 +3169,32 @@ def merge_delta(
 
     adds = list(state["files"].values())
 
+    ctx = _write_mapping_ctx(meta)
+    stage_schema = ctx["phys_schema"] if ctx else schema
+    stage_parts = ctx["phys_part_cols"] if ctx else part_cols
+
     def _write_new_files(frame: DataFrame) -> tuple[list[str], list[dict]]:
-        """Stage+promote ``frame`` into the table; returns (rels, add
-        actions with fresh stats)."""
+        """Stage+promote ``frame`` (LOGICAL names) into the table —
+        physical names/dirs/stats keys under column mapping; returns
+        (rels, add actions with fresh stats)."""
+        if ctx:
+            frame = _to_physical_df(frame, ctx["logical"])
         staging = fs.join(path, f"_merge_{uuid.uuid4().hex}")
         writer = frame.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
+        if stage_parts:
+            writer = writer.partitionBy(*stage_parts)
         writer.parquet(staging)
         new_rels = fs.list_data_files(spark, staging)
         fs.promote(spark, staging, path)
         fs.delete(spark, staging)
-        new_stats = _file_stats(spark, path, new_rels, schema, part_cols)
+        new_stats = _file_stats(
+            spark, path, new_rels, stage_schema, stage_parts
+        )
         return new_rels, [
             {
                 "add": {
                     "path": quote(rel, safe="/"),
-                    "partitionValues": _partition_values(rel, part_cols),
+                    "partitionValues": _partition_values(rel, stage_parts),
                     "size": _file_size(spark, fs.join(path, rel)),
                     "modificationTime": timestamp_ms,
                     "dataChange": True,
@@ -3137,19 +3467,25 @@ def delete_delta(
         matched.unpersist()
 
     # rewrite fallback: survivors of the touched files written without
-    # the matched keys (also purges any existing vectors on them)
+    # the matched keys (also purges any existing vectors on them);
+    # physical names/dirs/stats keys under column mapping
     survivors = _scan_adds(spark, path, meta, touched_adds).join(
         F.broadcast(key_rows), pk_cols, "left_anti"
     )
+    ctx = _write_mapping_ctx(meta)
+    if ctx:
+        survivors = _to_physical_df(survivors, ctx["logical"])
+    stage_schema = ctx["phys_schema"] if ctx else schema
+    stage_parts = ctx["phys_part_cols"] if ctx else part_cols
     staging = fs.join(path, f"_delete_{uuid.uuid4().hex}")
     writer = survivors.write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    if stage_parts:
+        writer = writer.partitionBy(*stage_parts)
     writer.parquet(staging)
     rels = fs.list_data_files(spark, staging)
     fs.promote(spark, staging, path)
     fs.delete(spark, staging)
-    del_stats = _file_stats(spark, path, rels, schema, part_cols)
+    del_stats = _file_stats(spark, path, rels, stage_schema, stage_parts)
     actions = [
         {
             "remove": {
@@ -3163,7 +3499,7 @@ def delete_delta(
         {
             "add": {
                 "path": quote(rel, safe="/"),
-                "partitionValues": _partition_values(rel, part_cols),
+                "partitionValues": _partition_values(rel, stage_parts),
                 "size": _file_size(spark, fs.join(path, rel)),
                 "modificationTime": timestamp_ms,
                 "dataChange": True,

@@ -4,8 +4,10 @@ committed schema's field metadata maps them to logical names. Reads
 resolve physical→logical (including nested fields and partition
 columns), stats-based skipping translates its probes, time travel
 across a RENAME resolves each version with its own metaData, and
-writes refuse (this writer emits logical-named files, which would
-corrupt the mapping). 'id' mode resolves by parquet FIELD ID through
+WRITES (r14) stage physical-named files with physical partition
+dirs/values and stats keys — append, MERGE, DELETE (vector and
+rewrite), OPTIMIZE, and mergeSchema evolution with fresh column-id
+allocation. 'id' mode resolves by parquet FIELD ID through
 Spark's field-id matcher (names are free to be junk); unknown/future
 modes stay refused — pinned in test_delta_table's protocol-enforcement
 test."""
@@ -20,8 +22,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from changedatacapture_reporting_spark.sources.delta_table import (
+    delete_delta,
     merge_delta,
     metadata_summary,
+    optimize_delta,
     read_delta,
     write_delta,
 )
@@ -266,16 +270,248 @@ def test_mapped_skip_equals_filter(spark, tmp_path):
     assert ms["id"] == (10, "0", "104")
 
 
-def test_mapped_table_writes_refuse(spark, tmp_path):
+def test_mapped_append_writes_physical_files(spark, tmp_path):
+    """'name'-mode WRITES (VERDICT r13 #3): an append of LOGICAL-named
+    rows stages PHYSICAL-named parquet (incl. nested fields), so the
+    table's real readers still resolve every column; this reader's own
+    read returns the logical union. Works at legacy (2,5) protocol."""
     base = str(tmp_path / "t")
     os.makedirs(base, exist_ok=True)
     add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
     _write_log(base, [[_PROTO_25, _meta(_mapped_schema()), add]])
-    logical_df = read_delta(spark, base)
-    with pytest.raises(ValueError, match="column mapping|minWriterVersion"):
-        write_delta(spark, logical_df, base)
-    with pytest.raises(ValueError, match="column mapping|minWriterVersion"):
-        merge_delta(spark, logical_df, base, ["id"])
+    newrow = spark.createDataFrame(
+        [(3, "c", (30, "z"))],
+        "id long, name string, nested struct<p:long, q:string>",
+    )
+    v = write_delta(spark, newrow, base, timestamp_ms=5)
+    assert v == 1
+    df = read_delta(spark, base)
+    rows = sorted(
+        (r["id"], r["name"], r["nested"]["p"], r["nested"]["q"])
+        for r in df.collect()
+    )
+    assert rows == [(1, "a", 10, "x"), (2, "b", 20, "y"),
+                    (3, "c", 30, "z")]
+    # the staged file itself carries PHYSICAL names — what the table's
+    # foreign readers resolve against
+    st = json.loads(
+        open(f"{base}/_delta_log/{1:020d}.json").read().splitlines()[0]
+    )
+    new_rel = st["add"]["path"]
+    raw = spark.read.parquet(os.path.join(base, new_rel))
+    assert sorted(raw.columns) == ["col-aaa", "col-bbb", "col-ccc"]
+    assert raw.schema["col-ccc"].dataType.fieldNames() == [
+        "p-phys", "q-phys",
+    ]
+    # stats keys are physical too
+    stats = json.loads(st["add"]["stats"])
+    assert set(stats["nullCount"]) == {"col-aaa", "col-bbb"}
+    # skip-read on the logical name prunes/filters correctly
+    got = sorted(
+        r["id"]
+        for r in read_delta(spark, base, skip=[("id", ">=", 3)]).collect()
+    )
+    assert got == [3]
+
+
+def test_mapped_merge_delete_optimize_roundtrip(spark, tmp_path):
+    """MERGE (rewrite + DV modes), DELETE, and OPTIMIZE on a mapped
+    table: every staged rewrite carries physical names, partitionValues
+    stay physical, and the logical row set tracks an unmapped oracle
+    table driven through identical operations."""
+    base = str(tmp_path / "t")
+    oracle = str(tmp_path / "o")
+    os.makedirs(base, exist_ok=True)
+    add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
+    _write_log(base, [[_PROTO_25, _meta(_mapped_schema()), add]])
+    logical = (
+        "id long, name string, nested struct<p:long, q:string>"
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", (10, "x")), (2, "b", (20, "y"))], logical
+        ),
+        oracle,
+    )
+
+    def rows(path):
+        return sorted(
+            (r["id"], r["name"], r["nested"]["p"], r["nested"]["q"])
+            for r in read_delta(spark, path).collect()
+        )
+
+    src = spark.createDataFrame(
+        [(2, "B!", (22, "yy")), (4, "d", (40, "w"))], logical
+    )
+    for p in (base, oracle):
+        res = merge_delta(spark, src, p, ["id"], timestamp_ms=7)
+        assert res["rows_upserted"] == 2, res
+    assert rows(base) == rows(oracle)
+
+    # vector delete (descriptor rides the mapped adds unchanged)
+    for p in (base, oracle):
+        delete_delta(
+            spark, p, spark.createDataFrame([(1,)], "id long"),
+            deletion_vectors=True, timestamp_ms=9,
+        )
+    assert rows(base) == rows(oracle)
+
+    # OPTIMIZE purges the vectors and rewrites physical-named files
+    for p in (base, oracle):
+        r = optimize_delta(spark, p, timestamp_ms=11)
+        assert r["version"] is not None
+    assert rows(base) == rows(oracle)
+    live = read_delta(spark, base)
+    assert sorted(r["id"] for r in live.collect()) == [2, 4]
+
+
+def test_mapped_merge_schema_evolution_allocates_ids(spark, tmp_path):
+    """mergeSchema on a mapped table: the new column (a STRUCT, so
+    nested fields too) gets fresh ``col-<uuid>`` physical names and
+    sequential ids above delta.columnMapping.maxColumnId, the config
+    bumps, pre-evolution files read NULL for it, and the staged file
+    carries the generated physical names."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
+    _write_log(base, [[_PROTO_25, _meta(_mapped_schema()), add]])
+    evolved = spark.createDataFrame(
+        [(5, "e", (50, "v"), (7.5, "lab"))],
+        "id long, name string, nested struct<p:long, q:string>, "
+        "extra struct<score:double, tag:string>",
+    )
+    v = write_delta(spark, evolved, base, merge_schema=True)
+    assert v == 1
+    df = read_delta(spark, base)
+    assert df.columns == ["id", "name", "nested", "extra"]
+    got = {
+        (r["id"], r["extra"]["score"] if r["extra"] else None)
+        for r in df.collect()
+    }
+    assert got == {(1, None), (2, None), (5, 7.5)}
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+    )
+
+    st = _resolve_log(spark, base, None)
+    schema = T.StructType.fromJson(
+        json.loads(st["meta"]["schemaString"])
+    )
+    extra = schema["extra"]
+    md = extra.metadata
+    assert md["delta.columnMapping.physicalName"].startswith("col-")
+    # maxColumnId was 9 (fixture): extra + 2 nested fields = 10, 11, 12
+    ids = [md["delta.columnMapping.id"]] + [
+        f.metadata["delta.columnMapping.id"]
+        for f in extra.dataType.fields
+    ]
+    assert sorted(ids) == [10, 11, 12]
+    assert st["meta"]["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "12"
+    # nested physical names landed in the staged parquet
+    commit = [
+        json.loads(line)
+        for line in open(
+            f"{base}/_delta_log/{1:020d}.json"
+        ).read().splitlines()
+    ]
+    rel = next(a["add"]["path"] for a in commit if a.get("add"))
+    raw = spark.read.parquet(os.path.join(base, rel))
+    phys_extra = md["delta.columnMapping.physicalName"]
+    assert phys_extra in raw.columns
+    assert all(
+        n.startswith("col-")
+        for n in raw.schema[phys_extra].dataType.fieldNames()
+    )
+    # a second append WITHOUT the evolved column still lands (omitted
+    # existing column semantics) and reads NULL there
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(6, "f", (60, "u"))],
+            "id long, name string, nested struct<p:long, q:string>",
+        ),
+        base,
+        merge_schema=True,
+    )
+    assert read_delta(spark, base).filter(F.col("id") == 6).collect()[
+        0
+    ]["extra"] is None
+
+
+def test_mapped_partitioned_write_physical_dirs(spark, tmp_path):
+    """Appends into a PARTITIONED mapped table: dirs and
+    add.partitionValues keys use the physical partition-column name."""
+    base = str(tmp_path / "t")
+    os.makedirs(base + "/col-ppp=us", exist_ok=True)
+    schema = T.StructType(
+        [
+            _field("id", T.LongType(), "col-aaa", 1),
+            _field("region", T.StringType(), "col-ppp", 2),
+        ]
+    )
+    pdf = spark.createDataFrame([(1,)], "`col-aaa` long")
+    a = _stage_file(spark, base, pdf, "col-ppp=us/f-us.parquet")
+    a["add"]["partitionValues"] = {"col-ppp": "us"}
+    _write_log(
+        base, [[_PROTO_25, _meta(schema, part_cols=["region"])] + [a]]
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(2, "eu"), (3, "us")],
+                              "id long, region string"),
+        base,
+        partition_by=["region"],
+    )
+    commit = [
+        json.loads(line)
+        for line in open(
+            f"{base}/_delta_log/{1:020d}.json"
+        ).read().splitlines()
+    ]
+    from urllib.parse import unquote
+
+    adds = [a["add"] for a in commit if a.get("add")]
+    # add.path is a percent-encoded relative URI per the protocol
+    assert all(
+        unquote(ad["path"]).startswith("col-ppp=") for ad in adds
+    )
+    assert all(set(ad["partitionValues"]) == {"col-ppp"} for ad in adds)
+    rows = sorted(
+        (r["id"], r["region"])
+        for r in read_delta(spark, base).collect()
+    )
+    assert rows == [(1, "us"), (2, "eu"), (3, "us")]
+    got = sorted(
+        r["id"]
+        for r in read_delta(
+            spark, base, skip=[("region", "=", "us")]
+        ).collect()
+    )
+    assert got == [1, 3]
+
+
+def test_id_mode_writes_still_refuse(spark, tmp_path):
+    """id mode stays read-only: this writer cannot stamp parquet field
+    ids, and a file without them is unreadable to id-mode readers."""
+    base = str(tmp_path / "t")
+    os.makedirs(base, exist_ok=True)
+    add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
+    meta = _meta(_mapped_schema())
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    _write_log(base, [[_PROTO_25, meta, add]])
+    with pytest.raises(ValueError, match="'id'"):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(3, "c", (30, "z"))],
+                "id long, name string, nested struct<p:long, q:string>",
+            ),
+            base,
+        )
 
 
 def test_id_mode_resolves_by_field_id_not_name(spark, tmp_path):

@@ -1267,13 +1267,14 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
 
     # reader-version-3 table with a feature this client does NOT
     # implement: read refused (deletionVectors/columnMapping are
-    # supported since r13 and live in their own test files)
+    # supported since r13, v2Checkpoint since r14 — each lives in its
+    # own test file)
     p1 = str(tmp_path / "p1")
     write_delta(spark, mk(), p1)
     rewrite_v0(p1, protocol={
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["v2Checkpoint"],
-        "writerFeatures": ["v2Checkpoint"],
+        "readerFeatures": ["someFutureFeature"],
+        "writerFeatures": ["someFutureFeature"],
     })
     with pytest.raises(ValueError, match="reader features"):
         read_delta(spark, p1)
@@ -1308,16 +1309,48 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
     with pytest.raises(ValueError, match="column mapping"):
         read_delta(spark, p2b)
 
-    # writer-advanced table: READ is fine, any WRITE is refused
+    # writer-advanced table USING a feature this writer lacks: READ is
+    # fine, any WRITE refused. Legacy writer versions imply features by
+    # NUMBER (r14: CDF/generated/identity/constraints are detected in
+    # the metaData) — a table that provably uses none of them accepts
+    # the write, which is what makes (2,5) column-mapped tables
+    # writable at all.
     p3 = str(tmp_path / "p3")
     write_delta(spark, mk(), p3)
-    rewrite_v0(p3, protocol={"minReaderVersion": 1, "minWriterVersion": 4})
+    rewrite_v0(
+        p3,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 4},
+        config={"delta.enableChangeDataFeed": "true"},
+    )
     assert _rows(read_delta(spark, p3)) == {(1, "a")}
-    with pytest.raises(ValueError, match="minWriterVersion"):
+    with pytest.raises(ValueError, match="change data feed"):
         write_delta(spark, mk(), p3)
     src = spark.createDataFrame([(1, "z")], "id long, v string")
-    with pytest.raises(ValueError, match="minWriterVersion"):
+    with pytest.raises(ValueError, match="change data feed"):
         merge_delta(spark, src, p3, ["id"])
+
+    # CHECK constraints refuse the same way
+    p3a = str(tmp_path / "p3a")
+    write_delta(spark, mk(), p3a)
+    rewrite_v0(
+        p3a,
+        protocol={"minReaderVersion": 1, "minWriterVersion": 3},
+        config={"delta.constraints.chk1": "id > 0"},
+    )
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        write_delta(spark, mk(), p3a)
+
+    # a bare writer-advanced table with NO used features accepts the
+    # append; versions beyond 6 always refuse
+    p3b = str(tmp_path / "p3b")
+    write_delta(spark, mk(), p3b)
+    rewrite_v0(p3b, protocol={"minReaderVersion": 1, "minWriterVersion": 4})
+    assert write_delta(spark, mk(), p3b) == 1
+    p3c = str(tmp_path / "p3c")
+    write_delta(spark, mk(), p3c)
+    rewrite_v0(p3c, protocol={"minReaderVersion": 1, "minWriterVersion": 8})
+    with pytest.raises(ValueError, match="minWriterVersion"):
+        write_delta(spark, mk(), p3c)
 
 
 def test_txn_exactly_once_append(spark, tmp_path):
@@ -1481,7 +1514,11 @@ def test_checkpoint_preserves_writer_advanced_protocol(spark, tmp_path):
     for line in _fs.read_text(spark, os.path.join(log, cname)).splitlines():
         d = _json.loads(line)
         if "protocol" in d:
-            d["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 4}
+            d["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["someFutureFeature"],
+            }
         out.append(_json.dumps(d))
     os.remove(os.path.join(log, cname))
     crc = os.path.join(log, f".{cname}.crc")
@@ -1495,8 +1532,9 @@ def test_checkpoint_preserves_writer_advanced_protocol(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
     state = _resolve_log(spark, path, None)
-    assert state["protocol"]["minWriterVersion"] == 4
-    with pytest.raises(ValueError, match="minWriterVersion"):
+    assert state["protocol"]["minWriterVersion"] == 7
+    assert state["protocol"]["writerFeatures"] == ["someFutureFeature"]
+    with pytest.raises(ValueError, match="writer features"):
         write_delta(
             spark, spark.createDataFrame([(2, "b")], "id long, v string"),
             path,
