@@ -591,6 +591,42 @@ _SQL_FORGET = (
 )
 
 
+def _q_forget_keys_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the DELTA-format changelog sink
+    (VERDICT r13 #7, operators.forget._purge_keys_from_delta_sink):
+    populate with ``sink_format='delta'``, erase keys ``k % 50 == 3``
+    through the SAME purge_keys_from_sink entry point — which routes to
+    vector DELETE + targeted OPTIMIZE — then vacuum down to the live
+    version so the purged values physically leave the disk. The read
+    back must equal the full-changelog oracle minus every trace of the
+    purged keys, identical to the parquet sink's proof."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.operators.forget import (
+        purge_keys_from_sink,
+    )
+    from changedatacapture_reporting_spark.operators.populate import (
+        populate_changelog,
+    )
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        vacuum_delta,
+    )
+
+    ev = simulate_cdc_events(spark, sf_dir)
+    sink = tempfile.mkdtemp(prefix="forget_delta_") + "/sink"
+    populate_changelog(
+        spark, ev, sink, SIM_PK,
+        maintain_rollup=False, sink_format="delta",
+    )
+    k = F.coalesce(F.col("after.o_orderkey"), F.col("before.o_orderkey"))
+    keys = ev.select(k.alias("o_orderkey")).filter(k % 50 == 3).distinct()
+    res = purge_keys_from_sink(spark, sink, keys, SIM_PK)
+    assert res["rows_purged"] > 0 and res["files_rewritten"] > 0, res
+    vacuum_delta(spark, sink, retain_versions=1, orphan_min_age_minutes=0)
+    return read_delta(spark, sink).select(*CHANGELOG_OUT)
+
+
 def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capture-instance schema evolution
     (operators.schema_evolution.align_cdc_schemas): the simulated stream
@@ -2736,6 +2772,7 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_kafka_roundtrip": (_q_kafka_roundtrip, _SQL_CHANGELOG_FULL),
     "cdc_schema_evolution": (_q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "cdc_forget_keys": (_q_forget_keys, _SQL_FORGET),
+    "cdc_forget_keys_delta": (_q_forget_keys_delta, _SQL_FORGET),
     "cdc_backfill_gap": (_q_backfill_gap, _SQL_CHANGELOG_FULL),
     "cdc_row_history": (_q_row_history, _SQL_ROW_HISTORY),
     "cdc_net_changes": (_q_net_changes, _SQL_NET_CHANGES),
@@ -2777,63 +2814,62 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 
 # The driver's correctness gate checks roughly the FIRST 50 registry
 # entries; rotation is derived by tools/window_rotation.py from the
-# CORRECTNESS_r*.json ledger. r13: the two NEW interop entries lead
-# (never driver-checked), then the 22-entry r9-stale cohort (incl.
-# corpus_quality_buckets, displaced from the r12 window), then the
-# stalest r10 names — after this round nothing in the 166-entry
-# registry is staler than r10.
+# CORRECTNESS_r*.json ledger (see the r14 note inside the list).
 _CHECK_WINDOW: list[str] = [
-    # r13 window from tools/window_rotation.py --propose
-    "delta_foreign_dv",
-    "delta_column_mapping",
-    "cdc_populate_delta_sink",
-    "corpus_quality_buckets",
-    "corpus_sampled_mix",
-    "corpus_token_freq_scores",
-    "dedup_cluster_representatives",
-    "dedup_embedding_incremental",
-    "dedup_incremental_batch",
-    "dq_scd2_validate",
-    "events_cohort_retention",
-    "events_distinct_sketch_rollup",
-    "events_funnel",
-    "layout_zorder_events",
-    "profile_join_cardinality",
-    "profile_key_skew",
-    "profile_lineitem_correlations",
-    "streaming_dedup_keys",
-    "streaming_enriched_segments",
-    "streaming_interval_join",
-    "text_mixed_language",
-    "text_normalization",
-    "text_pii_redaction",
-    "text_repetition_scores",
-    "text_sentiment_scores",
-    "ann_topk_ivfpq_residual",
-    "ann_topk_lsh",
-    "ann_topk_pq",
-    "cdc_backfill_gap",
-    "cdc_changelog_compacted",
-    "cdc_changelog_join_path",
-    "cdc_freshness",
-    "cdc_query_window",
-    "cdc_scd2_history",
-    "cdc_scd2_incremental",
-    "cdc_schema_evolution",
-    "cdc_snapshot_diff",
-    "corpus_bpe_merges",
-    "corpus_shard_stats",
-    "corpus_tfidf_terms",
-    "customers_without_orders",
-    "dedup_clusters",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_quantization",
-    "events_tumbling_5min",
-    "multimodal_blob_metadata",
-    "multimodal_features",
+    # r14 window from tools/window_rotation.py --propose: the three
+    # NEW interop entries lead (never driver-checked), then the
+    # 15-entry r10-stale cohort, then the oldest r11 names — after this
+    # round nothing in the 170-entry registry is staler than r11.
+    "cdc_forget_keys_delta",
+    "delta_v2_checkpoint",
+    "delta_mapped_writes",
+    "multimodal_frame_sample",
+    "order_gaps",
+    "order_priority_stats",
+    "part_price_ranks",
+    "percentile_spend",
+    "q11_important_parts",
+    "q12_shipping_latency",
+    "q16_supplier_count_by_part",
+    "q20_excess_suppliers",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "streaming_apply_state",
+    "streaming_current_state",
+    "text_langid",
+    "text_quality_scores",
+    "text_token_stats",
+    "above_customer_avg_orders",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "approx_distinct_stats",
+    "asof_signup_attribution",
+    "cdc_changelog_full",
+    "cdc_daily_series",
+    "cdc_drift_report",
+    "cdc_forget_keys",
+    "cdc_from_delta_snapshots",
+    "cdc_incremental_agg",
+    "cdc_incremental_resume",
+    "cdc_kafka_roundtrip",
+    "cdc_pk_change_events",
+    "cdc_reconstruct_series",
+    "cdc_reconstruct_state",
+    "cdc_watermark_bounds",
+    "corpus_boilerplate_scores",
+    "corpus_lm_surprisal",
+    "corpus_pack_bfd",
+    "corpus_pack_sequences",
+    "corpus_pps_sample",
+    "corpus_prepare",
+    "cube_lineitem_counts",
+    "customers_with_urgent_orders",
+    "dedup_embedding_neardup",
+    "delta_merge_upsert",
+    "delta_metadata_summary",
+    "delta_optimize_roundtrip",
+    "delta_table_roundtrip",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -61,6 +61,18 @@ def purge_keys_from_sink(
     files), healed from either side by ``recover_sink`` — which runs
     first, so a crashed previous purge/compaction completes before this
     one measures anything.
+
+    A ``sink_format='delta'`` sink (``populate_changelog``'s Delta
+    twin) is detected by its ``_delta_log`` and routed through the
+    table format's own machinery instead (VERDICT r13 #7):
+    ``delete_delta(deletion_vectors=True)`` marks the keys' rows dead
+    without rewriting untouched bytes, an immediate targeted
+    ``optimize_delta`` rewrites ONLY the vector-bearing files so the
+    VALUES physically leave the live file set, and the caller's
+    ``vacuum_delta(retain_versions=1)`` reclaims the superseded files —
+    erasure is complete once vacuum runs (until then the old versions
+    remain time-travelable, which a GDPR workflow must follow with the
+    vacuum; the same is true of any Delta engine's DELETE).
     """
     from changedatacapture_reporting_spark.operators.populate import (
         REPLACE_MARKER,
@@ -69,6 +81,9 @@ def purge_keys_from_sink(
         recover_sink,
         sink_write_options,
     )
+
+    if fs.exists(spark, fs.join(sink_path, "_delta_log")):
+        return _purge_keys_from_delta_sink(spark, sink_path, keys, pk_cols)
 
     recover_sink(spark, sink_path)
     key_rows = keys.select(*pk_cols)
@@ -153,3 +168,63 @@ def purge_keys_from_sink(
         }
     finally:
         tagged.unpersist()
+
+
+def _purge_keys_from_delta_sink(
+    spark: SparkSession,
+    sink_path: str,
+    keys: DataFrame,
+    pk_cols: list[str],
+) -> dict[str, int]:
+    """Delta-format twin of the parquet purge: vector DELETE (write
+    amplification ∝ deleted rows — the discovery scan is key +
+    row-position metadata only) followed by a TARGETED OPTIMIZE
+    (``target_file_bytes=0`` compacts nothing except the files now
+    carrying vectors), so the purged values leave the live file set in
+    two commits and untouched files survive by name. Same result shape
+    and idempotence as the parquet path; crash between the two commits
+    is safe (the vectors already hide every purged row — a re-run's
+    delete matches nothing and the optimize still folds the vectors)."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+        delete_delta,
+        optimize_delta,
+    )
+
+    res = delete_delta(
+        spark,
+        sink_path,
+        keys.select(*pk_cols).distinct(),
+        deletion_vectors=True,
+    )
+    # fold any vectors into clean files — including a crashed previous
+    # purge's (version None = nothing newly matched, but vectors may
+    # still be pending fold)
+    opt = optimize_delta(spark, sink_path, target_file_bytes=0)
+    if res["version"] is None and opt["version"] is None:
+        return {
+            "files_rewritten": 0,
+            "rows_purged": 0,
+            "partitions_touched": 0,
+        }
+    # touched files/partitions from the delete commit's metadata (log
+    # replay only — no data read): everything whose add changed or left
+    if res["version"] is not None:
+        before = _resolve_log(spark, sink_path, res["version"] - 1)["files"]
+        after = _resolve_log(spark, sink_path, res["version"])["files"]
+        touched = [
+            a
+            for p, a in before.items()
+            if p not in after or after[p] != a
+        ]
+    else:
+        touched = []
+    parts = {
+        tuple(sorted((a.get("partitionValues") or {}).items()))
+        for a in touched
+    }
+    return {
+        "files_rewritten": len(touched),
+        "rows_purged": int(res["rows_deleted"]),
+        "partitions_touched": len(parts),
+    }

@@ -2916,7 +2916,14 @@ def optimize_delta(
         ):
             continue  # one small clean file gains nothing from a rewrite
         total = sum(int(a.get("size") or 0) for a in small)
-        n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+        # target 0 = "fold vectors only, never coalesce" (the purge
+        # path): every group still rewrites 1:1-sized
+        n_out = max(
+            1,
+            (total + target_file_bytes - 1) // target_file_bytes
+            if target_file_bytes > 0
+            else len(small),
+        )
         # hive dir of the group (committed paths all share it)
         part_dir = "/".join(unquote(small[0]["path"]).split("/")[:-1])
         staging = fs.join(path, f"_optimize_{uuid.uuid4().hex}")
