@@ -138,6 +138,31 @@ def main() -> None:
             }
         )
     )
+    # Committed per-query record (VERDICT r13 #5): the driver's
+    # BENCH_r*.json keeps only a ~2000-char tail, which amputates the
+    # per-query timings — append the FULL line to bench_history.jsonl
+    # in the repo so every round's per-entry numbers stay auditable
+    # from the repo alone. One line per run; the round tag comes from
+    # SPARK_GRAFT_ROUND when the driver sets it, else "adhoc".
+    try:
+        rec = {
+            "round": os.environ.get("SPARK_GRAFT_ROUND", "adhoc"),
+            "order": "fixed-headline",
+            **{
+                k: out[k]
+                for k in ("metric", "value", "unit", "sf", "queries")
+            },
+            "steal_pct": out["env"]["steal_pct_during_run"],
+            "n_errors": len(errors),
+        }
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".",
+                         "bench_history.jsonl"),
+            "a",
+        ) as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 def _overrides() -> dict:
