@@ -1193,6 +1193,68 @@ WHERE o_orderpriority >= '3'
 """
 
 
+def _q_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-level Change Data Feed (sources.delta_table
+    read_delta_cdf — public Delta PROTOCOL.md "Add CDC File" / "Change
+    Data Files"): a three-commit table (append; vector DELETE of
+    k%7==0; append of a shifted subset) read back as CDF rows. The
+    vector-delete commit must feed EXACTLY its newly-masked rows (the
+    vector-delta refinement — a whole-file derivation would emit
+    survivor churn and fail the hash), appends derive as inserts, and
+    _commit_version stamps each row with its commit."""
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="delta_cdf_") + "/orders_delta"
+    write_delta(spark, orders.repartition(4, "o_orderkey"), path)
+    res = delete_delta(
+        spark, path,
+        orders.filter(k % 7 == 0).select("o_orderkey"),
+        deletion_vectors=True,
+    )
+    assert res["files_rewritten"] == 0, res  # vectors, not rewrites
+    write_delta(
+        spark,
+        orders.filter(k % 19 == 0).select(
+            (k + 50000000).alias("o_orderkey"),
+            F.lit("X-CDF").alias("o_orderpriority"),
+            F.col("o_orderstatus"),
+        ),
+        path,
+    )
+    return read_delta_cdf(spark, path, 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "_change_type",
+        "_commit_version",
+    )
+
+
+_SQL_DELTA_CHANGE_FEED = """
+SELECT o_orderkey, o_orderpriority,
+       'insert' AS _change_type, 0 AS _commit_version
+FROM orders
+UNION ALL
+SELECT o_orderkey, o_orderpriority,
+       'delete' AS _change_type, 1 AS _commit_version
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey + 50000000 AS o_orderkey,
+       'X-CDF' AS o_orderpriority,
+       'insert' AS _change_type, 2 AS _commit_version
+FROM orders WHERE o_orderkey % 19 = 0
+"""
+
+
 def _q_delta_mapped_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITES to a column-mapped ('name' mode) table (VERDICT r13 #3,
     sources.delta_table): a FOREIGN mapped table (physical col-1..col-3
@@ -2806,6 +2868,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
         _q_delta_mapped_writes,
         _SQL_DELTA_MAPPED_WRITES,
     ),
+    "delta_change_feed": (
+        _q_delta_change_feed,
+        _SQL_DELTA_CHANGE_FEED,
+    ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
@@ -2816,13 +2882,14 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries; rotation is derived by tools/window_rotation.py from the
 # CORRECTNESS_r*.json ledger (see the r14 note inside the list).
 _CHECK_WINDOW: list[str] = [
-    # r14 window from tools/window_rotation.py --propose: the three
-    # NEW interop entries lead (never driver-checked), then the
-    # 15-entry r10-stale cohort, then the oldest r11 names — after this
-    # round nothing in the 170-entry registry is staler than r11.
+    # r14 window from tools/window_rotation.py --propose: the four NEW
+    # interop entries lead (never driver-checked), then the 15-entry
+    # r10-stale cohort, then the oldest r11 names — after this round
+    # nothing in the 171-entry registry is staler than r11.
     "cdc_forget_keys_delta",
     "delta_v2_checkpoint",
     "delta_mapped_writes",
+    "delta_change_feed",
     "multimodal_frame_sample",
     "order_gaps",
     "order_priority_stats",
@@ -2869,7 +2936,6 @@ _CHECK_WINDOW: list[str] = [
     "delta_merge_upsert",
     "delta_metadata_summary",
     "delta_optimize_roundtrip",
-    "delta_table_roundtrip",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -3766,6 +3766,212 @@ def _commit_timestamp_ms(spark: SparkSession, path: str, version: int) -> int:
     return ts
 
 
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int = 0,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed rows straight from the transaction log — the
+    protocol-level ``table_changes()`` (public Delta PROTOCOL.md,
+    "Add CDC File" + "Change Data Files"), no delta-spark jar. Returns
+    the table columns (LOGICAL names — column mapping unmaps) plus the
+    CDF convention columns ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp``, ready for
+    :func:`sources.delta_cdf.cdf_rows_to_events`.
+
+    Per commit in ``[from_version, to_version]`` (inclusive start —
+    Delta's ``startingVersion`` convention):
+
+    - commits carrying ``cdc`` actions (what CDF-enabled foreign
+      writers emit for updates/deletes/merges): their
+      ``_change_data/`` parquet files ARE the change record — one
+      schema-pinned scan with ``_change_type`` appended to the
+      committed schema (physical names under column mapping).
+    - otherwise the spec's derivation rule: ``add`` with
+      dataChange=true → ``insert`` rows (the file's LIVE rows — a
+      vector on the add is applied); ``remove`` with dataChange=true →
+      ``delete`` rows, read from the file as it was live BEFORE the
+      commit (its prior vector applied). A remove+add of the SAME path
+      (this engine's deletion-vector swap) is refined beyond the naive
+      rule: only the VECTOR DELTA is emitted (new-minus-old masked
+      row positions → deletes; old-minus-new → re-inserts), so a DV
+      DELETE feeds exactly its deleted rows instead of whole-file
+      delete+insert churn.
+
+    Requires each version's commit JSON (refuses when expired behind a
+    checkpoint — change feeds need the per-commit action record, same
+    refusal real engines make) and, for derivation, the removed files
+    still on disk (vacuum bounds CDF retention, as everywhere).
+    Schema evolution across the range unions by name (added columns
+    read NULL before they existed)."""
+    all_versions = table_versions(spark, path)
+    if not all_versions:
+        raise ValueError(f"not a Delta table (no commits): {path}")
+    latest = all_versions[-1]
+    hi = latest if to_version is None else min(to_version, latest)
+    # every commit in the REQUESTED range must still have its json —
+    # versions are contiguous from 0, so a gap means log cleanup ate it
+    versions = list(range(max(from_version, 0), hi + 1))
+    json_set = set(_json_versions(spark, path))
+    missing = [v for v in versions if v not in json_set]
+    if missing:
+        raise ValueError(
+            f"change feed needs the commit json for versions {missing} "
+            "— expired behind a checkpoint; change-feed retention is "
+            "bounded by log retention"
+        )
+    log = _log_path(path)
+    # state BEFORE the first requested version (for per-file prior DVs
+    # and pre-commit live sets). When that version is unreachable
+    # (expired behind a checkpoint AT the first requested version),
+    # fall back to the post-commit state — derivation of that first
+    # version then works for adds-only/cdc commits and refuses for
+    # remove-bearing ones (their delete rows need the expired state).
+    first_unknown = False
+    if from_version > 0:
+        try:
+            state = _resolve_log(spark, path, from_version - 1)
+        except ValueError:
+            state = _resolve_log(spark, path, from_version)
+            first_unknown = True
+    else:
+        state = {
+            "meta": None, "files": {}, "version": -1, "protocol": None,
+            "txns": {}, "add_cols": {},
+        }
+    pieces: list[DataFrame] = []
+    for v in versions:
+        actions = [
+            json.loads(line)
+            for line in fs.read_text(
+                spark, fs.join(log, _commit_name(v))
+            ).splitlines()
+            if line.strip()
+        ]
+        if first_unknown and v == from_version:
+            files_before = None  # pre-commit state expired
+        else:
+            files_before = dict(state["files"])
+            for a in actions:
+                _apply_action(state, a)
+        meta = state["meta"]
+        ts_ms = _commit_timestamp_ms(spark, path, v)
+
+        def _stamp(df: DataFrame, change_type: str | None) -> DataFrame:
+            if change_type is not None:
+                df = df.withColumn("_change_type", F.lit(change_type))
+            return df.withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            ).withColumn(
+                "_commit_timestamp", F.timestamp_millis(F.lit(ts_ms))
+            )
+
+        cdc_files = [a["cdc"] for a in actions if a.get("cdc")]
+        if cdc_files:
+            # the cdc action shape matches add's (path/partitionValues/
+            # size); scan with the committed schema + _change_type —
+            # _change_type carries no mapping metadata so it keeps its
+            # name under column mapping, per the convention
+            schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            cdc_meta = dict(meta)
+            cdc_meta["schemaString"] = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_change_type", T.StringType())]
+            ).json()
+            pieces.append(
+                _stamp(
+                    _scan_adds_raw(spark, path, cdc_meta, cdc_files),
+                    None,
+                )
+            )
+            continue
+        adds_dc = {
+            a["add"]["path"]: a["add"]
+            for a in actions
+            if a.get("add") and a["add"].get("dataChange")
+        }
+        removes_dc = {
+            a["remove"]["path"]: a["remove"]
+            for a in actions
+            if a.get("remove") and a["remove"].get("dataChange")
+        }
+        if files_before is None:
+            if removes_dc:
+                raise ValueError(
+                    f"change feed cannot derive version {v}'s delete "
+                    "rows: its pre-commit file set expired behind a "
+                    "checkpoint — start the feed at a later version or "
+                    "before the checkpoint horizon"
+                )
+            files_before = {}
+        paired = [
+            p for p in adds_dc if p in removes_dc and p in files_before
+        ]
+        plain_adds = [
+            a for p, a in adds_dc.items() if p not in removes_dc
+        ]
+        plain_removed = [
+            files_before[p]
+            for p in removes_dc
+            if p not in adds_dc and p in files_before
+        ]
+        if plain_adds:
+            pieces.append(
+                _stamp(
+                    _scan_adds(spark, path, meta, plain_adds), "insert"
+                )
+            )
+        if plain_removed:
+            pieces.append(
+                _stamp(
+                    _scan_adds(spark, path, meta, plain_removed),
+                    "delete",
+                )
+            )
+        for p in paired:
+            old_add, new_add = files_before[p], adds_dc[p]
+            old_dv = _dv_entries(
+                spark, path, [old_add] if _dv_of(old_add) else []
+            )
+            new_dv = _dv_entries(
+                spark, path, [new_add] if _dv_of(new_add) else []
+            )
+            raw = _scan_adds(
+                spark, path, meta, [dict(new_add, deletionVector=None)],
+                with_rowpos=True,
+            )
+            for delta_df, ctype in (
+                (new_dv.exceptAll(old_dv), "delete"),
+                (old_dv.exceptAll(new_dv), "insert"),
+            ):
+                sel = raw.join(
+                    delta_df.select(
+                        F.col("path").alias("_dv_key"),
+                        F.col("row_index").alias("_dv_idx"),
+                    ),
+                    (raw["_pos_key"] == F.col("_dv_key"))
+                    & (raw["_pos_idx"] == F.col("_dv_idx")),
+                    "left_semi",
+                ).drop("_pos_key", "_pos_idx")
+                pieces.append(_stamp(sel, ctype))
+    if not pieces:
+        base = read_delta(spark, path)
+        return (
+            base.withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+            .withColumn(
+                "_commit_timestamp",
+                F.lit(None).cast("timestamp"),
+            )
+            .limit(0)
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def delta_version_events(
     spark: SparkSession,
     path: str,
