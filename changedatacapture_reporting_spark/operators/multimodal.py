@@ -61,12 +61,46 @@ def _decode_png_features(payload: bytes) -> list[float]:
     ).tolist()
 
 
+def _decode_gif_features(payload: bytes) -> list[float]:
+    """REAL decode for GIF payloads (stdlib codec, operators.gifcodec):
+    first composited frame → luminance → FEATURE_DIM strip, the same
+    feature convention as the PNG path."""
+    import numpy as np
+
+    from changedatacapture_reporting_spark.operators import (
+        gifcodec,
+        pngcodec,
+    )
+
+    grey = pngcodec.to_grey(gifcodec.decode(payload))
+    strip = pngcodec.resize_nearest(grey, FEATURE_DIM, 1)
+    return (
+        strip.reshape(-1).astype("float32") / np.float32(255.0)
+    ).tolist()
+
+
+def _decode_wav_features(payload: bytes) -> list[float]:
+    """REAL decode for WAV payloads (stdlib codec, operators.wavcodec):
+    PCM samples → [rms, zero-crossing rate, spectral band energies]."""
+    from changedatacapture_reporting_spark.operators import wavcodec
+
+    samples, rate = wavcodec.decode(payload)
+    return wavcodec.features(samples, rate, FEATURE_DIM)
+
+
 def _make_decoder():
-    """Capability probe, best-real-decoder-first: PIL when importable
-    (every format), else the stdlib PNG codec for PNG payloads
-    (operators.pngcodec — real pixels, no external lib), else the
-    deterministic byte-histogram stand-in. Returned as a closure so the
-    probe runs once per Python worker, not once per batch."""
+    """Capability probe, best-real-decoder-first: the stdlib codecs for
+    the formats they pin exactly — WAV audio (operators.wavcodec), PNG
+    and GIF pixels (operators.pngcodec / gifcodec) — then PIL when
+    importable (any other image format), then the deterministic
+    byte-histogram stand-in. Returned as a closure so the probe runs
+    once per Python worker, not once per batch."""
+    from changedatacapture_reporting_spark.operators import (
+        gifcodec,
+        pngcodec,
+        wavcodec,
+    )
+
     try:
         import io
 
@@ -74,6 +108,11 @@ def _make_decoder():
         from PIL import Image
 
         def _decode_pil(payload: bytes) -> list[float]:
+            if wavcodec.is_wav(payload):  # PIL does images, not audio
+                try:
+                    return _decode_wav_features(payload)
+                except Exception:
+                    return _decode_fake(payload)
             try:
                 img = Image.open(io.BytesIO(payload)).convert("L")
             except Exception:
@@ -89,14 +128,16 @@ def _make_decoder():
     except ImportError:
         pass
 
-    from changedatacapture_reporting_spark.operators import pngcodec
-
     def _decode_stdlib(payload: bytes) -> list[float]:
-        if pngcodec.is_png(payload):
-            try:
+        try:
+            if pngcodec.is_png(payload):
                 return _decode_png_features(payload)
-            except Exception:
-                return _decode_fake(payload)  # corrupt/out-of-scope PNG
+            if gifcodec.is_gif(payload):
+                return _decode_gif_features(payload)
+            if wavcodec.is_wav(payload):
+                return _decode_wav_features(payload)
+        except Exception:
+            pass  # corrupt/out-of-scope payload — stand-in, never a guess
         return _decode_fake(payload)
 
     return _decode_stdlib
@@ -249,9 +290,14 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling over Arrow batches: 1 input row → N output
     rows (every ``every_nth`` frame), the row-expanding mapInPandas shape
-    a video pipeline needs (ffmpeg absent — a "frame" is a
-    ``frame_bytes``-sized chunk of the payload; the real decoder slots
-    into ``_frames`` without touching the Spark plumbing).
+    a video pipeline needs.
+
+    REAL path (r14): an animated GIF payload decodes to its composited
+    frames (stdlib operators.gifcodec), each sampled frame re-encoded
+    as a PNG via operators.pngcodec — real pixels end to end, no media
+    libs. Everything else keeps the deterministic stand-in (a "frame"
+    is a ``frame_bytes``-sized chunk of the payload; ffmpeg-class
+    container decode stays out of scope).
 
     Output stays partition-local (no shuffle); downstream per-frame
     feature extraction chains another mapInPandas on the same partitions.
@@ -260,7 +306,22 @@ def sample_frames(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from changedatacapture_reporting_spark.operators import (
+            gifcodec,
+            pngcodec,
+        )
+
         def _frames(payload: bytes) -> list[tuple[int, bytes]]:
+            if gifcodec.is_gif(payload):
+                try:
+                    decoded = gifcodec.decode_frames(payload)
+                    return [
+                        (i, pngcodec.encode(f))
+                        for i, f in enumerate(decoded)
+                        if i % every_nth == 0
+                    ]
+                except Exception:
+                    pass  # out-of-scope GIF — stand-in, never a guess
             chunks = [
                 payload[i : i + frame_bytes]
                 for i in range(0, len(payload), frame_bytes)
