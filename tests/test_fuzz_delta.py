@@ -64,8 +64,88 @@ def _model_rows(model: dict) -> set:
     return {r for rows in model.values() for r in rows}
 
 
+def _mapped_genesis(spark, path, rows0, part):
+    """Hand-built 'name'-mapped v0 (physical m-* column names) holding
+    ``rows0`` — the fuzz walk then drives every op through the mapped
+    write paths."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    phys = spark.createDataFrame(
+        rows0, "`m-id` long, `m-grp` int, `m-v` string"
+    )
+    stage = path + "/_stage"
+    w = phys.write.mode("overwrite")
+    if part:
+        w = w.partitionBy("m-grp")
+    w.parquet(stage)
+    os.makedirs(path + "/_delta_log", exist_ok=True)
+    adds = []
+    from changedatacapture_reporting_spark import fs as _fs
+
+    for rel in _fs.list_data_files(spark, stage):
+        dest_rel = rel  # keep hive dirs (physical names already)
+        full = os.path.join(path, dest_rel)
+        os.makedirs(os.path.dirname(full) or path, exist_ok=True)
+        os.replace(os.path.join(stage, rel), full)
+        pv = {}
+        for seg in dest_rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                pv[k] = v
+        adds.append(
+            {
+                "add": {
+                    "path": dest_rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(full),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    import shutil
+
+    shutil.rmtree(stage)
+
+    def fld(name, dt_, phys_name, cid):
+        return T.StructField(
+            name, dt_, True,
+            {"delta.columnMapping.physicalName": phys_name,
+             "delta.columnMapping.id": cid},
+        )
+
+    schema = T.StructType(
+        [
+            fld("id", T.LongType(), "m-id", 1),
+            fld("grp", T.IntegerType(), "m-grp", 2),
+            fld("v", T.StringType(), "m-v", 3),
+        ]
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "t-fuzz-mapped",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": ["grp"] if part else [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }
+        },
+    ] + adds
+    with open(f"{path}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in actions) + "\n")
+
+
+@pytest.mark.parametrize("mapped", [False, True])
 @pytest.mark.parametrize("seed", SEEDS)
-def test_fuzz_delta_log_replay(spark, tmp_path, seed):
+def test_fuzz_delta_log_replay(spark, tmp_path, seed, mapped):
     import random
 
     rng = random.Random(seed)
@@ -74,7 +154,12 @@ def test_fuzz_delta_log_replay(spark, tmp_path, seed):
     partitioned = rng.random() < 0.5
     part = ["grp"] if partitioned else []
     rows0 = [(i, i % 3, f"s{seed}_{i}") for i in range(rng.randint(1, 6))]
-    write_delta(spark, _mk(spark, rows0), path, partition_by=part)
+    if mapped:
+        # same walk, but over a column-mapped ('name' mode) table: every
+        # op below exercises the physical-translation write paths (r14)
+        _mapped_genesis(spark, path, rows0, part)
+    else:
+        write_delta(spark, _mk(spark, rows0), path, partition_by=part)
     model = _apply_model({}, "append", rows0)
     versions = {0: _model_rows(model)}
     next_id = 100
