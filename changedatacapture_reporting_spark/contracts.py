@@ -1255,6 +1255,98 @@ FROM orders WHERE o_orderkey % 19 = 0
 """
 
 
+def _q_delta_cdf_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed WRITES (sources.delta_table _stage_cdc — public
+    Delta PROTOCOL.md "Add CDC File"): a table configured
+    ``delta.enableChangeDataFeed=true`` takes one MERGE carrying all
+    three legs (updates k%9, deletes k%13==2, inserts shifted k%23);
+    the writer must emit the ``_change_data`` record — pre/postimage
+    pairs for updates, value rows for deletes, insert rows — and
+    read_delta_cdf must return it as the authoritative feed (the hash
+    fails if derivation ran instead: derivation can't produce
+    update_preimage rows at all)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from changedatacapture_reporting_spark import fs
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        merge_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="delta_cdfw_") + "/orders_delta"
+    write_delta(spark, orders.repartition(4, "o_orderkey"), path)
+    # flip the CDF config in commit 0 (a real CDF table carries it
+    # from creation; this writer creates unconfigured tables)
+    log = os.path.join(path, "_delta_log")
+    cname = f"{0:020d}.json"
+    lines = []
+    for line in fs.read_text(spark, os.path.join(log, cname)).splitlines():
+        d = _json.loads(line)
+        if d.get("metaData"):
+            d["metaData"]["configuration"] = {
+                "delta.enableChangeDataFeed": "true"
+            }
+        lines.append(_json.dumps(d))
+    os.remove(os.path.join(log, cname))
+    fs.write_text(
+        spark, os.path.join(log, cname), "\n".join(lines) + "\n"
+    )
+
+    updates = orders.filter((k % 9 == 0) & (k % 13 != 2)).select(
+        "o_orderkey",
+        F.lit("X-UPD").alias("o_orderpriority"),
+        "o_orderstatus",
+        F.lit(False).alias("_del"),
+    )
+    deletes = orders.filter(k % 13 == 2).select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus",
+        F.lit(True).alias("_del"),
+    )
+    inserts = orders.filter(k % 23 == 0).select(
+        (k + 30000000).alias("o_orderkey"),
+        F.lit("X-NEW").alias("o_orderpriority"),
+        F.col("o_orderstatus"),
+        F.lit(False).alias("_del"),
+    )
+    res = merge_delta(
+        spark,
+        updates.unionByName(deletes).unionByName(inserts),
+        path,
+        ["o_orderkey"],
+        delete_col="_del",
+    )
+    v = res["version"]
+    return read_delta_cdf(spark, path, v, v).select(
+        "o_orderkey", "o_orderpriority", "_change_type"
+    )
+
+
+_SQL_DELTA_CDF_WRITES = """
+SELECT o_orderkey, o_orderpriority,
+       'update_preimage' AS _change_type
+FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 13 <> 2
+UNION ALL
+SELECT o_orderkey, 'X-UPD' AS o_orderpriority,
+       'update_postimage' AS _change_type
+FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 13 <> 2
+UNION ALL
+SELECT o_orderkey, o_orderpriority, 'delete' AS _change_type
+FROM orders WHERE o_orderkey % 13 = 2
+UNION ALL
+SELECT o_orderkey + 30000000 AS o_orderkey,
+       'X-NEW' AS o_orderpriority,
+       'insert' AS _change_type
+FROM orders WHERE o_orderkey % 23 = 0
+"""
+
+
 def _q_delta_mapped_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITES to a column-mapped ('name' mode) table (VERDICT r13 #3,
     sources.delta_table): a FOREIGN mapped table (physical col-1..col-3
@@ -2872,6 +2964,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
         _q_delta_change_feed,
         _SQL_DELTA_CHANGE_FEED,
     ),
+    "delta_cdf_writes": (
+        _q_delta_cdf_writes,
+        _SQL_DELTA_CDF_WRITES,
+    ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
@@ -2882,14 +2978,15 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries; rotation is derived by tools/window_rotation.py from the
 # CORRECTNESS_r*.json ledger (see the r14 note inside the list).
 _CHECK_WINDOW: list[str] = [
-    # r14 window from tools/window_rotation.py --propose: the four NEW
+    # r14 window from tools/window_rotation.py --propose: the five NEW
     # interop entries lead (never driver-checked), then the 15-entry
     # r10-stale cohort, then the oldest r11 names — after this round
-    # nothing in the 171-entry registry is staler than r11.
+    # nothing in the 172-entry registry is staler than r11.
     "cdc_forget_keys_delta",
     "delta_v2_checkpoint",
     "delta_mapped_writes",
     "delta_change_feed",
+    "delta_cdf_writes",
     "multimodal_frame_sample",
     "order_gaps",
     "order_priority_stats",
@@ -2935,7 +3032,6 @@ _CHECK_WINDOW: list[str] = [
     "dedup_embedding_neardup",
     "delta_merge_upsert",
     "delta_metadata_summary",
-    "delta_optimize_roundtrip",
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -432,6 +432,7 @@ _SUPPORTED_WRITER_FEATURES: set[str] = {
     "appendOnly",
     "invariants",
     "columnMapping",  # name mode; id-mode writes refuse separately
+    "changeDataFeed",  # r14: _stage_cdc emits the Add CDC File record
 }
 _READABLE_MAPPING_MODES = {"none", "name", "id"}
 
@@ -496,8 +497,9 @@ def _check_write_protocol(state: dict, path: str) -> None:
         # constraints (3), change data feed + generated columns (4),
         # column mapping (5), identity columns (6). A writer may
         # proceed only when the table provably USES none it cannot
-        # honor — column mapping itself is honored (name mode; id mode
-        # refuses below), the rest are detectable in the metaData.
+        # honor — column mapping (name mode; id refuses below) and
+        # change data feed (r14: _stage_cdc) are honored, the rest are
+        # detectable in the metaData.
         if v > 6:
             raise ValueError(
                 f"table {path!r} requires minWriterVersion={v}; "
@@ -512,13 +514,6 @@ def _check_write_protocol(state: dict, path: str) -> None:
             raise ValueError(
                 f"table {path!r} declares CHECK constraints this "
                 "writer cannot evaluate — refusing to write"
-            )
-        if str(
-            conf.get("delta.enableChangeDataFeed", "false")
-        ).lower() == "true":
-            raise ValueError(
-                f"table {path!r} enables change data feed; this "
-                "writer does not emit CDC files — refusing to write"
             )
         if "generationExpression" in schema_str:
             raise ValueError(
@@ -720,6 +715,61 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
 
 
 DV_DIR = "_deletion_vectors"
+CDC_DIR = "_change_data"
+
+
+def _cdf_enabled(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return str(
+        conf.get("delta.enableChangeDataFeed", "false")
+    ).lower() == "true"
+
+
+def _stage_cdc(
+    spark: SparkSession,
+    path: str,
+    frame: DataFrame,
+    meta: dict,
+    timestamp_ms: int,
+) -> tuple[list[str], list[dict]]:
+    """Stage ``frame`` (LOGICAL table columns + ``_change_type``) as
+    change-data parquet under ``_change_data/`` (public protocol, "Add
+    CDC File") and return ([rels], [cdc actions]). Partitioned like the
+    data files (hive dirs + partitionValues — physical names under
+    column mapping); ``dataChange: false`` per the spec (cdc files are
+    derived information). Returns ([], []) for an empty frame."""
+    part_cols = list(meta.get("partitionColumns") or [])
+    ctx = _write_mapping_ctx(meta)
+    if ctx:
+        frame = _to_physical_df(frame, ctx["logical"])
+    stage_parts = ctx["phys_part_cols"] if ctx else part_cols
+    staging = fs.join(path, f"_cdc_staging_{uuid.uuid4().hex}")
+    writer = frame.write.mode("overwrite")
+    if stage_parts:
+        writer = writer.partitionBy(*stage_parts)
+    writer.parquet(staging)
+    rels = fs.list_data_files(spark, staging)
+    if not rels:
+        fs.delete(spark, staging)
+        return [], []
+    fs.mkdirs(spark, fs.join(path, CDC_DIR))
+    fs.promote(spark, staging, fs.join(path, CDC_DIR))
+    fs.delete(spark, staging)
+    full_rels = [f"{CDC_DIR}/{r}" for r in rels]
+    actions = [
+        {
+            "cdc": {
+                "path": quote(rel, safe="/"),
+                "partitionValues": _partition_values(
+                    rel.split("/", 1)[1], stage_parts
+                ),
+                "size": _file_size(spark, fs.join(path, rel)),
+                "dataChange": False,
+            }
+        }
+        for rel in full_rels
+    ]
+    return full_rels, actions
 
 
 def _dv_of(add: dict) -> dict | None:
@@ -1136,7 +1186,12 @@ def _to_physical_df(df: DataFrame, logical_schema: T.StructType) -> DataFrame:
     by_name = {f.name: f for f in logical_schema.fields}
     sel = []
     for c in df.columns:
-        lf = by_name[c]
+        lf = by_name.get(c)
+        if lf is None:
+            # convention columns outside the table schema (e.g. the
+            # change feed's _change_type) keep their names
+            sel.append(F.col(c))
+            continue
         pt = _physical_type(lf.dataType)
         col = F.col(c)
         if pt != lf.dataType:  # nested renames → positional cast
@@ -2281,7 +2336,14 @@ def write_delta(
     ]
 
     fs.mkdirs(spark, _log_path(path))
+    cdc_rels: list[str] = []
     for _ in range(max_commit_retries + 1):
+        # a lost race's change-data staging is recomputed against the
+        # winner's state — drop the stale files first (ours alone)
+        for rel in cdc_rels:
+            fs.delete(spark, fs.join(path, rel))
+        cdc_rels = []
+        cdc_actions: list[dict] = []
         versions = table_versions(spark, path)
         version = (versions[-1] + 1) if versions else 0
         prior_files: list[str] = []
@@ -2297,7 +2359,7 @@ def write_delta(
                 # a racing instance of the same app landed this batch
                 # between our staging and this attempt: withdraw — the
                 # staged files are ours alone, so deleting them is safe
-                for rel in rels:
+                for rel in rels + cdc_rels:
                     fs.delete(spark, fs.join(path, rel))
                 return None
             if txn_floors and any(
@@ -2308,7 +2370,7 @@ def write_delta(
                 # floor while we were staging: a concurrent populate
                 # landed an overlapping window — withdraw rather than
                 # double-load (ADVICE r13)
-                for rel in rels:
+                for rel in rels + cdc_rels:
                     fs.delete(spark, fs.join(path, rel))
                 return None
             meta = prior["meta"]
@@ -2390,8 +2452,27 @@ def write_delta(
             else:
                 _check_append_schema(df, meta)
             prior_files = list(prior["files"])
+            if mode == "overwrite" and _cdf_enabled(meta):
+                # change-data record for the atomic replace (spec "Add
+                # CDC File"): a mixed remove+add commit may not rely on
+                # reader derivation — every prior live row deletes,
+                # every incoming row inserts
+                old_rows = _scan_adds(
+                    spark, path, meta, list(prior["files"].values())
+                ).withColumn("_change_type", F.lit("delete"))
+                new_rows = df.withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                cdc_rels, cdc_actions = _stage_cdc(
+                    spark, path,
+                    old_rows.unionByName(
+                        new_rows, allowMissingColumns=True
+                    ),
+                    meta, timestamp_ms,
+                )
 
         actions: list[dict] = []
+        actions.extend(cdc_actions)
         if evolved_meta is not None:
             actions.append({"metaData": evolved_meta})
         if version == 0:
@@ -2455,6 +2536,8 @@ def write_delta(
             return version
         # a competing writer committed this version first — re-resolve
         # and retry against the new table state
+    for rel in cdc_rels:  # exhausted: the change-data staging is ours
+        fs.delete(spark, fs.join(path, rel))
     raise RuntimeError(
         f"write_delta lost {max_commit_retries + 1} consecutive commit "
         f"races at {path}; giving up"
@@ -3180,6 +3263,54 @@ def merge_delta(
     stage_schema = ctx["phys_schema"] if ctx else schema
     stage_parts = ctx["phys_part_cols"] if ctx else part_cols
 
+    def _merge_cdc(touched: list[dict]) -> tuple[list[str], list[dict]]:
+        """Change-data record for this MERGE (spec "Add CDC File",
+        tables with delta.enableChangeDataFeed=true): matched rows as
+        update_preimage/update_postimage pairs, delete_col hits as
+        delete rows, unmatched source rows as inserts. Preimages read
+        the touched files (∝ matched data — unavoidable: the spec
+        requires the old VALUES in the record)."""
+        if not _cdf_enabled(meta):
+            return [], []
+        upsert_keys = data_source.select(*pk_cols)
+        frames = []
+        if touched:
+            old = _scan_adds(spark, path, meta, touched)
+            upd_pre = old.join(
+                F.broadcast(upsert_keys), pk_cols, "left_semi"
+            )
+            existing = upd_pre.select(*pk_cols).distinct()
+            frames.append(
+                upd_pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            frames.append(
+                data_source.join(
+                    F.broadcast(existing), pk_cols, "left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+            )
+            inserts = data_source.join(
+                F.broadcast(existing), pk_cols, "left_anti"
+            )
+            if deletes is not None:
+                frames.append(
+                    old.join(
+                        F.broadcast(deletes.select(*pk_cols)),
+                        pk_cols,
+                        "left_semi",
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+        else:
+            inserts = data_source
+        frames.append(
+            inserts.withColumn("_change_type", F.lit("insert"))
+        )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return _stage_cdc(spark, path, out, meta, timestamp_ms)
+
     def _write_new_files(frame: DataFrame) -> tuple[list[str], list[dict]]:
         """Stage+promote ``frame`` (LOGICAL names) into the table —
         physical names/dirs/stats keys under column mapping; returns
@@ -3274,12 +3405,14 @@ def merge_delta(
         if n_upserts:
             rels, add_actions = _write_new_files(data_source)
             actions = actions + add_actions
+        cdc_rels, cdc_actions = _merge_cdc(touched_adds)
+        actions = cdc_actions + actions
         version = _commit_swap(
             spark, path, actions, touched_adds, log_store, "merge",
             txn=txn, timestamp_ms=timestamp_ms,
         )
         if version is None:  # txn replay raced us — withdraw
-            for rel in rels:
+            for rel in rels + cdc_rels:
                 fs.delete(spark, fs.join(path, rel))
             if dv_rel:
                 fs.delete(spark, fs.join(path, dv_rel))
@@ -3335,8 +3468,9 @@ def merge_delta(
     rels, add_actions = _write_new_files(
         survivors.unionByName(data_source)
     )
+    cdc_rels, cdc_actions = _merge_cdc(touched_adds)
 
-    actions = [
+    actions = cdc_actions + [
         {
             "remove": {
                 "path": a["path"],
@@ -3352,7 +3486,7 @@ def merge_delta(
         txn=txn, timestamp_ms=timestamp_ms,
     )
     if version is None:  # txn replay raced us — withdraw staged files
-        for rel in rels:
+        for rel in rels + cdc_rels:
             fs.delete(spark, fs.join(path, rel))
         return {
             "version": None, "files_rewritten": 0, "files_added": 0,
@@ -3443,17 +3577,33 @@ def delete_delta(
         use_dv = deletion_vectors and all(
             _num_records(a) is not None for a in touched_adds
         )
+
+        def _delete_cdc() -> tuple[list[str], list[dict]]:
+            """Change-data record for this DELETE (spec "Add CDC
+            File"): the matched rows' VALUES as delete rows — the
+            touched files are read ∝ matched data, which the spec's
+            record requires even in vector mode."""
+            if not _cdf_enabled(meta):
+                return [], []
+            rows = _scan_adds(spark, path, meta, touched_adds).join(
+                F.broadcast(key_rows), pk_cols, "left_semi"
+            ).withColumn("_change_type", F.lit("delete"))
+            return _stage_cdc(spark, path, rows, meta, timestamp_ms)
+
         if use_dv:
+            cdc_rels, cdc_actions = _delete_cdc()
             dv_rel, descs = _stage_dv(spark, path, matched, touched_adds)
             swap, dead = _dv_swap_actions(
                 touched_adds, descs, timestamp_ms
             )
-            actions = _dv_protocol_actions(state) + swap
+            actions = cdc_actions + _dv_protocol_actions(state) + swap
             version = _commit_swap(
                 spark, path, actions, touched_adds, log_store, "delete",
                 txn=txn, timestamp_ms=timestamp_ms,
             )
             if version is None:  # txn replay raced us — withdraw
+                for rel in cdc_rels:
+                    fs.delete(spark, fs.join(path, rel))
                 fs.delete(spark, fs.join(path, dv_rel))
                 return {
                     "version": None, "rows_deleted": 0,
@@ -3493,7 +3643,16 @@ def delete_delta(
     fs.promote(spark, staging, path)
     fs.delete(spark, staging)
     del_stats = _file_stats(spark, path, rels, stage_schema, stage_parts)
-    actions = [
+    cdc_rels = []
+    cdc_actions = []
+    if _cdf_enabled(meta):
+        cdc_rows = _scan_adds(spark, path, meta, touched_adds).join(
+            F.broadcast(key_rows), pk_cols, "left_semi"
+        ).withColumn("_change_type", F.lit("delete"))
+        cdc_rels, cdc_actions = _stage_cdc(
+            spark, path, cdc_rows, meta, timestamp_ms
+        )
+    actions = cdc_actions + [
         {
             "remove": {
                 "path": a["path"],
@@ -3520,7 +3679,7 @@ def delete_delta(
         txn=txn, timestamp_ms=timestamp_ms,
     )
     if version is None:  # txn replay raced us — withdraw staged files
-        for rel in rels:
+        for rel in rels + cdc_rels:
             fs.delete(spark, fs.join(path, rel))
         return {
             "version": None, "rows_deleted": 0, "files_dv_updated": 0,
@@ -3596,6 +3755,24 @@ def vacuum_delta(
             )
             if rel is not None
         )
+    # change-data files are referenced by RETAINED commits' cdc actions
+    # (they live in the jsons only — checkpoints never carry cdc);
+    # a version whose json expired cannot feed a change feed anyway,
+    # so its cdc files are reclaimable
+    referenced_cdc: set[str] = set()
+    json_set = set(_json_versions(spark, path))
+    log = _log_path(path)
+    for v in retained:
+        if v not in json_set:
+            continue
+        for line in fs.read_text(
+            spark, fs.join(log, _commit_name(v))
+        ).splitlines():
+            if not line.strip():
+                continue
+            c = json.loads(line).get("cdc")
+            if c:
+                referenced_cdc.add(unquote(c["path"]))
     cutoff_ms = (_time.time() - orphan_min_age_minutes * 60) * 1000
     deleted = []
     skipped_young = 0
@@ -3642,6 +3819,24 @@ def vacuum_delta(
                 continue
             fs.delete(spark, full)
             deleted.append(rel)
+    # change-data reclaim: _change_data is an underscore dir (invisible
+    # to the data listing above); unreferenced files there are expired
+    # feeds or lost-race staging — same age guard as everywhere
+    cdc_root = fs.join(path, CDC_DIR)
+    for rel in (
+        fs.list_data_files(spark, cdc_root)
+        if fs.exists(spark, cdc_root)
+        else []
+    ):
+        full_rel = f"{CDC_DIR}/{rel}"
+        if full_rel in referenced_cdc:
+            continue
+        full = fs.join(path, full_rel)
+        if fs.mtime_ms(spark, full) > cutoff_ms:
+            skipped_young += 1
+            continue
+        fs.delete(spark, full)
+        deleted.append(full_rel)
     return {
         "files_deleted": len(deleted),
         "retained_versions": retained,

@@ -1311,10 +1311,10 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
 
     # writer-advanced table USING a feature this writer lacks: READ is
     # fine, any WRITE refused. Legacy writer versions imply features by
-    # NUMBER (r14: CDF/generated/identity/constraints are detected in
-    # the metaData) — a table that provably uses none of them accepts
-    # the write, which is what makes (2,5) column-mapped tables
-    # writable at all.
+    # NUMBER (r14: generated/identity/constraints are detected in the
+    # metaData; column mapping and change data feed are HONORED) — a
+    # table that provably uses nothing unsupported accepts the write,
+    # which is what makes (2,5) column-mapped tables writable at all.
     p3 = str(tmp_path / "p3")
     write_delta(spark, mk(), p3)
     rewrite_v0(
@@ -1323,11 +1323,19 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
         config={"delta.enableChangeDataFeed": "true"},
     )
     assert _rows(read_delta(spark, p3)) == {(1, "a")}
-    with pytest.raises(ValueError, match="change data feed"):
-        write_delta(spark, mk(), p3)
+    # CDF is honored since r14: the append lands (blind — no cdc
+    # needed) and a merge emits the Add CDC File record
+    assert write_delta(spark, mk(), p3) == 1
     src = spark.createDataFrame([(1, "z")], "id long, v string")
-    with pytest.raises(ValueError, match="change data feed"):
-        merge_delta(spark, src, p3, ["id"])
+    res = merge_delta(spark, src, p3, ["id"])
+    import json as _json2
+
+    lines = open(
+        os.path.join(
+            p3, "_delta_log", f"{res['version']:020d}.json"
+        )
+    ).read().splitlines()
+    assert any(_json2.loads(ln).get("cdc") for ln in lines if ln.strip())
 
     # CHECK constraints refuse the same way
     p3a = str(tmp_path / "p3a")
