@@ -569,6 +569,15 @@ HEADLINE = [
     # — snapshot persisted once, watermark rewound per rep so min-of-
     # reps times the idempotent delta re-apply + bucket rewrite.
     "cdc_serving_refresh_steady",
+    # r14 additions (first trend points): the foreign-interop wave —
+    # each builds its fixture per rep, so these time the WHOLE
+    # build+operate+read cycle (heavier than steady entries by design;
+    # compare round-over-round, not against the steady family)
+    "delta_v2_checkpoint",
+    "delta_mapped_writes",
+    "delta_change_feed",
+    "delta_cdf_writes",
+    "cdc_forget_keys_delta",
 ]
 
 # The headline total sums only these 17 — the list benched every round
