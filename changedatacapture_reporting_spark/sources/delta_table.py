@@ -392,6 +392,10 @@ def _apply_action(state: dict, action: dict, stamp: bool = True) -> None:
     if "remove" in action and action["remove"]:
         state["files"].pop(action["remove"]["path"], None)
         state["add_cols"].pop(action["remove"]["path"], None)
+    if "commitInfo" in action and action["commitInfo"]:
+        ict = action["commitInfo"].get("inCommitTimestamp")
+        if ict is not None:
+            state["ict"] = max(int(state.get("ict") or 0), int(ict))
 
 
 # Protocol enforcement (spec rule, and it is hard): a client that does
@@ -430,9 +434,23 @@ _SUPPORTED_READER_FEATURES: set[str] = {
 _SUPPORTED_WRITER_FEATURES: set[str] = {
     "deletionVectors",
     "appendOnly",
-    "invariants",
-    "columnMapping",  # name mode; id-mode writes refuse separately
+    "invariants",  # r14: parsed from field metadata and row-enforced
+    "columnMapping",  # r14: BOTH modes (id mode stamps parquet field ids)
     "changeDataFeed",  # r14: _stage_cdc emits the Add CDC File record
+    # r14 writer-feature wave: the three row-invariant features legacy
+    # versions 3–6 imply are now ENFORCED instead of refused —
+    # _enforce_invariants validates every CHECK constraint and every
+    # caller-provided generated column in one aggregate pass over the
+    # batch, _apply_generated computes omitted generated columns, and
+    # _allocate_identity assigns spec-form (start + k*step) values and
+    # advances the schema's highWaterMark in the same commit
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    # r14: every commit site leads with a monotonic commitInfo
+    # inCommitTimestamp when delta.enableInCommitTimestamps is set,
+    # and timestamp time travel / CDF stamps prefer it over mtimes
+    "inCommitTimestamp",
 }
 _READABLE_MAPPING_MODES = {"none", "name", "id"}
 
@@ -506,48 +524,26 @@ def _check_write_protocol(state: dict, path: str) -> None:
                 "refusing to write rather than break invariants its "
                 "real writers enforce"
             )
-        conf = ((state.get("meta") or {}).get("configuration")) or {}
-        schema_str = (
-            (state.get("meta") or {}).get("schemaString")
-        ) or ""
-        if any(k.startswith("delta.constraints.") for k in conf):
-            raise ValueError(
-                f"table {path!r} declares CHECK constraints this "
-                "writer cannot evaluate — refusing to write"
-            )
-        if "generationExpression" in schema_str:
-            raise ValueError(
-                f"table {path!r} declares generated columns this "
-                "writer cannot compute — refusing to write"
-            )
-        if "delta.identity" in schema_str:
-            raise ValueError(
-                f"table {path!r} declares identity columns this "
-                "writer cannot allocate — refusing to write"
-            )
-    # column mapping: 'name' mode WRITES are supported (VERDICT r13
-    # #3) — every staging path translates frames to physical column
-    # names, partition dirs / partitionValues / stats keys to physical,
-    # and mergeSchema evolution allocates fresh column ids under
-    # delta.columnMapping.maxColumnId. 'id' mode stays read-only: its
-    # files must also carry parquet field ids, which Spark's writer
-    # does not stamp from metadata alone — a file without ids would be
-    # unreadable to the table's own id-mode readers.
-    if _mapping_mode(state.get("meta")) == "id":
-        raise ValueError(
-            f"table {path!r} uses column mapping mode 'id'; this "
-            "implementation writes 'name'-mapped and unmapped tables "
-            "only — an id-mode data file without parquet field ids "
-            "would corrupt the table for its own readers"
-        )
+        # r14: versions 3–6 no longer refuse on detected CHECK
+        # constraints / generated columns / identity columns — the
+        # write paths now ENFORCE them (_enforce_invariants,
+        # _apply_generated, _allocate_identity), same as the v7
+        # feature names above
+    # column mapping: BOTH modes write (r14). 'name' mode (VERDICT r13
+    # #3) translates frames / partition dirs / partitionValues / stats
+    # keys to physical names at the staging boundary; 'id' mode
+    # additionally stamps each field's delta.columnMapping.id as
+    # parquet.field.id schema metadata, which Spark's parquet writer
+    # (spark.sql.parquet.fieldId.write.enabled, default on) embeds in
+    # the file footers — the table's own id-mode readers resolve by
+    # those ids, so a file without them would be unreadable.
+    #
     # legacy appendOnly config (minWriterVersion 2 semantics): enforced
-    # by the remove-bearing paths via _check_append_only
-    schema_str = ((state.get("meta") or {}).get("schemaString")) or ""
-    if "delta.invariants" in schema_str:
-        raise ValueError(
-            f"table {path!r} declares column invariants this writer "
-            "cannot evaluate — refusing to write rather than bypass them"
-        )
+    # by the remove-bearing paths via _check_append_only.
+    # legacy column invariants (delta.invariants field metadata, the
+    # minWriterVersion-2 ancestor of CHECK constraints): r14 parses and
+    # row-enforces them in the same _enforce_invariants pass instead of
+    # refusing.
 
 
 def _check_append_only(state: dict, path: str) -> None:
@@ -559,6 +555,309 @@ def _check_append_only(state: dict, path: str) -> None:
             f"table {path!r} is configured delta.appendOnly=true; "
             "refusing a commit that removes or rewrites rows"
         )
+
+
+def _table_constraints(meta: dict | None) -> dict[str, str]:
+    """CHECK constraints from table configuration —
+    ``delta.constraints.<name>`` = a SQL boolean expression over the
+    logical columns (PROTOCOL.md Check Constraints; reference parity:
+    the T-SQL procs assume the warehouse enforces table constraints,
+    CreateChangeLogTables.sql's PK/fillfactor DDL)."""
+    conf = (meta or {}).get("configuration") or {}
+    pre = "delta.constraints."
+    return {
+        k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)
+    }
+
+
+def _invariant_exprs(schema: T.StructType) -> dict[str, str]:
+    """Legacy column invariants (minWriterVersion 2): field metadata
+    ``delta.invariants`` holds ``{"expression": {"expression": <sql>}}``
+    per the protocol's Column Invariants section."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        raw = (f.metadata or {}).get("delta.invariants")
+        if not raw:
+            continue
+        spec = json.loads(raw) if isinstance(raw, str) else raw
+        sql = (spec.get("expression") or {}).get("expression")
+        if not sql:
+            raise ValueError(
+                f"column {f.name!r} carries a delta.invariants entry "
+                f"this writer cannot parse: {raw!r}"
+            )
+        out[f.name] = sql
+    return out
+
+
+def _generated_cols(schema: T.StructType) -> dict[str, str]:
+    """Generated columns: top-level fields whose metadata carries
+    ``delta.generationExpression`` (PROTOCOL.md Generated Columns)."""
+    return {
+        f.name: (f.metadata or {})["delta.generationExpression"]
+        for f in schema.fields
+        if "delta.generationExpression" in (f.metadata or {})
+    }
+
+
+def _identity_cols(schema: T.StructType) -> dict[str, dict]:
+    """Identity columns: fields carrying ``delta.identity.*`` metadata
+    (PROTOCOL.md Identity Columns). Values this writer allocates are of
+    the spec form start + k*step, k ≥ 0."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if not any(k.startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise ValueError(
+                f"identity column {f.name!r} declares step=0"
+            )
+        out[f.name] = {
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": step,
+            "hwm": (
+                int(md["delta.identity.highWaterMark"])
+                if "delta.identity.highWaterMark" in md
+                else None
+            ),
+            "allow_explicit": bool(
+                md.get("delta.identity.allowExplicitInsert", False)
+            ),
+            "type": f.dataType,
+        }
+    return out
+
+
+def _enforce_invariants(df: DataFrame, meta: dict, path: str) -> None:
+    """Row-invariant enforcement for every batch of rows ADDED to the
+    table: CHECK constraints (configuration), legacy column invariants
+    (field metadata) and caller-PROVIDED generated columns (must equal
+    their generation expression) — ONE aggregate pass over the batch,
+    the same scan shape as the stats pass, so enforcement stays a
+    single map-side-combinable job at any batch size.
+
+    Violation semantics follow PROTOCOL.md's strict reading: the
+    expression must evaluate to TRUE — FALSE and NULL both refuse.
+    Stricter-than-SQL-standard on NULL is the safe interop posture: a
+    row this writer refuses is at worst an inconvenience, a row it
+    wrongly lands breaks invariants the table's real writers rely on."""
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    checks: list[tuple[str, object]] = []
+    for name, sql in sorted(_table_constraints(meta).items()):
+        checks.append(
+            (
+                f"CHECK constraint {name!r} ({sql})",
+                ~F.expr(sql).eqNullSafe(F.lit(True)),
+            )
+        )
+    for col, sql in sorted(_invariant_exprs(schema).items()):
+        checks.append(
+            (
+                f"column invariant on {col!r} ({sql})",
+                ~F.expr(sql).eqNullSafe(F.lit(True)),
+            )
+        )
+    for col, sql in sorted(_generated_cols(schema).items()):
+        if col in df.columns:
+            checks.append(
+                (
+                    f"generated column {col!r} AS ({sql})",
+                    ~F.col(col).eqNullSafe(
+                        F.expr(sql).cast(schema[col].dataType)
+                    ),
+                )
+            )
+    if not checks:
+        return
+    row = df.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_viol_{i}")
+            for i, (_, cond) in enumerate(checks)
+        ]
+    ).collect()[0]
+    bad = [
+        f"{label}: {int(n)} row(s)"
+        for (label, _), n in zip(checks, row)
+        if n
+    ]
+    if bad:
+        raise ValueError(
+            f"write to {path!r} violates table invariants — "
+            + "; ".join(bad)
+        )
+
+
+def _apply_generated(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Compute generated columns the caller OMITTED (the common path:
+    real writers only materialize them on demand); provided ones are
+    validated by _enforce_invariants instead. Returns the frame with
+    columns in the committed field order (computed columns must not
+    trail)."""
+    gen = _generated_cols(schema)
+    added = False
+    for col, sql in gen.items():
+        if col not in df.columns:
+            df = df.withColumn(
+                col, F.expr(sql).cast(schema[col].dataType)
+            )
+            added = True
+    if added:
+        committed_order = [
+            f.name for f in schema.fields if f.name in set(df.columns)
+        ]
+        extra = [c for c in df.columns if c not in set(committed_order)]
+        df = df.select(*(committed_order + extra))
+    return df
+
+
+def _identity_base(spec: dict) -> int:
+    """The allocation base for an identity column: row i takes
+    ``base + (i+1) * step``, so ``base`` is the largest (smallest, for
+    negative step) value of the spec form start + k*step that is not
+    past the high-water mark — Python floor division gives the right
+    congruent value for both step signs. A fresh column (no hwm)
+    starts exactly at ``start``. A foreign hwm left off-grid by
+    explicit inserts rounds back onto the grid, matching real writers'
+    next-congruent-value allocation."""
+    start, step, hwm = spec["start"], spec["step"], spec["hwm"]
+    if hwm is None:
+        return start - step
+    return start + ((hwm - start) // step) * step
+
+
+def _allocate_identity(
+    df: DataFrame, ident: dict[str, dict], path: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """Assign identity values to every column the caller omitted and
+    compute the new high-water marks. Allocation is one expression —
+    ``base + (monotonically_increasing_id()+1) * step`` — unique within
+    the batch by construction (ids are unique per row), always on the
+    start + k*step grid, and gap-tolerant per the spec (partition-id
+    strides leave holes; identity guarantees uniqueness and direction,
+    not density). monotonically_increasing_id is NONDETERMINISTIC
+    across recomputations, so the frame is pinned with localCheckpoint
+    before anything observes it — the enforcement aggregate, the stats
+    pass and the staged write must all see the SAME values.
+
+    Allocated values are CONTIGUOUS on the grid (row i of the batch
+    takes base + (i+1)*step): a per-partition count pass plus
+    monotonically_increasing_id's documented layout (partition id in
+    the upper bits, the record number within the partition in the
+    lower 33) yield a dense 0-based global index with no shuffle and
+    no driver-side rows beyond one count per partition — a
+    stride-per-partition scheme would instead burn ~step·2³³ of the
+    64-bit space per PARTITION per write and overflow bigint within
+    tens of writes on a wide cluster. The input is pinned with
+    localCheckpoint first: partitioning, per-partition counts and
+    record numbers must agree across the count job, the enforcement
+    aggregate, the stats pass and the staged write.
+
+    Caller-provided values are accepted only where
+    allowExplicitInsert=true (and still advance the hwm when they pass
+    it); provided values on a no-explicit column refuse, per the
+    protocol's writer requirements."""
+    new_hwms: dict[str, int] = {}
+    to_alloc: list[str] = []
+    provided: list[str] = []
+    for col, spec in ident.items():
+        if col in df.columns:
+            if not spec["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {col!r} of {path!r} does not "
+                    "allow explicit inserts (delta.identity."
+                    "allowExplicitInsert=false) — omit it and let the "
+                    "writer allocate"
+                )
+            provided.append(col)
+        else:
+            if not isinstance(spec["type"], T.LongType):
+                raise ValueError(
+                    f"identity column {col!r} of {path!r} is "
+                    f"{spec['type'].simpleString()}; this writer "
+                    "allocates into bigint identity columns only"
+                )
+            to_alloc.append(col)
+    if to_alloc:
+        # pin BEFORE observing: every later action replays the
+        # materialized partitions, not the (order-nondeterministic)
+        # lineage
+        df = df.localCheckpoint(eager=False)
+        counts = {
+            r["pid"]: r["count"]
+            for r in df.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).count().collect()
+        }
+        total = sum(counts.values())
+        if not total:
+            # empty batch: the column must still exist (schema check is
+            # positional) but no value materializes and the mark stays
+            for col in to_alloc:
+                df = df.withColumn(col, F.lit(None).cast("long"))
+        else:
+            offs: dict[int, int] = {}
+            acc = 0
+            for pid in sorted(counts):
+                offs[pid] = acc
+                acc += counts[pid]
+            off_map = F.create_map(
+                *[F.lit(x) for p, o in offs.items() for x in (p, o)]
+            )
+            mono = F.monotonically_increasing_id()
+            record_in_part = mono.bitwiseAND(F.lit((1 << 33) - 1))
+            idx = (
+                off_map[F.spark_partition_id()].cast("long")
+                + record_in_part
+            )  # dense 0-based index over the batch
+            for col in to_alloc:
+                spec = ident[col]
+                base = _identity_base(spec)
+                df = df.withColumn(
+                    col,
+                    (
+                        F.lit(base)
+                        + (idx + F.lit(1)) * F.lit(spec["step"])
+                    ).cast("long"),
+                )
+                new_hwms[col] = base + spec["step"] * total
+    if provided:
+        aggs = []
+        for col in provided:
+            fn = F.max if ident[col]["step"] > 0 else F.min
+            aggs.append(fn(F.col(col)).alias(col))
+        row = df.agg(*aggs).collect()[0]
+        for col in provided:
+            v = row[col]
+            if v is None:  # empty batch / all-null explicit column
+                continue
+            step, hwm = ident[col]["step"], ident[col]["hwm"]
+            past = (
+                hwm is None
+                or (step > 0 and v > hwm)
+                or (step < 0 and v < hwm)
+            )
+            if past:
+                new_hwms[col] = int(v)
+    return df, new_hwms
+
+
+def _stamp_identity_hwm(schema_json: str, hwms: dict[str, int]) -> str:
+    """Rewrite a schemaString with updated
+    ``delta.identity.highWaterMark`` field metadata — rides the SAME
+    commit as the data it accounts for, so the mark can never disagree
+    with the table (the protocol's requirement; mirror of how populate
+    watermarks ride txn actions)."""
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    fields = []
+    for f in schema.fields:
+        if f.name in hwms:
+            md = dict(f.metadata or {})
+            md["delta.identity.highWaterMark"] = hwms[f.name]
+            f = T.StructField(f.name, f.dataType, f.nullable, md)
+        fields.append(f)
+    return T.StructType(fields).json()
 
 
 def _replay_checkpoint(
@@ -684,7 +983,7 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
 
     state: dict = {
         "meta": None, "files": {}, "version": target, "protocol": None,
-        "txns": {}, "add_cols": {},
+        "txns": {}, "add_cols": {}, "ict": None,
     }
     # newest checkpoint ≤ target (not just _last_checkpoint: time travel
     # to a version older than the latest checkpoint can still replay
@@ -723,6 +1022,40 @@ def _cdf_enabled(meta: dict | None) -> bool:
     return str(
         conf.get("delta.enableChangeDataFeed", "false")
     ).lower() == "true"
+
+
+def _ict_enabled(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return str(
+        conf.get("delta.enableInCommitTimestamps", "false")
+    ).lower() == "true"
+
+
+def _ict_prefix(state: dict, timestamp_ms: int) -> list[dict]:
+    """In-commit timestamps (writer feature ``inCommitTimestamp``):
+    when the table enables them, EVERY commit must lead with a
+    commitInfo action whose inCommitTimestamp strictly exceeds the
+    previous commit's — commit time stops depending on filesystem
+    mtimes, which object stores rewrite on copy/restore. Both commit
+    sites (write_delta and _commit_swap) call this against the state
+    they re-resolve per attempt, so the monotonic chain holds through
+    commit races. ``state['ict']`` is replayed from the commit jsons;
+    a log whose ICT-bearing jsons were all expired behind a checkpoint
+    falls back to the caller clock (checkpoints do not carry
+    commitInfo) — this engine never expires jsons, so the fallback is
+    foreign-history-only."""
+    if not _ict_enabled(state.get("meta")):
+        return []
+    ict = max(int(state.get("ict") or 0) + 1, int(timestamp_ms))
+    return [
+        {
+            "commitInfo": {
+                "timestamp": ict,
+                "inCommitTimestamp": ict,
+                "engineInfo": "changedatacapture-reporting-spark",
+            }
+        }
+    ]
 
 
 def _stage_cdc(
@@ -1056,22 +1389,26 @@ def _logical_to_physical(schema: T.StructType) -> dict:
 
 
 def _write_mapping_ctx(meta: dict | None) -> dict | None:
-    """Write-side translation context for a column-mapped table in
-    'name' mode, or None when the table is unmapped: the logical
-    committed schema, its physical twin (what the parquet FILES must
-    carry), the top-level name map, and the PHYSICAL partition columns
-    (partition dirs and add.partitionValues keys use physical names
-    per the spec — the mirror of the read path's mapping in
-    _scan_adds_raw). id-mode writes refuse in _check_write_protocol, so
-    this never sees them."""
-    if _mapping_mode(meta) != "name":
+    """Write-side translation context for a column-mapped table
+    ('name' OR 'id' mode, r14), or None when the table is unmapped:
+    the logical committed schema, its physical twin (what the parquet
+    FILES must carry), the top-level name map, and the PHYSICAL
+    partition columns (partition dirs and add.partitionValues keys use
+    physical names per the spec — the mirror of the read path's
+    mapping in _scan_adds_raw). Staged frames always carry
+    ``parquet.field.id`` metadata where the schema has mapping ids
+    (_to_physical_df) — required for id-mode readers, spec-conformant
+    for name mode (real mapped writers stamp both)."""
+    mode = _mapping_mode(meta)
+    if mode not in ("name", "id"):
         return None
     logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
     l2p = _logical_to_physical(logical)
     return {
+        "mode": mode,
         "logical": logical,
         "l2p": l2p,
-        "phys_schema": _physical_type(logical),
+        "phys_schema": _physical_type(logical, with_field_ids=True),
         "phys_part_cols": [
             l2p.get(c, c) for c in (meta.get("partitionColumns") or [])
         ],
@@ -1177,12 +1514,29 @@ def _max_mapping_id(schema: T.StructType, cfg: dict) -> int:
     return max_id
 
 
+def _ensure_field_id_write(spark: SparkSession) -> None:
+    """Staged writes into a column-mapped table must embed the
+    parquet.field.id schema metadata in the file footers (required for
+    id-mode readers, spec-conformant for name mode). The flag is a
+    SESSION conf by Spark's design — same reasoning as the read-side
+    twin in _scan_adds_raw: the writer re-reads the session conf at
+    action time, and stickiness is inert because the metadata key only
+    exists on schemas this path constructs."""
+    if spark.conf.get(
+        "spark.sql.parquet.fieldId.write.enabled", "false"
+    ) != "true":
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+
+
 def _to_physical_df(df: DataFrame, logical_schema: T.StructType) -> DataFrame:
     """Rename a LOGICAL frame to its physical column names for staging
     into a mapped table — a plain alias at the top level, a positional
     struct cast for nested renames (the reverse of _scan_adds_raw's
     _unmap). Handles frames holding any subset of the schema's columns
     (optimize stages data columns only)."""
+    _ensure_field_id_write(df.sparkSession)
     by_name = {f.name: f for f in logical_schema.fields}
     sel = []
     for c in df.columns:
@@ -1192,11 +1546,25 @@ def _to_physical_df(df: DataFrame, logical_schema: T.StructType) -> DataFrame:
             # change feed's _change_type) keep their names
             sel.append(F.col(c))
             continue
-        pt = _physical_type(lf.dataType)
+        # field ids ride the staged schema as parquet.field.id
+        # metadata — Spark's parquet writer embeds them in the file
+        # footers (fieldId.write.enabled, default on). Required for
+        # id-mode readers; harmless and spec-conformant for name mode.
+        pt = _physical_type(lf.dataType, with_field_ids=True)
         col = F.col(c)
-        if pt != lf.dataType:  # nested renames → positional cast
+        if pt != lf.dataType:  # nested renames/ids → positional cast
             col = col.cast(pt)
-        sel.append(col.alias(_phys_field_name(lf)))
+        md = lf.metadata or {}
+        alias_md = (
+            {"parquet.field.id": int(md["delta.columnMapping.id"])}
+            if "delta.columnMapping.id" in md
+            else None
+        )
+        sel.append(
+            col.alias(_phys_field_name(lf), metadata=alias_md)
+            if alias_md
+            else col.alias(_phys_field_name(lf))
+        )
     return df.select(*sel)
 
 
@@ -1412,6 +1780,27 @@ def _scan_adds(
     return out
 
 
+def _commit_ict(spark: SparkSession, path: str, v: int) -> int | None:
+    """A commit's inCommitTimestamp, or None when it carries none. The
+    ICT spec requires commitInfo to be the FIRST action of an
+    ICT-enabled commit, so scanning the leading lines is exact for
+    conformant logs; a few extra lines of slack tolerates writers that
+    reorder (the scan never misses an ICT that exists in the head —
+    and a table whose commits bury commitInfo mid-file is not
+    ICT-conformant to begin with)."""
+    text = fs.read_text(
+        spark, fs.join(_log_path(path), _commit_name(v))
+    )
+    for line in text.splitlines()[:20]:
+        if not line.strip():
+            continue
+        ci = json.loads(line).get("commitInfo")
+        if ci is not None:
+            ict = ci.get("inCommitTimestamp")
+            return None if ict is None else int(ict)
+    return None
+
+
 def version_at_timestamp(
     spark: SparkSession, path: str, timestamp_ms: int
 ) -> int:
@@ -1422,7 +1811,13 @@ def version_at_timestamp(
     feature; file mtime is what every engine falls back to).
     Checkpoint-expired commits (json gone) use the checkpoint file's
     mtime as a floor. Raises when the timestamp precedes the earliest
-    resolvable commit — same refusal real engines make."""
+    resolvable commit — same refusal real engines make.
+
+    r14: commits carrying a commitInfo inCommitTimestamp (the ICT
+    writer feature) use IT instead of the file mtime — on an
+    ICT-enabled table the mtimes are explicitly not the commit clock
+    (object stores rewrite them on copy/restore), and mixing them in
+    would mis-resolve every restored table."""
     log = _log_path(path)
     versions = table_versions(spark, path)
     if not versions:
@@ -1433,7 +1828,9 @@ def version_at_timestamp(
     earliest = None
     for v in versions:
         if v in json_set:
-            ts = fs.mtime_ms(spark, fs.join(log, _commit_name(v)))
+            ts = _commit_ict(spark, path, v)
+            if ts is None:
+                ts = fs.mtime_ms(spark, fs.join(log, _commit_name(v)))
         elif v in cp_set:
             ts = max(
                 fs.mtime_ms(spark, f)
@@ -2162,6 +2559,166 @@ def _check_append_schema(df: DataFrame, meta: dict) -> None:
             )
 
 
+def add_check_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    timestamp_ms: int = 0,
+    log_store: "logstore.LogStore | None" = None,
+    max_commit_retries: int = 10,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — validates that
+    every CURRENT row satisfies ``expr`` (must evaluate to TRUE; one
+    aggregate scan), then lands a metadata-only commit recording
+    ``delta.constraints.<name>`` plus the protocol mark real engines
+    require (minWriterVersion 3 for legacy tables, the
+    ``checkConstraints`` writer feature for (·,7) tables). Losing a
+    commit race RE-VALIDATES against the new state — rows appended
+    concurrently are covered; concurrent writers staging against the
+    pre-constraint metadata are covered by write_delta's in-loop
+    constraint-set re-check. Validation + commit are not atomic
+    against writers that commit through paths without that re-check
+    (MERGE staged before this commit) — same single-DDL-writer
+    assumption real lakehouse engines document for ALTER TABLE.
+    Returns the committed version. Reference parity: the warehouse DDL
+    the reference assumes around its changelog tables
+    (CreateChangeLogTables.sql:1-60)."""
+    key = f"delta.constraints.{name.strip().lower()}"
+    if not name.strip():
+        raise ValueError("constraint name must be non-empty")
+    for _ in range(max_commit_retries + 1):
+        state = _resolve_log(spark, path, None)
+        _check_write_protocol(state, path)
+        meta = state["meta"]
+        conf = dict(meta.get("configuration") or {})
+        if key in conf:
+            raise ValueError(
+                f"constraint {name!r} already exists on {path!r} "
+                f"({conf[key]})"
+            )
+        bad = (
+            read_delta(spark, path, version=state["version"])
+            .agg(
+                F.sum(
+                    F.when(
+                        ~F.expr(expr).eqNullSafe(F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias("n")
+            )
+            .collect()[0]["n"]
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r} to {path!r}: "
+                f"{int(bad)} existing row(s) violate ({expr})"
+            )
+        conf[key] = expr
+        actions = _ict_prefix(state, timestamp_ms)
+        proto = state["protocol"] or {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
+        wv = int(proto.get("minWriterVersion") or 1)
+        if wv == 7:
+            feats = set(proto.get("writerFeatures") or [])
+            if "checkConstraints" not in feats:
+                actions.append(
+                    {
+                        "protocol": {
+                            **proto,
+                            "writerFeatures": sorted(
+                                feats | {"checkConstraints"}
+                            ),
+                        }
+                    }
+                )
+        elif wv < 3:
+            actions.append(
+                {"protocol": {**proto, "minWriterVersion": 3}}
+            )
+        actions.append(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": meta.get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": conf,
+                    "createdTime": meta.get("createdTime")
+                    or timestamp_ms,
+                }
+            }
+        )
+        version = state["version"] + 1
+        if (log_store or logstore.get_log_store()).put_if_absent(
+            spark,
+            fs.join(_log_path(path), _commit_name(version)),
+            "\n".join(json.dumps(a) for a in actions) + "\n",
+        ):
+            return version
+    raise RuntimeError(
+        f"add_check_constraint lost {max_commit_retries + 1} "
+        f"consecutive commit races at {path}; giving up"
+    )
+
+
+def drop_check_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    timestamp_ms: int = 0,
+    log_store: "logstore.LogStore | None" = None,
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT — removes the
+    ``delta.constraints.<name>`` entry in a metadata-only commit (no
+    protocol downgrade: versions only ratchet up, per the protocol).
+    The metaData is rebuilt from the re-resolved state per commit
+    attempt — a lost race never clobbers a concurrent metadata change
+    (schema evolution, identity hwm) with a stale copy. Raises if the
+    constraint does not exist."""
+    key = f"delta.constraints.{name.strip().lower()}"
+    for _ in range(10):
+        state = _resolve_log(spark, path, None)
+        _check_write_protocol(state, path)
+        meta = state["meta"]
+        conf = dict(meta.get("configuration") or {})
+        if key not in conf:
+            raise ValueError(f"no constraint {name!r} on {path!r}")
+        del conf[key]
+        actions = _ict_prefix(state, timestamp_ms)
+        actions.append(
+            {
+                "metaData": {
+                    "id": meta["id"],
+                    "format": meta.get("format")
+                    or {"provider": "parquet", "options": {}},
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": conf,
+                    "createdTime": meta.get("createdTime")
+                    or timestamp_ms,
+                }
+            }
+        )
+        version = state["version"] + 1
+        if (log_store or logstore.get_log_store()).put_if_absent(
+            spark,
+            fs.join(_log_path(path), _commit_name(version)),
+            "\n".join(json.dumps(a) for a in actions) + "\n",
+        ):
+            return version
+    raise RuntimeError(
+        f"drop_check_constraint lost 10 consecutive commit races at "
+        f"{path}; giving up"
+    )
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -2255,6 +2812,34 @@ def write_delta(
             # a concurrent writer already advanced a guarded watermark
             # past this batch's selection floor — skip before staging
             return None
+    # row-invariant features (r14): allocate identity values the
+    # caller omitted, compute omitted generated columns, then enforce
+    # CHECK constraints / legacy invariants / provided generated
+    # columns in one aggregate pass — all BEFORE staging, so a
+    # violating batch never writes a byte. Tables without any of these
+    # take the zero-cost path (no extra job).
+    new_hwms: dict[str, int] = {}
+    ident: dict[str, dict] = {}
+    if versions:
+        schema0 = T.StructType.fromJson(
+            json.loads(state0["meta"]["schemaString"])
+        )
+        ident = _identity_cols(schema0)
+        ident_alloc_base = {
+            c: ident[c]["hwm"] for c in ident if c not in df.columns
+        }
+        if ident:
+            df, new_hwms = _allocate_identity(df, ident, path)
+        df = _apply_generated(df, schema0)
+        if ident or _generated_cols(schema0):
+            # restore committed column order — allocated/computed
+            # columns append at the end, and the schema check is
+            # positional
+            present = set(df.columns)
+            order = [f.name for f in schema0.fields if f.name in present]
+            rest = [c for c in df.columns if c not in set(order)]
+            df = df.select(*(order + rest))
+        _enforce_invariants(df, state0["meta"], path)
     # column mapping ('name' mode): files, partition dirs,
     # partitionValues and stats keys all carry PHYSICAL names —
     # translate at the staging boundary so everything downstream of
@@ -2293,6 +2878,25 @@ def write_delta(
                 )
                 new_fields[f.name] = nf
                 stage_fields.append(nf)
+        if ctx["mode"] == "id" and new_fields:
+            # id-mode files must carry parquet field ids for NEW
+            # columns too, so their ids are allocated BEFORE staging
+            # against the CURRENT maxColumnId; the commit loop verifies
+            # the mark has not moved (a concurrent evolve would have
+            # taken the same ids — refuse and re-run, mirroring the
+            # name-clash refusal)
+            ctx["id_base"] = _max_mapping_id(
+                ctx["logical"],
+                (state0["meta"].get("configuration")) or {},
+            )
+            counter0 = [ctx["id_base"]]
+            for name in list(new_fields):
+                new_fields[name] = _assign_mapping_ids(
+                    T.StructType([new_fields[name]]), counter0
+                ).fields[0]
+            stage_fields = [
+                new_fields.get(f.name, f) for f in stage_fields
+            ]
         stage_logical = T.StructType(stage_fields)
         stage_df = _to_physical_df(df, stage_logical)
         stage_part_by = [ctx["l2p"].get(c, c) for c in partition_by]
@@ -2374,6 +2978,14 @@ def write_delta(
                     fs.delete(spark, fs.join(path, rel))
                 return None
             meta = prior["meta"]
+            if _table_constraints(meta) != _table_constraints(
+                state0["meta"]
+            ):
+                # a concurrent ADD/DROP CONSTRAINT landed while this
+                # batch was staging: the pre-staging enforcement ran
+                # against the OLD set — re-enforce against the new one
+                # before committing rows it never covered
+                _enforce_invariants(df, meta, path)
             table_parts = list(meta.get("partitionColumns") or [])
             ok_parts = [table_parts]
             if ctx is not None:
@@ -2408,6 +3020,21 @@ def write_delta(
                             f"{clash} to the mapped table while this "
                             "write was staging — re-run the write"
                         )
+                    if ctx.get("id_base") is not None and (
+                        _max_mapping_id(
+                            committed, meta.get("configuration") or {}
+                        )
+                        != ctx["id_base"]
+                    ):
+                        # id mode: our staged files carry field ids
+                        # allocated from the OLD maxColumnId; a
+                        # concurrent evolve may hold the same ids
+                        raise ValueError(
+                            "concurrent schema evolution advanced "
+                            f"maxColumnId of the id-mapped table "
+                            f"{path!r} while this write was staging "
+                            "— re-run the write"
+                        )
                 union, schema_changed = _evolve_schema(df.schema, committed)
                 if schema_changed:
                     # evolution rides in the SAME commit as the data, so
@@ -2434,8 +3061,12 @@ def write_delta(
                                 for f in union.fields
                             ]
                         )
+                        # id mode pre-assigned ids before staging —
+                        # _assign_mapping_ids no-ops on them and the
+                        # counter stays put, so derive the mark from
+                        # the UNION (covers both modes)
                         new_cfg["delta.columnMapping.maxColumnId"] = str(
-                            counter[0]
+                            max(counter[0], _max_mapping_id(union, {}))
                         )
                     evolved_meta = {
                         "id": meta["id"],
@@ -2451,6 +3082,55 @@ def write_delta(
                     }
             else:
                 _check_append_schema(df, meta)
+            if new_hwms:
+                # identity bookkeeping rides the committing metaData.
+                # Race guard first: our values were allocated from
+                # state0's high-water marks — a concurrent identity
+                # write that advanced any of them may have allocated
+                # the SAME values, so committing over it would
+                # duplicate ids. Refuse; the caller re-runs (mirror of
+                # the mapped-evolution clash refusal above).
+                prior_ident = _identity_cols(
+                    T.StructType.fromJson(json.loads(meta["schemaString"]))
+                )
+                to_stamp: dict[str, int] = {}
+                for col, v in new_hwms.items():
+                    cur = (prior_ident.get(col) or {}).get("hwm")
+                    if (
+                        col in ident_alloc_base
+                        and cur != ident_alloc_base[col]
+                    ):
+                        raise ValueError(
+                            f"concurrent identity allocation on {col!r}"
+                            f" of {path!r} while this write was staging"
+                            " — re-run the write"
+                        )
+                    step = ident[col]["step"]
+                    if (
+                        cur is None
+                        or (step > 0 and v > cur)
+                        or (step < 0 and v < cur)
+                    ):  # explicit inserts never regress a higher mark
+                        to_stamp[col] = v
+                if to_stamp:
+                    src = evolved_meta or {
+                        "id": meta["id"],
+                        "format": meta.get("format")
+                        or {"provider": "parquet", "options": {}},
+                        "schemaString": meta["schemaString"],
+                        "partitionColumns": list(
+                            meta.get("partitionColumns") or []
+                        ),
+                        "configuration": dict(
+                            meta.get("configuration") or {}
+                        ),
+                        "createdTime": meta.get("createdTime")
+                        or timestamp_ms,
+                    }
+                    src["schemaString"] = _stamp_identity_hwm(
+                        src["schemaString"], to_stamp
+                    )
+                    evolved_meta = src
             prior_files = list(prior["files"])
             if mode == "overwrite" and _cdf_enabled(meta):
                 # change-data record for the atomic replace (spec "Add
@@ -2472,6 +3152,11 @@ def write_delta(
                 )
 
         actions: list[dict] = []
+        if versions:
+            # in-commit timestamps: commitInfo must LEAD the commit,
+            # re-derived per attempt against the re-resolved state so
+            # the monotonic chain holds through races
+            actions.extend(_ict_prefix(prior, timestamp_ms))
         actions.extend(cdc_actions)
         if evolved_meta is not None:
             actions.append({"metaData": evolved_meta})
@@ -2615,10 +3300,11 @@ def _commit_swap(
                 f"concurrent commit: {changed[:3]}"
             )
         version = current["version"] + 1
+        attempt = _ict_prefix(current, timestamp_ms) + actions
         if (log_store or logstore.get_log_store()).put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
-            "\n".join(json.dumps(a) for a in actions) + "\n",
+            "\n".join(json.dumps(a) for a in attempt) + "\n",
         ):
             return version
     raise RuntimeError(f"{op} lost 10 consecutive commit races: {path}")
@@ -3152,7 +3838,8 @@ def optimize_delta(
     ] + adds
 
     version = _commit_swap(
-        spark, path, actions, removed_adds, log_store, "optimize"
+        spark, path, actions, removed_adds, log_store, "optimize",
+        timestamp_ms=timestamp_ms,
     )
     return {
         "version": version,
@@ -3228,6 +3915,22 @@ def merge_delta(
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     col_order = [f.name for f in schema.fields]
 
+    # identity columns: MERGE replaces matched rows wholesale and
+    # inserts unmatched ones, so the source must carry explicit values
+    # — allowed only where the column declares allowExplicitInsert.
+    # (Allocation-on-merge would need the unmatched split before
+    # staging; write_delta appends are the allocation path. MERGE does
+    # not advance the high-water mark — explicit inserts relax that
+    # requirement per the protocol.)
+    for c, spec in _identity_cols(schema).items():
+        if not spec["allow_explicit"]:
+            raise ValueError(
+                f"MERGE into {path!r} needs explicit values for "
+                f"identity column {c!r}, but it declares "
+                "delta.identity.allowExplicitInsert=false — allocate "
+                "via write_delta appends instead"
+            )
+
     deletes = None
     data_source = source
     if delete_col is not None:
@@ -3235,11 +3938,18 @@ def merge_delta(
         data_source = source.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
+    # compute omitted generated columns, then row-enforce CHECK
+    # constraints / invariants / provided generated columns over the
+    # upsert rows (matched rows take the source row wholesale and
+    # survivor rewrites are unchanged bytes, so the upsert frame is
+    # exactly the set of NEW row values this commit introduces)
+    data_source = _apply_generated(data_source, schema)
     missing = [c for c in col_order if c not in data_source.columns]
     if missing:
         raise ValueError(f"source is missing table columns: {missing}")
     data_source = data_source.select(*col_order)
     _check_append_schema(data_source, meta)
+    _enforce_invariants(data_source, meta, path)
 
     dup = (
         source.groupBy(*pk_cols)
@@ -3944,9 +4654,11 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
 
 
 def _commit_timestamp_ms(spark: SparkSession, path: str, version: int) -> int:
-    """The commit's stamp: max modificationTime over its add actions
-    (what write_delta records); 0 when the commit json is vacuumed
-    behind a checkpoint or has no adds."""
+    """The commit's stamp: its commitInfo inCommitTimestamp when one
+    is recorded (the ICT feature's authoritative clock — takes
+    precedence per the protocol), else max modificationTime over its
+    add actions (what write_delta records); 0 when the commit json is
+    vacuumed behind a checkpoint or has no adds."""
     log = _log_path(path)
     name = _commit_name(version)
     if name not in fs.listdir(spark, log):
@@ -3955,7 +4667,11 @@ def _commit_timestamp_ms(spark: SparkSession, path: str, version: int) -> int:
     for line in fs.read_text(spark, fs.join(log, name)).splitlines():
         if not line.strip():
             continue
-        a = json.loads(line).get("add")
+        action = json.loads(line)
+        ci = action.get("commitInfo") or {}
+        if ci.get("inCommitTimestamp") is not None:
+            return int(ci["inCommitTimestamp"])
+        a = action.get("add")
         if a:
             ts = max(ts, int(a.get("modificationTime") or 0))
     return ts

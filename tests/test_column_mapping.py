@@ -494,24 +494,118 @@ def test_mapped_partitioned_write_physical_dirs(spark, tmp_path):
     assert got == [1, 3]
 
 
-def test_id_mode_writes_still_refuse(spark, tmp_path):
-    """id mode stays read-only: this writer cannot stamp parquet field
-    ids, and a file without them is unreadable to id-mode readers."""
+def test_id_mode_write_roundtrip(spark, tmp_path):
+    """r14: id-mode tables are WRITABLE — staged files carry physical
+    column names AND parquet field ids (delta.columnMapping.id stamped
+    as parquet.field.id metadata, nested fields included), so the
+    table's own id-mode readers resolve them. The write path must
+    re-enable the session's fieldId.write conf itself: a file without
+    ids would be silently unreadable. Covers append, MERGE, DV delete,
+    OPTIMIZE and mergeSchema evolution (fresh id above maxColumnId,
+    stamped into the evolved files)."""
+    import pyarrow.parquet as pq
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _resolve_log,
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+    )
+
     base = str(tmp_path / "t")
-    os.makedirs(base, exist_ok=True)
-    add = _stage_file(spark, base, _physical_df(spark), "f1.parquet")
-    meta = _meta(_mapped_schema())
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    schema = _mapped_schema()
+    meta = _meta(schema)
     meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
-    _write_log(base, [[_PROTO_25, meta, add]])
-    with pytest.raises(ValueError, match="'id'"):
-        write_delta(
-            spark,
-            spark.createDataFrame(
-                [(3, "c", (30, "z"))],
-                "id long, name string, nested struct<p:long, q:string>",
-            ),
-            base,
-        )
+    _write_log(base, [[_PROTO_25, meta]])
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+
+    df = spark.createDataFrame(
+        [(1, "a", (10, "x")), (2, "b", (20, "y"))],
+        "id long, name string, nested struct<p:long, q:string>",
+    )
+    assert write_delta(spark, df, base, timestamp_ms=10) == 1
+
+    # the staged file carries physical names + field ids, nested too
+    fp = [
+        os.path.join(base, f)
+        for f in os.listdir(base)
+        if f.endswith(".parquet")
+    ][0]
+    psch = pq.read_schema(fp)
+    ids = {
+        n: (psch.field(n).metadata or {}).get(b"PARQUET:field_id")
+        for n in psch.names
+    }
+    assert ids == {"col-aaa": b"1", "col-bbb": b"2", "col-ccc": b"3"}
+    nested = psch.field("col-ccc")
+    sub = {
+        nested.type.field(i).name: (
+            nested.type.field(i).metadata or {}
+        ).get(b"PARQUET:field_id")
+        for i in range(nested.type.num_fields)
+    }
+    assert sub == {"p-phys": b"4", "q-phys": b"5"}
+
+    rows = sorted(
+        (r["id"], r["name"], r["nested"]["p"])
+        for r in read_delta(spark, base).collect()
+    )
+    assert rows == [(1, "a", 10), (2, "b", 20)]
+
+    # MERGE, DV delete, OPTIMIZE all stage through the same path
+    src = spark.createDataFrame(
+        [(2, "B", (22, "Y")), (3, "c", (30, "z"))],
+        "id long, name string, nested struct<p:long, q:string>",
+    )
+    merge_delta(spark, src, base, ["id"], timestamp_ms=20)
+    delete_delta(
+        spark,
+        base,
+        spark.createDataFrame([(1,)], "id long"),
+        deletion_vectors=True,
+        timestamp_ms=30,
+    )
+    optimize_delta(spark, base, timestamp_ms=40)
+    assert sorted(
+        (r["id"], r["name"]) for r in read_delta(spark, base).collect()
+    ) == [(2, "B"), (3, "c")]
+
+    # mergeSchema evolution allocates a fresh id and stamps it into
+    # the new files
+    evolved = spark.createDataFrame(
+        [(9, "z", (90, "w"), 7.5)],
+        "id long, name string, nested struct<p:long, q:string>, "
+        "score double",
+    )
+    write_delta(
+        spark, evolved, base, merge_schema=True, timestamp_ms=50
+    )
+    st = _resolve_log(spark, base, None)
+    sch2 = T.StructType.fromJson(json.loads(st["meta"]["schemaString"]))
+    new_field = sch2["score"]
+    new_id = new_field.metadata["delta.columnMapping.id"]
+    assert new_id == 10  # above the fixture's maxColumnId=9
+    assert st["meta"]["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "10"
+    newest = max(
+        (
+            os.path.join(base, f)
+            for f in os.listdir(base)
+            if f.endswith(".parquet")
+        ),
+        key=os.path.getmtime,
+    )
+    s2 = pq.read_schema(newest)
+    phys_new = new_field.metadata["delta.columnMapping.physicalName"]
+    assert (
+        s2.field(phys_new).metadata or {}
+    )[b"PARQUET:field_id"] == b"10"
+    assert sorted(
+        (r["id"], r["score"])
+        for r in read_delta(spark, base).collect()
+    ) == [(2, None), (3, None), (9, 7.5)]
 
 
 def test_id_mode_resolves_by_field_id_not_name(spark, tmp_path):
@@ -578,9 +672,18 @@ def test_id_mode_resolves_by_field_id_not_name(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
-    # writes still refuse in id mode
-    with pytest.raises(ValueError, match="column mapping|minWriterVersion"):
-        write_delta(spark, df, base)
+    # r14: id-mode writes land (field ids stamped) and read back
+    # through the same id-resolution path — even though this table's
+    # EXISTING file has junk physical names
+    assert write_delta(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, name string"),
+        base,
+        timestamp_ms=10,
+    ) == 1
+    assert sorted(
+        (r["id"], r["name"]) for r in read_delta(spark, base).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
 
 
 def test_timestamp_time_travel(spark, tmp_path):

@@ -1337,7 +1337,9 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
     ).read().splitlines()
     assert any(_json2.loads(ln).get("cdc") for ln in lines if ln.strip())
 
-    # CHECK constraints refuse the same way
+    # CHECK constraints are ENFORCED since r14, not refused: a
+    # passing batch lands on a legacy v3 table, a violating one
+    # refuses with the row counts
     p3a = str(tmp_path / "p3a")
     write_delta(spark, mk(), p3a)
     rewrite_v0(
@@ -1345,8 +1347,28 @@ def test_protocol_enforcement_refuses_foreign_features(spark, tmp_path):
         protocol={"minReaderVersion": 1, "minWriterVersion": 3},
         config={"delta.constraints.chk1": "id > 0"},
     )
-    with pytest.raises(ValueError, match="CHECK constraints"):
-        write_delta(spark, mk(), p3a)
+    assert write_delta(spark, mk(), p3a) == 1
+    with pytest.raises(ValueError, match="violates table invariants"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(0, "bad")], "id long, v string"),
+            p3a,
+        )
+    # a v7 feature set naming all three row-invariant features is
+    # likewise writable now
+    p3d = str(tmp_path / "p3d")
+    write_delta(spark, mk(), p3d)
+    rewrite_v0(
+        p3d,
+        protocol={
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": [
+                "checkConstraints", "generatedColumns",
+                "identityColumns", "inCommitTimestamp",
+            ],
+        },
+    )
+    assert write_delta(spark, mk(), p3d) == 1
 
     # a bare writer-advanced table with NO used features accepts the
     # append; versions beyond 6 always refuse
