@@ -578,6 +578,13 @@ HEADLINE = [
     "delta_change_feed",
     "delta_cdf_writes",
     "cdc_forget_keys_delta",
+    # second r14 wave: the writer-feature contracts (constraints /
+    # generated / identity enforcement, id-mode mapped writes, ICT
+    # time travel) — fixture-per-rep like the wave above
+    "delta_row_invariants",
+    "delta_identity_writes",
+    "delta_id_mode_writes",
+    "delta_ict_time_travel",
 ]
 
 # The headline total sums only these 17 — the list benched every round

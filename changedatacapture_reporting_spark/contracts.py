@@ -1493,6 +1493,392 @@ WHERE o_orderkey >= 30000000 OR o_orderkey % 13 <> 2
 """
 
 
+def _q_delta_row_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints + generated columns ENFORCED on the write path
+    (r14, sources.delta_table — public Delta PROTOCOL.md "Check
+    Constraints" / "Generated Columns"): a FOREIGN legacy-v4 table
+    declares a generated column (o_pricecat, a CASE over o_totalprice)
+    and a CHECK constraint; this engine appends WITHOUT the generated
+    column (must compute it), ADDs a second constraint through the DDL
+    API (validating every existing row), MERGEs a slice that PROVIDES
+    the generated values (must validate equality), and PROVES a
+    violating batch refuses without landing a byte. The hash equals a
+    plain-SQL oracle computing the same generation expression."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        add_check_constraint,
+        merge_delta,
+        read_delta,
+        write_delta,
+        _resolve_log,
+    )
+
+    k = F.col("o_orderkey")
+    gen_sql = (
+        "CASE WHEN o_totalprice > 150000 THEN 'HI' ELSE 'LO' END"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="delta_inv_") + "/orders_inv"
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+            T.StructField("o_orderpriority", T.StringType(), True),
+            T.StructField(
+                "o_pricecat",
+                T.StringType(),
+                True,
+                {"delta.generationExpression": gen_sql},
+            ),
+        ]
+    )
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {
+            "metaData": {
+                "id": "t-invariants",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.constraints.pk_pos": "o_orderkey >= 0"
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+    # 1. append WITHOUT the generated column — the engine computes it
+    assert write_delta(spark, orders.filter(k % 3 != 0), base) == 1
+
+    # 2. DDL: a second constraint validates the existing rows first
+    add_check_constraint(
+        spark, base, "prio_known", "o_orderpriority IS NOT NULL"
+    )
+
+    # 3. a batch violating pk_pos must refuse WITHOUT landing
+    pre = _resolve_log(spark, base, None)["version"]
+    try:
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(-1, 1.0, "1-URGENT")],
+                "o_orderkey long, o_totalprice double, "
+                "o_orderpriority string",
+            ),
+            base,
+        )
+        raise AssertionError("violating batch landed")
+    except ValueError:
+        pass
+    assert _resolve_log(spark, base, None)["version"] == pre
+
+    # 4. MERGE providing correct generated values — validated, lands
+    src = orders.filter(k % 3 == 0).withColumn(
+        "o_pricecat",
+        F.when(F.col("o_totalprice") > 150000, "HI").otherwise("LO"),
+    )
+    merge_delta(spark, src, base, ["o_orderkey"])
+    return read_delta(spark, base)
+
+
+_SQL_DELTA_ROW_INVARIANTS = """
+SELECT o_orderkey,
+       o_totalprice,
+       o_orderpriority,
+       CASE WHEN o_totalprice > 150000 THEN 'HI' ELSE 'LO' END
+           AS o_pricecat
+FROM orders
+"""
+
+
+def _q_delta_identity_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-column allocation (r14, sources.delta_table — public
+    Delta PROTOCOL.md "Identity Columns"): a FOREIGN table declares
+    row_id as bigint IDENTITY(start 1000, step 2, no explicit
+    inserts); two engine appends omit the column and must allocate
+    DENSE on-grid values that continue across commits (the high-water
+    mark rides each commit's metaData). The batches are staged as one
+    sorted partition so the id↔row pairing is deterministic and a
+    plain ROW_NUMBER oracle reproduces it exactly."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="delta_idn_") + "/orders_identity"
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "row_id",
+                T.LongType(),
+                True,
+                {
+                    "delta.identity.start": 1000,
+                    "delta.identity.step": 2,
+                    "delta.identity.allowExplicitInsert": False,
+                },
+            ),
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_orderpriority", T.StringType(), True),
+        ]
+    )
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {
+            "metaData": {
+                "id": "t-identity",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ]
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+    def sorted_batch(pred):
+        return (
+            orders.filter(pred)
+            .repartition(1)
+            .sortWithinPartitions("o_orderkey")
+        )
+
+    assert write_delta(spark, sorted_batch(k % 2 == 0), base) == 1
+    assert write_delta(spark, sorted_batch(k % 2 == 1), base) == 2
+    return read_delta(spark, base)
+
+
+_SQL_DELTA_IDENTITY_WRITES = """
+WITH w1 AS (
+  SELECT o_orderkey, o_orderpriority,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders WHERE o_orderkey % 2 = 0
+), w2 AS (
+  SELECT o_orderkey, o_orderpriority,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT 998 + 2 * rn AS row_id, o_orderkey, o_orderpriority FROM w1
+UNION ALL
+SELECT 998 + 2 * ((SELECT COUNT(*) FROM w1) + rn) AS row_id,
+       o_orderkey, o_orderpriority
+FROM w2
+"""
+
+
+def _q_delta_id_mode_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITES to an 'id'-mode column-mapped table (r14,
+    sources.delta_table — the mode current Databricks writers can set,
+    where resolution goes through parquet FIELD IDS and names are
+    free to be junk): a FOREIGN id-mode genesis takes this engine's
+    append + MERGE + vector DELETE + OPTIMIZE; the appended file's
+    parquet FOOTER is asserted to carry the mapping ids (a file
+    without them is unreadable to the table's own readers — and the
+    session conf is adversarially disabled first, the write path must
+    re-enable it). The hash proves the logical row set equals the
+    plain-SQL oracle of the same operations."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        merge_delta,
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="delta_idw_") + "/orders_idmode"
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+
+    def field(name, phys, cid, dtype):
+        return T.StructField(
+            name, dtype, True,
+            {
+                "delta.columnMapping.physicalName": phys,
+                "delta.columnMapping.id": cid,
+            },
+        )
+
+    schema = T.StructType(
+        [
+            field("o_orderkey", "junk-x", 1, T.LongType()),
+            field("o_orderpriority", "junk-y", 2, T.StringType()),
+            field("o_orderstatus", "junk-z", 3, T.StringType()),
+        ]
+    )
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "t-idmode-writes",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    assert write_delta(spark, orders.filter(k % 4 != 1), base) == 1
+    commit1 = [
+        _json.loads(line)
+        for line in open(f"{base}/_delta_log/{1:020d}.json")
+    ]
+    rel1 = next(a["add"]["path"] for a in commit1 if a.get("add"))
+    psch = pq.read_schema(f"{base}/{rel1}")
+    got_ids = {
+        n: int((psch.field(n).metadata or {})[b"PARQUET:field_id"])
+        for n in psch.names
+    }
+    assert got_ids == {"junk-x": 1, "junk-y": 2, "junk-z": 3}, got_ids
+
+    assert write_delta(spark, orders.filter(k % 4 == 1), base) == 2
+    src = orders.filter(k % 9 == 0).select(
+        "o_orderkey",
+        F.lit("X-ID").alias("o_orderpriority"),
+        "o_orderstatus",
+    )
+    merge_delta(spark, src, base, ["o_orderkey"])
+    delete_delta(
+        spark, base,
+        orders.filter(k % 13 == 2).select("o_orderkey"),
+        deletion_vectors=True,
+    )
+    optimize_delta(spark, base)
+    return read_delta(spark, base)
+
+
+_SQL_DELTA_ID_MODE_WRITES = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 9 = 0 THEN 'X-ID'
+            ELSE o_orderpriority END AS o_orderpriority,
+       o_orderstatus
+FROM orders
+WHERE o_orderkey % 13 <> 2
+"""
+
+
+def _q_delta_ict_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps (r14, sources.delta_table — public Delta
+    PROTOCOL.md writer feature ``inCommitTimestamp``): a FOREIGN
+    ICT-enabled genesis (ict 10000) takes two engine appends whose
+    commits record icts 20000 and 30000; timestamp time travel at
+    25000 and 35000 must resolve through the RECORDED icts — the
+    commit-file mtimes are all 'now', so mtime-based resolution would
+    refuse every fixture timestamp outright. Returns both snapshots
+    tagged, hashed against a plain-SQL oracle of the two windows."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="delta_ict_") + "/orders_ict"
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_orderpriority", T.StringType(), True),
+        ]
+    )
+    v0 = [
+        {"commitInfo": {"inCommitTimestamp": 10000, "timestamp": 10000}},
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["inCommitTimestamp"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "t-ict-travel",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.enableInCommitTimestamps": "true"
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+    assert write_delta(
+        spark, orders.filter(k % 3 == 0), base, timestamp_ms=20000
+    ) == 1
+    assert write_delta(
+        spark, orders.filter(k % 3 == 1), base, timestamp_ms=30000
+    ) == 2
+    at_25 = read_delta(spark, base, timestamp_ms=25000).withColumn(
+        "asof", F.lit("t25")
+    )
+    at_35 = read_delta(spark, base, timestamp_ms=35000).withColumn(
+        "asof", F.lit("t35")
+    )
+    return at_25.unionByName(at_35)
+
+
+_SQL_DELTA_ICT_TIME_TRAVEL = """
+SELECT o_orderkey, o_orderpriority, 't25' AS asof
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, o_orderpriority, 't35' AS asof
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+"""
+
+
 def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 (UUID-named) checkpoint reads (sources.delta_table
     _replay_v2_checkpoint — public Delta PROTOCOL.md, "V2 Checkpoints",
@@ -2968,6 +3354,22 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
         _q_delta_cdf_writes,
         _SQL_DELTA_CDF_WRITES,
     ),
+    "delta_row_invariants": (
+        _q_delta_row_invariants,
+        _SQL_DELTA_ROW_INVARIANTS,
+    ),
+    "delta_identity_writes": (
+        _q_delta_identity_writes,
+        _SQL_DELTA_IDENTITY_WRITES,
+    ),
+    "delta_id_mode_writes": (
+        _q_delta_id_mode_writes,
+        _SQL_DELTA_ID_MODE_WRITES,
+    ),
+    "delta_ict_time_travel": (
+        _q_delta_ict_time_travel,
+        _SQL_DELTA_ICT_TIME_TRAVEL,
+    ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
@@ -2978,10 +3380,15 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
 # entries; rotation is derived by tools/window_rotation.py from the
 # CORRECTNESS_r*.json ledger (see the r14 note inside the list).
 _CHECK_WINDOW: list[str] = [
-    # r14 window from tools/window_rotation.py --propose: the five NEW
-    # interop entries lead (never driver-checked), then the 15-entry
-    # r10-stale cohort, then the oldest r11 names — after this round
-    # nothing in the 172-entry registry is staler than r11.
+    # r14 window from tools/window_rotation.py --propose: the NEW
+    # interop entries lead (never driver-checked — five from the
+    # lakehouse wave, four from the writer-feature wave), then the
+    # 15-entry r10-stale cohort, then the oldest r11 names — after
+    # this round nothing in the 176-entry registry is staler than r11.
+    "delta_row_invariants",
+    "delta_identity_writes",
+    "delta_id_mode_writes",
+    "delta_ict_time_travel",
     "cdc_forget_keys_delta",
     "delta_v2_checkpoint",
     "delta_mapped_writes",
@@ -3028,10 +3435,10 @@ _CHECK_WINDOW: list[str] = [
     "corpus_pps_sample",
     "corpus_prepare",
     "cube_lineitem_counts",
-    "customers_with_urgent_orders",
-    "dedup_embedding_neardup",
-    "delta_merge_upsert",
-    "delta_metadata_summary",
+    # (4 oldest-r11 names deferred to the r15 rotation to keep the
+    # window at 50 after the writer-feature wave joined the head:
+    # customers_with_urgent_orders, dedup_embedding_neardup,
+    # delta_merge_upsert, delta_metadata_summary)
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(
