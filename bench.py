@@ -585,6 +585,7 @@ HEADLINE = [
     "delta_identity_writes",
     "delta_id_mode_writes",
     "delta_ict_time_travel",
+    "delta_timestamp_ntz",
 ]
 
 # The headline total sums only these 17 — the list benched every round

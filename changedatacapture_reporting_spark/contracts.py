@@ -1879,6 +1879,54 @@ FROM orders WHERE o_orderkey % 3 IN (0, 1)
 """
 
 
+def _q_delta_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NTZ end to end (r14, sources.delta_table — public
+    Delta table feature ``timestampNtz``): an engine-created table
+    with an NTZ column must mark the protocol itself ((3,7), feature
+    in BOTH sets — a non-supporting reader would misread the values as
+    instants), round-trip the type, and keep stats-based file skipping
+    sound over the NTZ column (ISO-8601 stats strings order
+    lexicographically = temporally). Two date-windowed appends make
+    the skip probe prune real files; the exact filter on top is
+    hashed against a plain-SQL oracle."""
+    import datetime as _dt
+    import tempfile
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        write_delta,
+        _resolve_log,
+    )
+
+    cutoff = _dt.datetime(1995, 6, 1)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+    )
+    base = tempfile.mkdtemp(prefix="delta_ntz_") + "/orders_ntz"
+    d = F.col("o_orderdate")
+    write_delta(spark, orders.filter(d <= F.lit(cutoff)), base)
+    write_delta(spark, orders.filter(d > F.lit(cutoff)), base)
+    proto = _resolve_log(spark, base, None)["protocol"]
+    assert proto["minReaderVersion"] == 3, proto
+    assert "timestampNtz" in proto["readerFeatures"], proto
+    assert "timestampNtz" in proto["writerFeatures"], proto
+    out = read_delta(spark, base, skip=[("o_orderdate", ">", cutoff)])
+    from pyspark.sql import types as T
+
+    assert isinstance(
+        out.schema["o_orderdate"].dataType, T.TimestampNTZType
+    ), out.schema
+    return out.filter(d > F.lit(cutoff))
+
+
+_SQL_DELTA_TIMESTAMP_NTZ = """
+SELECT o_orderkey, o_orderdate
+FROM orders
+WHERE o_orderdate > TIMESTAMP '1995-06-01'
+"""
+
+
 def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 (UUID-named) checkpoint reads (sources.delta_table
     _replay_v2_checkpoint — public Delta PROTOCOL.md, "V2 Checkpoints",
@@ -3370,6 +3418,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
         _q_delta_ict_time_travel,
         _SQL_DELTA_ICT_TIME_TRAVEL,
     ),
+    "delta_timestamp_ntz": (
+        _q_delta_timestamp_ntz,
+        _SQL_DELTA_TIMESTAMP_NTZ,
+    ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
@@ -3389,6 +3441,7 @@ _CHECK_WINDOW: list[str] = [
     "delta_identity_writes",
     "delta_id_mode_writes",
     "delta_ict_time_travel",
+    "delta_timestamp_ntz",
     "cdc_forget_keys_delta",
     "delta_v2_checkpoint",
     "delta_mapped_writes",
@@ -3434,11 +3487,11 @@ _CHECK_WINDOW: list[str] = [
     "corpus_pack_sequences",
     "corpus_pps_sample",
     "corpus_prepare",
-    "cube_lineitem_counts",
-    # (4 oldest-r11 names deferred to the r15 rotation to keep the
+    # (5 oldest-r11 names deferred to the r15 rotation to keep the
     # window at 50 after the writer-feature wave joined the head:
-    # customers_with_urgent_orders, dedup_embedding_neardup,
-    # delta_merge_upsert, delta_metadata_summary)
+    # cube_lineitem_counts, customers_with_urgent_orders,
+    # dedup_embedding_neardup, delta_merge_upsert,
+    # delta_metadata_summary)
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

@@ -430,6 +430,14 @@ _SUPPORTED_READER_FEATURES: set[str] = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    # r14: TIMESTAMP_NTZ columns read/write natively (Spark
+    # TimestampNTZType end to end); engine-created tables carrying the
+    # type mark the protocol themselves (_ntz_protocol_actions)
+    "timestampNtz",
+    # r14: vacuum_delta now refuses unsupported protocols BEFORE
+    # deleting anything (see the head check there) — which is exactly
+    # what this feature demands of a vacuum implementation
+    "vacuumProtocolCheck",
 }
 _SUPPORTED_WRITER_FEATURES: set[str] = {
     "deletionVectors",
@@ -451,6 +459,8 @@ _SUPPORTED_WRITER_FEATURES: set[str] = {
     # inCommitTimestamp when delta.enableInCommitTimestamps is set,
     # and timestamp time travel / CDF stamps prefer it over mtimes
     "inCommitTimestamp",
+    "timestampNtz",
+    "vacuumProtocolCheck",
 }
 _READABLE_MAPPING_MODES = {"none", "name", "id"}
 
@@ -3159,10 +3169,24 @@ def write_delta(
             actions.extend(_ict_prefix(prior, timestamp_ms))
         actions.extend(cdc_actions)
         if evolved_meta is not None:
+            if _has_ntz(
+                T.StructType.fromJson(
+                    json.loads(evolved_meta["schemaString"])
+                )
+            ):
+                # evolution introduced (or the table already carried,
+                # unmarked) TIMESTAMP_NTZ — the feature mark rides the
+                # same commit
+                actions.extend(
+                    _ntz_protocol_actions(prior.get("protocol"))
+                )
             actions.append({"metaData": evolved_meta})
         if version == 0:
+            base_proto = {"minReaderVersion": 1, "minWriterVersion": 2}
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                _ntz_protocol_actions(base_proto)[0]
+                if _has_ntz(df.schema)
+                else {"protocol": base_proto}
             )
             actions.append(
                 {
@@ -3457,6 +3481,46 @@ def _dv_protocol_actions(state: dict) -> list[dict]:
                 "minWriterVersion": 7,
                 "readerFeatures": sorted(r_feats | {"deletionVectors"}),
                 "writerFeatures": sorted(w_feats | {"deletionVectors"}),
+            }
+        }
+    ]
+
+
+def _has_ntz(dt: T.DataType) -> bool:
+    """True when the type tree contains TIMESTAMP_NTZ anywhere — the
+    protocol's timestampNtz feature must be marked on any table whose
+    schema uses it (a non-supporting reader would misinterpret the
+    values as instants)."""
+    if isinstance(dt, T.StructType):
+        return any(_has_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_ntz(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_ntz(dt.keyType) or _has_ntz(dt.valueType)
+    return isinstance(dt, T.TimestampNTZType)
+
+
+def _ntz_protocol_actions(proto: dict | None) -> list[dict]:
+    """Protocol action marking ``timestampNtz`` in both feature sets —
+    same upgrade rule as the deletion-vector bump (legacy-implied
+    features ride along); no-op once marked."""
+    proto = proto or {}
+    r_feats = set(proto.get("readerFeatures") or [])
+    if (
+        int(proto.get("minReaderVersion") or 1) >= 3
+        and "timestampNtz" in r_feats
+    ):
+        return []
+    w_feats = set(proto.get("writerFeatures") or [])
+    if int(proto.get("minWriterVersion") or 1) >= 2:
+        w_feats |= {"appendOnly", "invariants"}
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(r_feats | {"timestampNtz"}),
+                "writerFeatures": sorted(w_feats | {"timestampNtz"}),
             }
         }
     ]
@@ -4443,6 +4507,16 @@ def vacuum_delta(
     versions = table_versions(spark, path)
     if not versions:
         raise ValueError(f"not a Delta table (no commits): {path}")
+    # protocol check FIRST, uncaught (the vacuumProtocolCheck feature's
+    # exact demand, and load-bearing here regardless): the per-version
+    # loop below tolerates ValueError for versions vacuumed behind a
+    # checkpoint — if an unsupported table protocol made EVERY
+    # resolution raise, that tolerance would leave ``referenced``
+    # empty and the delete loop would destroy every aged data file of
+    # a table this engine cannot even read. Deleting files is
+    # writer-class work, so the write protocol must hold too.
+    head = _resolve_log(spark, path, None)
+    _check_write_protocol(head, path)
     retained = (
         versions
         if retain_versions is None

@@ -165,10 +165,11 @@ def test_fuzz_delta_log_replay(spark, tmp_path, seed, mapped):
     next_id = 100
 
     v = 0
+    live_constraints: set[str] = set()
     for step in range(N_OPS):
         op = rng.choice(
             ["append", "overwrite", "merge", "optimize", "checkpoint",
-             "checkpoint_v2"]
+             "checkpoint_v2", "add_constraint", "drop_constraint"]
         )
         if op == "append":
             rows = [
@@ -224,6 +225,39 @@ def test_fuzz_delta_log_replay(spark, tmp_path, seed, mapped):
                 v += 1
                 assert res["version"] == v
             # rows unchanged by construction (dataChange: false)
+        elif op == "add_constraint":
+            # CHECK-constraint DDL interleaved with the whole walk
+            # (r14): satisfied constraints land as metadata commits and
+            # every later write enforces them; an unsatisfiable one
+            # must refuse WITHOUT committing (walk rows have id ≥ 0)
+            from changedatacapture_reporting_spark.sources.delta_table import (
+                add_check_constraint,
+            )
+
+            name = f"c{step}"
+            if rng.random() < 0.3 and model:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError):
+                    add_check_constraint(spark, path, name, "id < -1")
+                continue  # nothing committed, version unchanged
+            expr = rng.choice(
+                ["id >= 0", "grp BETWEEN 0 AND 2", "grp = id % 3"]
+            )
+            add_check_constraint(spark, path, name, expr)
+            live_constraints.add(name)
+            v += 1
+        elif op == "drop_constraint":
+            from changedatacapture_reporting_spark.sources.delta_table import (
+                drop_check_constraint,
+            )
+
+            if not live_constraints:
+                continue
+            name = rng.choice(sorted(live_constraints))
+            drop_check_constraint(spark, path, name)
+            live_constraints.discard(name)
+            v += 1
         elif op == "checkpoint":
             write_checkpoint(spark, path)
         elif op == "checkpoint_v2":
