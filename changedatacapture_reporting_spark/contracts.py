@@ -2010,15 +2010,15 @@ def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest_rows = [
         (None, None, None,
          (3, 7, ["v2Checkpoint"], ["appendOnly", "invariants"]),
-         None, None, None),
+         None, None, None, None),
         (None, None,
          (meta["id"], meta["schemaString"],
           list(meta.get("partitionColumns") or []),
           dict(meta.get("configuration") or {})),
-         None, None, None, None),
-        (None, None, None, None, None, (int(v),), None),
+         None, None, None, None, None),
+        (None, None, None, None, None, None, (int(v),), None),
     ] + [
-        (None, None, None, None, None, None, (n, 1, 0))
+        (None, None, None, None, None, None, None, (n, 1, 0))
         for n in sc_names
     ]
     _as_parquet(

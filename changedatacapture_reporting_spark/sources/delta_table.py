@@ -294,6 +294,23 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # r14: domain metadata (PROTOCOL.md "Domain Metadata" — what
+        # clustered tables store their clustering columns in) must
+        # survive checkpointing: a writer that does not understand a
+        # domain must still PRESERVE it, and dropping it behind a
+        # checkpoint would silently strip a foreign table's clustering
+        # (or any other domain) once the json commits expire.
+        # Checkpoints written before this field read back null.
+        T.StructField(
+            "domainMetadata",
+            T.StructType(
+                [
+                    T.StructField("domain", T.StringType()),
+                    T.StructField("configuration", T.StringType()),
+                    T.StructField("removed", T.BooleanType()),
+                ]
+            ),
+        ),
     ]
 )
 
@@ -396,6 +413,17 @@ def _apply_action(state: dict, action: dict, stamp: bool = True) -> None:
         ict = action["commitInfo"].get("inCommitTimestamp")
         if ict is not None:
             state["ict"] = max(int(state.get("ict") or 0), int(ict))
+    if "domainMetadata" in action and action["domainMetadata"]:
+        # latest action per domain wins; removed tombstones are KEPT in
+        # state (checkpoints must carry them through their retention,
+        # and preserving more than required is always spec-safe)
+        dm = action["domainMetadata"]
+        if dm.get("domain") is not None:
+            state.setdefault("domains", {})[dm["domain"]] = {
+                "domain": dm["domain"],
+                "configuration": dm.get("configuration"),
+                "removed": bool(dm.get("removed", False)),
+            }
 
 
 # Protocol enforcement (spec rule, and it is hard): a client that does
@@ -421,11 +449,10 @@ def _apply_action(state: dict, action: dict, stamp: bool = True) -> None:
 # remove-bearing commits refuse on delta.appendOnly tables, and writes
 # refuse when any schema field declares delta.invariants (this writer
 # cannot evaluate them, so refusing beats silently skipping the check).
-# v2Checkpoint: READ-only — _replay_v2_checkpoint resolves the
-# UUID-named manifest + sidecars; this engine's own checkpoints stay
-# classic, and WRITES to a table whose writerFeatures demand
-# v2Checkpoint still refuse (a writer must honor checkpointPolicy=v2
-# when it checkpoints, which this one cannot yet).
+# v2Checkpoint: READ (_replay_v2_checkpoint resolves the UUID-named
+# manifest + sidecars) AND WRITE (r14: write_checkpoint honors
+# delta.checkpointPolicy=v2 / the writer feature, emitting the
+# manifest + parquet sidecar form the table's other writers expect).
 _SUPPORTED_READER_FEATURES: set[str] = {
     "deletionVectors",
     "columnMapping",
@@ -461,6 +488,19 @@ _SUPPORTED_WRITER_FEATURES: set[str] = {
     "inCommitTimestamp",
     "timestampNtz",
     "vacuumProtocolCheck",
+    # r14: write_checkpoint honors delta.checkpointPolicy=v2 (UUID
+    # manifest + parquet sidecar), so tables demanding the feature as
+    # a WRITER feature are now writable end to end
+    "v2Checkpoint",
+    # r14: domain metadata replays into state and survives BOTH
+    # checkpoint forms (a non-understanding writer's one obligation is
+    # preservation — this engine never modifies foreign domains), and
+    # OPTIMIZE honors the delta.clustering domain's clustering columns
+    # as its z-order pair — so clustered tables (the current
+    # Databricks default layout) keep their layout under this engine's
+    # maintenance
+    "domainMetadata",
+    "clustering",
 }
 _READABLE_MAPPING_MODES = {"none", "name", "id"}
 
@@ -993,7 +1033,7 @@ def _resolve_log(spark: SparkSession, path: str, version: int | None) -> dict:
 
     state: dict = {
         "meta": None, "files": {}, "version": target, "protocol": None,
-        "txns": {}, "add_cols": {}, "ict": None,
+        "txns": {}, "add_cols": {}, "ict": None, "domains": {},
     }
     # newest checkpoint ≤ target (not just _last_checkpoint: time travel
     # to a version older than the latest checkpoint can still replay
@@ -3619,7 +3659,8 @@ def _sample_zorder_bounds(
     separated by any bucketing). Returns {} when the group is all-NULL
     in either column (callers fall back to the linear path)."""
     n = 1 << min(int(bits), 8)  # 2^8 cuts: depth-8 WHEN-tree per row
-    cols = list(zorder_by)
+    # a single-column cluster arrives as (x, x) — probe each column once
+    cols = list(dict.fromkeys(zorder_by))
     probe = group_df.select(
         *[
             _zorder_numeric_col(zc, schema[zc].dataType).alias(zc)
@@ -3638,6 +3679,51 @@ def _sample_zorder_bounds(
                 bnds.append(float(q))
         out[zc] = bnds
     return out
+
+
+def _clustering_columns(
+    state: dict, schema: T.StructType, part_cols: list[str]
+) -> tuple[str, str] | None:
+    """Clustering columns from the ``delta.clustering`` domain
+    (PROTOCOL.md "Clustered Table": real writers record
+    ``{"clusteringColumns": [["physName"], ...]}`` there, physical
+    names under column mapping) mapped to a z-order pair for
+    optimize_delta: two columns interleave, one clusters on itself,
+    extras beyond two are best-effort-dropped. Ineligible entries
+    (nested, non-numeric/temporal, partition columns, unknown names)
+    are SKIPPED rather than raised — a foreign domain must never break
+    this table's maintenance; worst case is plain compaction."""
+    dm = (state.get("domains") or {}).get("delta.clustering")
+    if not dm or dm.get("removed") or not dm.get("configuration"):
+        return None
+    try:
+        cols = (
+            json.loads(dm["configuration"]).get("clusteringColumns")
+            or []
+        )
+    except (ValueError, AttributeError):
+        return None
+    p2l = {_phys_field_name(f): f.name for f in schema.fields}
+    names: list[str] = []
+    for c in cols:
+        parts = c if isinstance(c, list) else [c]
+        if len(parts) != 1:  # nested clustering column — top-level only
+            continue
+        n = p2l.get(parts[0], parts[0])
+        if (
+            n in schema.fieldNames()
+            and n not in part_cols
+            and isinstance(
+                schema[n].dataType,
+                _NUMERIC_PRUNE_TYPES
+                + (T.DateType, T.TimestampType, T.TimestampNTZType),
+            )
+            and n not in names
+        ):
+            names.append(n)
+    if not names:
+        return None
+    return (names[0], names[1] if len(names) > 1 else names[0])
 
 
 def optimize_delta(
@@ -3691,6 +3777,12 @@ def optimize_delta(
     meta = state["meta"]
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if zorder_by is None:
+        # clustered tables (r14): OPTIMIZE honors the clustering
+        # columns the table's real writers recorded in the
+        # delta.clustering domain — a maintenance pass that ignored
+        # them would un-cluster the table for every other engine
+        zorder_by = _clustering_columns(state, schema, part_cols)
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
@@ -4628,86 +4720,17 @@ def vacuum_delta(
     }
 
 
-def write_checkpoint(spark: SparkSession, path: str) -> int:
-    """Compact the log at the LATEST version into a parquet checkpoint
-    + ``_last_checkpoint`` pointer; returns the checkpointed version.
-    Readers then replay O(commits since checkpoint) JSON files."""
-    state = _resolve_log(spark, path, None)
-    v = state["version"]
-    meta = state["meta"]
-    rows = [
-        (
-            None,
-            None,
-            (
-                meta["id"],
-                meta["schemaString"],
-                list(meta.get("partitionColumns") or []),
-                dict(meta.get("configuration") or {}),
-            ),
-            None,
-            None,
-        ),
-        # preserve the table's ACTUAL protocol: checkpointing a
-        # writer-advanced table (readable here, not writable) must not
-        # downgrade it to 1/2 — that would license writers the table
-        # forbids once the json commits expire
-        (
-            None,
-            None,
-            None,
-            (
-                int((state.get("protocol") or {}).get(
-                    "minReaderVersion"
-                ) or 1),
-                int((state.get("protocol") or {}).get(
-                    "minWriterVersion"
-                ) or 2),
-                (state.get("protocol") or {}).get("readerFeatures"),
-                (state.get("protocol") or {}).get("writerFeatures"),
-            ),
-            None,
-        ),
-    ] + [
-        (None, None, None, None, (app_id, int(ver), 0))
-        for app_id, ver in sorted(state["txns"].items())
-    ] + [
-        (
-            (
-                a["path"],
-                dict(a.get("partitionValues") or {}),
-                int(a.get("size") or 0),
-                int(a.get("modificationTime") or 0),
-                bool(a.get("dataChange", True)),
-                a.get("stats"),
-                (
-                    (
-                        _dv_of(a).get("path"),
-                        int(_dv_of(a).get("cardinality") or 0),
-                        _dv_of(a).get("storageType"),
-                        _dv_of(a).get("pathOrInlineDv"),
-                        _dv_of(a).get("offset"),
-                        _dv_of(a).get("sizeInBytes"),
-                    )
-                    if _dv_of(a)
-                    else None
-                ),
-            ),
-            None,
-            None,
-            None,
-            None,
-        )
-        for a in state["files"].values()
-    ]
-    cp_df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
-    log = _log_path(path)
-    tmp = fs.join(log, f"_cp_tmp_{v}")
-    cp_df.repartition(1).write.mode("overwrite").parquet(tmp)
+def _write_single_parquet(
+    spark: SparkSession, df: DataFrame, log: str, dest: str, tag: str
+) -> None:
+    """Write ``df`` as exactly ONE parquet file at ``dest`` (stage to a
+    temp dir, rename the part file) — checkpoint artifacts are single
+    files by convention."""
+    tmp = fs.join(log, f"_cp_tmp_{tag}")
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
     part = [
         n for n in fs.list_data_files(spark, tmp) if n.endswith(".parquet")
     ][0]
-    dest = fs.join(log, _checkpoint_name(v))
     fs.delete(spark, dest)
     h = fs._hadoop(spark, tmp)
     if h is None:
@@ -4719,10 +4742,151 @@ def write_checkpoint(spark: SparkSession, path: str) -> int:
         jp = spark._jvm.org.apache.hadoop.fs.Path
         fsys.rename(jp(fs.join(tmp, part)), jp(dest))
     fs.delete(spark, tmp)
+
+
+def write_checkpoint(
+    spark: SparkSession, path: str, policy: str | None = None
+) -> int:
+    """Compact the log at the LATEST version into a checkpoint +
+    ``_last_checkpoint`` pointer; returns the checkpointed version.
+    Readers then replay O(commits since checkpoint) JSON files.
+
+    ``policy`` None resolves from the table:
+    ``delta.checkpointPolicy=v2`` (or the ``v2Checkpoint`` writer
+    feature) ⇒ a V2 checkpoint — UUID-named parquet manifest carrying
+    the non-file actions + ``checkpointMetadata`` + ``sidecar``
+    pointers, with the file actions in a parquet sidecar under
+    ``_delta_log/_sidecars/`` (the form the table's other writers
+    expect; writing a classic checkpoint there would violate the
+    policy those writers rely on). Everything else ⇒ the classic
+    single-file form. Both forms carry stats, deletion vectors, the
+    FULL protocol (feature lists), and txn watermarks — dropping any
+    of those behind a checkpoint resurrects rows, downgrades the
+    table, or double-commits a replayed micro-batch."""
+    state = _resolve_log(spark, path, None)
+    v = state["version"]
+    meta = state["meta"]
+    if policy is None:
+        conf = meta.get("configuration") or {}
+        wf = set(
+            (state.get("protocol") or {}).get("writerFeatures") or []
+        )
+        policy = (
+            "v2"
+            if str(
+                conf.get("delta.checkpointPolicy", "classic")
+            ).lower() == "v2"
+            or "v2Checkpoint" in wf
+            else "classic"
+        )
+    if policy not in ("classic", "v2"):
+        raise ValueError(f"unknown checkpoint policy: {policy!r}")
+
+    meta_row = (
+        meta["id"],
+        meta["schemaString"],
+        list(meta.get("partitionColumns") or []),
+        dict(meta.get("configuration") or {}),
+    )
+    # preserve the table's ACTUAL protocol: checkpointing a
+    # writer-advanced table (readable here, not writable) must not
+    # downgrade it to 1/2 — that would license writers the table
+    # forbids once the json commits expire
+    proto_row = (
+        int((state.get("protocol") or {}).get("minReaderVersion") or 1),
+        int((state.get("protocol") or {}).get("minWriterVersion") or 2),
+        (state.get("protocol") or {}).get("readerFeatures"),
+        (state.get("protocol") or {}).get("writerFeatures"),
+    )
+    txn_rows = [
+        (app_id, int(ver), 0)
+        for app_id, ver in sorted(state["txns"].items())
+    ]
+    domain_rows = [
+        (d["domain"], d.get("configuration"), bool(d.get("removed")))
+        for _, d in sorted((state.get("domains") or {}).items())
+    ]
+    add_rows = [
+        (
+            a["path"],
+            dict(a.get("partitionValues") or {}),
+            int(a.get("size") or 0),
+            int(a.get("modificationTime") or 0),
+            bool(a.get("dataChange", True)),
+            a.get("stats"),
+            (
+                (
+                    _dv_of(a).get("path"),
+                    int(_dv_of(a).get("cardinality") or 0),
+                    _dv_of(a).get("storageType"),
+                    _dv_of(a).get("pathOrInlineDv"),
+                    _dv_of(a).get("offset"),
+                    _dv_of(a).get("sizeInBytes"),
+                )
+                if _dv_of(a)
+                else None
+            ),
+        )
+        for a in state["files"].values()
+    ]
+    log = _log_path(path)
+
+    if policy == "classic":
+        rows = (
+            [(None, None, meta_row, None, None, None)]
+            + [(None, None, None, proto_row, None, None)]
+            + [(None, None, None, None, t, None) for t in txn_rows]
+            + [(None, None, None, None, None, d) for d in domain_rows]
+            + [(a, None, None, None, None, None) for a in add_rows]
+        )
+        cp_df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA)
+        _write_single_parquet(
+            spark, cp_df, log, fs.join(log, _checkpoint_name(v)), str(v)
+        )
+        fs.write_text(
+            spark,
+            fs.join(log, "_last_checkpoint"),
+            json.dumps({"version": v, "size": len(rows)}),
+        )
+        return v
+
+    # v2: file actions go to ONE parquet sidecar, the manifest carries
+    # the rest + checkpointMetadata + the sidecar pointer
+    sc_name = f"{uuid.uuid4()}.parquet"
+    fs.mkdirs(spark, fs.join(log, SIDECAR_DIR))
+    sc_dest = fs.join(log, SIDECAR_DIR, sc_name)
+    sc_df = spark.createDataFrame(
+        [(a, None) for a in add_rows], _SIDECAR_FILE_SCHEMA
+    )
+    _write_single_parquet(spark, sc_df, log, sc_dest, f"sc{v}")
+    sc_size = _file_size(spark, sc_dest)
+    rows_v2 = (
+        [(None, None, meta_row, None, None, None, (v,), None)]
+        + [(None, None, None, proto_row, None, None, None, None)]
+        + [
+            (None, None, None, None, t, None, None, None)
+            for t in txn_rows
+        ]
+        + [
+            (None, None, None, None, None, d, None, None)
+            for d in domain_rows
+        ]
+        + [
+            (
+                None, None, None, None, None, None, None,
+                (sc_name, int(sc_size or 0), 0),
+            )
+        ]
+    )
+    mf_df = spark.createDataFrame(rows_v2, _V2_CHECKPOINT_SCHEMA)
+    mf_dest = fs.join(
+        log, f"{v:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    )
+    _write_single_parquet(spark, mf_df, log, mf_dest, f"mf{v}")
     fs.write_text(
         spark,
         fs.join(log, "_last_checkpoint"),
-        json.dumps({"version": v, "size": len(rows)}),
+        json.dumps({"version": v, "size": len(rows_v2) + len(add_rows)}),
     )
     return v
 

@@ -259,7 +259,12 @@ def test_fuzz_delta_log_replay(spark, tmp_path, seed, mapped):
             live_constraints.discard(name)
             v += 1
         elif op == "checkpoint":
-            write_checkpoint(spark, path)
+            # r14: sometimes checkpoint in the ENGINE'S v2 form (UUID
+            # manifest + parquet sidecar) — replay must be identical
+            write_checkpoint(
+                spark, path,
+                policy="v2" if rng.random() < 0.4 else None,
+            )
         elif op == "checkpoint_v2":
             # a FOREIGN v2 checkpoint (manifest + sidecars) lands at
             # the current version, carrying the table's CURRENT

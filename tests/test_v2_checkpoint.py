@@ -123,20 +123,28 @@ def _build_v2_parquet(
     if protocol_row is None:
         protocol_row = (3, 7, ["v2Checkpoint"], list(writer_feats))
     manifest_rows = [
-        # (add, remove, metaData, protocol, txn, checkpointMetadata, sidecar)
-        (None, None, None, protocol_row, None, None, None),
+        # (add, remove, metaData, protocol, txn, domainMetadata,
+        #  checkpointMetadata, sidecar)
+        (None, None, None, protocol_row, None, None, None, None),
         (None, None,
          (meta["id"], meta["schemaString"],
           list(meta.get("partitionColumns") or []),
           dict(meta.get("configuration") or {})),
-         None, None, None, None),
-        (None, None, None, None, None,
+         None, None, None, None, None),
+        (None, None, None, None, None, None,
          (int(v if cpm_version is None else cpm_version),), None),
     ] + [
-        (None, None, None, None, (app, int(tv), 0), None, None)
+        (None, None, None, None, (app, int(tv), 0), None, None, None)
         for app, tv in sorted(state["txns"].items())
     ] + [
-        (None, None, None, None, None, None, (n, 1, 0))
+        (
+            None, None, None, None, None,
+            (d["domain"], d.get("configuration"), bool(d.get("removed"))),
+            None, None,
+        )
+        for d in (state.get("domains") or {}).values()
+    ] + [
+        (None, None, None, None, None, None, None, (n, 1, 0))
         for n in sc_names
     ]
     manifest = os.path.join(
@@ -221,10 +229,18 @@ def test_v2_mislabeled_version_refuses(spark, tmp_path):
         read_delta(spark, path).collect()
 
 
-def test_v2_writer_feature_still_refuses_writes(spark, tmp_path):
-    """Reading a v2-checkpoint table works; WRITING one whose
-    writerFeatures demand v2Checkpoint refuses — this writer cannot
-    honor checkpointPolicy=v2 when it checkpoints."""
+def test_v2_writer_feature_table_is_writable(spark, tmp_path):
+    """r14: a table whose writerFeatures demand v2Checkpoint accepts
+    writes — write_checkpoint honors checkpointPolicy=v2, so the
+    feature's writer requirement is met end to end. The append after
+    the foreign v2 checkpoint replays through the v2 path, and OUR
+    next checkpoint comes out in the v2 form (feature-driven even
+    without the config key)."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _v2_checkpoint_name,
+        write_checkpoint,
+    )
+
     path = str(tmp_path / "t")
     state = _two_commit_table(spark, path)
     _build_v2_parquet(
@@ -232,12 +248,140 @@ def test_v2_writer_feature_still_refuses_writes(spark, tmp_path):
         writer_feats=["appendOnly", "invariants", "v2Checkpoint"],
     )
     assert read_delta(spark, path).count() == 3
-    with pytest.raises(ValueError, match="writer features"):
-        write_delta(
-            spark,
-            spark.createDataFrame([(9, 90)], "id long, v long"),
-            path,
-        )
+    assert write_delta(
+        spark,
+        spark.createDataFrame([(9, 90)], "id long, v long"),
+        path,
+    ) == 2
+    assert read_delta(spark, path).count() == 4
+    v = write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    ours = [
+        n for n in os.listdir(log) if _v2_checkpoint_name(n) == v
+    ]
+    assert ours, sorted(os.listdir(log))
+
+
+def test_engine_v2_checkpoint_roundtrip(spark, tmp_path):
+    """write_checkpoint(policy resolved from delta.checkpointPolicy=v2)
+    emits the UUID manifest + parquet sidecar; with every covered json
+    EXPIRED the table replays ONLY through that artifact — and the
+    reader side was proven against hand-built foreign fixtures, so the
+    round-trip is not self-verifying. Stats survive (skip probe), txn
+    watermarks survive, time travel to the checkpointed version works,
+    a post-checkpoint append lands on top."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        SIDECAR_DIR,
+        last_txn_version,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        path,
+    )
+    # mark the policy + a txn watermark that must survive
+    _set_config_v2(spark, path)
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+        path,
+        txn=("appX", 7),
+    )
+    v = write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    assert any(
+        n.split(".")[1] == "checkpoint" and len(n.split(".")) == 4
+        for n in os.listdir(log)
+        if n[0].isdigit()
+    )
+    assert os.listdir(os.path.join(log, SIDECAR_DIR))
+    # expire every covered json: only the v2 artifact can feed reads
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and n.split(".")[0].isdigit():
+            if int(n.split(".")[0]) <= v:
+                os.remove(os.path.join(log, n))
+    assert sorted(
+        (r["id"], r["v"]) for r in read_delta(spark, path).collect()
+    ) == [(1, 10), (2, 20), (3, 30)]
+    assert last_txn_version(spark, path, "appX") == 7
+    # stats survived into the sidecar → skipping still prunes
+    got = read_delta(spark, path, skip=[("id", "=", 3)])
+    assert [r["v"] for r in got.collect()] == [30]
+    # write on top; both the pre- and post-append snapshots resolve
+    write_delta(
+        spark, spark.createDataFrame([(4, 40)], "id long, v long"), path
+    )
+    assert read_delta(spark, path).count() == 4
+    assert read_delta(spark, path, version=v).count() == 3
+
+
+def _set_config_v2(spark, path):
+    """Flip delta.checkpointPolicy=v2 via a metadata commit (what a
+    real ALTER TABLE SET TBLPROPERTIES does)."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        _commit_name,
+        _log_path,
+        _resolve_log,
+    )
+
+    state = _resolve_log(spark, path, None)
+    meta = dict(state["meta"])
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.checkpointPolicy"] = "v2"
+    new_meta = {
+        "id": meta["id"],
+        "format": meta.get("format")
+        or {"provider": "parquet", "options": {}},
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": conf,
+        "createdTime": meta.get("createdTime") or 0,
+    }
+    with open(
+        os.path.join(
+            _log_path(path), _commit_name(state["version"] + 1)
+        ),
+        "w",
+    ) as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+
+
+def test_v2_checkpoint_carries_deletion_vectors(spark, tmp_path):
+    """A DV-bearing live set checkpointed in v2 form keeps its vectors
+    (sidecar add rows carry the descriptor) — dropping them would
+    resurrect deleted rows once the jsons expire."""
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(6)], "id long, v long"
+        ),
+        path,
+    )
+    delete_delta(
+        spark,
+        path,
+        spark.createDataFrame([(2,), (4,)], "id long"),
+        deletion_vectors=True,
+    )
+    _set_config_v2(spark, path)
+    v = write_checkpoint(spark, path)
+    log = os.path.join(path, "_delta_log")
+    for n in list(os.listdir(log)):
+        if n.endswith(".json") and n.split(".")[0].isdigit():
+            if int(n.split(".")[0]) <= v:
+                os.remove(os.path.join(log, n))
+    assert sorted(
+        r["id"] for r in read_delta(spark, path).collect()
+    ) == [0, 1, 3, 5]
 
 
 def test_classic_checkpoint_preferred_over_v2(spark, tmp_path):
