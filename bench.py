@@ -586,6 +586,8 @@ HEADLINE = [
     "delta_id_mode_writes",
     "delta_ict_time_travel",
     "delta_timestamp_ntz",
+    "delta_variant_roundtrip",
+    "delta_type_widening",
 ]
 
 # The headline total sums only these 17 — the list benched every round

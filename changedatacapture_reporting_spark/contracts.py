@@ -1927,6 +1927,163 @@ WHERE o_orderdate > TIMESTAMP '1995-06-01'
 """
 
 
+def _q_delta_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant columns (r14, sources.delta_table — public Delta table
+    feature ``variantType``, Spark 4 VariantType): semi-structured
+    values write through the engine's normal staging path and read
+    back typed; the hash compares the canonical ``to_json`` rendering
+    of an array variant (deterministic formatting on both sides)
+    against a string-building SQL oracle."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey"
+    )
+    df = orders.select(
+        "o_orderkey",
+        F.parse_json(
+            F.concat(
+                F.lit("["),
+                k.cast("string"),
+                F.lit(","),
+                (k % 5).cast("string"),
+                F.lit("]"),
+            )
+        ).alias("v"),
+    )
+    base = tempfile.mkdtemp(prefix="delta_var_") + "/orders_variant"
+    write_delta(spark, df.filter(k % 2 == 0), base)
+    write_delta(spark, df.filter(k % 2 == 1), base)
+    out = read_delta(spark, base)
+    assert isinstance(out.schema["v"].dataType, T.VariantType), out.schema
+    return out.select(
+        "o_orderkey", F.to_json("v").alias("vj")
+    )
+
+
+_SQL_DELTA_VARIANT = """
+SELECT o_orderkey,
+       '[' || o_orderkey || ',' || (o_orderkey % 5) || ']' AS vj
+FROM orders
+"""
+
+
+def _q_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (r14, sources.delta_table — public Delta feature
+    ``typeWidening``): a FOREIGN table whose column was widened
+    int→long after its first file landed — v0 carries a real INT32
+    parquet file, v1 re-commits the metaData with the widened type,
+    ``delta.typeChanges`` and the feature protocol. The engine must
+    read the int32 pages back as long under the committed schema and
+    append its own long rows on top; the hash equals a plain-SQL
+    oracle over both halves."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        read_delta,
+        write_delta,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="delta_tw_") + "/orders_widen"
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    stage = base + "/_stage"
+    orders.filter(k % 2 == 0).select(
+        k.cast("int").alias("o_orderkey"), "o_orderpriority"
+    ).repartition(1).write.parquet(stage)
+    part = [p for p in os.listdir(stage) if p.endswith(".parquet")][0]
+    os.replace(os.path.join(stage, part), base + "/f0.parquet")
+    shutil.rmtree(stage)
+
+    def meta(s):
+        return {
+            "metaData": {
+                "id": "t-widen-contract",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": s.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        }
+
+    narrow = T.StructType(
+        [
+            T.StructField("o_orderkey", T.IntegerType(), True),
+            T.StructField("o_orderpriority", T.StringType(), True),
+        ]
+    )
+    wide = T.StructType(
+        [
+            T.StructField(
+                "o_orderkey",
+                T.LongType(),
+                True,
+                {
+                    "delta.typeChanges": [
+                        {"fromType": "integer", "toType": "long"}
+                    ]
+                },
+            ),
+            T.StructField("o_orderpriority", T.StringType(), True),
+        ]
+    )
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        meta(narrow),
+        {
+            "add": {
+                "path": "f0.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(base + "/f0.parquet"),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    v1 = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"],
+            }
+        },
+        meta(wide),
+    ]
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+    with open(f"{base}/_delta_log/{1:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v1) + "\n")
+
+    assert write_delta(spark, orders.filter(k % 2 == 1), base) == 2
+    out = read_delta(spark, base)
+    assert isinstance(out.schema["o_orderkey"].dataType, T.LongType)
+    return out
+
+
+_SQL_DELTA_TYPE_WIDENING = """
+SELECT o_orderkey, o_orderpriority FROM orders
+"""
+
+
 def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 (UUID-named) checkpoint reads (sources.delta_table
     _replay_v2_checkpoint — public Delta PROTOCOL.md, "V2 Checkpoints",
@@ -3422,6 +3579,14 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
         _q_delta_timestamp_ntz,
         _SQL_DELTA_TIMESTAMP_NTZ,
     ),
+    "delta_variant_roundtrip": (
+        _q_delta_variant_roundtrip,
+        _SQL_DELTA_VARIANT,
+    ),
+    "delta_type_widening": (
+        _q_delta_type_widening,
+        _SQL_DELTA_TYPE_WIDENING,
+    ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
@@ -3442,6 +3607,8 @@ _CHECK_WINDOW: list[str] = [
     "delta_id_mode_writes",
     "delta_ict_time_travel",
     "delta_timestamp_ntz",
+    "delta_variant_roundtrip",
+    "delta_type_widening",
     "cdc_forget_keys_delta",
     "delta_v2_checkpoint",
     "delta_mapped_writes",
@@ -3485,13 +3652,11 @@ _CHECK_WINDOW: list[str] = [
     "corpus_lm_surprisal",
     "corpus_pack_bfd",
     "corpus_pack_sequences",
-    "corpus_pps_sample",
-    "corpus_prepare",
-    # (5 oldest-r11 names deferred to the r15 rotation to keep the
-    # window at 50 after the writer-feature wave joined the head:
-    # cube_lineitem_counts, customers_with_urgent_orders,
-    # dedup_embedding_neardup, delta_merge_upsert,
-    # delta_metadata_summary)
+    # (7 oldest-r11 names deferred to the r15 rotation to keep the
+    # window at 50 as new interop entries joined the head:
+    # corpus_pps_sample, corpus_prepare, cube_lineitem_counts,
+    # customers_with_urgent_orders, dedup_embedding_neardup,
+    # delta_merge_upsert, delta_metadata_summary)
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

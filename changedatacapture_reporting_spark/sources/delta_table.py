@@ -465,6 +465,17 @@ _SUPPORTED_READER_FEATURES: set[str] = {
     # deleting anything (see the head check there) — which is exactly
     # what this feature demands of a vacuum implementation
     "vacuumProtocolCheck",
+    # r14: Spark 4 VariantType round-trips natively (schemaString,
+    # parquet write, typed read) — no stats/skipping over it, which is
+    # also what real engines do for variant
+    "variantType",
+    # r14: type widening reads are native to this engine's scan shape
+    # — every scan requests the COMMITTED (widened) schema over the
+    # files, and Spark's parquet reader upcasts the narrower pages
+    # (int→long/double, float→double, date→timestamp_ntz verified);
+    # the delta.typeChanges field metadata rides schemaString untouched
+    "typeWidening",
+    "typeWidening-preview",
 }
 _SUPPORTED_WRITER_FEATURES: set[str] = {
     "deletionVectors",
@@ -501,6 +512,12 @@ _SUPPORTED_WRITER_FEATURES: set[str] = {
     # maintenance
     "domainMetadata",
     "clustering",
+    # r14: see the reader-set notes — variant columns write through
+    # the normal staging path (no stats), and appends to a widened
+    # table stage in the committed (wide) type
+    "variantType",
+    "typeWidening",
+    "typeWidening-preview",
 }
 _READABLE_MAPPING_MODES = {"none", "name", "id"}
 
