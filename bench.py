@@ -588,6 +588,7 @@ HEADLINE = [
     "delta_timestamp_ntz",
     "delta_variant_roundtrip",
     "delta_type_widening",
+    "delta_row_tracking",
 ]
 
 # The headline total sums only these 17 — the list benched every round

@@ -2084,6 +2084,114 @@ SELECT o_orderkey, o_orderpriority FROM orders
 """
 
 
+def _q_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (r14, sources.delta_table — public Delta writer
+    feature ``rowTracking``): a FOREIGN row-tracked genesis (feature
+    protocol + delta.enableRowTracking + a prior high-water mark of
+    4999) takes two engine appends and a vector DELETE. Every add must
+    carry a fresh non-overlapping baseRowId range above the mark with
+    the commit version stamped, the domain mark must advance in the
+    same commits, and the vector swap must INHERIT the touched file's
+    ids (asserted in-contract); the hash proves the surviving logical
+    rows equal a plain-SQL oracle."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_reporting_spark.sources.delta_table import (
+        delete_delta,
+        read_delta,
+        write_delta,
+        _resolve_log,
+    )
+
+    k = F.col("o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="delta_rt_") + "/orders_rt"
+    os.makedirs(base + "/_delta_log", exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), True),
+            T.StructField("o_orderpriority", T.StringType(), True),
+        ]
+    )
+    v0 = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "t-rowtracking",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {"delta.enableRowTracking": "true"},
+                "createdTime": 0,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": _json.dumps(
+                    {"rowIdHighWaterMark": 4999}
+                ),
+                "removed": False,
+            }
+        },
+    ]
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        f.write("\n".join(_json.dumps(a) for a in v0) + "\n")
+
+    assert write_delta(spark, orders.filter(k % 2 == 0), base) == 1
+    assert write_delta(spark, orders.filter(k % 2 == 1), base) == 2
+
+    st = _resolve_log(spark, base, None)
+    spans = []
+    for a in st["files"].values():
+        assert a.get("baseRowId") is not None, a["path"]
+        n = _json.loads(a["stats"])["numRecords"]
+        spans.append((int(a["baseRowId"]), int(a["baseRowId"]) + n - 1))
+        assert int(a["defaultRowCommitVersion"]) in (1, 2)
+    spans.sort()
+    assert spans[0][0] == 5000  # above the foreign mark
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # non-overlapping ranges
+    mark = _json.loads(
+        st["domains"]["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"]
+    assert mark == 4999 + orders.count()
+
+    ids_before = {
+        a["path"]: int(a["baseRowId"]) for a in st["files"].values()
+    }
+    delete_delta(
+        spark,
+        base,
+        orders.filter(k % 13 == 2).select("o_orderkey"),
+        deletion_vectors=True,
+    )
+    st2 = _resolve_log(spark, base, None)
+    for a in st2["files"].values():
+        if a["path"] in ids_before:  # swapped files inherit their ids
+            assert int(a["baseRowId"]) == ids_before[a["path"]]
+    return read_delta(spark, base)
+
+
+_SQL_DELTA_ROW_TRACKING = """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE o_orderkey % 13 <> 2
+"""
+
+
 def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v2 (UUID-named) checkpoint reads (sources.delta_table
     _replay_v2_checkpoint — public Delta PROTOCOL.md, "V2 Checkpoints",
@@ -2152,7 +2260,7 @@ def _q_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(a.get("size") or 0),
                     int(a.get("modificationTime") or 0),
                     bool(a.get("dataChange", True)), a.get("stats"),
-                    None,
+                    None, None, None,
                 ),
                 None,
             )
@@ -3587,6 +3695,10 @@ _REGISTRY_ALL: dict[str, tuple[QueryFn, str | None]] = {
         _q_delta_type_widening,
         _SQL_DELTA_TYPE_WIDENING,
     ),
+    "delta_row_tracking": (
+        _q_delta_row_tracking,
+        _SQL_DELTA_ROW_TRACKING,
+    ),
     "cdc_populate_delta_sink": (_q_populate_delta_sink, _SQL_CHANGELOG_FULL),
     **REGISTRY_RELATIONAL,
     **REGISTRY_LLM,
@@ -3609,6 +3721,7 @@ _CHECK_WINDOW: list[str] = [
     "delta_timestamp_ntz",
     "delta_variant_roundtrip",
     "delta_type_widening",
+    "delta_row_tracking",
     "cdc_forget_keys_delta",
     "delta_v2_checkpoint",
     "delta_mapped_writes",
@@ -3651,12 +3764,12 @@ _CHECK_WINDOW: list[str] = [
     "corpus_boilerplate_scores",
     "corpus_lm_surprisal",
     "corpus_pack_bfd",
-    "corpus_pack_sequences",
-    # (7 oldest-r11 names deferred to the r15 rotation to keep the
+    # (8 oldest-r11 names deferred to the r15 rotation to keep the
     # window at 50 as new interop entries joined the head:
-    # corpus_pps_sample, corpus_prepare, cube_lineitem_counts,
-    # customers_with_urgent_orders, dedup_embedding_neardup,
-    # delta_merge_upsert, delta_metadata_summary)
+    # corpus_pack_sequences, corpus_pps_sample, corpus_prepare,
+    # cube_lineitem_counts, customers_with_urgent_orders,
+    # dedup_embedding_neardup, delta_merge_upsert,
+    # delta_metadata_summary)
 ]
 
 assert set(_CHECK_WINDOW) <= set(_REGISTRY_ALL), sorted(

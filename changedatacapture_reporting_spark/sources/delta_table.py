@@ -233,6 +233,15 @@ _CHECKPOINT_SCHEMA = T.StructType(
                             ]
                         ),
                     ),
+                    # r14 row tracking: every add of a row-tracked
+                    # table carries its base row id + default commit
+                    # version; a checkpoint that dropped them would
+                    # re-id every row once the json commits expire.
+                    # Older checkpoints read back null (plain adds).
+                    T.StructField("baseRowId", T.LongType()),
+                    T.StructField(
+                        "defaultRowCommitVersion", T.LongType()
+                    ),
                 ]
             ),
         ),
@@ -518,6 +527,13 @@ _SUPPORTED_WRITER_FEATURES: set[str] = {
     "variantType",
     "typeWidening",
     "typeWidening-preview",
+    # r14: both commit sites stamp baseRowId/defaultRowCommitVersion
+    # on new adds from the delta.rowTracking domain's high-water mark
+    # (advanced in the same commit); vector swaps inherit the live
+    # file's ids (rows did not move); row-COPYING rewrites (OPTIMIZE,
+    # rewrite-mode MERGE/DELETE) refuse rather than silently re-id
+    # copied rows (_check_row_tracking_rewrite)
+    "rowTracking",
 }
 _READABLE_MAPPING_MODES = {"none", "name", "id"}
 
@@ -3294,6 +3310,12 @@ def write_delta(
             )
         actions.extend(add_actions)
 
+        rt_state = (
+            prior
+            if versions
+            else {"meta": None, "domains": {}, "files": {}}
+        )
+        actions.extend(_row_tracking_actions(rt_state, actions, version))
         if (log_store or logstore.get_log_store()).put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
@@ -3381,7 +3403,11 @@ def _commit_swap(
                 f"concurrent commit: {changed[:3]}"
             )
         version = current["version"] + 1
-        attempt = _ict_prefix(current, timestamp_ms) + actions
+        attempt = (
+            _ict_prefix(current, timestamp_ms)
+            + actions
+            + _row_tracking_actions(current, actions, version)
+        )
         if (log_store or logstore.get_log_store()).put_if_absent(
             spark,
             fs.join(_log_path(path), _commit_name(version)),
@@ -3510,6 +3536,94 @@ def _dv_swap_actions(
             new_add["stats"] = json.dumps(parsed)
         readds.append({"add": new_add})
     return removes + readds, dead
+
+
+def _row_tracking_enabled(meta: dict | None) -> bool:
+    conf = (meta or {}).get("configuration") or {}
+    return str(
+        conf.get("delta.enableRowTracking", "false")
+    ).lower() == "true"
+
+
+def _check_row_tracking_rewrite(meta: dict | None, op: str) -> None:
+    """Row-copying rewrites (OPTIMIZE, rewrite-mode MERGE/DELETE)
+    refuse on row-tracked tables: rows copied into a new file change
+    position, so their ids survive only through materialized row-id
+    columns this writer does not emit — silently re-iding copied rows
+    would corrupt the stream every downstream incremental consumer
+    reads from the ids. Vector-mode mutations are the supported path
+    (touched files stay in place; preservation is free)."""
+    if _row_tracking_enabled(meta):
+        raise ValueError(
+            f"{op} on a row-tracked table (delta.enableRowTracking) "
+            "would copy rows without preserving their row ids — this "
+            "writer does not materialize row-id columns; use "
+            "deletion-vector mode for mutations and leave compaction "
+            "to a writer that preserves ids"
+        )
+
+
+def _row_tracking_actions(
+    state: dict, actions: list[dict], version: int
+) -> list[dict]:
+    """Row tracking (public protocol, writer feature ``rowTracking``):
+    stamp ``baseRowId`` + ``defaultRowCommitVersion`` on every NEW add
+    in ``actions`` — fresh non-overlapping id ranges allocated from
+    the ``delta.rowTracking`` domain's rowIdHighWaterMark — and return
+    the domain action advancing the mark in the SAME commit. An add
+    re-pointing an EXISTING live file (a vector swap) inherits that
+    file's recorded ids: its rows did not move, so preservation is
+    free and mandatory. Re-derived per commit attempt (ids and the
+    commit version must be race-fresh). No-op on untracked tables."""
+    if not _row_tracking_enabled(state.get("meta")):
+        return []
+    dm = (state.get("domains") or {}).get("delta.rowTracking")
+    hwm = -1
+    if dm and dm.get("configuration"):
+        try:
+            hwm = int(
+                json.loads(dm["configuration"]).get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (ValueError, AttributeError):
+            pass
+    assigned = False
+    for act in actions:
+        a = act.get("add")
+        if not a:
+            continue
+        live = state["files"].get(a["path"])
+        if live is not None and live.get("baseRowId") is not None:
+            a["baseRowId"] = int(live["baseRowId"])
+            a["defaultRowCommitVersion"] = int(
+                live.get("defaultRowCommitVersion") or version
+            )
+            continue
+        n = _num_records(a)
+        if n is None:
+            raise ValueError(
+                "row tracking needs numRecords stats to allocate a "
+                f"base row id for {a['path']!r} — write with "
+                "collect_stats=True"
+            )
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = int(version)
+        hwm += int(n)
+        assigned = True
+    if not assigned:
+        return []
+    return [
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}
+                ),
+                "removed": False,
+            }
+        }
+    ]
 
 
 def _dv_protocol_actions(state: dict) -> list[dict]:
@@ -3792,6 +3906,7 @@ def optimize_delta(
     state = _resolve_log(spark, path, None)
     _check_write_protocol(state, path)  # refuse before any rewrite work
     meta = state["meta"]
+    _check_row_tracking_rewrite(meta, "OPTIMIZE")
     part_cols = list(meta.get("partitionColumns") or [])
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if zorder_by is None:
@@ -4340,6 +4455,11 @@ def merge_delta(
             "version": None, "files_rewritten": 0, "files_added": 0,
             "rows_upserted": 0, "rows_deleted": 0,
         }
+    if touched_adds:
+        # an insert-only rewrite merge copies nothing — only a merge
+        # that would rewrite touched files (copying survivors) breaks
+        # row ids
+        _check_row_tracking_rewrite(meta, "rewrite-mode MERGE")
 
     # full re-read of ONLY the touched files; survivors rewritten with
     # the upserts (new keys' rows land in their partitions' new files).
@@ -4509,6 +4629,7 @@ def delete_delta(
     # rewrite fallback: survivors of the touched files written without
     # the matched keys (also purges any existing vectors on them);
     # physical names/dirs/stats keys under column mapping
+    _check_row_tracking_rewrite(meta, "rewrite-mode DELETE")
     survivors = _scan_adds(spark, path, meta, touched_adds).join(
         F.broadcast(key_rows), pk_cols, "left_anti"
     )
@@ -4843,6 +4964,8 @@ def write_checkpoint(
                 if _dv_of(a)
                 else None
             ),
+            a.get("baseRowId"),
+            a.get("defaultRowCommitVersion"),
         )
         for a in state["files"].values()
     ]

@@ -51,6 +51,8 @@ def _add_tuple(a):
         bool(a.get("dataChange", True)),
         a.get("stats"),
         dv_t,
+        a.get("baseRowId"),
+        a.get("defaultRowCommitVersion"),
     )
 
 
