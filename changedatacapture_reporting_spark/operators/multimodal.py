@@ -79,6 +79,26 @@ def _decode_gif_features(payload: bytes) -> list[float]:
     ).tolist()
 
 
+def _decode_jpeg_features(payload: bytes) -> list[float]:
+    """REAL decode for baseline JPEG payloads (stdlib+numpy codec,
+    operators.jpegcodec): pixels → luminance → FEATURE_DIM strip, the
+    same feature convention as the PNG/GIF paths. Non-baseline JPEGs
+    (progressive, 12-bit, arithmetic) raise and fall through to the
+    stand-in — never a misdecode."""
+    import numpy as np
+
+    from changedatacapture_reporting_spark.operators import (
+        jpegcodec,
+        pngcodec,
+    )
+
+    grey = pngcodec.to_grey(jpegcodec.decode(payload))
+    strip = pngcodec.resize_nearest(grey, FEATURE_DIM, 1)
+    return (
+        strip.reshape(-1).astype("float32") / np.float32(255.0)
+    ).tolist()
+
+
 def _decode_wav_features(payload: bytes) -> list[float]:
     """REAL decode for WAV payloads (stdlib codec, operators.wavcodec):
     PCM samples → [rms, zero-crossing rate, spectral band energies]."""
@@ -90,13 +110,15 @@ def _decode_wav_features(payload: bytes) -> list[float]:
 
 def _make_decoder():
     """Capability probe, best-real-decoder-first: the stdlib codecs for
-    the formats they pin exactly — WAV audio (operators.wavcodec), PNG
-    and GIF pixels (operators.pngcodec / gifcodec) — then PIL when
-    importable (any other image format), then the deterministic
-    byte-histogram stand-in. Returned as a closure so the probe runs
-    once per Python worker, not once per batch."""
+    the formats they pin exactly — WAV audio (operators.wavcodec),
+    PNG / GIF / baseline-JPEG pixels (operators.pngcodec / gifcodec /
+    jpegcodec) — then PIL when importable (any other image format),
+    then the deterministic byte-histogram stand-in. Returned as a
+    closure so the probe runs once per Python worker, not once per
+    batch."""
     from changedatacapture_reporting_spark.operators import (
         gifcodec,
+        jpegcodec,
         pngcodec,
         wavcodec,
     )
@@ -134,6 +156,8 @@ def _make_decoder():
                 return _decode_png_features(payload)
             if gifcodec.is_gif(payload):
                 return _decode_gif_features(payload)
+            if jpegcodec.is_jpeg(payload):
+                return _decode_jpeg_features(payload)
             if wavcodec.is_wav(payload):
                 return _decode_wav_features(payload)
         except Exception:
