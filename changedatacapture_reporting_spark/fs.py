@@ -18,8 +18,57 @@ plain local paths — the only case a Connect-local setup can reach.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+# any explicit "scheme://" prefix (s3a://, hdfs://, file://…) stays on
+# the JVM FileSystem path; schemeless paths are local when the session's
+# fs.defaultFS is file:// (the Hadoop default)
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+_DEFAULT_FS_CACHE: dict[int, str] = {}
+
+
+def _is_local(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` resolves to the LOCAL filesystem, where the
+    pure-``os`` implementations below are exactly equivalent and 2–3
+    orders of magnitude cheaper than a py4j Hadoop roundtrip. The delta
+    log protocol makes hundreds of metadata calls per commit (a json
+    read per replayed version, an exists/mtime per reclaim candidate,
+    a rename per promoted file), so on local[] deployments the gateway
+    latency — not the filesystem — was the metadata-plane cost
+    (optimization guide §1.2: remove per-op overhead once the job shape
+    is right)."""
+    if _SCHEME.match(path):
+        return False
+    try:
+        key = id(spark)
+        d = _DEFAULT_FS_CACHE.get(key)
+        if d is None:
+            d = str(
+                spark._jsc.hadoopConfiguration().get(
+                    "fs.defaultFS", "file:///"
+                )
+            )
+            _DEFAULT_FS_CACHE[key] = d
+        return d.startswith("file:")
+    except Exception:
+        return True  # no JVM gateway — the os fallback is all there is
+
+
+def _drop_stale_crc(path: str) -> None:
+    """Remove a Hadoop ChecksumFileSystem ``.name.crc`` sidecar left by
+    an earlier JVM-side write: an os-level overwrite would leave it
+    stale, and a later Hadoop read of the pair would raise
+    ChecksumException. Missing sidecars are always tolerated; stale
+    ones are not."""
+    crc = os.path.join(
+        os.path.dirname(path), "." + os.path.basename(path) + ".crc"
+    )
+    try:
+        os.remove(crc)
+    except OSError:
+        pass
 
 
 def join(base: str, *parts: str) -> str:
@@ -33,7 +82,11 @@ def join(base: str, *parts: str) -> str:
 
 def _hadoop(spark: SparkSession, path: str):
     """(FileSystem, qualified Path) for ``path``, or None when no JVM
-    gateway exists."""
+    gateway exists OR the path is local — local paths take the pure-
+    ``os`` implementations (identical semantics, no py4j roundtrip;
+    see :func:`_is_local`)."""
+    if _is_local(spark, path):
+        return None
     try:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -82,7 +135,11 @@ def delete(spark: SparkSession, path: str) -> bool:
 
         if not os.path.exists(path):
             return False
-        shutil.rmtree(path)
+        if os.path.isdir(path) and not os.path.islink(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+            _drop_stale_crc(path)
         return True
     fs, jpath = h
     return bool(fs.delete(jpath, True))
@@ -93,6 +150,7 @@ def write_text(spark: SparkSession, path: str, text: str = "") -> None:
     h = _hadoop(spark, path)
     if h is None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        _drop_stale_crc(path)
         with open(path, "w") as f:
             f.write(text)
         return
@@ -125,6 +183,7 @@ def create_exclusive(spark: SparkSession, path: str, text: str = "") -> bool:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return False
+        _drop_stale_crc(path)
         with os.fdopen(fd, "w") as f:
             f.write(text)
         return True
@@ -195,6 +254,7 @@ def write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
     h = _hadoop(spark, path)
     if h is None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        _drop_stale_crc(path)
         with open(path, "wb") as f:
             f.write(data)
         return
@@ -267,6 +327,7 @@ def promote(spark: SparkSession, staging_dir: str, dest_dir: str) -> int:
         dst = join(dest_dir, rel)
         if h is None:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _drop_stale_crc(dst)
             os.replace(src, dst)
         else:
             fs, _ = h
