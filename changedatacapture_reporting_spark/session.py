@@ -42,6 +42,15 @@ def get_spark(
         # fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark
         # rejects by default; read as long, converted in sources.tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (Spark's legacy default) is deprecated AND carries no
+        # parquet column statistics — timestamp columns written as
+        # INT96 can never be footer-stat'd or row-group pruned by
+        # other engines. TIMESTAMP_MICROS is the modern interop form
+        # and what makes the delta writer's footer-stats fast path
+        # (sources.delta_table._file_stats) apply to timestamp columns
+        .config(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

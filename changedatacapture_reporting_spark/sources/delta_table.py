@@ -2059,6 +2059,163 @@ def _stats_json_value(v):
     return v
 
 
+def _file_stats_from_footers(
+    path: str,
+    rels: list[str],
+    eligible: list[tuple[str, T.DataType]],
+) -> dict[str, str] | None:
+    """Per-file add.stats straight from the PARQUET FOOTERS (pyarrow,
+    driver-side, ~µs/file) instead of a Spark aggregate job — what real
+    Delta writers do (they collect stats inline during the write; the
+    footer is the next-cheapest exact source). Called only on files
+    THIS engine just staged, so the writer is always the session's
+    Spark parquet writer, whose footer stats are exact-or-absent
+    (oversized binary stats are dropped whole, never truncated —
+    pinned by tests/test_footer_stats.py across sizes).
+
+    Returns None — caller falls back to the one-job Spark aggregate —
+    on ANY doubt: a column chunk without statistics that is not
+    provably all-NULL, a NaN or ±0.0 float bound (sign/ordering
+    ambiguity), a decimal encoding pyarrow cannot decode, a missing
+    null count. Exactness over speed, always."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+        return None
+
+    def _convert(v, dt):
+        """Footer value → exactly what the Spark aggregate's collect()
+        would have produced (session TZ is pinned UTC). None = bail."""
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            f = float(v)
+            if f != f:  # NaN — Spark orders NaN greatest; footers vary
+                return None
+            if f == 0.0:  # ±0.0 — the footer can't prove the sign
+                return None
+            return f
+        if isinstance(dt, T.DecimalType):
+            return v if isinstance(v, _decimal.Decimal) else None
+        if isinstance(dt, T.TimestampType):
+            if not isinstance(v, _dt.datetime):
+                return None
+            if v.tzinfo is None:
+                return None  # tz-less footer for a tz'd type — bail
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if isinstance(dt, T.TimestampNTZType):
+            if not isinstance(v, _dt.datetime) or v.tzinfo is not None:
+                return None
+            return v
+        if isinstance(dt, T.DateType):
+            return v if type(v) is _dt.date else None
+        if isinstance(dt, T.StringType):
+            return v if isinstance(v, str) else None
+        if isinstance(dt, T.BooleanType):
+            return v if isinstance(v, bool) else None
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return int(v) if isinstance(v, int) else None
+        return None
+
+    out: dict[str, str] = {}
+    for rel in rels:
+        try:
+            md = _pq.ParquetFile(f"{path}/{rel}").metadata
+        except Exception:
+            return None
+        n = md.num_rows
+        if n == 0:
+            out[rel] = json.dumps(
+                {
+                    "numRecords": 0,
+                    "minValues": {},
+                    "maxValues": {},
+                    "nullCount": {c: 0 for c, _ in eligible},
+                }
+            )
+            continue
+        # column-chunk index by top-level name (same across row groups)
+        rg0 = md.row_group(0)
+        idx = {
+            rg0.column(i).path_in_schema: i
+            for i in range(rg0.num_columns)
+        }
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        nulls: dict[str, int] = {}
+        for name, dt in eligible:
+            ci = idx.get(name)
+            if ci is None:
+                return None  # column missing from the footer — bail
+            n_null = 0
+            col_mins: list = []
+            col_maxs: list = []
+            for g in range(md.num_row_groups):
+                col = md.row_group(g).column(ci)
+                try:
+                    st = col.statistics
+                except Exception:
+                    return None
+                if st is None or st.null_count is None:
+                    return None
+                n_null += st.null_count
+                if not st.has_min_max:
+                    # min/max absent: sound ONLY when this row group's
+                    # chunk is all-NULL (dropped oversized stats etc.
+                    # must fall back to the aggregate)
+                    if st.null_count != md.row_group(g).num_rows:
+                        return None
+                    continue
+                try:
+                    if isinstance(dt, T.DecimalType) and str(
+                        col.physical_type
+                    ) in ("INT32", "INT64"):
+                        # int-encoded decimals: pyarrow raises on the
+                        # typed accessor; the raw value is the exact
+                        # unscaled integer
+                        if st.min_raw is None or st.max_raw is None:
+                            return None
+                        lo = _decimal.Decimal(int(st.min_raw)).scaleb(
+                            -dt.scale
+                        )
+                        hi = _decimal.Decimal(int(st.max_raw)).scaleb(
+                            -dt.scale
+                        )
+                    else:
+                        lo = _convert(st.min, dt)
+                        hi = _convert(st.max, dt)
+                except Exception:
+                    return None
+                if lo is None or hi is None:
+                    return None
+                col_mins.append(lo)
+                col_maxs.append(hi)
+            nulls[name] = n_null
+            if col_mins:  # all-NULL columns contribute no bounds
+                mins[name] = min(col_mins)
+                maxs[name] = max(col_maxs)
+        out[rel] = json.dumps(
+            {
+                "numRecords": n,
+                "minValues": {
+                    c: _stats_json_value(mins[c])
+                    for c, _ in eligible
+                    if c in mins
+                },
+                "maxValues": {
+                    c: _stats_json_value(maxs[c])
+                    for c, _ in eligible
+                    if c in maxs
+                },
+                "nullCount": {c: nulls[c] for c, _ in eligible},
+            }
+        )
+    return out
+
+
 def _file_stats(
     spark: SparkSession,
     path: str,
@@ -2082,6 +2239,21 @@ def _file_stats(
         for f in schema.fields
         if f.name not in part_cols and isinstance(f.dataType, _STATS_TYPES)
     ]
+    # fast path (local files, UTC session): exact stats straight from
+    # the parquet footers — no Spark job. Any doubt (NaN/±0.0 bounds,
+    # dropped oversized string stats, undecodable decimals) returns
+    # None and the distributed aggregate below stays the authority.
+    if fs._is_local(spark, path) and (
+        spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    ):
+        typed = [
+            (f.name, f.dataType)
+            for f in schema.fields
+            if f.name in set(eligible)
+        ]
+        fast = _file_stats_from_footers(path, rels, typed)
+        if fast is not None:
+            return fast
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
@@ -5347,16 +5519,24 @@ def read_delta_cdf(
                     "delete",
                 )
             )
-        for p in paired:
-            old_add, new_add = files_before[p], adds_dc[p]
+        if paired:
+            # ALL of the commit's same-path vector swaps in one batch:
+            # (path, row_index) keys cannot cancel across files, so a
+            # single exceptAll over the unioned old/new entries equals
+            # the per-file deltas — 2 joins for the whole commit
+            # instead of 2 per paired file (the per-file loop built an
+            # O(files) plan the driver alone took seconds to assemble)
+            old_adds = [files_before[p] for p in paired]
+            new_adds = [adds_dc[p] for p in paired]
             old_dv = _dv_entries(
-                spark, path, [old_add] if _dv_of(old_add) else []
+                spark, path, [a for a in old_adds if _dv_of(a)]
             )
             new_dv = _dv_entries(
-                spark, path, [new_add] if _dv_of(new_add) else []
+                spark, path, [a for a in new_adds if _dv_of(a)]
             )
             raw = _scan_adds(
-                spark, path, meta, [dict(new_add, deletionVector=None)],
+                spark, path, meta,
+                [dict(a, deletionVector=None) for a in new_adds],
                 with_rowpos=True,
             )
             for delta_df, ctype in (
