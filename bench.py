@@ -53,23 +53,53 @@ def main() -> None:
     env_before = _env_block()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    steal_extra_total = 0
     # per-query isolation: one broken query must cost only its own number,
     # never the whole bench (r04 lost ALL perf signal to one loader bug)
     for name in headline:
-        runs = []
+        runs = []  # (elapsed_sec, steal_pct_during_rep | None)
+
+        def _one_rep() -> None:
+            s0 = _steal_sample()
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append((time.perf_counter() - t0, _steal_pct(s0)))
+
         try:
             for _ in range(EXTRA_REPS.get(name, reps)):
-                t0 = time.perf_counter()
-                df = qs[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
+                _one_rep()
+            # steal-aware guard (VERDICT r14 #8, additions-only): the min
+            # estimator is only meaningful when at least the BEST rep ran
+            # in a quiet window — under sustained co-tenant steal every
+            # rep is inflated and min-of-reps reports noise as code. When
+            # the fastest rep's window saw steal above the threshold,
+            # re-run (bounded) until one rep lands quiet or the budget is
+            # spent; the reported number stays min over ALL reps, so the
+            # guard can only remove noise, never manufacture speed.
+            extra = 0
+            while (
+                extra < STEAL_RERUN_MAX
+                and min(runs)[1] is not None
+                and min(runs)[1] > STEAL_RERUN_PCT
+            ):
+                _one_rep()
+                extra += 1
+            steal_extra_total += extra
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(min(runs), 3)
+        best = min(runs)
+        timings[name] = round(best[0], 3)
         print(
-            f"# {name}: {timings[name]}s (min of {EXTRA_REPS.get(name, reps)})",
+            f"# {name}: {timings[name]}s (min of {len(runs)}"
+            + (
+                f", best-rep steal {best[1]:.2f}%"
+                if best[1] is not None
+                else ""
+            )
+            + ")",
             file=sys.stderr,
         )
 
@@ -113,6 +143,13 @@ def main() -> None:
         "default_reps": reps,
         "extra_reps": {
             k: v for k, v in sorted(EXTRA_REPS.items()) if v != reps
+        },
+        # steal-aware rerun guard (r15): reruns triggered because the
+        # fastest rep's window exceeded the per-rep steal threshold
+        "steal_guard": {
+            "rerun_pct": STEAL_RERUN_PCT,
+            "rerun_max_per_query": STEAL_RERUN_MAX,
+            "extra_reps_run": steal_extra_total,
         },
     }
     if errors:
@@ -609,6 +646,37 @@ EXTRA_REPS: dict[str, int] = {name: 5 for name in HEADLINE_TOTAL_SET}
 # min estimator settles the environment-vs-code question.
 EXTRA_REPS["cdc_reconstruct_series"] = 5
 EXTRA_REPS["events_cohort_retention"] = 5
+
+
+# steal-aware rep guard (r15, VERDICT r14 #8): a rep whose fastest
+# window exceeded this host-steal percentage is re-run (bounded) so the
+# min estimator sees at least one quiet window. 1.5% is above this
+# box's quiet-window baseline (≤0.7% across the committed history) and
+# well below the 2–3% sustained-steal episodes that swung the pinned-17
+# total 16.6→25.5 s on identical code.
+STEAL_RERUN_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_RERUN_PCT", "1.5"))
+STEAL_RERUN_MAX = int(os.environ.get("SPARK_GRAFT_STEAL_RERUN_MAX", "2"))
+
+
+def _steal_sample() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) snapshot, None when unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()
+        return int(cpu[8]), sum(int(x) for x in cpu[1:])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_pct(before: tuple[int, int] | None) -> float | None:
+    """Host steal percentage since ``before``, None when unmeasurable."""
+    after = _steal_sample()
+    if before is None or after is None:
+        return None
+    total = after[1] - before[1]
+    if total <= 0:
+        return None
+    return 100.0 * (after[0] - before[0]) / total
 
 
 def _env_block() -> dict:

@@ -50,33 +50,89 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(stream)
 
 
+def _scaled_state_partitions(sf_dir: str) -> int:
+    """Streaming state-store partition count derived from the INPUT
+    size (optimization guide §2: make partitioning scale-adaptive —
+    derive it from the data — instead of a constant tuned for either
+    local mode or the cluster). Every shuffle partition of a stateful
+    stream is a STATE STORE: a provider instance with its own
+    checkpoint directory, per-micro-batch delta file and fsync, so the
+    fixed per-batch cost is O(partitions) regardless of data. ~32 MB
+    of input per state partition keeps that overhead proportional to
+    the work (a 2 MB fixture drains through 4 stores, not 32; a
+    100 TB/day stream saturates the 1024 cap and parallelism comes
+    from there). Floor 4 preserves multi-partition semantics
+    (cross-partition watermark/commit coordination stays exercised);
+    override cap/floor via SPARK_GRAFT_STREAM_STATE_MAX/MIN."""
+    import math
+
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    except OSError:
+        pass
+    lo = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_MIN", "4"))
+    hi = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_MAX", "1024"))
+    return max(lo, min(hi, math.ceil(total / (32 << 20))))
+
+
 def _drain_to_table(
-    spark: SparkSession, agg: DataFrame, mode: str = "complete"
+    spark: SparkSession,
+    agg: DataFrame,
+    mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     name = f"stream_contract_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"stream contract {name} did not drain within 300s")
+    # the stream's state-store partition count is pinned from
+    # spark.sql.shuffle.partitions at FIRST batch; scope the scaled
+    # value to the drain and restore the session default after
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(state_partitions)
+        )
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"stream contract {name} did not drain within 300s"
+            )
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
 def streaming_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling windows, executed by the streaming engine."""
-    out = _drain_to_table(spark, tumbling_counts(_events_stream(spark, sf_dir)))
+    out = _drain_to_table(
+        spark,
+        tumbling_counts(_events_stream(spark, sf_dir)),
+        state_partitions=_scaled_state_partitions(sf_dir),
+    )
     return out.select("window_start", "event_type", "n_events", "sum_value")
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(30 min gap) per user, executed by the streaming
     engine; oracle is the batch lag+cumsum sessionization SQL."""
-    out = _drain_to_table(spark, streaming_sessions(_events_stream(spark, sf_dir)))
+    out = _drain_to_table(
+        spark,
+        streaming_sessions(_events_stream(spark, sf_dir)),
+        state_partitions=_scaled_state_partitions(sf_dir),
+    )
     return out.select("user_id", "session_start", "session_end", "n_events")
 
 
@@ -109,7 +165,11 @@ GROUP BY user_id, session_id
 def streaming_sliding_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min window / 5 min slide) via the streaming
     engine; oracle expands each event into its two covering windows."""
-    out = _drain_to_table(spark, sliding_counts(_events_stream(spark, sf_dir)))
+    out = _drain_to_table(
+        spark,
+        sliding_counts(_events_stream(spark, sf_dir)),
+        state_partitions=_scaled_state_partitions(sf_dir),
+    )
     return out.select("window_start", "event_type", "n_events")
 
 
@@ -156,7 +216,10 @@ def streaming_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is the per-event last image; multi-batch statefulness is
     covered by test_streaming.py::test_streaming_current_state_multibatch."""
     out = _current_state_pre_sink(spark, sf_dir)
-    drained = _drain_to_table(spark, out, mode="update")
+    drained = _drain_to_table(
+        spark, out, mode="update",
+        state_partitions=_scaled_state_partitions(sf_dir),
+    )
     return drained.select(
         "o_orderkey", "status", "priority", "total", "note", "is_live", "as_of_lsn"
     )
@@ -181,7 +244,10 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins per key depends on arrival order, so the contract compares the
     deterministic part: the emitted key set must be exactly the batch
     DISTINCT, with one row each."""
-    out = _drain_to_table(spark, _dedup_keys_pre_sink(spark, sf_dir), mode="append")
+    out = _drain_to_table(
+        spark, _dedup_keys_pre_sink(spark, sf_dir), mode="append",
+        state_partitions=_scaled_state_partitions(sf_dir),
+    )
     return out.groupBy("user_id", "event_type").agg(
         F.count("*").cast("long").alias("n_rows")
     )
@@ -200,7 +266,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + interval, and the inner join's emitted matches must equal
     the batch join exactly."""
     out = _drain_to_table(
-        spark, _interval_join_pre_sink(spark, sf_dir), mode="append"
+        spark, _interval_join_pre_sink(spark, sf_dir), mode="append",
+        state_partitions=_scaled_state_partitions(sf_dir),
     )
     return out.select(
         "purchase_event_id", "user_id", "purchase_ts",
@@ -225,7 +292,10 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dim, windowed counts/sums per market segment — executed by
     the streaming engine; oracle is the equivalent batch join+window
     SQL."""
-    out = _drain_to_table(spark, _enriched_segments_pre_sink(spark, sf_dir))
+    out = _drain_to_table(
+        spark, _enriched_segments_pre_sink(spark, sf_dir),
+        state_partitions=_scaled_state_partitions(sf_dir),
+    )
     return out.select("window_start", "segment", "n_events", "sum_value")
 
 

@@ -22,11 +22,22 @@ import re
 
 from pyspark.sql import SparkSession
 
-# any explicit "scheme://" prefix (s3a://, hdfs://, file://…) stays on
-# the JVM FileSystem path; schemeless paths are local when the session's
-# fs.defaultFS is file:// (the Hadoop default)
-_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
-_DEFAULT_FS_CACHE: dict[int, str] = {}
+# any explicit scheme prefix (s3a://, hdfs://, file://, and Hadoop's
+# single-slash forms hdfs:/a/b, file:/a/b — both are accepted by
+# Path/FileSystem) stays on the JVM FileSystem path; schemeless paths
+# are local when the session's fs.defaultFS is file:// (the Hadoop
+# default). Requiring "://" here would silently route hdfs:/a/b into
+# the os.* branch: exists() would report False (re-triggering the
+# duplicate-re-append failure the module docstring warns about) and a
+# write would create a literal local "hdfs:" directory (ADVICE r14).
+_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
+# fs.defaultFS per live session: keyed by id() but guarded by a weakref
+# to the session object itself — after a session is garbage-collected a
+# NEW session can reuse the same id() with a DIFFERENT defaultFS, and a
+# bare id-keyed entry would misroute schemeless paths between the os
+# and JVM implementations (ADVICE r14). A dead/mismatched weakref is a
+# miss; entries are overwritten in place so the dict stays O(sessions).
+_DEFAULT_FS_CACHE: dict[int, tuple[object, str]] = {}
 
 
 def _is_local(spark: SparkSession, path: str) -> bool:
@@ -42,15 +53,19 @@ def _is_local(spark: SparkSession, path: str) -> bool:
     if _SCHEME.match(path):
         return False
     try:
+        import weakref
+
         key = id(spark)
-        d = _DEFAULT_FS_CACHE.get(key)
-        if d is None:
+        hit = _DEFAULT_FS_CACHE.get(key)
+        if hit is not None and hit[0]() is spark:
+            d = hit[1]
+        else:
             d = str(
                 spark._jsc.hadoopConfiguration().get(
                     "fs.defaultFS", "file:///"
                 )
             )
-            _DEFAULT_FS_CACHE[key] = d
+            _DEFAULT_FS_CACHE[key] = (weakref.ref(spark), d)
         return d.startswith("file:")
     except Exception:
         return True  # no JVM gateway — the os fallback is all there is
@@ -308,6 +323,24 @@ def list_data_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(rels)
 
 
+def move_file(spark: SparkSession, src: str, dst: str) -> None:
+    """Move ONE file, creating the destination's parent dirs — the
+    single-file primitive behind :func:`promote`, exposed for callers
+    that relocate staged files across directory layouts (one-pass
+    OPTIMIZE moves ``gid=N/part-*.parquet`` into each group's committed
+    partition dir)."""
+    h = _hadoop(spark, src)
+    if h is None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        _drop_stale_crc(dst)
+        os.replace(src, dst)
+        return
+    fs, _ = h
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(jvm_path(dst).getParent())
+    fs.rename(jvm_path(src), jvm_path(dst))
+
+
 def promote(spark: SparkSession, staging_dir: str, dest_dir: str) -> int:
     """Move every data file under ``staging_dir`` to the same relative
     location under ``dest_dir``; returns the number moved.
@@ -321,18 +354,7 @@ def promote(spark: SparkSession, staging_dir: str, dest_dir: str) -> int:
     module's promote degrades to its slow-but-correct path.
     """
     moved = 0
-    h = _hadoop(spark, staging_dir)
     for rel in list_data_files(spark, staging_dir):
-        src = join(staging_dir, rel)
-        dst = join(dest_dir, rel)
-        if h is None:
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            _drop_stale_crc(dst)
-            os.replace(src, dst)
-        else:
-            fs, _ = h
-            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-            fs.mkdirs(jvm_path(dst).getParent())
-            fs.rename(jvm_path(src), jvm_path(dst))
+        move_file(spark, join(staging_dir, rel), join(dest_dir, rel))
         moved += 1
     return moved

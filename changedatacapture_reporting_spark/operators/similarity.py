@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from changedatacapture_reporting_spark.functions.vectors import (
-    dot_decimal,
+    dot_decimal_int64,
     dot_double,
 )
 
@@ -53,7 +53,9 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    dot = dot_decimal if exact_decimal else dot_double
+    # int64 fixed-point form of the decimal-grid product — bit-identical
+    # (guarded fallback inside), ranks and renders the same (r15)
+    dot = dot_decimal_int64 if exact_decimal else dot_double
     sim = dot(F.col("qv"), F.col("cv")).alias("sim")
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
