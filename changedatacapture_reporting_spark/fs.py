@@ -353,8 +353,48 @@ def promote(spark: SparkSession, staging_dir: str, dest_dir: str) -> int:
     that point swap the sink for a transactional table format and this
     module's promote degrades to its slow-but-correct path.
     """
-    moved = 0
-    for rel in list_data_files(spark, staging_dir):
-        move_file(spark, join(staging_dir, rel), join(dest_dir, rel))
-        moved += 1
-    return moved
+    rels = list_data_files(spark, staging_dir)
+    move_files(
+        spark,
+        [(join(staging_dir, rel), join(dest_dir, rel)) for rel in rels],
+    )
+    return len(rels)
+
+
+# pooled-move dispatch: below the floor (or on the local fast path,
+# where one move is a ~µs os.replace) the pool costs more than it
+# saves; above it, each remote move is a py4j + namespace roundtrip
+# (copy+delete on object stores), independent across files
+_MOVE_POOL_MIN_FILES = 8
+_MOVE_POOL_THREADS = 16
+
+
+def move_files(
+    spark: SparkSession, pairs: list[tuple[str, str]]
+) -> None:
+    """Move many ``(src, dst)`` files. Local paths move serially
+    (``os.replace`` is ~µs — pool dispatch would dominate); on a remote
+    FileSystem the renames run from a small thread pool, because each
+    one is an independent py4j + namespace roundtrip (object stores:
+    copy+delete) and a large promote/OPTIMIZE otherwise serializes
+    O(files) network latencies on the driver — the same §2.6
+    overlap-independent-work shape as the footer-stats pool. Hadoop
+    ``FileSystem`` instances are required to be thread-safe and py4j
+    serves concurrent callers on separate connections."""
+    pairs = list(pairs)
+    if not pairs:
+        return
+    if len(pairs) < _MOVE_POOL_MIN_FILES or _is_local(
+        spark, pairs[0][0]
+    ):
+        for src, dst in pairs:
+            move_file(spark, src, dst)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(_MOVE_POOL_THREADS, len(pairs))
+    ) as pool:
+        # list() drains the iterator so any failed rename raises here,
+        # not silently after the commit
+        list(pool.map(lambda p: move_file(spark, p[0], p[1]), pairs))

@@ -2612,6 +2612,104 @@ def prune_adds(
     return [a for a in adds if _keep(a)]
 
 
+# key-targeted commands (DELETE / MERGE) only run the stats pre-prune
+# on tables with at least this many live files: below it the extra
+# bounds aggregate over the caller's key plan costs more than the
+# file-pruned scan saves (the sf0.1 fixtures are 80-file tables), above
+# it the discovery scan otherwise reads the pk column of EVERY live
+# file — at 100 TB (10⁴–10⁶ files) skipping the files whose [min,max]
+# pk range provably contains no key is the difference between a
+# key-local command and a full-table metadata pass. Scale-adaptive by
+# construction (file count, not a local[32]-tuned constant);
+# env-overridable for deployments whose key plans are expensive.
+_KEY_PRUNE_MIN_FILES_DEFAULT = 256
+
+# key-bounds conjuncts are emitted only for types whose collected
+# Python values compare exactly against the stats encoding:
+# integrals/decimal (numeric path), strings (spec truncation rounds
+# min down / max up — conservative), dates (ISO strings). Float/double
+# (NaN ordering) and timestamps (renderer format variance) stay out —
+# their columns simply contribute no conjunct, never a wrong prune.
+_KEY_PRUNE_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.DecimalType,
+    T.StringType,
+    T.DateType,
+)
+
+
+def _prune_adds_by_key_bounds(
+    spark: SparkSession,
+    adds: list[dict],
+    keys: DataFrame,
+    pk_cols: list[str],
+    meta: dict,
+    schema: T.StructType,
+) -> tuple[list[dict], int]:
+    """File-level data skipping for the key-targeted commands' discovery
+    scan (guide §3.2 applied to stats instead of a Bloom filter): one
+    tiny aggregate computes the key set's per-column [min, max], and
+    every live file whose committed stats prove its pk range cannot
+    overlap is dropped BEFORE the pk + row-position scan is even
+    planned. A matching row's pk equals some key, so it lies inside the
+    key bounds — range-disjoint files cannot contain matches; the join
+    is null-unsafe, so nullCount never matters, and an all-NULL key
+    column means NO key can match (empty prune). Reuses
+    :func:`prune_adds` (the read path's hardened comparison semantics)
+    with ``>= min(key)`` / ``<= max(key)`` conjuncts.
+
+    Returns ``(kept_adds, n_pruned)``. Sorted / partitioned / append-
+    mostly tables (the 100 TB norm for pk-clustered layouts) prune to
+    the key-local file set; commit-time-sorted changelogs whose every
+    file spans the keyspace keep everything and paid one metadata-sized
+    aggregate."""
+    import os as _os
+
+    raw = _os.environ.get("SPARK_GRAFT_KEY_PRUNE_MIN_FILES")
+    min_files = int(raw) if raw else _KEY_PRUNE_MIN_FILES_DEFAULT
+    if len(adds) < min_files:
+        return adds, 0
+    safe = [
+        c
+        for c in pk_cols
+        if isinstance(schema[c].dataType, _KEY_PRUNE_TYPES)
+    ]
+    if not safe:
+        return adds, 0
+    bounds = keys.agg(
+        *[
+            f
+            for c in safe
+            for f in (
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            )
+        ]
+    ).head()
+    skip: list[tuple] = []
+    for c in safe:
+        lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+        if lo is None:
+            # no key carries a non-NULL value in c: the null-unsafe
+            # join can match nothing at all (also the empty-keys case)
+            return [], len(adds)
+        skip.append((c, ">=", lo))
+        skip.append((c, "<=", hi))
+    part_cols = list(meta.get("partitionColumns") or [])
+    prune_schema = schema
+    if _mapping_mode(meta) in ("name", "id"):
+        # stats keys / partitionValues carry PHYSICAL names
+        l2p = _logical_to_physical(schema)
+        skip = [(l2p.get(c, c), op, v) for c, op, v in skip]
+        part_cols = [l2p.get(c, c) for c in part_cols]
+        prune_schema = _physical_type(schema)
+    kept = prune_adds(adds, skip, part_cols, schema=prune_schema)
+    return kept, len(adds) - len(kept)
+
+
 def metadata_summary(
     spark: SparkSession,
     path: str,
@@ -4625,6 +4723,7 @@ def optimize_delta(
         out_df.write.mode("overwrite").partitionBy(gcol).parquet(staging)
         adds_out: list[dict] = []
         full_rels: list[str] = []
+        moves: list[tuple[str, str]] = []
         for rel in fs.list_data_files(spark, staging):
             dirname, _, base = rel.rpartition("/")
             gid = int(unquote(dirname.rpartition("=")[2]))
@@ -4636,8 +4735,8 @@ def optimize_delta(
             full_rel = (
                 f"{part_dir}/g{gid}-{base}" if part_dir else f"g{gid}-{base}"
             )
-            fs.move_file(
-                spark, fs.join(staging, rel), fs.join(path, full_rel)
+            moves.append(
+                (fs.join(staging, rel), fs.join(path, full_rel))
             )
             full_rels.append(full_rel)
             adds_out.append(
@@ -4651,6 +4750,11 @@ def optimize_delta(
                     }
                 }
             )
+        # one batched dispatch: local stays serial (os.replace ~µs),
+        # remote filesystems pool the independent renames (§2.6 —
+        # the serial loop was O(files) driver-side roundtrips on an
+        # object store; "Not yet optimized" r15 item 1)
+        fs.move_files(spark, moves)
         fs.delete(spark, staging)
         stats = _file_stats(
             spark, path, full_rels, stats_schema, group_parts
@@ -5121,6 +5225,20 @@ def merge_delta(
     n_upserts = data_source.count()
 
     adds = list(state["files"].values())
+    # stats pre-prune (r15): discovery reads only files whose committed
+    # [min,max] pk range can overlap the source keys (guide §3.2/§6);
+    # untouched-by-construction files never even reach the plan. Sound
+    # for every downstream leg: touched files, survivors and the CDC
+    # record all derive from the discovery semi-join, which a range-
+    # disjoint file can never satisfy, and inserts come from the source
+    # side alone.
+    adds, n_stats_pruned = _prune_adds_by_key_bounds(
+        spark, adds, all_keys, pk_cols, meta, schema
+    )
+    if _PLAN_PROBE is not None:
+        _PLAN_PROBE["merge_key_prune"] = {
+            "kept": len(adds), "pruned": n_stats_pruned,
+        }
 
     ctx = _write_mapping_ctx(meta)
     stage_schema = ctx["phys_schema"] if ctx else schema
@@ -5458,6 +5576,17 @@ def delete_delta(
         raise ValueError(f"key columns not in table schema: {unknown}")
     adds = list(state["files"].values())
     key_rows = keys.distinct()
+    # stats pre-prune (r15): on large tables, drop every live file
+    # whose committed [min,max] pk range provably contains no key
+    # BEFORE the discovery scan — the scan's I/O becomes ∝ key-range-
+    # overlapping files instead of the whole live set (guide §3.2/§6)
+    adds, n_stats_pruned = _prune_adds_by_key_bounds(
+        spark, adds, key_rows, pk_cols, meta, schema
+    )
+    if _PLAN_PROBE is not None:
+        _PLAN_PROBE["delete_key_prune"] = {
+            "kept": len(adds), "pruned": n_stats_pruned,
+        }
 
     matched = (
         _scan_adds(spark, path, meta, adds, with_rowpos=True)
@@ -5469,6 +5598,12 @@ def delete_delta(
         )
         .persist()
     )
+    if _PLAN_PROBE is not None:
+        from changedatacapture_reporting_spark.plans.explain import (
+            plan_string,
+        )
+
+        _PLAN_PROBE["delete_discovery_plan"] = plan_string(matched)
     try:
         n_deleted = matched.count()
         if n_deleted == 0:
