@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from changedatacapture_reporting_spark.functions.vectors import (
-    dot_decimal_int64,
+    dot_decimal,
     dot_double,
 )
 
@@ -53,9 +53,15 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    # int64 fixed-point form of the decimal-grid product — bit-identical
-    # (guarded fallback inside), ranks and renders the same (r15)
-    dot = dot_decimal_int64 if exact_decimal else dot_double
+    # exact_decimal stays on the plain decimal chain: the int64
+    # fixed-point form (functions.vectors.dot_decimal_int64, r15) is
+    # bit-identical (pinned by tests/test_dot_int64.py) but measured
+    # ~35% SLOWER here — its domain guard adds two O(d) array
+    # aggregates per pair and the when/otherwise carries both chains,
+    # which outweighs the decimal→int64 arithmetic saving (quiet-box
+    # interleaved A/B, min-of-5: 1.88 s decimal vs 2.56 s int64 on the
+    # sf0.1 brute-force leg). Kept as a documented negative result.
+    dot = dot_decimal if exact_decimal else dot_double
     sim = dot(F.col("qv"), F.col("cv")).alias("sim")
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
