@@ -2292,21 +2292,16 @@ def _file_stats_from_footers(
             }
         )
 
-    # large commits (OPTIMIZE over a wide sink, a month-partitioned
-    # populate) stage tens-to-thousands of files: pyarrow's footer read
-    # releases the GIL during I/O/parsing, so a small thread pool keeps
-    # the commit path flat in file count instead of re-serializing it
-    # on the driver (VERDICT r14 #5). Small commits stay in-line — the
-    # pool's setup would cost more than the loop.
-    if len(rels) > 8:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(
-            max_workers=min(16, len(rels))
-        ) as pool:
-            results = list(pool.map(_one, rels))
-    else:
-        results = [_one(rel) for rel in rels]
+    # serial on purpose (r15, measured): per-file cost here is
+    # GIL-bound Python (stats dict/decimal/JSON assembly) around a
+    # ~µs local footer read, so a 16-thread pool CONTENDS instead of
+    # overlapping — interleaved A/B at 640 staged files: 369 ms pooled
+    # vs 113 ms serial (min-of-3, warm cache). The fast path is gated
+    # to LOCAL paths (see _file_stats), so the remote-I/O case a pool
+    # would genuinely help can never reach this loop; at 150 µs/file
+    # serial, even a 10⁴-file commit spends ~1.5 s here vs the
+    # multi-second Spark aggregate it replaces.
+    results = [_one(rel) for rel in rels]
     out: dict[str, str] = {}
     for rel, res in zip(rels, results):
         if res is None:
