@@ -377,10 +377,13 @@ def move_files(
     FileSystem the renames run from a small thread pool, because each
     one is an independent py4j + namespace roundtrip (object stores:
     copy+delete) and a large promote/OPTIMIZE otherwise serializes
-    O(files) network latencies on the driver — the same §2.6
-    overlap-independent-work shape as the footer-stats pool. Hadoop
-    ``FileSystem`` instances are required to be thread-safe and py4j
-    serves concurrent callers on separate connections."""
+    O(files) network latencies on the driver (§2.6 overlap independent
+    work). Unlike the footer-stats loop (whose pool was removed in r15
+    — its per-file work is GIL-bound Python parsing), a remote rename
+    is almost pure socket WAIT: py4j releases the GIL during the
+    blocking recv and serves each thread on its own gateway
+    connection, and Hadoop ``FileSystem`` instances are contractually
+    thread-safe — the same pattern as the r14 zorder job pool."""
     pairs = list(pairs)
     if not pairs:
         return
